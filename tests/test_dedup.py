@@ -1,0 +1,44 @@
+"""Dedup operator tests (SURVEY.md D2/D3/D4/D6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import rows
+from tmdb_index_spark.operators.dedup import (
+    dedup_keep_first,
+    dedup_keep_last,
+    duplicate_ids,
+)
+
+
+def test_keep_last_by_arrival(spark):
+    df = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b"), (2, 0, "c")], "id long, arrival long, v string"
+    )
+    out = dedup_keep_last(df, keys=("id",), order=("arrival",)).drop("arrival")
+    assert rows(out) == [{"id": 1, "v": "b"}, {"id": 2, "v": "c"}]
+
+
+def test_keep_first_by_priority(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "collection"), (1, 0, "movie"), (2, 1, "collection")],
+        "id long, prio long, src string",
+    )
+    out = dedup_keep_first(df, keys=("id",), order=("prio",)).drop("prio")
+    assert rows(out) == [{"id": 1, "src": "movie"}, {"id": 2, "src": "collection"}]
+
+
+def test_dedup_requires_order():
+    with pytest.raises(ValueError):
+        dedup_keep_last(None, keys=("id",), order=())
+
+
+def test_duplicate_ids(spark):
+    df = spark.createDataFrame([(1,), (2,), (2,), (3,), (3,), (3,)], "id long")
+    assert rows(duplicate_ids(df)) == [{"id": 2}, {"id": 3}]
+
+
+def test_duplicate_ids_none(spark):
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    assert rows(duplicate_ids(df)) == []

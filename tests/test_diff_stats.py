@@ -1,0 +1,93 @@
+"""change_summary / compute_stats tests, mirroring reference
+test_tmdb_index.py:95-148,652-795."""
+
+from __future__ import annotations
+
+from tests.conftest import rows
+from tmdb_index_spark.operators.diff import change_summary
+from tmdb_index_spark.operators.stats import compute_stats
+
+
+def test_change_summary_noop(spark):
+    df = spark.createDataFrame([(0, 1), (1, 2)], "id long, v long")
+    assert change_summary(df, df) == (0, 0, 0)
+
+
+def test_change_summary_added(spark):
+    old = spark.createDataFrame([(0, 1)], "id long, v long")
+    new = spark.createDataFrame([(0, 1), (1, 2)], "id long, v long")
+    assert change_summary(old, new) == (1, 0, 0)
+
+
+def test_change_summary_removed(spark):
+    old = spark.createDataFrame([(0, 1), (1, 2)], "id long, v long")
+    new = spark.createDataFrame([(0, 1)], "id long, v long")
+    assert change_summary(old, new) == (0, 1, 0)
+
+
+def test_change_summary_updated(spark):
+    old = spark.createDataFrame([(0, 1), (1, 2)], "id long, v long")
+    new = spark.createDataFrame([(0, 1), (1, 99)], "id long, v long")
+    assert change_summary(old, new) == (0, 0, 1)
+
+
+def test_change_summary_added_and_updated(spark):
+    old = spark.createDataFrame([(0, False), (1, False)], "id long, adult boolean")
+    new = spark.createDataFrame(
+        [(0, False), (1, True), (2, False)], "id long, adult boolean"
+    )
+    assert change_summary(old, new) == (1, 0, 1)
+
+
+def _stats_by_name(df_stats):
+    return {r["name"]: r for r in rows(df_stats, order_by=None)}
+
+
+def test_compute_stats_bools_and_unique(spark):
+    old = spark.createDataFrame([(0, False), (1, False)], "id long, adult boolean")
+    new = spark.createDataFrame(
+        [(0, False), (1, True), (2, False)], "id long, adult boolean"
+    )
+    s = _stats_by_name(compute_stats(old, new))
+    assert s["id"]["unique"] == "true"
+    assert s["id"]["null"] == ""
+    assert s["adult"]["true"] == "1 (33.3%)"
+    assert s["adult"]["false"] == "2 (66.7%)"
+    assert s["adult"]["updated"] == "1 (33.3%)"
+    assert s["adult"]["unique"] == ""
+    # column order preserved
+    assert [r["name"] for r in rows(compute_stats(old, new), order_by=None)] == [
+        "id",
+        "adult",
+    ]
+
+
+def test_compute_stats_nulls_counted(spark):
+    df = spark.createDataFrame([(0, None), (1, 5), (2, 5)], "id long, v long")
+    s = _stats_by_name(compute_stats(df, df))
+    assert s["v"]["null"] == "1 (33.3%)"
+    assert s["v"]["unique"] == ""  # two non-null values equal
+    assert s["v"]["updated"] == ""  # self-compare
+
+
+def test_compute_stats_null_change_not_counted_as_update(spark):
+    # null→value transitions use null-propagating != (not counted).
+    old = spark.createDataFrame([(0, None), (1, 1)], "id long, v long")
+    new = spark.createDataFrame([(0, 5), (1, 2)], "id long, v long")
+    s = _stats_by_name(compute_stats(old, new))
+    assert s["v"]["updated"] == "1 (50.0%)"
+
+
+def test_compute_stats_length_mismatch_pads_with_null(spark):
+    # extra ids in new pair with null on the old side → not "updated".
+    old = spark.createDataFrame([(0, 1)], "id long, v long")
+    new = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "id long, v long")
+    s = _stats_by_name(compute_stats(old, new))
+    assert s["v"]["updated"] == ""
+
+
+def test_compute_stats_empty(spark):
+    df = spark.createDataFrame([], "id long, v long")
+    s = _stats_by_name(compute_stats(df, df))
+    assert s["id"]["null"] == ""
+    assert s["id"]["unique"] == "true"  # 0 distinct == 0 non-null
