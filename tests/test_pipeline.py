@@ -63,7 +63,7 @@ def test_changes_backfill_date_range_epoch_fallback(spark):
 
 def test_insert_latest_changes_from_empty(spark):
     df = spark.createDataFrame([], empty_index_schema())
-    out = insert_latest_changes(df, _feed(), "movie", days_limit=30, today=TODAY)
+    out = insert_latest_changes(df, _feed(), "movie", days_limit=100_000, today=TODAY)
     got = rows(out)
     # dense 0..2, keep-last within day 2024-05-02 for id=2
     assert [r["id"] for r in got] == [0, 1, 2]
@@ -81,7 +81,7 @@ def test_insert_latest_changes_later_day_wins(spark):
         }
     )
     df = spark.createDataFrame([], empty_index_schema())
-    out = rows(insert_latest_changes(df, feed, "movie", today=TODAY))
+    out = rows(insert_latest_changes(df, feed, "movie", days_limit=100_000, today=TODAY))
     assert out == [{"id": 0, "adult": False, "date": date(2024, 5, 3)}]
 
 
@@ -140,7 +140,7 @@ def test_process_end_to_end_movie(spark):
     df = spark.createDataFrame([], empty_index_schema())
     out = process(
         df, _feed(), "movie",
-        days_limit=30, backfill_limit=10, refresh_limit=5,
+        days_limit=100_000, backfill_limit=10, refresh_limit=5,
         today=TODAY, now=NOW,
     )
     got = rows(out)
@@ -162,7 +162,7 @@ def test_process_tv_keeps_tvdb(spark):
     feed.changes_by_day = {date(2024, 5, 3): [{"id": 2, "adult": None}]}
     out = process(
         df, feed, "tv",
-        days_limit=30, backfill_limit=10, refresh_limit=5,
+        days_limit=100_000, backfill_limit=10, refresh_limit=5,
         today=TODAY, now=NOW,
     )
     got = rows(out)

@@ -7,9 +7,9 @@ at guards, worklist collection, and the sink.
 
 Spark-first deviation from the reference's loop shape: the reference
 folds per-day change batches through ``update_or_append`` one day at a
-time (N merges → N dedup passes).  Here all fetched days are unioned
-with a day-index precedence and merged ONCE — one shuffle instead of N,
-same keep-last-by-day semantics (newest day wins per id).
+time (N merges → N dedup passes).  Here the driver-resident per-day
+payloads fold to one keep-last batch and merge ONCE — one shuffle
+instead of N, same keep-last-by-day semantics (newest day wins per id).
 """
 
 from __future__ import annotations
@@ -21,17 +21,16 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tmdb_index_spark.operators.dedup import dedup_keep_last
 from tmdb_index_spark.operators.selection import (
     select_backfill_candidates,
     select_refresh_candidates,
     select_stale_candidates,
 )
 from tmdb_index_spark.operators.upsert import align_id_col, update_or_append
+from tmdb_index_spark.schemas import changes_schema
 from tmdb_index_spark.sources.fetcher import (
     CHANGES_EPOCH,
     TmdbFeed,
-    changes_batch,
     export_batch,
     external_ids_batch,
 )
@@ -87,20 +86,24 @@ def insert_latest_changes(
     tmdb_index.py:241-256)."""
     spark = df.sparkSession
     date_range = changes_backfill_date_range(df, entity_type, today)[:days_limit]
-    day_frames = []
-    for i, d in enumerate(date_range):
-        batch = changes_batch(spark, feed.changes(entity_type, d), d)
-        day_frames.append(batch.withColumn("__day__", F.lit(i)))
-    if not day_frames:
+    # The payloads are already driver-resident (sequential rate-limited
+    # HTTP), so the keep-last fold across days happens in the same dict
+    # pass that the per-day builder uses within a day: later day / later
+    # arrival wins per id (reference folds one update_or_append per day,
+    # tmdb_index.py:248-254 — same fixpoint).  One schema'd batch then
+    # enters the plan and merges in a single shuffle, instead of N
+    # unions of N tiny 32-partition frames.  The distributed keep-last
+    # path (dedup_keep_last) remains the operator for table-sized inputs.
+    last: dict[int, dict[str, Any]] = {}
+    for d in date_range:
+        for r in feed.changes(entity_type, d):
+            if r.get("id") is None:
+                continue
+            last[int(r["id"])] = {"id": int(r["id"]), "adult": r.get("adult"), "date": d}
+    if not last:
         return align_id_col(df)
-
-    all_changes = day_frames[0]
-    for b in day_frames[1:]:
-        all_changes = all_changes.unionByName(b)
-    merged = dedup_keep_last(all_changes, keys=("id",), order=("__day__",)).drop(
-        "__day__"
-    )
-    return align_id_col(update_or_append(df, merged))
+    batch = spark.createDataFrame(list(last.values()), changes_schema())
+    return align_id_col(update_or_append(df, batch))
 
 
 def update_export_flag(df: DataFrame, feed: TmdbFeed, entity_type: str) -> DataFrame:
