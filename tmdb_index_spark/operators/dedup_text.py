@@ -1,0 +1,290 @@
+"""Document near-duplicate detection (north-star extension operators).
+
+Four strategies over a ``documents(doc_id, text, ...)`` table, each
+designed so the expensive pairwise comparison never goes quadratic in
+the corpus:
+
+* :func:`dedup_exact` — hash-groupBy; one shuffle on the content hash.
+* :func:`ngram_jaccard_pairs` — inverted shingle index: explode
+  shingles, self-join on the shingle (only docs sharing a shingle meet),
+  count intersections, then Jaccard from per-doc shingle counts.
+* :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — k md5-based
+  min-hashes, banded; candidate pairs only within equal band buckets.
+* :func:`simhash64` — 64-bit bit-vote fingerprint; near-dups have small
+  Hamming distance (compared with ``bit_count(xor)``).
+
+Scale notes (100 TB): every strategy is shuffle-bounded by the
+*inverted index / bucket* cardinality, not |docs|². Skewed shingles
+(stopword trigrams) are the classic hazard — ``ngram_jaccard_pairs``
+caps posting-list length with ``max_df`` the way MinHashLSH banding
+caps bucket width. All hashing is md5-based (engine-portable,
+deterministic) rather than ``xxhash64`` so a SQL oracle can reproduce
+results exactly; swap :func:`~tmdb_index_spark.functions.text
+.portable_hash60` for ``F.xxhash64`` for a few % more throughput when
+oracle parity is not needed.
+
+These compose from built-in exprs only — no Python UDFs — so dedup of a
+billion docs is a handful of codegen'd stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tmdb_index_spark.functions.text import portable_hash60, tokens, word_shingles
+
+__all__ = [
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash64",
+]
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-content dedup groups: one row per distinct content hash with
+    the keeper (min id) and the duplicate count. Single map-side-combined
+    shuffle on the hash."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def _shingle_frame(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the inverted-index input."""
+    return (
+        df.select(
+            F.col(id_col).alias("__id__"),
+            F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias(
+                "__sh__"
+            ),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Doc pairs with word-``n``-gram Jaccard similarity ≥ ``threshold``.
+
+    Plan shape: explode distinct shingles → (optionally) drop shingles
+    appearing in more than ``max_df`` docs (they contribute candidates
+    quadratically but little signal — the skew guard) → self-join on the
+    shingle → per-pair intersection counts → Jaccard via
+    |A∩B| / (|A|+|B|−|A∩B|). Returns ``(id_a, id_b, jaccard)`` with
+    ``id_a < id_b``.
+    """
+    sh = _shingle_frame(df, text_col, id_col, n)
+    if max_df is not None:
+        common = (
+            sh.groupBy("__sh__")
+            .agg(F.count(F.lit(1)).alias("__df__"))
+            .filter(F.col("__df__") > max_df)
+            .select("__sh__")
+        )
+        sh = sh.join(F.broadcast(common), "__sh__", "left_anti")
+    sh = sh.cache()
+    sizes = sh.groupBy("__id__").agg(F.count(F.lit(1)).alias("__n__"))
+
+    a = sh.select(F.col("__id__").alias("id_a"), "__sh__")
+    b = sh.select(F.col("__id__").alias("id_b"), "__sh__")
+    inter = (
+        a.join(b, "__sh__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter__"))
+    )
+    na = sizes.select(F.col("__id__").alias("id_a"), F.col("__n__").alias("__na__"))
+    nb = sizes.select(F.col("__id__").alias("id_b"), F.col("__n__").alias("__nb__"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter__").cast("double")
+                / (F.col("__na__") + F.col("__nb__") - F.col("__inter__")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Per-doc MinHash signature: ``minhash_0..minhash_{k-1}`` where
+    ``minhash_i = min over shingles of md5-hash(shingle, seed=i)``.
+
+    Explode-then-aggregate rather than k× ``array_min(transform(...))``:
+    Catalyst inlines a repeated higher-order expression k times (k full
+    re-shinglings per row, interpreted eval), while explode + per-row
+    hash columns stays in whole-stage codegen and the groupBy(min)
+    shuffle is map-side combined down to one signature row per doc —
+    the shape that survives a 100× scale-up. Docs with no shingles keep
+    a row with null minhashes.
+    """
+    sh = _shingle_frame(df, text_col, id_col, n)
+    hashed = sh.select(
+        "__id__",
+        *[
+            portable_hash60(F.col("__sh__"), seed=i).alias(f"__h{i}__")
+            for i in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy("__id__").agg(
+        *[F.min(f"__h{i}__").alias(f"minhash_{i}") for i in range(num_hashes)]
+    )
+    return df.select(F.col(id_col)).join(
+        sig.withColumnRenamed("__id__", id_col), id_col, "left"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH candidate generation, then exact Jaccard verify.
+
+    Signature rows → ``bands`` band-keys (each the struct of
+    ``num_hashes/bands`` consecutive minhashes) → explode → self-join on
+    (band index, band key) so only same-bucket docs pair up → distinct
+    candidate pairs → exact verify via :func:`ngram_jaccard_pairs`
+    semantics on just the candidates. Collision probability for true
+    Jaccard s is 1−(1−s^r)^b — the standard S-curve; with r=4, b=4 the
+    knee sits near s≈0.55.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"minhash_{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col).alias("__id__"), F.explode(band_structs).alias("bk")
+    ).select("__id__", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = buckets.select(F.col("__id__").alias("id_a"), "band", "key")
+    b = buckets.select(F.col("__id__").alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # Exact verify on candidates only: intersect shingle sets per pair.
+    # Cached — the inverted index feeds sizes and both join sides.
+    sh = _shingle_frame(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("__id__").agg(F.count(F.lit(1)).alias("__n__"))
+    ia = sh.select(F.col("__id__").alias("id_a"), "__sh__")
+    ib = sh.select(F.col("__id__").alias("id_b"), "__sh__")
+    inter = (
+        cand.join(ia, "id_a")
+        .join(ib, ["id_b", "__sh__"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter__"))
+    )
+    na = sizes.select(F.col("__id__").alias("id_a"), F.col("__n__").alias("__na__"))
+    nb = sizes.select(F.col("__id__").alias("id_b"), F.col("__n__").alias("__nb__"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter__").cast("double")
+                / (F.col("__na__") + F.col("__nb__") - F.col("__inter__")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Each token hashes to 60 portable bits; for every bit position the
+    tokens vote +1/−1 and the sign becomes the fingerprint bit. Pure
+    array expressions — a single map stage, no shuffle. Near-duplicate
+    docs differ in few bits: compare fingerprints downstream with
+    ``bit_count(a ^ b) <= k``.
+    """
+    # Explode distinct tokens → one portable hash per row → ONE
+    # aggregation producing all 60 bit-votes (map-side combined). The
+    # alternative — 60 aggregate() folds over the token array — walks
+    # the array 60× per doc in interpreted eval; this shape hashes each
+    # token once and keeps everything in codegen.
+    tok = df.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("__t__"),
+    )
+    hashed = tok.select("__id__", portable_hash60(F.col("__t__")).alias("__h__"))
+    votes = hashed.groupBy("__id__").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("__h__"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"__v{b}__")
+            for b in range(60)
+        ],
+    )
+    fingerprint = F.lit(0).cast("long")
+    for b in range(60):
+        fingerprint = fingerprint + F.when(
+            F.col(f"__v{b}__") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    sig = votes.select(
+        F.col("__id__").alias(id_col), fingerprint.alias("simhash"), "n_tokens"
+    )
+    # Preserve docs with no tokens (null fingerprint), like the SQL twin.
+    return df.select(F.col(id_col)).join(sig, id_col, "left")
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,163 @@
+"""Embedding similarity search (north-star extension operators).
+
+Over an ``embeddings(vec_id, embedding array<float>, label)`` table:
+
+* :func:`cosine` — deterministic cosine expression (sequential
+  ``aggregate`` fold, so the result is bit-identical across engines and
+  partitionings — no shuffle-order float nondeterminism).
+* :func:`brute_force_topk` — exact top-k neighbors for a (small) query
+  set: broadcast queries × scan corpus, per-query ``row_number`` cut.
+  The corpus is scanned once regardless of |queries|; the shuffle is
+  |queries|·|corpus| rows wide, so this is the *baseline*, right only
+  when |queries| is small or exactness is required.
+* :func:`signbit_buckets` / :func:`lsh_topk` — random-hyperplane-style
+  LSH scale path. Buckets come from the sign bits of ``n_bits`` fixed
+  coordinates (a deterministic stand-in for random projections — same
+  plan shape, engine-reproducible). Probing compares only same-bucket
+  vectors: with b bits, candidate volume drops ~2^b×. Recall is
+  per-bucket-boundary approximate; raise ``n_bits`` for speed, lower it
+  for recall, or multi-probe (bucket ± one bit flip) for both.
+
+At 100 TB: brute force is a broadcast-nested-loop — fine for ad-hoc
+queries, wrong as a join. The LSH path shuffles on the bucket key and
+is skew-safe for roughly-isotropic embeddings; for production ANN the
+same plan swaps sign-bit buckets for trained IVF centroid ids
+(assignment via a Pandas-UDF argmin over a broadcast centroid matrix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cosine", "brute_force_topk", "signbit_buckets", "lsh_topk"]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column, decimals: int = 4) -> Column:
+    """Cosine similarity of two double arrays, rounded for stable
+    cross-engine comparison."""
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), decimals)
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-``k``: for each query vector, the ``k`` nearest
+    corpus vectors (self-matches excluded). Queries are broadcast; ties
+    break on neighbor id for determinism. Returns
+    ``(query_id, neighbor_id, cos_sim, rank)``."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv__")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv__")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv__"), F.col("__cv__")).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def signbit_buckets(
+    df: DataFrame,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hyperplane-LSH bucket id from the sign bits of the first
+    ``n_bits`` coordinates: bucket = Σ (v[i] >= 0) << i. Pure map
+    stage."""
+    v = _as_double(vec_col)
+    # Bit weights are Python ints (shift amounts must be literals); the
+    # n_bits terms unroll at plan-build time into one map expression.
+    bucket = F.lit(0).cast("long")
+    for i in range(n_bits):
+        bucket = bucket + F.when(
+            F.element_at(v, i + 1) >= 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return df.select(
+        F.col(id_col), F.col(vec_col), bucket.alias("bucket")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs top-``k``: bucket by sign bits, compare only
+    within buckets, rank per vector. Returns
+    ``(query_id, neighbor_id, cos_sim, rank)`` — vectors alone in their
+    bucket produce no rows (the recall trade documented in the module
+    docstring)."""
+    b = signbit_buckets(corpus, n_bits, id_col, vec_col)
+    a = b.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("__qv__"),
+        "bucket",
+    )
+    c = b.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("__cv__"),
+        "bucket",
+    )
+    scored = (
+        a.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv__"), F.col("__cv__")).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,1015 @@
+"""Named query catalog: one entry per implemented operator surface.
+
+This is the driver-facing correctness contract (``__spark_entry__.py``
+re-exports it): every entry pairs a Spark DataFrame builder with an
+equivalent ANSI-SQL oracle that DuckDB runs over the same parquet
+tables. Column names and types are aligned on both sides because the
+driver hash-compares values after sorting columns by name.
+
+Cross-engine determinism rules used throughout:
+
+* exact money/quantity aggregation goes through ``DECIMAL(18,2)`` —
+  decimal arithmetic is exact in both engines, so sums match
+  bit-for-bit; the final aggregate is cast to double for a stable
+  output type.
+* float reductions over arrays use a sequential left-to-right fold in
+  both engines (Spark ``aggregate``, DuckDB ``list_*``), rounded to 4
+  decimals before any ranking so ranks can't diverge on 1-ULP noise.
+* all hashing is md5-based (:mod:`tmdb_index_spark.functions.text`
+  .portable_hash60) — never ``xxhash64``/``hash`` whose values are
+  engine-private.
+* every integer output is cast to ``bigint``, every float to
+  ``double``.
+
+Queries tagged (SURVEY.md §2 ids) exercise the reference-derived
+operator; the ``documents``/``embeddings`` queries are the north-star
+LLM-pipeline extensions (SURVEY.md §7 phase 5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tmdb_index_spark.functions.text import (
+    LANG_MARKERS,
+    doc_fingerprint,
+    quality_features,
+    token_count,
+    tokens,
+)
+from tmdb_index_spark.operators.dedup import (
+    dedup_keep_first,
+    dedup_keep_last,
+    duplicate_ids,
+)
+from tmdb_index_spark.operators.dedup_text import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from tmdb_index_spark.operators.similarity import brute_force_topk, lsh_topk
+from tmdb_index_spark.operators.upsert import update_or_append
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+__all__ = ["QUERIES", "ORACLES", "flagship"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table is written with nanosecond timestamps, which
+    Spark's parquet reader rejects by default. Read them as longs and
+    truncate to microseconds — the same truncation DuckDB applies when
+    casting to its microsecond TIMESTAMP, so both engines see identical
+    values."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        # Integer division — float division loses ULPs at 1e18 nanos and
+        # shifts the microsecond by one.
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ev
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface queries (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer scan+filter on the published artifact (reference
+    README.md:6-12; S1/P7): predicate pushdown + column pruning reach
+    the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_partkey") == 100) & (F.col("l_quantity") > 5)).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+
+_FLAGSHIP_SQL = """
+SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+FROM lineitem
+WHERE l_partkey = 100 AND l_quantity > 5
+"""
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (A3-A6 profiling aggregates): map-side partial
+    aggregation; decimal-exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(
+                F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (J-series joins + D9-style top-k): broadcast the
+    filtered customer dim, aggregate revenue, deterministic top 10."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey, o_orderdate,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join; small dims broadcast, the
+    customer-nation = supplier-nation predicate keeps it equi-join."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .filter(cust.c_nationkey == sup.s_nationkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def upsert_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's core upsert (C2/D2): a batch of re-priced orders
+    overwrites matching ids, new ids append, old-only columns carry
+    forward. Exercises the real ``update_or_append`` operator."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    batch = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        )
+    )
+    return update_or_append(orders, batch)
+
+
+_UPSERT_SQL = """
+WITH unioned AS (
+  SELECT o_orderkey AS id, o_totalprice, o_orderstatus, 0 AS prec FROM orders
+  UNION ALL
+  SELECT o_orderkey AS id, o_totalprice + 1000.0 AS o_totalprice, o_orderstatus, 1 AS prec
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT id, o_totalprice, o_orderstatus FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY prec DESC) AS rn FROM unioned
+) WHERE rn = 1
+"""
+
+
+def align_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-id materialization (C1/J1): absent ids become null rows.
+    Uses ``spark.range`` as the dense leaf (the batch side would be
+    broadcast by AQE when feed-sized)."""
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 7 != 0)
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    dense = spark.range(int(max_id) + 1).select(F.col("id"))
+    return dense.join(
+        ev.select(F.col("event_id").alias("id"), "event_type", "value"),
+        "id",
+        "left",
+    ).select("id", "event_type", "value")
+
+
+_ALIGN_SQL = """
+WITH ev AS (SELECT * FROM events WHERE event_id % 7 <> 0),
+dense AS (SELECT UNNEST(generate_series(0, (SELECT MAX(event_id) FROM ev))) AS id)
+SELECT dense.id, ev.event_type, ev.value
+FROM dense LEFT JOIN ev ON dense.id = ev.event_id
+"""
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-last dedup with explicit order (D2/D3): newest event per
+    user, ties broken on event_id."""
+    ev = _events(spark, sf_dir)
+    return dedup_keep_last(
+        ev, keys=("user_id",), order=(F.col("ts"), F.col("event_id"))
+    ).select("user_id", "event_id", "event_type", "ts")
+
+
+_LATEST_EVENT_SQL = """
+SELECT user_id, event_id, event_type, ts FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup with explicit order (D4): earliest event per
+    user."""
+    ev = _events(spark, sf_dir)
+    return dedup_keep_first(
+        ev, keys=("user_id",), order=(F.col("ts"), F.col("event_id"))
+    ).select("user_id", "event_id", "event_type", "ts")
+
+
+_FIRST_EVENT_SQL = """
+SELECT user_id, event_id, event_type, ts FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def duplicate_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-key detection (D6) on the orders fact: customers with
+    more than one order. Map-side-combined groupBy, no window."""
+    return duplicate_ids(_t(spark, sf_dir, "orders"), key="o_custkey")
+
+
+_DUPKEYS_SQL = """
+SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+"""
+
+
+def backfill_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill work-selection (D9): among never-seen keys (customers
+    with no orders), the first 100 in key order."""
+    cust = _t(spark, sf_dir, "customer")
+    seen = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    missing = cust.join(seen, "c_custkey", "left_anti")
+    w = Window.orderBy(F.col("c_custkey").asc())
+    return (
+        missing.select("c_custkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("c_custkey")
+    )
+
+
+_BACKFILL_SQL = """
+SELECT c_custkey FROM (
+  SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_custkey ASC) rn
+  FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+) WHERE rn <= 100
+"""
+
+
+def refresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refresh work-selection (D10): the 100 stalest orders by date,
+    deterministic tie-break on key."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.select("o_orderkey", "o_orderdate")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("o_orderkey", "o_orderdate")
+    )
+
+
+_REFRESH_SQL = """
+SELECT o_orderkey, o_orderdate FROM (
+  SELECT o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (ORDER BY o_orderdate ASC, o_orderkey ASC) rn
+  FROM orders
+) WHERE rn <= 100
+"""
+
+
+def change_summary_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version diff (C7): full outer join of two table versions on the
+    key; added / removed / changed / unchanged counts with null-safe
+    column comparison."""
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("price")
+    )
+    new = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1000.0
+        ).otherwise(F.col("o_totalprice")).alias("price"),
+    )
+    o = old.select("id", F.col("price").alias("__old__"))
+    n = new.select("id", F.col("price").alias("__new__"))
+    j = o.join(n, "id", "full_outer")
+    added = F.col("__old__").isNull() & F.col("__new__").isNotNull()
+    removed = F.col("__new__").isNull() & F.col("__old__").isNotNull()
+    changed = (
+        F.col("__old__").isNotNull()
+        & F.col("__new__").isNotNull()
+        & (F.col("__old__") != F.col("__new__"))
+    )
+    return j.agg(
+        F.sum(added.cast("int")).cast("long").alias("added"),
+        F.sum(removed.cast("int")).cast("long").alias("removed"),
+        F.sum(changed.cast("int")).cast("long").alias("changed"),
+        F.sum(
+            (
+                F.col("__old__").isNotNull()
+                & F.col("__new__").isNotNull()
+                & (F.col("__old__") == F.col("__new__"))
+            ).cast("int")
+        ).cast("long").alias("unchanged"),
+    )
+
+
+_CHANGE_SUMMARY_SQL = """
+WITH old AS (
+  SELECT o_orderkey AS id, o_totalprice AS price FROM orders WHERE o_orderkey % 11 <> 0
+), new AS (
+  SELECT o_orderkey AS id,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price
+  FROM orders
+)
+SELECT
+  SUM(CASE WHEN old.id IS NULL AND new.id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS added,
+  SUM(CASE WHEN new.id IS NULL AND old.id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS removed,
+  SUM(CASE WHEN old.id IS NOT NULL AND new.id IS NOT NULL AND old.price <> new.price THEN 1 ELSE 0 END)::BIGINT AS changed,
+  SUM(CASE WHEN old.id IS NOT NULL AND new.id IS NOT NULL AND old.price = new.price THEN 1 ELSE 0 END)::BIGINT AS unchanged
+FROM old FULL OUTER JOIN new ON old.id = new.id
+"""
+
+
+def profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (C8/A3-A5): per-column null and exact distinct
+    counts in one multi-aggregate pass, unpivoted to (column, metric)
+    rows."""
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("int")).cast("long").alias(f"n_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"d_{c}"))
+    row = orders.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"n_{c}").alias("n_nulls"),
+                F.col(f"d_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(pairs).alias("p")).select(
+        "p.column", "p.n_nulls", "p.n_distinct"
+    )
+
+
+_PROFILE_SQL = """
+SELECT 'o_orderstatus' AS "column",
+       SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       COUNT(DISTINCT o_orderstatus)::BIGINT AS n_distinct FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       COUNT(DISTINCT o_orderpriority)::BIGINT FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       COUNT(DISTINCT o_custkey)::BIGINT FROM orders
+"""
+
+
+def validate_dense_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-key invariant check (C9/A7) as a single aggregate:
+    ``dense ⇔ nulls==0 ∧ min==0 ∧ max==n−1 ∧ distinct==n``."""
+    ev = _events(spark, sf_dir)
+    return ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("event_id").isNull().cast("int")).cast("long").alias("n_nulls"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.count_distinct("event_id").alias("n_distinct"),
+        (
+            (F.sum(F.col("event_id").isNull().cast("int")) == 0)
+            & (F.min("event_id") == 0)
+            & (F.max("event_id") == F.count(F.lit(1)) - 1)
+            & (F.count_distinct("event_id") == F.count(F.lit(1)))
+        ).alias("is_dense"),
+    )
+
+
+_VALIDATE_SQL = """
+SELECT COUNT(*) AS n,
+       SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id,
+       COUNT(DISTINCT event_id)::BIGINT AS n_distinct,
+       (SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) = 0
+        AND MIN(event_id) = 0
+        AND MAX(event_id) = COUNT(*) - 1
+        AND COUNT(DISTINCT event_id) = COUNT(*)) AS is_dense
+FROM events
+"""
+
+
+def extract_numeric_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex numeric-id extraction (P10) + UInt32 clamp (P11) over the
+    customer name column (reference regex tables tmdb_index.py:22-26)."""
+    cust = _t(spark, sf_dir, "customer")
+    extracted = F.regexp_extract(F.col("c_name"), r"#(\d+)", 1)
+    num = F.when(extracted != "", extracted.cast("long"))
+    clamped = F.when((num >= 0) & (num <= 4294967295), num)
+    return cust.select(
+        "c_custkey", clamped.alias("name_numeric_id")
+    )
+
+
+_EXTRACT_SQL = """
+SELECT c_custkey,
+  CASE WHEN TRY_CAST(NULLIF(regexp_extract(c_name, '#(\\d+)', 1), '') AS BIGINT)
+            BETWEEN 0 AND 4294967295
+       THEN TRY_CAST(NULLIF(regexp_extract(c_name, '#(\\d+)', 1), '') AS BIGINT)
+  END AS name_numeric_id
+FROM customer
+"""
+
+
+def daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-granularity rounding (P8) + decimal-exact rollup: events per
+    day with total value. The batch twin of the streaming tumbling
+    window."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+_DAILY_ROLLUP_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+def export_flag_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag left-join + null-fill (C4/J3/P6): mark customers present in
+    the orders 'export' and fill absences with false."""
+    cust = _t(spark, sf_dir, "customer")
+    flag = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("has_orders", F.lit(True))
+    )
+    return cust.join(flag, "c_custkey", "left").select(
+        "c_custkey", F.coalesce("has_orders", F.lit(False)).alias("has_orders")
+    )
+
+
+_EXPORT_FLAG_SQL = """
+SELECT c_custkey,
+       COALESCE(f.has_orders, FALSE) AS has_orders
+FROM customer
+LEFT JOIN (SELECT DISTINCT o_custkey, TRUE AS has_orders FROM orders) f
+  ON c_custkey = f.o_custkey
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap sessions per user via lag + running
+    sum — the window-function twin of streaming session windows."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    with_session = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+  FROM g
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# North-star extension queries: documents / embeddings
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content dedup groups over documents (extension: exact
+    dedup)."""
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+# Shared DuckDB CTE: tokenized docs and distinct word-3-gram shingles.
+_DUCK_SHINGLES = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(ts)-2, 0)),
+                                      i -> array_to_string(list_slice(ts, i, i+2), ' '))) AS shs
+  FROM t
+)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs ≥ 0.1 (extension: n-gram
+    Jaccard dedup) via the inverted shingle index."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.1, max_df=1000
+    )
+
+
+_NGRAM_JACCARD_SQL = (
+    _DUCK_SHINGLES
+    + """, ex AS (
+  SELECT doc_id, UNNEST(shs) AS s FROM sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes na ON id_a = na.doc_id
+JOIN sizes nb ON id_b = nb.doc_id
+WHERE c * 1.0 / (na.n + nb.n - c) >= 0.1
+"""
+)
+
+
+def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signatures, 8 hashes (extension: MinHash). Pure
+    map stage — no shuffle."""
+    return minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=8)
+
+
+def _minhash_expr(i: int) -> str:
+    if i == 0:
+        return "list_min(list_transform(shs, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))"
+    return (
+        f"list_min(list_transform(shs, s -> ('0x' || substr(md5(s || '#{i}'), 1, 15))::BIGINT))"
+    )
+
+
+_MINHASH_SQL = (
+    _DUCK_SHINGLES
+    + "SELECT doc_id, "
+    + ", ".join(f"{_minhash_expr(i)} AS minhash_{i}" for i in range(8))
+    + " FROM sh"
+)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (extension: MinHash+LSH): banded
+    buckets generate candidates, exact Jaccard ≥ 0.5 verifies."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=4,
+        threshold=0.5,
+    )
+
+
+_MINHASH_LSH_SQL = (
+    _DUCK_SHINGLES
+    + """, sig AS (
+  SELECT doc_id, """
+    + ", ".join(f"{_minhash_expr(i)} AS mh{i}" for i in range(16))
+    + """ FROM sh
+), buckets AS (
+  SELECT doc_id, b.band,
+         CASE b.band
+           WHEN 0 THEN concat_ws(',', mh0, mh1, mh2, mh3)
+           WHEN 1 THEN concat_ws(',', mh4, mh5, mh6, mh7)
+           WHEN 2 THEN concat_ws(',', mh8, mh9, mh10, mh11)
+           ELSE concat_ws(',', mh12, mh13, mh14, mh15)
+         END AS key
+  FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+), ex AS (
+  SELECT doc_id, UNNEST(shs) AS s FROM sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS c
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.id_a
+  JOIN ex b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes na ON id_a = na.doc_id
+JOIN sizes nb ON id_b = nb.doc_id
+WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
+"""
+)
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit SimHash fingerprints (extension: SimHash)."""
+    return simhash64(_t(spark, sf_dir, "documents"))
+
+
+_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS ts
+  FROM documents
+), hs AS (
+  SELECT doc_id,
+         list_transform(ts, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hh,
+         len(ts) AS n_tokens
+  FROM toks
+), votes AS (
+  SELECT doc_id, n_tokens,
+         list_transform(generate_series(0, 59),
+           b -> list_sum(list_transform(hh,
+                  h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)))
+           AS v
+  FROM hs
+)
+SELECT doc_id,
+       list_sum(list_transform(generate_series(0, 59),
+         b -> CASE WHEN v[b+1] > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT
+         AS simhash,
+       n_tokens::BIGINT AS n_tokens
+FROM votes
+"""
+
+
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the first 10 vectors
+    (extension: similarity-search baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+_COS_SQL = (
+    "ROUND(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i])) / "
+    "(sqrt(list_sum(list_transform(q.v, x -> x * x))) * "
+    "sqrt(list_sum(list_transform(c.v, x -> x * x)))), 4)"
+)
+
+_EMB_TOPK_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
+  FROM (SELECT * FROM v WHERE vec_id < 10) q
+  CROSS JOIN v c
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit LSH-bucketed approximate all-pairs top-3 (extension:
+    similarity-search scale path)."""
+    return lsh_topk(_t(spark, sf_dir, "embeddings"), k=3, n_bits=6)
+
+
+_EMB_LSH_SQL = f"""
+WITH v AS (
+  SELECT vec_id, v,
+         list_sum(list_transform(generate_series(0, 5),
+           i -> CASE WHEN v[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
+  FROM v q JOIN v c ON q.bucket = c.bucket
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def lang_id_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID (extension: text analysis): per-lang
+    marker hits, deterministic priority-ordered argmax."""
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    langs = list(LANG_MARKERS)
+    def _counter(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return lambda w: F.array_contains(arr, F.lower(w))
+
+    scores = {}
+    for lang in langs:
+        scores[lang] = F.size(F.filter(t, _counter(LANG_MARKERS[lang])))
+    pred = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in langs],
+    )
+
+
+def _duck_lang_score(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+        f" w -> list_contains([{markers}], lower(w))))"
+    )
+
+
+_LANG_ID_SQL = (
+    "WITH s AS (SELECT doc_id, "
+    + ", ".join(f"{_duck_lang_score(lang)} AS score_{lang}" for lang in LANG_MARKERS)
+    + " FROM documents)\nSELECT doc_id, CASE\n"
+    + "\n".join(
+        "  WHEN "
+        + " AND ".join(
+            f"score_{lang} >= score_{other}"
+            for other in LANG_MARKERS
+            if other != lang
+        )
+        + f" THEN '{lang}'"
+        for lang in list(LANG_MARKERS)[:-1]
+    )
+    + f"\n  ELSE '{list(LANG_MARKERS)[-1]}' END AS pred_lang, "
+    + ", ".join(f"score_{lang}::BIGINT AS score_{lang}" for lang in LANG_MARKERS)
+    + " FROM s"
+)
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-quality features (extension: quality scoring)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in feats.items()]
+    )
+
+
+_TEXT_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents
+)
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars,
+  len(ts)::BIGINT AS n_words,
+  ROUND(list_sum(list_transform(ts, w -> length(w))) * 1.0 / greatest(len(ts), 1), 4) AS avg_word_len,
+  ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+        / greatest(length(text), 1), 4) AS punct_ratio,
+  ROUND(len(list_filter(ts, w -> list_contains(['the','and','of','to','a','is'], lower(w)))) * 1.0
+        / greatest(len(ts), 1), 4) AS stopword_ratio
+FROM t
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (extension: token counting)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_tokens
+FROM documents
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprints (extension: document
+    fingerprinting)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+_FINGERPRINT_SQL = (
+    _DUCK_SHINGLES
+    + """
+SELECT doc_id,
+  array_to_string(list_slice(list_sort(list_transform(shs,
+    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)), 1, 4), ',') AS fingerprint
+FROM sh
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "flagship_scan_filter": flagship,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_order_revenue_topk": q3_order_revenue_topk,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "upsert_keep_last": upsert_keep_last,
+    "align_dense_ids": align_dense_ids,
+    "latest_event_per_user": latest_event_per_user,
+    "first_event_per_user": first_event_per_user,
+    "duplicate_custkeys": duplicate_custkeys,
+    "backfill_topk": backfill_topk,
+    "refresh_topk": refresh_topk,
+    "change_summary_counts": change_summary_counts,
+    "profile_stats": profile_stats,
+    "validate_dense_key": validate_dense_key,
+    "extract_numeric_ids": extract_numeric_ids,
+    "daily_event_rollup": daily_event_rollup,
+    "export_flag_join": export_flag_join,
+    "sessionize_events": sessionize_events,
+    "dedup_exact_hash": dedup_exact_hash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "minhash_sigs": minhash_sigs,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "simhash_fingerprints": simhash_fingerprints,
+    "embedding_topk": embedding_topk,
+    "embedding_lsh_topk": embedding_lsh_topk,
+    "lang_id_predict": lang_id_predict,
+    "text_quality": text_quality,
+    "token_counts": token_counts,
+    "doc_fingerprints": doc_fingerprints,
+}
+
+ORACLES: dict[str, str] = {
+    "flagship_scan_filter": _FLAGSHIP_SQL,
+    "q1_pricing_summary": _Q1_SQL,
+    "q3_order_revenue_topk": _Q3_SQL,
+    "q5_local_supplier_volume": _Q5_SQL,
+    "upsert_keep_last": _UPSERT_SQL,
+    "align_dense_ids": _ALIGN_SQL,
+    "latest_event_per_user": _LATEST_EVENT_SQL,
+    "first_event_per_user": _FIRST_EVENT_SQL,
+    "duplicate_custkeys": _DUPKEYS_SQL,
+    "backfill_topk": _BACKFILL_SQL,
+    "refresh_topk": _REFRESH_SQL,
+    "change_summary_counts": _CHANGE_SUMMARY_SQL,
+    "profile_stats": _PROFILE_SQL,
+    "validate_dense_key": _VALIDATE_SQL,
+    "extract_numeric_ids": _EXTRACT_SQL,
+    "daily_event_rollup": _DAILY_ROLLUP_SQL,
+    "export_flag_join": _EXPORT_FLAG_SQL,
+    "sessionize_events": _SESSIONIZE_SQL,
+    "dedup_exact_hash": _DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "minhash_sigs": _MINHASH_SQL,
+    "dedup_minhash_lsh": _MINHASH_LSH_SQL,
+    "simhash_fingerprints": _SIMHASH_SQL,
+    "embedding_topk": _EMB_TOPK_SQL,
+    "embedding_lsh_topk": _EMB_LSH_SQL,
+    "lang_id_predict": _LANG_ID_SQL,
+    "text_quality": _TEXT_QUALITY_SQL,
+    "token_counts": _TOKEN_COUNT_SQL,
+    "doc_fingerprints": _FINGERPRINT_SQL,
+}
