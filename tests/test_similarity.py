@@ -1,0 +1,64 @@
+"""Tests for embedding similarity search (brute-force cosine top-k and
+sign-bit LSH scale path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tmdb_index_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    lsh_topk,
+    signbit_buckets,
+)
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+    (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    (4, [0.8, 0.2, 0.0, 0.0]),
+]
+
+
+def _emb(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_cosine_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [2.0, 3.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r["c"] for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got == [0.0, 0.9923]
+
+
+def test_brute_force_topk_ranks_by_similarity(spark):
+    emb = _emb(spark)
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in ranked] == [1, 4, 2]
+    assert ranked[0]["cos_sim"] > ranked[1]["cos_sim"] > ranked[2]["cos_sim"]
+    # self-match excluded, opposite vector ranked out of top 3
+    assert all(r["neighbor_id"] != 0 for r in out)
+
+
+def test_signbit_buckets_group_by_sign(spark):
+    out = {r["vec_id"]: r["bucket"] for r in signbit_buckets(_emb(spark), n_bits=4).collect()}
+    # vec 3 differs from vec 0 in the first coordinate's sign only
+    assert out[0] == out[1] == out[2] == out[4]
+    assert out[3] != out[0]
+
+
+def test_lsh_topk_within_bucket_only(spark):
+    out = lsh_topk(_emb(spark), k=2, n_bits=4).collect()
+    # vec 3 is alone in its bucket -> contributes no rows
+    assert all(r["query_id"] != 3 for r in out)
+    assert all(r["neighbor_id"] != 3 for r in out)
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r["query_id"], []).append(r)
+    # 0's nearest within-bucket neighbor is 1
+    best0 = min(by_query[0], key=lambda r: r["rank"])
+    assert best0["neighbor_id"] == 1

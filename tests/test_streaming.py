@@ -1,0 +1,112 @@
+"""Structured Streaming tests: stream/batch parity for windowed aggs,
+session windows, and the foreachBatch incremental upsert."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from tmdb_index_spark.streaming.windowed import (
+    run_upsert_stream,
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+EVENTS = [
+    (0, datetime(2024, 1, 1, 0, 5), 1, "click", 1.0),
+    (1, datetime(2024, 1, 1, 0, 45), 1, "click", 2.0),
+    (2, datetime(2024, 1, 1, 1, 10), 1, "view", 3.0),   # >30min gap: new session
+    (3, datetime(2024, 1, 1, 0, 20), 2, "click", 4.0),
+]
+
+
+def _write_events(spark, path):
+    spark.createDataFrame(EVENTS, EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _drain(stream_df, tmpdir, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "events")
+    _write_events(spark, src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    got = _drain(
+        windowed_event_counts(stream, "1 hour"), str(tmp_path), "win_counts"
+    ).collect()
+    exp = windowed_event_counts(
+        spark.read.parquet(src), "1 hour"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    assert len(got) == 2  # (h0, click) ×3 events across both users; (h1, view)
+
+
+def test_sessionize_stream_gap_semantics(spark, tmp_path):
+    src = str(tmp_path / "events")
+    _write_events(spark, src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    got = _drain(
+        sessionize_stream(stream, gap="30 minutes"), str(tmp_path), "sessions"
+    ).collect()
+    per_user = {}
+    for r in got:
+        per_user.setdefault(r["user_id"], []).append(r)
+    # user 1: events at 0:05/0:45 chain into one session, 1:10 opens another
+    assert len(per_user[1]) == 2
+    assert len(per_user[2]) == 1
+    assert sum(r["n_events"] for r in per_user[1]) == 3
+
+
+def test_upsert_stream_folds_batches(spark, tmp_path):
+    batches = str(tmp_path / "batches")
+    index = str(tmp_path / "index.parquet")
+    schema = "id long, v string"
+    # batch 1: ids 0,1 — written first
+    spark.createDataFrame([(0, "a"), (1, "b")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(batches)
+    stream = spark.readStream.schema(
+        T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+        )
+    ).parquet(batches)
+    run_upsert_stream(stream, index, str(tmp_path / "ckpt1"))
+    first = {r["id"]: r["v"] for r in spark.read.parquet(index).collect()}
+    assert first == {0: "a", 1: "b"}
+
+    # batch 2: id 1 overwritten, id 2 appended; restart drains only the new file
+    spark.createDataFrame([(1, "B"), (2, "c")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(batches)
+    stream2 = spark.readStream.schema(
+        T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+        )
+    ).parquet(batches)
+    run_upsert_stream(stream2, index, str(tmp_path / "ckpt1"))
+    final = {r["id"]: r["v"] for r in spark.read.parquet(index).collect()}
+    assert final == {0: "a", 1: "B", 2: "c"}

@@ -1,0 +1,146 @@
+"""Tests for text functions and document-dedup operators (north-star
+extensions: exact / MinHash-LSH / SimHash / n-gram-Jaccard dedup,
+tokenization, quality, language ID, fingerprints)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+from tmdb_index_spark.functions.text import (
+    doc_fingerprint,
+    portable_hash60,
+    token_count,
+    tokens,
+    word_shingles,
+)
+from tmdb_index_spark.operators.dedup_text import (
+    dedup_exact,
+    hamming64,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "completely different content about spark engines"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, "tiny"),  # shorter than one shingle
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([(0, " a b  c d ")], "doc_id long, text string")
+    got = df.select(
+        tokens("text").alias("t"), word_shingles("text", 3).alias("s")
+    ).collect()[0]
+    assert got["t"] == ["a", "b", "c", "d"]
+    assert got["s"] == ["a b c", "b c d"]
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(0, "one two")], "doc_id long, text string")
+    assert df.select(word_shingles("text", 3).alias("s")).collect()[0]["s"] == []
+
+
+def test_portable_hash60_matches_duckdb(spark):
+    import duckdb
+
+    got = (
+        spark.createDataFrame([("hello",)], "s string")
+        .select(portable_hash60(F.col("s")).alias("h"))
+        .collect()[0]["h"]
+    )
+    exp = duckdb.sql(
+        "SELECT ('0x' || substr(md5('hello'), 1, 15))::BIGINT"
+    ).fetchone()[0]
+    assert got == exp
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(0, "Hello, world! 42 times")], "id long, text string")
+    # Hello , world ! 42 times -> 6 tokens
+    assert df.select(token_count("text").alias("n")).collect()[0]["n"] == 6
+
+
+def test_dedup_exact_groups(spark):
+    out = dedup_exact(_docs(spark))
+    groups = {r["keeper_id"]: r["n_docs"] for r in out.collect()}
+    assert groups[0] == 2  # docs 0 and 3 share content
+    assert groups[1] == 1
+    assert sum(groups.values()) == 5
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    out = rows(ngram_jaccard_pairs(_docs(spark), threshold=0.5), order_by="id_a")
+    # 0/1 and 1/3 share 6 of 8 distinct shingles (j=0.75); 0/3 identical.
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert pairs[(0, 3)] == 1.0
+    assert pairs[(0, 1)] == 0.75
+    assert pairs[(1, 3)] == 0.75
+    assert len(pairs) == 3
+
+
+def test_ngram_jaccard_max_df_guard(spark):
+    # With max_df=1 every shared shingle is dropped -> no candidates.
+    out = ngram_jaccard_pairs(_docs(spark), threshold=0.1, max_df=1)
+    assert out.count() == 0
+
+
+def test_minhash_signature_identical_docs_match(spark):
+    sig = minhash_signatures(_docs(spark), num_hashes=8).orderBy("doc_id").collect()
+    s0, s1, s2, s3, s4 = sig
+    assert [s0[f"minhash_{i}"] for i in range(8)] == [
+        s3[f"minhash_{i}"] for i in range(8)
+    ]
+    assert [s0[f"minhash_{i}"] for i in range(8)] != [
+        s2[f"minhash_{i}"] for i in range(8)
+    ]
+    # doc 4 has no shingles -> null signature, row preserved
+    assert s4["minhash_0"] is None
+
+
+def test_minhash_lsh_finds_planted_pairs(spark):
+    out = rows(
+        minhash_lsh_pairs(_docs(spark), num_hashes=16, bands=4, threshold=0.5),
+        order_by="id_a",
+    )
+    found = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 3) in found  # identical docs always collide
+    # verify step prunes nothing below the threshold
+    assert all(r["jaccard"] >= 0.5 for r in out)
+
+
+def test_simhash_near_dups_close_exact_dups_equal(spark):
+    out = {r["doc_id"]: r for r in simhash64(_docs(spark)).collect()}
+    df = _docs(spark).sparkSession.createDataFrame(
+        [
+            (out[0]["simhash"], out[3]["simhash"]),
+            (out[0]["simhash"], out[1]["simhash"]),
+            (out[0]["simhash"], out[2]["simhash"]),
+        ],
+        "a long, b long",
+    )
+    d_exact, d_near, d_far = [
+        r["d"] for r in df.select(hamming64(F.col("a"), F.col("b")).alias("d")).collect()
+    ]
+    assert d_exact == 0
+    assert d_near < d_far
+
+
+def test_doc_fingerprint_stable_under_exact_dup(spark):
+    out = {
+        r["doc_id"]: r["fp"]
+        for r in _docs(spark)
+        .select("doc_id", doc_fingerprint("text").alias("fp"))
+        .collect()
+    }
+    assert out[0] == out[3]
+    assert out[0] != out[2]

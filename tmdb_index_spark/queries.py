@@ -325,11 +325,14 @@ SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
 
 def backfill_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backfill work-selection (D9): among never-seen keys (customers
-    with no orders), the first 100 in key order."""
+    with no orders since 1999), the first 100 in key order."""
     cust = _t(spark, sf_dir, "customer")
-    seen = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
-    ).distinct()
+    seen = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
     missing = cust.join(seen, "c_custkey", "left_anti")
     w = Window.orderBy(F.col("c_custkey").asc())
     return (
@@ -344,7 +347,9 @@ _BACKFILL_SQL = """
 SELECT c_custkey FROM (
   SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_custkey ASC) rn
   FROM customer
-  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+  WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+  )
 ) WHERE rn <= 100
 """
 
@@ -606,6 +611,55 @@ WITH g AS (
 SELECT user_id, session_id, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end
 FROM s GROUP BY user_id, session_id
+"""
+
+
+def hourly_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming tumbling-window aggregation — the
+    SAME operator (`windowed_event_counts`) runs on the stream; epoch-
+    aligned 1-hour windows equal date_trunc('hour')."""
+    from tmdb_index_spark.streaming.windowed import windowed_event_counts
+
+    return windowed_event_counts(_events(spark, sf_dir), "1 hour")
+
+
+_HOURLY_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming gap-based session window — session
+    end is last event + gap."""
+    from tmdb_index_spark.streaming.windowed import sessionize_stream
+
+    return sessionize_stream(_events(spark, sf_dir), gap="30 minutes")
+
+
+_SESSION_WINDOW_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
 """
 
 
@@ -969,6 +1023,8 @@ QUERIES: dict[str, QueryFn] = {
     "daily_event_rollup": daily_event_rollup,
     "export_flag_join": export_flag_join,
     "sessionize_events": sessionize_events,
+    "hourly_windowed_counts": hourly_windowed_counts,
+    "session_window_counts": session_window_counts,
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "minhash_sigs": minhash_sigs,
@@ -1001,6 +1057,8 @@ ORACLES: dict[str, str] = {
     "daily_event_rollup": _DAILY_ROLLUP_SQL,
     "export_flag_join": _EXPORT_FLAG_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
+    "hourly_windowed_counts": _HOURLY_WINDOW_SQL,
+    "session_window_counts": _SESSION_WINDOW_SQL,
     "dedup_exact_hash": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "minhash_sigs": _MINHASH_SQL,

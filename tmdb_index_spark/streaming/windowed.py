@@ -1,0 +1,154 @@
+"""Structured Streaming operators.
+
+The reference has no streaming engine — its daily cron + per-day
+changes feed is micro-batch incremental processing with exactly-once
+upsert semantics (SURVEY.md §2.7). These operators are the Spark-native
+streaming expression of the same semantics, plus the windowed
+aggregations a training-data event pipeline needs:
+
+* :func:`windowed_event_counts` — tumbling event-time windows with a
+  watermark for late data. The transformation is source-agnostic: pass
+  a batch DataFrame and it computes the same answer (the watermark is
+  only attached to streaming inputs), which is how the tests pin
+  stream/batch parity.
+* :func:`sessionize_stream` — event-time session windows via
+  ``F.session_window`` (gap-based), the streaming twin of the batch
+  ``sessionize_events`` query.
+* :func:`run_upsert_stream` — ``foreachBatch`` + ``update_or_append``:
+  every micro-batch merges into a persistent parquet index with
+  keep-last semantics. ``Trigger.AvailableNow`` drains what exists and
+  stops — the daily-cron shape, restartable from the checkpoint.
+
+Scale notes: windowed aggs are the canonical streaming shuffle — state
+is bounded by (watermark horizon × key cardinality), so the watermark
+is mandatory at 100 TB. foreachBatch gives exactly-once only as
+idempotent-overwrite; the upsert merge is idempotent on replay because
+re-merging the same batch reaches the same fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tmdb_index_spark.operators.upsert import update_or_append
+
+__all__ = [
+    "windowed_event_counts",
+    "sessionize_stream",
+    "run_upsert_stream",
+]
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with late-data bound.
+
+    Works identically on a batch frame (no watermark attached) — used
+    to assert stream/batch parity in tests.
+    """
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window_duration).alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows per user: a session extends while events arrive
+    within ``gap`` of the previous one. ``session_window`` keys state by
+    (user, open-session); the watermark closes sessions and evicts
+    state."""
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_upsert_stream(
+    batches: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> None:
+    """Fold a stream of change batches into a persistent parquet index.
+
+    Each micro-batch upserts via ``update_or_append`` (incoming row
+    wins per id) and atomically overwrites the index — the streaming
+    twin of the reference's per-day fold (tmdb_index.py:248-254). With
+    ``Trigger.AvailableNow`` this drains pending batches and returns:
+    the daily-cron lifecycle, restartable from ``checkpoint_dir``.
+
+    Duplicate ids WITHIN one micro-batch are resolved keep-last by a
+    per-batch arrival index before the merge, mirroring the per-day
+    dedup (reference tmdb_index.py:214).
+    """
+    spark = batches.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id").orderBy(F.col("__arrival__").desc())
+        deduped = (
+            batch_df.withColumn("__arrival__", F.monotonically_increasing_id())
+            .withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__", "__arrival__")
+        )
+        try:
+            index = spark.read.parquet(index_path)
+            merged = update_or_append(index, deduped)
+        except Exception:  # noqa: BLE001 — first batch bootstraps the index
+            merged = deduped
+        # Stage-and-swap: the merge plan reads index_path, so write the
+        # result to a staging dir first, then atomically swap. No
+        # driver-side materialization — index size is unbounded.
+        staging = index_path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        fs = hpath(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath(index_path), True)
+        fs.rename(hpath(staging), hpath(index_path))
+
+    writer = batches.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    writer.start().awaitTermination()
