@@ -88,6 +88,22 @@ def test_ngram_jaccard_finds_near_dup(spark):
     assert len(pairs) == 3
 
 
+def test_ngram_jaccard_padded_and_empty_docs(spark):
+    # Regression: sizes must ride on the shingle rows — a separately
+    # aggregated sizes relation once desynchronized from the pair counts
+    # (the Python shingle stage is assumed nondeterministic by Spark),
+    # silently dropping pairs through the inner size-join.
+    weird = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c d e"), (2, ""), (3, "  a b c d  ")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(weird, threshold=0.5).collect()
+    }
+    assert got == {(0, 1): 0.6667, (0, 3): 1.0, (1, 3): 0.6667}
+
+
 def test_ngram_jaccard_max_df_guard(spark):
     # With max_df=1 every shared shingle is dropped -> no candidates.
     out = ngram_jaccard_pairs(_docs(spark), threshold=0.1, max_df=1)
