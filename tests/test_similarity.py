@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from tmdb_index_spark.operators.similarity import (
     brute_force_topk,
     cosine,
+    ivf_assign,
+    ivf_topk,
     lsh_topk,
     signbit_buckets,
 )
@@ -61,4 +63,25 @@ def test_lsh_topk_within_bucket_only(spark):
         by_query.setdefault(r["query_id"], []).append(r)
     # 0's nearest within-bucket neighbor is 1
     best0 = min(by_query[0], key=lambda r: r["rank"])
+    assert best0["neighbor_id"] == 1
+
+
+CENTROIDS = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+
+
+def test_ivf_assign_nearest_centroid(spark):
+    out = {r["vec_id"]: r["cell"] for r in ivf_assign(_emb(spark), CENTROIDS).collect()}
+    # vecs 0,1,4 point along x -> cell 0; vec 2 along y -> cell 1;
+    # vec 3 (-x) is equidistant-ish but closer to... dist to c0=(−1−1)²=4,
+    # c1=1+1=2 -> cell 1.
+    assert out[0] == 0 and out[1] == 0 and out[4] == 0
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_ivf_topk_within_cell(spark):
+    out = ivf_topk(_emb(spark), CENTROIDS, k=2).collect()
+    cells = {r["vec_id"]: r["cell"] for r in ivf_assign(_emb(spark), CENTROIDS).collect()}
+    for r in out:
+        assert cells[r["query_id"]] == cells[r["neighbor_id"]]
+    best0 = min((r for r in out if r["query_id"] == 0), key=lambda r: r["rank"])
     assert best0["neighbor_id"] == 1

@@ -30,7 +30,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "brute_force_topk", "signbit_buckets", "lsh_topk"]
+__all__ = [
+    "cosine",
+    "brute_force_topk",
+    "signbit_buckets",
+    "lsh_topk",
+    "ivf_assign",
+    "ivf_topk",
+]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -144,6 +151,85 @@ def lsh_topk(
     )
     scored = (
         a.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv__"), F.col("__cv__")).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF cell).
+
+    ``centroids`` is a small driver-side list ``[(cell_id, vector)]`` —
+    at scale it comes from a sampled k-means fit and is broadcast; here
+    the assignment is the operator. Ties break on the lower cell id so
+    assignment is deterministic and engine-reproducible. Map-only: the
+    centroid table is a literal in the plan, no shuffle.
+    """
+    if not centroids:
+        raise ValueError("ivf_assign requires at least one centroid")
+    v = _as_double(vec_col)
+    best_cell = None
+    best_dist = None
+    for cell_id, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        dist = F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if best_cell is None:
+            best_cell, best_dist = F.lit(cell_id), dist
+        else:
+            closer = dist < best_dist
+            best_cell = F.when(closer, F.lit(cell_id)).otherwise(best_cell)
+            best_dist = F.when(closer, dist).otherwise(best_dist)
+    return df.select(
+        F.col(id_col), F.col(vec_col), best_cell.cast("long").alias("cell")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF all-pairs top-``k``: assign to cells, compare only within a
+    cell, rank per vector. The recall/speed trade is the centroid count
+    (more cells → smaller cells → faster, lower recall at boundaries);
+    production multi-probe searches the ``nprobe`` nearest cells instead
+    of one. Same plan shape as :func:`lsh_topk` with learned buckets."""
+    b = ivf_assign(corpus, centroids, id_col, vec_col)
+    a = b.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv__"), "cell"
+    )
+    c = b.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("__cv__"),
+        "cell",
+    )
+    scored = (
+        a.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

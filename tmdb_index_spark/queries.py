@@ -882,6 +882,58 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
+#: Deterministic IVF centroids for the catalog query: 8 axis-aligned
+#: unit vectors in the 64-dim embedding space. A production index fits
+#: these with sampled k-means; the operator (assign + in-cell search) is
+#: what's under test, and axis centroids make the oracle reproducible.
+_IVF_DIM = 64
+_IVF_CELLS = 8
+_IVF_CENTROIDS = [
+    (j, [1.0 if i == j else 0.0 for i in range(_IVF_DIM)]) for j in range(_IVF_CELLS)
+]
+
+
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate all-pairs top-3 (extension:
+    similarity-search IVF scale path with fixed centroids)."""
+    from tmdb_index_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), _IVF_CENTROIDS, k=3)
+
+
+def _ivf_dist_sql(j: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {_IVF_DIM}), "
+        f"i -> (v[i] - CASE WHEN i = {j + 1} THEN 1.0 ELSE 0.0 END) "
+        f"* (v[i] - CASE WHEN i = {j + 1} THEN 1.0 ELSE 0.0 END)))"
+    )
+
+
+_IVF_SQL = (
+    "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+    "d AS (SELECT vec_id, v, "
+    + ", ".join(f"{_ivf_dist_sql(j)} AS d{j}" for j in range(_IVF_CELLS))
+    + " FROM v),\n"
+    "assigned AS (SELECT vec_id, v, CASE\n"
+    + "\n".join(
+        "  WHEN "
+        + " AND ".join(f"d{j} <= d{o}" for o in range(_IVF_CELLS) if o != j)
+        + f" THEN {j}"
+        for j in range(_IVF_CELLS - 1)
+    )
+    + f"\n  ELSE {_IVF_CELLS - 1} END AS cell FROM d),\n"
+    f"scored AS (\n"
+    f"  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim\n"
+    "  FROM assigned q JOIN assigned c ON q.cell = c.cell\n"
+    "  WHERE q.vec_id <> c.vec_id\n"
+    ")\n"
+    "SELECT query_id, neighbor_id, cos_sim, rank FROM (\n"
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id\n"
+    "    ORDER BY cos_sim DESC, neighbor_id ASC)::BIGINT AS rank FROM scored\n"
+    ") WHERE rank <= 3\n"
+)
+
+
 def lang_id_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language ID (extension: text analysis): per-lang
     marker hits, deterministic priority-ordered argmax."""
@@ -1032,6 +1084,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_fingerprints": simhash_fingerprints,
     "embedding_topk": embedding_topk,
     "embedding_lsh_topk": embedding_lsh_topk,
+    "embedding_ivf_topk": embedding_ivf_topk,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
     "token_counts": token_counts,
@@ -1066,6 +1119,7 @@ ORACLES: dict[str, str] = {
     "simhash_fingerprints": _SIMHASH_SQL,
     "embedding_topk": _EMB_TOPK_SQL,
     "embedding_lsh_topk": _EMB_LSH_SQL,
+    "embedding_ivf_topk": _IVF_SQL,
     "lang_id_predict": _LANG_ID_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "token_counts": _TOKEN_COUNT_SQL,
