@@ -223,6 +223,72 @@ GROUP BY n_name
 """
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast-join the part dim, conditional
+    aggregate — promo share of revenue in one scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    )
+
+
+_Q14_SQL = """
+SELECT
+  ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_revenue_pct,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+"""
+
+
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (events.props is a JSON string): parse
+    k out of each payload, aggregate per event_type. get_json_object
+    stays JVM-side — no UDF."""
+    ev = _events(spark, sf_dir)
+    # try_cast: ANSI mode makes plain cast THROW on a non-numeric payload
+    # value; dirty JSON must degrade to null, not kill the job.
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_JSON_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def upsert_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's core upsert (C2/D2): a batch of re-priced orders
     overwrites matching ids, new ids append, old-only columns carry
@@ -1061,6 +1127,8 @@ QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_order_revenue_topk": q3_order_revenue_topk,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q14_promo_revenue": q14_promo_revenue,
+    "json_props_rollup": json_props_rollup,
     "upsert_keep_last": upsert_keep_last,
     "align_dense_ids": align_dense_ids,
     "latest_event_per_user": latest_event_per_user,
@@ -1096,6 +1164,8 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": _Q1_SQL,
     "q3_order_revenue_topk": _Q3_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
+    "q14_promo_revenue": _Q14_SQL,
+    "json_props_rollup": _JSON_SQL,
     "upsert_keep_last": _UPSERT_SQL,
     "align_dense_ids": _ALIGN_SQL,
     "latest_event_per_user": _LATEST_EVENT_SQL,
