@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "ordered_union_schema",
     "update_or_append",
+    "update_or_append_join",
     "align_id_col",
     "validate_id",
 ]
@@ -102,6 +103,44 @@ def update_or_append(df: DataFrame, other: DataFrame) -> DataFrame:
         .drop("__rn__", _PRECEDENCE)
         .select(*out_cols)
     )
+
+
+def update_or_append_join(df: DataFrame, other: DataFrame) -> DataFrame:
+    """Semantically identical to :func:`update_or_append` (incoming row
+    wins whole-row on shared columns, df-only columns carry forward,
+    new ids append), expressed as ONE full outer join on ``id`` instead
+    of union + window.
+
+    This is the co-located scale formulation: over an index bucketed by
+    ``id`` the join consumes the bucket layout with NO Exchange on the
+    index side — only the (feed-sized) batch shuffles to the bucket
+    partitioning. The union+window form cannot do that: the union
+    destroys the index's partitioning before the window re-shuffles
+    everything. Used by :mod:`tmdb_index_spark.sources.bucketed`.
+    """
+    if "id" not in df.columns or "id" not in other.columns:
+        raise ValueError("both frames require an 'id' column")
+
+    out_cols = ordered_union_schema(df, other)
+    old = df.alias("__old__")
+    new = other.alias("__new__")
+    matched = F.col("__new__.id").isNotNull()
+
+    def pick(c: str) -> F.Column:
+        in_old, in_new = c in df.columns, c in other.columns
+        if c == "id":
+            return F.coalesce(F.col("__old__.id"), F.col("__new__.id")).alias("id")
+        if in_old and in_new:
+            # whole-row replacement: the batch value wins even when null
+            return F.when(matched, F.col(f"__new__.{c}")).otherwise(
+                F.col(f"__old__.{c}")
+            ).alias(c)
+        if in_old:
+            return F.col(f"__old__.{c}").alias(c)
+        return F.col(f"__new__.{c}").alias(c)
+
+    joined = old.join(new, F.col("__old__.id") == F.col("__new__.id"), "full_outer")
+    return joined.select(*[pick(c) for c in out_cols])
 
 
 def align_id_col(df: DataFrame) -> DataFrame:
