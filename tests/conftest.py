@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 from tmdb_index_spark.session import get_spark
@@ -7,7 +9,14 @@ from tmdb_index_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tmdb_index_spark_tests", shuffle_partitions=4)
+    # Isolated warehouse: catalog tables (bucketed-store tests) must not
+    # leak into the repo or collide with leftovers from prior sessions.
+    warehouse = tempfile.mkdtemp(prefix="tmdb_index_spark_warehouse_")
+    s = get_spark(
+        "tmdb_index_spark_tests",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield s
 
 

@@ -91,3 +91,13 @@ def test_compute_stats_empty(spark):
     s = _stats_by_name(compute_stats(df, df))
     assert s["id"]["null"] == ""
     assert s["id"]["unique"] == "true"  # 0 distinct == 0 non-null
+
+
+def test_compute_stats_approx_mode(spark):
+    from tmdb_index_spark.operators.stats import compute_stats
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(50)], "id long, v string")
+    exact = {r["name"]: r["unique"] for r in compute_stats(df, df).collect()}
+    approx = {r["name"]: r["unique"] for r in compute_stats(df, df, approx=True).collect()}
+    # HLL at this cardinality lands within 5%, so the flags agree.
+    assert exact == approx == {"id": "true", "v": "true"}

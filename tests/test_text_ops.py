@@ -160,3 +160,12 @@ def test_doc_fingerprint_stable_under_exact_dup(spark):
     }
     assert out[0] == out[3]
     assert out[0] != out[2]
+
+
+def test_simhash_neardup_pairs_pigeonhole(spark):
+    from tmdb_index_spark.operators.dedup_text import simhash_neardup_pairs
+
+    out = simhash_neardup_pairs(_docs(spark), max_hamming=3).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert pairs[(0, 3)] == 0  # exact dups share the fingerprint
+    assert all(h <= 3 for h in pairs.values())

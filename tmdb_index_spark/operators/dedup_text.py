@@ -40,7 +40,23 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash64",
+    "simhash_neardup_pairs",
 ]
+
+#: Universal-hash-family modulus for MinHash (Mersenne prime 2^31−1):
+#: keeps every intermediate below 62 bits so ANSI arithmetic can't
+#: overflow, in Spark and in the SQL oracle alike.
+MINHASH_P = 2_147_483_647
+
+
+def _minhash_a(i: int) -> int:
+    """Multiplier for hash i — odd, deterministic, engine-portable."""
+    return (2 * i + 1) * 40_503 + 1_000_003
+
+
+def _minhash_b(i: int) -> int:
+    """Offset for hash i."""
+    return i * 1_442_968_193 % MINHASH_P
 
 
 def dedup_exact(
@@ -167,21 +183,26 @@ def minhash_signatures(
     num_hashes: int = 16,
 ) -> DataFrame:
     """Per-doc MinHash signature: ``minhash_0..minhash_{k-1}`` where
-    ``minhash_i = min over shingles of md5-hash(shingle, seed=i)``.
+    ``minhash_i = min over shingles of h_i(shingle)`` for a universal
+    hash family ``h_i(x) = (md5_60(x) % P · a_i + b_i) % P``
+    (P = 2^31 − 1; a_i, b_i fixed odd/prime-derived constants).
 
-    Explode-then-aggregate rather than k× ``array_min(transform(...))``:
-    Catalyst inlines a repeated higher-order expression k times (k full
-    re-shinglings per row, interpreted eval), while explode + per-row
-    hash columns stays in whole-stage codegen and the groupBy(min)
-    shuffle is map-side combined down to one signature row per doc —
-    the shape that survives a 100× scale-up. Docs with no shingles keep
-    a row with null minhashes.
+    One md5 per shingle + k cheap modular mixes, instead of k md5s —
+    the md5 is ~the whole cost. The mix stays within 62 bits so ANSI
+    arithmetic never overflows, and the same formula is one line of
+    SQL for the oracle. Explode-then-aggregate keeps everything in
+    whole-stage codegen with a map-side-combined min shuffle (one
+    signature row per doc). Docs with no shingles keep a row with null
+    minhashes.
     """
     sh = _shingle_frame(df, text_col, id_col, n)
+    base = portable_hash60(F.col("__sh__")) % F.lit(MINHASH_P)
     hashed = sh.select(
         "__id__",
         *[
-            portable_hash60(F.col("__sh__"), seed=i).alias(f"__h{i}__")
+            ((base * F.lit(_minhash_a(i)) + F.lit(_minhash_b(i))) % F.lit(MINHASH_P)).alias(
+                f"__h{i}__"
+            )
             for i in range(num_hashes)
         ],
     )
@@ -321,3 +342,61 @@ def simhash64(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: fingerprints within ``max_hamming``
+    bits of each other.
+
+    Candidate generation uses the pigeonhole block trick: split the
+    60-bit fingerprint into ``max_hamming + 1`` blocks — any pair with
+    ≤ ``max_hamming`` differing bits agrees on at least one whole
+    block, so joining on (block index, block value) finds EVERY such
+    pair (exact recall, unlike probabilistic LSH), and only same-block
+    fingerprints ever meet. Verification is one ``bit_count(xor)``.
+    Returns ``(id_a, id_b, hamming)``.
+    """
+    n_blocks = max_hamming + 1
+    bits = 60
+    base = bits // n_blocks
+    sizes = [base + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
+    offsets = [sum(sizes[:i]) for i in range(n_blocks)]
+
+    sig = simhash64(df, text_col, id_col).filter(F.col("simhash").isNotNull())
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << sizes[i]) - 1))
+                .alias("val"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    bucketed = sig.select(
+        F.col(id_col).alias("__id__"), F.col("simhash"), F.explode(blocks).alias("b")
+    ).select("__id__", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+
+    a = bucketed.select(
+        F.col("__id__").alias("id_a"), F.col("simhash").alias("__sa__"), "blk", "val"
+    )
+    b = bucketed.select(
+        F.col("__id__").alias("id_b"), F.col("simhash").alias("__sb__"), "blk", "val"
+    )
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__sa__").bitwiseXOR(F.col("__sb__"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

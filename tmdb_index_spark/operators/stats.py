@@ -37,20 +37,31 @@ def _fmt(n: int, row_count: int) -> str:
     return f"{n:,} ({n / row_count:.1%})"
 
 
-def compute_stats(df_old: DataFrame, df_new: DataFrame) -> DataFrame:
+def compute_stats(
+    df_old: DataFrame, df_new: DataFrame, approx: bool = False
+) -> DataFrame:
     """All-string stats table ``{name, dtype, null, true, false, unique,
     updated}``, one row per column of ``df_new`` (reference
-    tmdb_index.py:142-175)."""
+    tmdb_index.py:142-175).
+
+    ``approx=True`` is the 100 TB path: ``approx_count_distinct`` (HLL,
+    default 5% rsd) replaces the exact distinct count — same single-pass
+    plan, bounded memory per column instead of an exact hash set. The
+    uniqueness flag then tolerates the sketch's error margin. Exact
+    remains the default for reference/oracle parity (SCALE.md).
+    """
     spark = df_new.sparkSession
     dtypes = dict(df_new.dtypes)
     old_cols = set(df_old.columns)
+
+    distinct_of = F.approx_count_distinct if approx else F.count_distinct
 
     # Pass 1: every per-column stat in one aggregate over df_new.
     aggs = [F.count(F.lit(1)).alias("__n__")]
     for c in df_new.columns:
         col = F.col(c)
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"null__{c}"))
-        aggs.append(F.count_distinct(col).alias(f"distinct__{c}"))
+        aggs.append(distinct_of(col).alias(f"distinct__{c}"))
         aggs.append(F.count(col).alias(f"nonnull__{c}"))
         if dtypes[c] == "boolean":
             aggs.append(F.sum(col.cast("long")).alias(f"true__{c}"))
@@ -87,6 +98,13 @@ def compute_stats(df_old: DataFrame, df_new: DataFrame) -> DataFrame:
         is_bool = dtypes[c] == "boolean"
         nonnull = int(stats[f"nonnull__{c}"] or 0)
         distinct = int(stats[f"distinct__{c}"] or 0)
+        # HLL error tolerance when approx: within 5% of nonnull counts
+        # as "unique". Exact mode requires equality.
+        unique = (
+            distinct == nonnull
+            if not approx
+            else nonnull > 0 and abs(distinct - nonnull) <= 0.05 * nonnull
+        )
         rows.append(
             {
                 "name": c,
@@ -94,7 +112,7 @@ def compute_stats(df_old: DataFrame, df_new: DataFrame) -> DataFrame:
                 "null": _fmt(int(stats[f"null__{c}"] or 0), row_count),
                 "true": _fmt(int(stats[f"true__{c}"] or 0), row_count) if is_bool else "",
                 "false": _fmt(int(stats[f"false__{c}"] or 0), row_count) if is_bool else "",
-                "unique": "true" if distinct == nonnull else "",
+                "unique": "true" if unique else "",
                 "updated": _fmt(updated[c], row_count),
             }
         )

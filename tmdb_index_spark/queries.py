@@ -796,10 +796,16 @@ def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_expr(i: int) -> str:
-    if i == 0:
-        return "list_min(list_transform(shs, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))"
+    from tmdb_index_spark.operators.dedup_text import (
+        MINHASH_P,
+        _minhash_a,
+        _minhash_b,
+    )
+
+    base = "(('0x' || substr(md5(s), 1, 15))::BIGINT % {p})".format(p=MINHASH_P)
     return (
-        f"list_min(list_transform(shs, s -> ('0x' || substr(md5(s || '#{i}'), 1, 15))::BIGINT))"
+        f"list_min(list_transform(shs, s -> "
+        f"({base} * {_minhash_a(i)} + {_minhash_b(i)}) % {MINHASH_P}))"
     )
 
 
@@ -891,6 +897,61 @@ SELECT doc_id,
        n_tokens::BIGINT AS n_tokens
 FROM votes
 """
+
+
+def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hamming ≤ 2 (extension: SimHash pair
+    search with pigeonhole-block candidate generation)."""
+    from tmdb_index_spark.operators.dedup_text import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_t(spark, sf_dir, "documents"), max_hamming=2)
+
+
+# Pigeonhole blocks for max_hamming=2 → 3 blocks of 20 bits over the
+# 60-bit fingerprint; offsets derived identically to the Spark side.
+def _simhash_block_sql() -> str:
+    max_hamming = 2
+    n_blocks = max_hamming + 1
+    bits = 60
+    base = bits // n_blocks
+    sizes = [base + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
+    offsets = [sum(sizes[:i]) for i in range(n_blocks)]
+    block_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS blk, "
+        f"(simhash >> {offsets[i]}) & {(1 << sizes[i]) - 1} AS val FROM sig"
+        for i in range(n_blocks)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS ts
+  FROM documents
+), hs AS (
+  SELECT doc_id, list_transform(ts, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hh
+  FROM toks
+), votes AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 59),
+           b -> list_sum(list_transform(hh,
+                  h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END))) AS v
+  FROM hs
+), sig AS (
+  SELECT doc_id,
+         list_sum(list_transform(generate_series(0, 59),
+           b -> CASE WHEN v[b+1] > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT
+           AS simhash
+  FROM votes WHERE v IS NOT NULL
+), blocks AS ({block_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.val = b.val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming}
+"""
+
+
+_SIMHASH_NEARDUP_SQL = _simhash_block_sql()
 
 
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,6 +1211,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_sigs": minhash_sigs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_fingerprints": simhash_fingerprints,
+    "simhash_neardups": simhash_neardups,
     "embedding_topk": embedding_topk,
     "embedding_lsh_topk": embedding_lsh_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
@@ -1187,6 +1249,7 @@ ORACLES: dict[str, str] = {
     "minhash_sigs": _MINHASH_SQL,
     "dedup_minhash_lsh": _MINHASH_LSH_SQL,
     "simhash_fingerprints": _SIMHASH_SQL,
+    "simhash_neardups": _SIMHASH_NEARDUP_SQL,
     "embedding_topk": _EMB_TOPK_SQL,
     "embedding_lsh_topk": _EMB_LSH_SQL,
     "embedding_ivf_topk": _IVF_SQL,
