@@ -25,16 +25,21 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_order_revenue_topk",
     "q5_local_supplier_volume",
+    "q14_promo_revenue",
+    "json_props_rollup",
     "upsert_keep_last",
     "align_dense_ids",
     "sessionize_events",
+    "hourly_windowed_counts",
     # north-star extensions
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "simhash_fingerprints",
+    "simhash_neardups",
     "embedding_topk",
     "embedding_lsh_topk",
+    "embedding_ivf_topk",
     "text_quality",
 ]
 

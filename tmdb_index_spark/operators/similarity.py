@@ -75,13 +75,19 @@ def brute_force_topk(
     corpus vectors (self-matches excluded). Queries are broadcast; ties
     break on neighbor id for determinism. Returns
     ``(query_id, neighbor_id, cos_sim, rank)``."""
+    # Norms are precomputed per vector (map stage) — computing them per
+    # PAIR doubles the interpreted fold work inside the join.
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv__")
+            F.col(id_col).alias("query_id"),
+            _as_double(vec_col).alias("__qv__"),
+            _norm(_as_double(vec_col)).alias("__qn__"),
         )
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv__")
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("__cv__"),
+        _norm(_as_double(vec_col)).alias("__cn__"),
     )
     scored = (
         q.crossJoin(c)
@@ -89,7 +95,11 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv__"), F.col("__cv__")).alias("cos_sim"),
+            F.round(
+                _dot(F.col("__qv__"), F.col("__cv__"))
+                / (F.col("__qn__") * F.col("__cn__")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window
@@ -142,11 +152,13 @@ def lsh_topk(
     a = b.select(
         F.col(id_col).alias("query_id"),
         _as_double(vec_col).alias("__qv__"),
+        _norm(_as_double(vec_col)).alias("__qn__"),
         "bucket",
     )
     c = b.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("__cv__"),
+        _norm(_as_double(vec_col)).alias("__cn__"),
         "bucket",
     )
     scored = (
@@ -155,7 +167,11 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv__"), F.col("__cv__")).alias("cos_sim"),
+            F.round(
+                _dot(F.col("__qv__"), F.col("__cv__"))
+                / (F.col("__qn__") * F.col("__cn__")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window
@@ -186,24 +202,41 @@ def ivf_assign(
     """
     if not centroids:
         raise ValueError("ivf_assign requires at least one centroid")
+    # Explode over the (small) centroid array so each distance is
+    # computed exactly ONCE per (vector, centroid) row, then argmin with
+    # min_by over a (dist, cell) struct — lexicographic compare gives
+    # the deterministic lower-cell tie-break. The naive alternative — a
+    # chain of when(dist_i < best_so_far) expressions — nests every
+    # prior distance inside every later branch and blows the expression
+    # tree up exponentially in |centroids| (measured 13s vs <2s for 8
+    # centroids × 5k vectors).
     v = _as_double(vec_col)
-    best_cell = None
-    best_dist = None
-    for cell_id, cvec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in cvec])
-        dist = F.aggregate(
-            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+    cent = F.array(
+        *[
+            F.struct(
+                F.lit(cell_id).cast("long").alias("cell"),
+                F.array(*[F.lit(float(x)) for x in cvec]).alias("cvec"),
+            )
+            for cell_id, cvec in centroids
+        ]
+    )
+    exploded = df.select(
+        F.col(id_col), F.col(vec_col), F.explode(cent).alias("__c__")
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__c__.cell").alias("__cell__"),
+        F.aggregate(
+            F.zip_with(v, F.col("__c__.cvec"), lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        if best_cell is None:
-            best_cell, best_dist = F.lit(cell_id), dist
-        else:
-            closer = dist < best_dist
-            best_cell = F.when(closer, F.lit(cell_id)).otherwise(best_cell)
-            best_dist = F.when(closer, dist).otherwise(best_dist)
-    return df.select(
-        F.col(id_col), F.col(vec_col), best_cell.cast("long").alias("cell")
+        ).alias("__dist__"),
+    )
+    return exploded.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.min_by(
+            F.col("__cell__"), F.struct(F.col("__dist__"), F.col("__cell__"))
+        ).alias("cell"),
     )
 
 
@@ -221,11 +254,15 @@ def ivf_topk(
     of one. Same plan shape as :func:`lsh_topk` with learned buckets."""
     b = ivf_assign(corpus, centroids, id_col, vec_col)
     a = b.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv__"), "cell"
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("__qv__"),
+        _norm(_as_double(vec_col)).alias("__qn__"),
+        "cell",
     )
     c = b.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("__cv__"),
+        _norm(_as_double(vec_col)).alias("__cn__"),
         "cell",
     )
     scored = (
@@ -234,7 +271,11 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv__"), F.col("__cv__")).alias("cos_sim"),
+            F.round(
+                _dot(F.col("__qv__"), F.col("__cv__"))
+                / (F.col("__qn__") * F.col("__cn__")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window
