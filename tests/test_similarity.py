@@ -85,3 +85,19 @@ def test_ivf_topk_within_cell(spark):
         assert cells[r["query_id"]] == cells[r["neighbor_id"]]
     best0 = min((r for r in out if r["query_id"] == 0), key=lambda r: r["rank"])
     assert best0["neighbor_id"] == 1
+
+
+def test_lsh_multi_probe_recovers_boundary_neighbors(spark):
+    # vec 3 (-x) sits alone in its bucket single-probe; one bit flip
+    # reaches the others' bucket, so multi-probe finds its neighbors.
+    single = lsh_topk(_emb(spark), k=2, n_bits=4)
+    multi = lsh_topk(_emb(spark), k=2, n_bits=4, multi_probe=True)
+    assert all(r["query_id"] != 3 for r in single.collect())
+    multi_q3 = [r for r in multi.collect() if r["query_id"] == 3]
+    assert multi_q3, "multi-probe must give vector 3 neighbors"
+    # recall against brute force for vec 3's true top neighbor
+    brute = brute_force_topk(
+        _emb(spark), _emb(spark).filter(F.col("vec_id") == 3), k=1
+    ).collect()[0]
+    best_multi = min(multi_q3, key=lambda r: r["rank"])
+    assert best_multi["neighbor_id"] == brute["neighbor_id"]
