@@ -168,3 +168,27 @@ def test_process_tv_keeps_tvdb(spark):
     got = rows(out)
     assert "tvdb_id" in out.columns
     assert got[2]["tvdb_id"] == 777
+
+
+def test_read_jsonl_gz_native_scan(spark, tmp_path):
+    import gzip
+    import json
+
+    from pyspark.sql import types as T
+
+    from tmdb_index_spark.sources.parquet import read_jsonl_gz
+
+    p = tmp_path / "export.jsonl.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        for i in [3, 1, 2]:
+            f.write(json.dumps({"id": i, "original_title": f"t{i}"}) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("original_title", T.StringType()),
+        ]
+    )
+    got = read_jsonl_gz(spark, str(p), schema).orderBy("id").collect()
+    assert [(r["id"], r["original_title"]) for r in got] == [
+        (1, "t1"), (2, "t2"), (3, "t3"),
+    ]

@@ -169,3 +169,23 @@ def test_simhash_neardup_pairs_pigeonhole(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
     assert pairs[(0, 3)] == 0  # exact dups share the fingerprint
     assert all(h <= 3 for h in pairs.values())
+
+
+def test_clean_corpus_pipeline(spark):
+    from tmdb_index_spark.operators.corpus import clean_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today again", "en"),
+            (1, "the quick brown fox jumps over the lazy dog today again", "en"),  # exact dup
+            (2, "the quick brown fox jumps over the lazy dog today friend", "en"),  # near dup
+            (3, "short text", "en"),                                   # quality gate
+            (4, "ein ganz anderer text ohne gemeinsame woerter hier jetzt mal wieder", "de"),
+            (5, "esta es otra frase distinta sin palabras compartidas para probar algo", "zh"),  # lang filter
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = clean_corpus(
+        docs, min_words=5, langs=("en", "de"), jaccard_threshold=0.5
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 4]

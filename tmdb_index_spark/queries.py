@@ -573,13 +573,14 @@ FROM events
 
 def extract_numeric_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex numeric-id extraction (P10) + UInt32 clamp (P11) over the
-    customer name column (reference regex tables tmdb_index.py:22-26)."""
+    customer name column (reference regex tables tmdb_index.py:22-26),
+    via the engine's extraction functions."""
+    from tmdb_index_spark.functions.extract import extract_numeric_id
+
     cust = _t(spark, sf_dir, "customer")
-    extracted = F.regexp_extract(F.col("c_name"), r"#(\d+)", 1)
-    num = F.when(extracted != "", extracted.cast("long"))
-    clamped = F.when((num >= 0) & (num <= 4294967295), num)
     return cust.select(
-        "c_custkey", clamped.alias("name_numeric_id")
+        "c_custkey",
+        extract_numeric_id(F.col("c_name"), r"#(\d+)").alias("name_numeric_id"),
     )
 
 
@@ -1179,6 +1180,78 @@ FROM sh
 )
 
 
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline (extension): quality gate →
+    language keep-list → exact dedup → MinHash-LSH near-dup removal,
+    one lazy plan over the documents table."""
+    from tmdb_index_spark.operators.corpus import clean_corpus
+
+    return clean_corpus(
+        _t(spark, sf_dir, "documents"),
+        min_words=10,
+        max_stopword_ratio=0.9,
+        langs=("en", "de", "fr", "es"),
+        jaccard_threshold=0.8,
+    )
+
+
+def _corpus_clean_sql() -> str:
+    sig_cols = ", ".join(f"{_minhash_expr(i)} AS mh{i}" for i in range(16))
+    return f"""
+WITH gated AS (
+  SELECT * FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 10
+    AND len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        w -> list_contains(['the','and','of','to','a','is'], lower(w))))
+        * 1.0 / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) <= 0.9
+    AND lang IN ('en', 'de', 'fr', 'es')
+), kept AS (
+  SELECT doc_id, text, lang, source, n_chars FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+    FROM gated
+  ) WHERE rn = 1
+), t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM kept
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(ts)-2, 0)),
+                                      i -> array_to_string(list_slice(ts, i, i+2), ' '))) AS shs
+  FROM t
+), sig AS (
+  SELECT doc_id, {sig_cols} FROM sh
+), buckets AS (
+  SELECT doc_id, b.band,
+         CASE b.band
+           WHEN 0 THEN concat_ws(',', mh0, mh1, mh2, mh3)
+           WHEN 1 THEN concat_ws(',', mh4, mh5, mh6, mh7)
+           WHEN 2 THEN concat_ws(',', mh8, mh9, mh10, mh11)
+           ELSE concat_ws(',', mh12, mh13, mh14, mh15)
+         END AS key
+  FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+), ex AS (
+  SELECT doc_id, UNNEST(shs) AS s, len(shs) AS n FROM sh
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS c, MAX(a.n) AS na, MAX(b.n) AS nb
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.id_a
+  JOIN ex b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY 1, 2
+), losers AS (
+  SELECT DISTINCT id_b AS doc_id FROM inter
+  WHERE c * 1.0 / (na + nb - c) >= 0.8
+)
+SELECT k.* FROM kept k LEFT JOIN losers l ON k.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
+"""
+
+
+_CORPUS_CLEAN_SQL = _corpus_clean_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1219,6 +1292,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_quality": text_quality,
     "token_counts": token_counts,
     "doc_fingerprints": doc_fingerprints,
+    "corpus_clean": corpus_clean,
 }
 
 ORACLES: dict[str, str] = {
@@ -1257,4 +1331,5 @@ ORACLES: dict[str, str] = {
     "text_quality": _TEXT_QUALITY_SQL,
     "token_counts": _TOKEN_COUNT_SQL,
     "doc_fingerprints": _FINGERPRINT_SQL,
+    "corpus_clean": _CORPUS_CLEAN_SQL,
 }

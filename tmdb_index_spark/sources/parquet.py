@@ -79,3 +79,20 @@ def write_single_parquet(df: DataFrame, path: str) -> None:
         shutil.move(parts[0], path)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def read_jsonl_gz(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Spark-native gzipped-JSONL scan (SURVEY.md §2.1 S3's Spark
+    primitive): ``spark.read.json`` decompresses ``.gz`` transparently
+    and the declared schema skips inference (one pass, no driver
+    materialization — the scale path the reference's driver-side
+    ``fetch_jsonl_gz`` streamer maps to when the export lands on
+    shared storage instead of HTTP).
+
+    Note: one ``.gz`` file is one non-splittable task — at scale the
+    export should be landed as many files (or recompressed) so the
+    scan parallelizes.
+    """
+    return spark.read.schema(schema).json(path)
