@@ -1,0 +1,62 @@
+"""Tests for the as-of join and deterministic sampling operators."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from tmdb_index_spark.operators.asof import as_of_join
+from tmdb_index_spark.operators.sampling import hash_sample, hash_split
+
+
+def _ts(minute):
+    return datetime(2024, 1, 1, 0, minute)
+
+
+def test_as_of_join_picks_latest_prior(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "a"), (1, _ts(30), "b"), (2, _ts(5), "c")],
+        "k long, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), 100), (1, _ts(20), 200), (2, _ts(50), 300)],
+        "k long, ts timestamp, snap long",
+    )
+    out = {r["ev"]: r["snap"] for r in as_of_join(left, right, on="k").collect()}
+    assert out == {"a": 100, "b": 200, "c": None}  # c: no prior right row
+
+
+def test_as_of_join_inclusive_at_equal_ts(spark):
+    left = spark.createDataFrame([(1, _ts(20), "x")], "k long, ts timestamp, ev string")
+    right = spark.createDataFrame([(1, _ts(20), 7)], "k long, ts timestamp, snap long")
+    got = as_of_join(left, right, on="k").collect()[0]
+    assert got["snap"] == 7  # right row AT the left ts is visible
+
+
+def test_hash_split_fractions_and_determinism(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", {"train": 0.8, "test": 0.2})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] - 8000) < 300
+    assert abs(counts["test"] - 2000) < 300
+    again = hash_split(df, "doc_id", {"train": 0.8, "test": 0.2})
+    assert out.collect() == again.collect()
+
+
+def test_hash_split_rejects_oversum():
+    with pytest.raises(ValueError):
+        from tmdb_index_spark.operators.sampling import split_column
+
+        split_column("k", {"a": 0.7, "b": 0.7})
+
+
+def test_hash_sample_subset_and_stable(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    s = hash_sample(df, "doc_id", 0.1)
+    n = s.count()
+    assert 50 < n < 200
+    ids = {r["doc_id"] for r in s.collect()}
+    bigger = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2).collect()}
+    assert ids <= bigger  # nested samples: growing the fraction only adds rows

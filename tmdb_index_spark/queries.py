@@ -1180,6 +1180,66 @@ FROM sh
 )
 
 
+def asof_purchase_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension: point-in-time operator Spark lacks
+    natively): each purchase event gets the user's most recent prior
+    signup value — single-shuffle union+carry-forward plan; the oracle
+    is DuckDB's native ASOF JOIN."""
+    from tmdb_index_spark.operators.asof import as_of_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("value").alias("purchase_value")
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value")
+    )
+    return as_of_join(left, right, on="user_id").select(
+        "user_id", "event_id", "purchase_value", "signup_value"
+    )
+
+
+_ASOF_SQL = """
+WITH l AS (
+  SELECT user_id, ts, event_id, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts, value AS signup_value
+  FROM events WHERE event_type = 'signup'
+)
+SELECT l.user_id, l.event_id, l.purchase_value, r.signup_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based dataset split (extension: sampling) —
+    split sizes are reproducible in any engine from the same formula."""
+    from tmdb_index_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", {"train": 0.8, "test": 0.1, "val": 0.1})
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SPLIT_SQL = """
+WITH b AS (
+  SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000) AS bucket
+  FROM documents
+)
+SELECT CASE
+         WHEN bucket >= 0 AND bucket < 8000 THEN 'train'
+         WHEN bucket >= 8000 AND bucket < 9000 THEN 'test'
+         WHEN bucket >= 9000 AND bucket < 10000 THEN 'val'
+       END AS split,
+       COUNT(*) AS n_docs
+FROM b GROUP BY 1
+"""
+
+
 def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data pipeline (extension): quality gate →
     language keep-list → exact dedup → MinHash-LSH near-dup removal,
@@ -1293,6 +1353,8 @@ QUERIES: dict[str, QueryFn] = {
     "token_counts": token_counts,
     "doc_fingerprints": doc_fingerprints,
     "corpus_clean": corpus_clean,
+    "asof_purchase_snapshot": asof_purchase_snapshot,
+    "train_test_split_counts": train_test_split_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -1332,4 +1394,6 @@ ORACLES: dict[str, str] = {
     "token_counts": _TOKEN_COUNT_SQL,
     "doc_fingerprints": _FINGERPRINT_SQL,
     "corpus_clean": _CORPUS_CLEAN_SQL,
+    "asof_purchase_snapshot": _ASOF_SQL,
+    "train_test_split_counts": _SPLIT_SQL,
 }
