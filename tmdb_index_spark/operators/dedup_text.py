@@ -153,9 +153,17 @@ def ngram_jaccard_pairs(
 
     a = sh.select(F.col("__id__").alias("id_a"), "__sh__", F.col("__n__").alias("__na__"))
     b = sh.select(F.col("__id__").alias("id_b"), "__sh__", F.col("__n__").alias("__nb__"))
+    # Size prefilter (PPJoin-style): jaccard(A,B) ≥ t ⟹ t·|B| ≤ |A| and
+    # t·|A| ≤ |B|, so size-incompatible pairs drop BEFORE the per-pair
+    # aggregation — with the counts already on the rows this is a free
+    # predicate inside the join.
     return (
         a.join(b, "__sh__")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("__na__") >= F.lit(threshold) * F.col("__nb__"))
+            & (F.col("__nb__") >= F.lit(threshold) * F.col("__na__"))
+        )
         .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("__inter__"),
