@@ -1015,7 +1015,7 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 #: these with sampled k-means; the operator (assign + in-cell search) is
 #: what's under test, and axis centroids make the oracle reproducible.
 _IVF_DIM = 64
-_IVF_CELLS = 8
+_IVF_CELLS = 16
 _IVF_CENTROIDS = [
     (j, [1.0 if i == j else 0.0 for i in range(_IVF_DIM)]) for j in range(_IVF_CELLS)
 ]
@@ -1316,6 +1316,22 @@ _CORPUS_CLEAN_SQL = _corpus_clean_sql()
 # Registry
 # ---------------------------------------------------------------------------
 
+
+def _self_configuring(fn: QueryFn) -> QueryFn:
+    """The driver runs these callables with ITS OWN SparkSession, whose
+    confs we don't control. Timestamp collection is timezone-sensitive —
+    a non-UTC session shifts values against the (UTC-naive) DuckDB
+    oracle — so every query pins the runtime-settable confs it needs
+    before building its plan."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
 QUERIES: dict[str, QueryFn] = {
     "flagship_scan_filter": flagship,
     "q1_pricing_summary": q1_pricing_summary,
@@ -1356,6 +1372,8 @@ QUERIES: dict[str, QueryFn] = {
     "asof_purchase_snapshot": asof_purchase_snapshot,
     "train_test_split_counts": train_test_split_counts,
 }
+
+QUERIES = {name: _self_configuring(fn) for name, fn in QUERIES.items()}
 
 ORACLES: dict[str, str] = {
     "flagship_scan_filter": _FLAGSHIP_SQL,
