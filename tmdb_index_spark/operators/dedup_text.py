@@ -8,8 +8,9 @@ the corpus:
 * :func:`ngram_jaccard_pairs` — inverted shingle index: explode
   shingles, self-join on the shingle (only docs sharing a shingle meet),
   count intersections, then Jaccard from per-doc shingle counts.
-* :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — k md5-based
-  min-hashes, banded; candidate pairs only within equal band buckets.
+* :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — k min-hashes
+  from ONE md5 per shingle + a universal hash family, banded; candidate
+  pairs only within equal band buckets.
 * :func:`simhash64` — 64-bit bit-vote fingerprint; near-dups have small
   Hamming distance (compared with ``bit_count(xor)``).
 
@@ -17,14 +18,16 @@ Scale notes (100 TB): every strategy is shuffle-bounded by the
 *inverted index / bucket* cardinality, not |docs|². Skewed shingles
 (stopword trigrams) are the classic hazard — ``ngram_jaccard_pairs``
 caps posting-list length with ``max_df`` the way MinHashLSH banding
-caps bucket width. All hashing is md5-based (engine-portable,
+caps bucket width. All base hashing is md5-derived (engine-portable,
 deterministic) rather than ``xxhash64`` so a SQL oracle can reproduce
 results exactly; swap :func:`~tmdb_index_spark.functions.text
 .portable_hash60` for ``F.xxhash64`` for a few % more throughput when
 oracle parity is not needed.
 
-These compose from built-in exprs only — no Python UDFs — so dedup of a
-billion docs is a handful of codegen'd stages.
+Shingling runs as an Arrow-batched map-only Pandas stage (measured ~5×
+faster than interpreted higher-order array expressions); everything
+downstream is built-in exprs, so dedup of a billion docs is a handful
+of codegen'd stages.
 """
 
 from __future__ import annotations

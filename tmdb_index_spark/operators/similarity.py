@@ -18,11 +18,16 @@ Over an ``embeddings(vec_id, embedding array<float>, label)`` table:
   per-bucket-boundary approximate; raise ``n_bits`` for speed, lower it
   for recall, or multi-probe (bucket ± one bit flip) for both.
 
+* :func:`ivf_assign` / :func:`ivf_topk` — trained-bucket ANN path:
+  centroids ride in the plan as literals, assignment is an explode +
+  ``min_by`` argmin (each distance computed once), search compares only
+  within a cell. ``lsh_topk(multi_probe=True)`` probes one-bit-flip
+  buckets for boundary recall.
+
 At 100 TB: brute force is a broadcast-nested-loop — fine for ad-hoc
-queries, wrong as a join. The LSH path shuffles on the bucket key and
-is skew-safe for roughly-isotropic embeddings; for production ANN the
-same plan swaps sign-bit buckets for trained IVF centroid ids
-(assignment via a Pandas-UDF argmin over a broadcast centroid matrix).
+queries, wrong as a join. The LSH/IVF paths shuffle on the bucket/cell
+key and are skew-safe for roughly-isotropic embeddings; production
+swaps the fixed centroids for a sampled k-means fit, same plan.
 """
 
 from __future__ import annotations

@@ -289,6 +289,55 @@ GROUP BY event_type
 """
 
 
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping over (returnflag, linestatus): subtotals + grand
+    total in one pass (grouping-set aggregation family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def moving_avg_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed analytics (lag/frame family): 7-day moving average of
+    daily event value over an ordered frame."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(_dec("value")).cast("double").alias("day_value")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "day_value",
+        F.round(F.avg("day_value").over(w), 4).alias("avg_7d"),
+    )
+
+
+_MOVING_AVG_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1
+)
+SELECT day, day_value,
+       ROUND(AVG(day_value) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7d
+FROM daily
+"""
+
+
 def upsert_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's core upsert (C2/D2): a batch of re-priced orders
     overwrites matching ids, new ids append, old-only columns carry
@@ -1339,6 +1388,8 @@ QUERIES: dict[str, QueryFn] = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q14_promo_revenue": q14_promo_revenue,
     "json_props_rollup": json_props_rollup,
+    "rollup_revenue": rollup_revenue,
+    "moving_avg_daily_value": moving_avg_daily_value,
     "upsert_keep_last": upsert_keep_last,
     "align_dense_ids": align_dense_ids,
     "latest_event_per_user": latest_event_per_user,
@@ -1382,6 +1433,8 @@ ORACLES: dict[str, str] = {
     "q5_local_supplier_volume": _Q5_SQL,
     "q14_promo_revenue": _Q14_SQL,
     "json_props_rollup": _JSON_SQL,
+    "rollup_revenue": _ROLLUP_SQL,
+    "moving_avg_daily_value": _MOVING_AVG_SQL,
     "upsert_keep_last": _UPSERT_SQL,
     "align_dense_ids": _ALIGN_SQL,
     "latest_event_per_user": _LATEST_EVENT_SQL,
