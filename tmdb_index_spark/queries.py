@@ -338,6 +338,43 @@ FROM daily
 """
 
 
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (quantile
+    aggregation family — exact, not approx, for oracle parity; the
+    approx_percentile variant is the documented 100 TB path)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(F.col("value"), F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile(F.col("value"), F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def purchasing_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (INTERSECT family): users appearing in both the
+    purchase and the error event streams."""
+    ev = _events(spark, sf_dir)
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+_INTERSECT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
 def upsert_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's core upsert (C2/D2): a batch of re-priced orders
     overwrites matching ids, new ids append, old-only columns carry
@@ -1390,6 +1427,8 @@ QUERIES: dict[str, QueryFn] = {
     "json_props_rollup": json_props_rollup,
     "rollup_revenue": rollup_revenue,
     "moving_avg_daily_value": moving_avg_daily_value,
+    "value_percentiles": value_percentiles,
+    "purchasing_error_users": purchasing_error_users,
     "upsert_keep_last": upsert_keep_last,
     "align_dense_ids": align_dense_ids,
     "latest_event_per_user": latest_event_per_user,
@@ -1435,6 +1474,8 @@ ORACLES: dict[str, str] = {
     "json_props_rollup": _JSON_SQL,
     "rollup_revenue": _ROLLUP_SQL,
     "moving_avg_daily_value": _MOVING_AVG_SQL,
+    "value_percentiles": _PERCENTILES_SQL,
+    "purchasing_error_users": _INTERSECT_SQL,
     "upsert_keep_last": _UPSERT_SQL,
     "align_dense_ids": _ALIGN_SQL,
     "latest_event_per_user": _LATEST_EVENT_SQL,
