@@ -110,3 +110,52 @@ def test_upsert_stream_folds_batches(spark, tmp_path):
     run_upsert_stream(stream2, index, str(tmp_path / "ckpt1"))
     final = {r["id"]: r["v"] for r in spark.read.parquet(index).collect()}
     assert final == {0: "a", 1: "B", 2: "c"}
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    from tmdb_index_spark.streaming.stateful import running_user_totals
+
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt_state")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    spark.createDataFrame(EVENTS[:2], EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain(name):
+        # foreachBatch (not the memory sink): only sinks with replayable
+        # commit logs support restarting from the checkpoint, which is
+        # exactly what this test exercises.
+        rows: list = []
+
+        def collect(batch_df, batch_id):
+            rows.extend(batch_df.collect())
+
+        q = (
+            running_user_totals(spark.readStream.schema(schema).parquet(src))
+            .writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["user_id"]: (r["n_events"], r["total_value"]) for r in rows}
+
+    first = drain("state_b1")
+    assert first == {1: (2, 3.0)}
+
+    # second file arrives; state persists across the restart via checkpoint
+    spark.createDataFrame(EVENTS[2:], EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    second = drain("state_b2")
+    assert second == {1: (3, 6.0), 2: (1, 4.0)}

