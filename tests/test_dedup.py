@@ -42,3 +42,35 @@ def test_duplicate_ids(spark):
 def test_duplicate_ids_none(spark):
     df = spark.createDataFrame([(1,), (2,)], "id long")
     assert rows(duplicate_ids(df)) == []
+
+
+def test_two_phase_count_distinct_matches_exact(spark):
+    from pyspark.sql import functions as F
+
+    from tmdb_index_spark.operators.skew import two_phase_count_distinct
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "c")], "k long, v string"
+    )
+    got = {r["k"]: r["n_distinct"] for r in two_phase_count_distinct(df, ["k"], "v").collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_salted_agg_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from tmdb_index_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([(i % 3, float(i)) for i in range(100)], "k long, v double")
+    got = {
+        r["k"]: (r["total"], r["n"])
+        for r in salted_agg(
+            df, ["k"],
+            {"total": (F.sum("v"), F.sum("total")), "n": (F.count(F.lit(1)), F.sum("n"))},
+        ).collect()
+    }
+    exp = {
+        r["k"]: (r["total"], r["n"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == exp

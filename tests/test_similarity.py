@@ -101,3 +101,13 @@ def test_lsh_multi_probe_recovers_boundary_neighbors(spark):
     ).collect()[0]
     best_multi = min(multi_q3, key=lambda r: r["rank"])
     assert best_multi["neighbor_id"] == brute["neighbor_id"]
+
+
+def test_cosine_neardup_exact_vs_bucketed(spark):
+    from tmdb_index_spark.operators.similarity import cosine_neardup_pairs
+
+    exact = cosine_neardup_pairs(_emb(spark), threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert got == {(0, 1), (0, 4), (1, 4)}  # the x-axis cluster
+    bucketed = cosine_neardup_pairs(_emb(spark), threshold=0.9, n_bits=4)
+    assert {(r["id_a"], r["id_b"]) for r in bucketed.collect()} == got

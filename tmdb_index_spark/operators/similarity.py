@@ -310,3 +310,71 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, cos_sim)``
+    with ``cos_sim ≥ threshold`` and ``id_a < id_b``.
+
+    ``n_bits=None`` compares ALL pairs (exact — the |corpus|² baseline,
+    for modest corpora or oracle checks). With ``n_bits`` set, pairs
+    are generated within sign-bit LSH buckets only (the scale path —
+    candidate volume ÷ ~2^bits, recall approximate at boundaries; pair
+    a bigger ``n_bits`` with multi-probe re-runs for coverage).
+    """
+    if n_bits is None:
+        base = corpus.select(
+            F.col(id_col),
+            _as_double(vec_col).alias("__v__"),
+            _norm(_as_double(vec_col)).alias("__n__"),
+        )
+        a = base.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__v__").alias("__va__"),
+            F.col("__n__").alias("__na__"),
+        )
+        b = base.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__v__").alias("__vb__"),
+            F.col("__n__").alias("__nb__"),
+        )
+        joined = a.crossJoin(b)
+    else:
+        base = signbit_buckets(corpus, n_bits, id_col, vec_col).select(
+            F.col(id_col),
+            _as_double(vec_col).alias("__v__"),
+            _norm(_as_double(vec_col)).alias("__n__"),
+            "bucket",
+        )
+        a = base.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__v__").alias("__va__"),
+            F.col("__n__").alias("__na__"),
+            "bucket",
+        )
+        b = base.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__v__").alias("__vb__"),
+            F.col("__n__").alias("__nb__"),
+            "bucket",
+        )
+        joined = a.join(b, "bucket")
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("__va__"), F.col("__vb__"))
+                / (F.col("__na__") * F.col("__nb__")),
+                4,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,71 @@
+"""Skew-safe aggregation helpers.
+
+AQE's skew-join splitting and map-side partial aggregation neutralize
+most hot-key problems for algebraic aggregates; the cases that still
+melt a reducer are the NON-algebraic per-key computations — exact
+distinct counts and collect-style aggregates — where one hot key's
+whole value set lands on one task. These helpers restructure those into
+two shuffles whose first phase spreads the hot key:
+
+* :func:`two_phase_count_distinct` — exact distinct via
+  groupBy(keys, value) → groupBy(keys): phase 1's key space is
+  (key × value), so a hot key with many distinct values spreads over
+  the cluster; phase 2 only counts deduped rows.
+* :func:`salted_agg` — generic salt-and-merge for algebraic aggregates
+  whose partial form the caller provides explicitly (sum/count/min/max);
+  useful when partial aggregation is defeated (e.g. high-cardinality
+  grouping under it) — the salt bounds any single task's share of a hot
+  key at 1/n_salts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["two_phase_count_distinct", "salted_agg"]
+
+
+def two_phase_count_distinct(
+    df: DataFrame, keys: Sequence[str], value: str, alias: str = "n_distinct"
+) -> DataFrame:
+    """Exact per-key distinct count that survives hot keys: dedup on
+    (keys, value) first — that shuffle spreads a hot key across as many
+    tasks as it has distinct values — then count."""
+    return (
+        df.select(*keys, value)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(alias))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partials: dict[str, tuple[Column, Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation: ``partials`` maps output name →
+    (phase-1 partial aggregate over the salted groups, phase-2 merge
+    over the partials, referring to the phase-1 name). Example::
+
+        salted_agg(df, ["k"], {
+            "total": (F.sum("v"), F.sum("total")),
+            "n":     (F.count(F.lit(1)), F.sum("n")),
+        })
+
+    The salt is derived from a hash of all columns (deterministic, no
+    RNG) so reruns produce identical partials.
+    """
+    salt = (F.xxhash64(*df.columns) % n_salts).alias("__salt__")
+    phase1 = (
+        df.withColumn("__salt__", salt)
+        .groupBy(*keys, "__salt__")
+        .agg(*[p1.alias(name) for name, (p1, _) in partials.items()])
+    )
+    return phase1.groupBy(*keys).agg(
+        *[p2.alias(name) for name, (_, p2) in partials.items()]
+    )

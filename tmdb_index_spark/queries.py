@@ -1148,6 +1148,45 @@ _IVF_SQL = (
 )
 
 
+def embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (extension: embedding near-dup
+    dedup) — exact baseline; the LSH-bucketed variant is the scale
+    path (`cosine_neardup_pairs(n_bits=...)`)."""
+    from tmdb_index_spark.operators.similarity import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_EMB_NEARDUP_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) /
+        (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+         sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) /
+        (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+         sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) >= 0.4
+"""
+
+
+def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct (two-phase dedup-then-count): distinct
+    parts shipped per supplier."""
+    from tmdb_index_spark.operators.skew import two_phase_count_distinct
+
+    return two_phase_count_distinct(
+        _t(spark, sf_dir, "lineitem"), keys=["l_suppkey"], value="l_partkey",
+        alias="n_parts",
+    )
+
+
+_DISTINCT_PARTS_SQL = """
+SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
 def lang_id_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language ID (extension: text analysis): per-lang
     marker hits, deterministic priority-ordered argmax."""
@@ -1454,6 +1493,8 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_topk": embedding_topk,
     "embedding_lsh_topk": embedding_lsh_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
+    "embedding_neardups": embedding_neardups,
+    "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
     "token_counts": token_counts,
@@ -1501,6 +1542,8 @@ ORACLES: dict[str, str] = {
     "embedding_topk": _EMB_TOPK_SQL,
     "embedding_lsh_topk": _EMB_LSH_SQL,
     "embedding_ivf_topk": _IVF_SQL,
+    "embedding_neardups": _EMB_NEARDUP_SQL,
+    "distinct_parts_per_supplier": _DISTINCT_PARTS_SQL,
     "lang_id_predict": _LANG_ID_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "token_counts": _TOKEN_COUNT_SQL,
