@@ -338,6 +338,60 @@ FROM daily
 """
 
 
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot/reshape family: per-user event counts pivoted to one
+    column per event type (explicit value list keeps the output schema
+    static — the form that scales, since inferred pivot values need an
+    extra distinct pass)."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types]
+    )
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+  COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0)::BIGINT AS click,
+  COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0)::BIGINT AS error,
+  COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0)::BIGINT AS purchase,
+  COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0)::BIGINT AS signup,
+  COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0)::BIGINT AS view
+FROM events GROUP BY user_id
+"""
+
+
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation (collect family): each user's event
+    types as a time-ordered sequence. collect_list alone is
+    order-nondeterministic in a distributed engine — sorting structs of
+    (ts, event_id, type) then projecting restores a deterministic
+    order, matching SQL's ``list(... ORDER BY ts, event_id)``."""
+    ev = _events(spark, sf_dir)
+    seq = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+        ),
+        lambda s: s["event_type"],
+    )
+    return ev.groupBy("user_id").agg(
+        seq.alias("seq"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+_SEQUENCES_SQL = """
+SELECT user_id,
+       list(event_type ORDER BY ts, event_id) AS seq,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type (quantile
     aggregation family — exact, not approx, for oracle parity; the
@@ -1468,6 +1522,8 @@ QUERIES: dict[str, QueryFn] = {
     "moving_avg_daily_value": moving_avg_daily_value,
     "value_percentiles": value_percentiles,
     "purchasing_error_users": purchasing_error_users,
+    "pivot_event_counts": pivot_event_counts,
+    "user_event_sequences": user_event_sequences,
     "upsert_keep_last": upsert_keep_last,
     "align_dense_ids": align_dense_ids,
     "latest_event_per_user": latest_event_per_user,
@@ -1517,6 +1573,8 @@ ORACLES: dict[str, str] = {
     "moving_avg_daily_value": _MOVING_AVG_SQL,
     "value_percentiles": _PERCENTILES_SQL,
     "purchasing_error_users": _INTERSECT_SQL,
+    "pivot_event_counts": _PIVOT_SQL,
+    "user_event_sequences": _SEQUENCES_SQL,
     "upsert_keep_last": _UPSERT_SQL,
     "align_dense_ids": _ALIGN_SQL,
     "latest_event_per_user": _LATEST_EVENT_SQL,
