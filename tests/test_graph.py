@@ -1,0 +1,77 @@
+"""Connected-components tests (north-star extension: dedup groups).
+
+The reference has no graph surface; these verify the iterative label
+propagation against a driver-side union-find on the same edge lists.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tmdb_index_spark.operators.graph import (
+    connected_components,
+    dedup_group_representatives,
+)
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _run(spark, pairs):
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    out = connected_components(df)
+    return {r.node: r.component for r in out.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # Path graph 0-1-2-...-9: one component labelled 0.  Exercises the
+    # pointer-jump (plain neighbor-min would need ~9 rounds; the cap in
+    # connected_components would still pass, but this is the case where
+    # jumping matters).
+    got = _run(spark, [(i, i + 1) for i in range(9)])
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_disjoint_components_and_self_loops(spark):
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 20), (30, 31), (31, 30)]
+    got = _run(spark, pairs)
+    # 20's only edge is a self-loop, dropped by the a != b filter, so it
+    # vanishes from the node set entirely (matches oracle semantics:
+    # nodes exist only via non-self edges).
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 30: 30, 31: 30}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    pairs = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    assert _run(spark, pairs) == _union_find(pairs)
+
+
+def test_empty_pairs(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_group_representatives_drop_list(spark):
+    df = spark.createDataFrame([(5, 9), (9, 7), (1, 2)], "id_a long, id_b long")
+    out = dedup_group_representatives(df)
+    got = {r.drop_id: r.keep_id for r in out.collect()}
+    assert got == {9: 5, 7: 5, 2: 1}

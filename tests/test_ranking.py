@@ -1,0 +1,74 @@
+"""TF-IDF / BM25 operator tests (north-star text analysis).
+
+Small hand-computed corpora; the sf0.01 oracle gate covers the
+cross-engine numeric path, these pin the semantics.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tmdb_index_spark.operators.ranking import (
+    bm25_topk,
+    term_frequencies,
+    tfidf_top_terms,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "apple cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_term_frequencies(corpus):
+    got = {
+        (r.doc_id, r.term): r.tf
+        for r in term_frequencies(corpus).collect()
+    }
+    assert got[(0, "apple")] == 2
+    assert got[(0, "banana")] == 1
+    assert got[(2, "cherry")] == 2
+    assert (1, "apple") not in got
+
+
+def test_tfidf_ranks_rare_terms_highest(corpus):
+    out = tfidf_top_terms(corpus, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 2: 'date' appears in 1 of 3 docs (idf=ln 3), 'cherry' tf=2 in
+    # 2 of 3 docs (idf=ln 1.5). tf*idf: date=1.0986 > cherry=0.8109.
+    top2 = by_doc[2]
+    assert [r.term for r in sorted(top2, key=lambda r: r.rank)] == ["date", "cherry"]
+    assert top2[0].tfidf == pytest.approx(round(math.log(3.0), 4), abs=1e-4)
+    # every doc emits at most k rows, ranks are 1..k
+    for rows_ in by_doc.values():
+        assert sorted(r.rank for r in rows_) == list(range(1, len(rows_) + 1))
+
+
+def test_bm25_prefers_matching_rare_terms(corpus):
+    out = bm25_topk(corpus, ["date", "banana"], k=3).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    # doc 2 matches the rarest term 'date'; docs 0 and 1 match only
+    # 'banana'. Doc 1 is shorter than doc 0 (length normalization), so
+    # its banana hit scores higher.
+    assert ranked[0] == 2
+    assert ranked[1] == 1 and ranked[2] == 0
+    assert all(r.score > 0 for r in out)
+
+
+def test_bm25_ignores_docs_without_query_terms(spark):
+    df = spark.createDataFrame(
+        [(0, "x y z"), (1, "q r s")], "doc_id long, text string"
+    )
+    out = bm25_topk(df, ["x"], k=10).collect()
+    assert [r.doc_id for r in out] == [0]

@@ -1,0 +1,127 @@
+"""Connected components over a near-duplicate pair list.
+
+The reference stops at PAIR detection (its dedup surface is keep-last /
+keep-first over exact keys — ``/root/reference/tmdb_index.py:248-254``);
+assembling near-dup pairs into GROUPS (so one canonical doc per group can
+be kept) is the north-star extension this module provides.
+
+Spark-first design: iterative **label propagation with pointer jumping**
+expressed as DataFrame joins.  Each round does
+
+    label(u) <- min( label(u),                       -- keep
+                     min over neighbors v of label(v),  -- neighbor-min
+                     label(label(u)) )                  -- pointer jump
+
+Neighbor-min alone converges in O(diameter) rounds; the pointer-jump term
+halves label-chains each round, giving O(log d) rounds like the
+large-star/small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) while staying two joins + one aggregation
+per round.  ``localCheckpoint`` truncates lineage every round so the plan
+stays flat no matter how many iterations run.
+
+Scale notes (100 TB): each round is bounded by two shuffles of the edge
+list.  A giant component concentrates one ``component`` value but the
+joins stay keyed on ``node`` (unique) — the one skewable hash join
+(pointer jump probe side) is handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """``(node, component)`` for every node appearing in ``pairs``.
+
+    ``component`` is the minimum node id in the node's connected
+    component — a deterministic canonical representative, so the result
+    is reproducible across runs/engines (the DuckDB oracle computes the
+    same labels via a recursive-CTE transitive closure).
+    """
+    import shutil
+    import tempfile
+
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    # Each round materializes the new labels to parquet and reads them
+    # back. This both truncates lineage AND resets Catalyst statistics —
+    # localCheckpoint keeps the origin plan's stats, so iterated join
+    # size estimates compound multiplicatively and the BigInteger
+    # sizeInBytes doubles in bit-length every round (measured: by round
+    # 12 the driver spent >60s/round inside BigInteger.multiplyKaratsuba
+    # re-estimating plans while executors sat idle). A parquet round-trip
+    # gives the next round a plain file relation with true, small stats;
+    # it is also the restart-safe pattern a 1000-executor run wants.
+    tmp = tempfile.mkdtemp(prefix="tmdb_index_spark_cc_")
+    try:
+        for i in range(max_iter):
+            nbr_min = (
+                edges.alias("e")
+                .join(labels.alias("l"), F.col("e.b") == F.col("l.node"))
+                .groupBy(F.col("e.a").alias("node"))
+                .agg(F.min("l.component").alias("nbr_min"))
+            )
+            jump = (
+                labels.alias("x")
+                .join(labels.alias("y"), F.col("x.component") == F.col("y.node"))
+                .select(
+                    F.col("x.node").alias("node"),
+                    F.col("y.component").alias("jump_min"),
+                )
+            )
+            stepped = (
+                labels.join(nbr_min, "node", "left")
+                .join(jump, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_min"), F.col("component")),
+                        F.coalesce(F.col("jump_min"), F.col("component")),
+                    ).alias("new_component"),
+                    F.col("component").alias("old_component"),
+                )
+            )
+            path = f"{tmp}/round_{i}"
+            stepped.write.mode("overwrite").parquet(path)
+            stepped = spark.read.parquet(path)
+            labels = stepped.select(
+                "node", F.col("new_component").alias("component")
+            )
+            if stepped.filter(
+                F.col("new_component") < F.col("old_component")
+            ).isEmpty():
+                # Detach the result from the temp files before cleanup.
+                return labels.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_group_representatives(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Rows to DROP under keep-min-id dedup: every node whose component
+    representative is a different (smaller) id.  Joining this against the
+    corpus with a left-anti join keeps exactly one doc per near-dup group
+    plus all docs in no group."""
+    cc = connected_components(pairs, src, dst)
+    return cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("drop_id"), F.col("component").alias("keep_id")
+    )

@@ -1492,6 +1492,276 @@ _CORPUS_CLEAN_SQL = _corpus_clean_sql()
 
 
 # ---------------------------------------------------------------------------
+# Graph dedup groups, term ranking, and window/semi/anti-join breadth
+# ---------------------------------------------------------------------------
+
+
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS, not just pairs: connected components (iterative
+    label propagation with pointer jumping, O(log d) rounds) over the
+    SimHash near-dup pair list. Oracle: recursive-CTE transitive
+    closure over the identical pair list."""
+    from tmdb_index_spark.operators.dedup_text import simhash_neardup_pairs
+    from tmdb_index_spark.operators.graph import connected_components
+
+    pairs = simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=2
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+_DEDUP_GROUPS_SQL = f"""
+WITH RECURSIVE pairs AS ({_SIMHASH_NEARDUP_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+"""
+
+
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (extension: text analysis /
+    salient-term extraction)."""
+    from tmdb_index_spark.operators.ranking import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+_TFIDF_SQL = """
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents)
+SELECT doc_id, term, tf, tfidf, rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * ln(n.n_docs / dfreq.df), 4) AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY ROUND(tf.tf * ln(n.n_docs / dfreq.df), 4) DESC, tf.term ASC
+         )::BIGINT AS rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+) WHERE rank <= 5
+"""
+
+
+_BM25_TERMS = ("hash", "join", "dup")
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed bag-of-words query
+    (extension: text analysis / retrieval scoring)."""
+    from tmdb_index_spark.operators.ranking import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
+
+
+# Expression structure mirrors operators/ranking.py term for term so
+# every double op is the same correctly-rounded IEEE op in both engines
+# (only ln can differ, by 1 ULP — absorbed by the ROUND(..., 4)).
+_BM25_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf)::BIGINT AS dl FROM tf GROUP BY doc_id
+), corpus AS (
+  SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT / COUNT(*) AS avgdl FROM dl
+), q AS (
+  SELECT * FROM tf WHERE term IN ('hash', 'join', 'dup')
+), dfreq AS (
+  SELECT term, COUNT(*)::BIGINT AS df FROM q GROUP BY term
+), part AS (
+  SELECT q.doc_id,
+         ln(1.0 + ((corpus.n_docs - dfreq.df) + 0.5) / (dfreq.df + 0.5))
+         * ((q.tf * 2.2) / (q.tf + 1.2 * (0.25 + (0.75 * dl.dl) / corpus.avgdl)))
+           AS part
+  FROM q JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, ROUND(SUM(part), 4) AS score,
+         ROW_NUMBER() OVER (ORDER BY ROUND(SUM(part), 4) DESC, doc_id ASC)::BIGINT AS rank
+  FROM part GROUP BY doc_id
+) WHERE rank <= 20
+"""
+
+
+def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total window (rows unbounded preceding) over an ordered
+    daily rollup; DECIMAL-exact accumulation, double output."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(_dec("o_totalprice")).alias("d"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        F.col("d").cast("double").alias("day_revenue"),
+        F.sum("d").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+_CUMULATIVE_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS d
+  FROM orders GROUP BY 1
+)
+SELECT day, CAST(d AS DOUBLE) AS day_revenue,
+       CAST(SUM(d) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+FROM daily
+"""
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join (orders in a quarter
+    with at least one returned lineitem), counted per priority."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    returned = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: NOT EXISTS → left-anti join (positive-balance
+    customers with no 2001 order — the full history anti join is
+    degenerate on this data since every customer has ordered), rolled
+    up per nation."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT c_nationkey, COUNT(*)::BIGINT AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+WHERE c_acctbal > 0
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_nationkey
+"""
+
+
+def top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax: the highest-revenue supplier in each nation.
+    Rank on the exact DECIMAL revenue (pre-cast) so ordering can't
+    diverge on float noise; broadcast the supplier dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+        ).alias("rev")
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("rev"), F.asc("s_suppkey")
+    )
+    return (
+        rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "s_nationkey",
+            "s_suppkey",
+            "s_name",
+            F.col("rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_nationkey, s_suppkey, s_name, CAST(rev AS DOUBLE) AS revenue FROM (
+  SELECT s.s_nationkey, s.s_suppkey, s.s_name, rev.rev,
+         ROW_NUMBER() OVER (PARTITION BY s.s_nationkey ORDER BY rev.rev DESC, s.s_suppkey ASC) AS rn
+  FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+) WHERE rn = 1
+"""
+
+
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window breadth: per-user inter-event gap statistics. The
+    mean is computed as exact integer sum / count (never float-summed)
+    so both engines agree bit-for-bit."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    g = ev.select("user_id", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        (F.sum("gap_us") / F.count(F.lit(1))).alias("avg_gap_us"),
+    )
+
+
+_EVENT_GAPS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, COUNT(*)::BIGINT AS n_gaps, MIN(gap_us)::BIGINT AS min_gap_us,
+       SUM(gap_us)::BIGINT / COUNT(*) AS avg_gap_us
+FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1558,6 +1828,14 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_clean": corpus_clean,
     "asof_purchase_snapshot": asof_purchase_snapshot,
     "train_test_split_counts": train_test_split_counts,
+    "dedup_groups": dedup_groups,
+    "tfidf_terms": tfidf_terms,
+    "bm25_search": bm25_search,
+    "cumulative_daily_revenue": cumulative_daily_revenue,
+    "order_priority_counts": order_priority_counts,
+    "customers_without_orders": customers_without_orders,
+    "top_supplier_per_nation": top_supplier_per_nation,
+    "user_event_gaps": user_event_gaps,
 }
 
 QUERIES = {name: _self_configuring(fn) for name, fn in QUERIES.items()}
@@ -1609,4 +1887,12 @@ ORACLES: dict[str, str] = {
     "corpus_clean": _CORPUS_CLEAN_SQL,
     "asof_purchase_snapshot": _ASOF_SQL,
     "train_test_split_counts": _SPLIT_SQL,
+    "dedup_groups": _DEDUP_GROUPS_SQL,
+    "tfidf_terms": _TFIDF_SQL,
+    "bm25_search": _BM25_SQL,
+    "cumulative_daily_revenue": _CUMULATIVE_SQL,
+    "order_priority_counts": _Q4_SQL,
+    "customers_without_orders": _Q22_SQL,
+    "top_supplier_per_nation": _TOP_SUPPLIER_SQL,
+    "user_event_gaps": _EVENT_GAPS_SQL,
 }
