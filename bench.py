@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "embedding_lsh_topk",
     "embedding_ivf_topk",
     "text_quality",
+    "tfidf_terms",
+    "bm25_search",
 ]
 
 

@@ -111,3 +111,11 @@ def test_cosine_neardup_exact_vs_bucketed(spark):
     assert got == {(0, 1), (0, 4), (1, 4)}  # the x-axis cluster
     bucketed = cosine_neardup_pairs(_emb(spark), threshold=0.9, n_bits=4)
     assert {(r["id_a"], r["id_b"]) for r in bucketed.collect()} == got
+
+
+def test_ivf_topk_pandas_matches_sql(spark):
+    # The BLAS applyInPandas path and the column-expression path must
+    # agree exactly after the shared ROUND(...,4) ranking contract.
+    a = sorted(map(tuple, ivf_topk(_emb(spark), CENTROIDS, k=2, impl="sql").collect()))
+    b = sorted(map(tuple, ivf_topk(_emb(spark), CENTROIDS, k=2, impl="pandas").collect()))
+    assert a == b and a

@@ -189,3 +189,29 @@ def test_clean_corpus_pipeline(spark):
         docs, min_words=5, langs=("en", "de"), jaccard_threshold=0.5
     )
     assert sorted(r["doc_id"] for r in out.collect()) == [0, 4]
+
+
+def test_ngram_jaccard_prefix_matches_base(spark):
+    from tmdb_index_spark.operators.dedup_text import ngram_jaccard_pairs_prefix
+
+    base = sorted(
+        map(tuple, ngram_jaccard_pairs(_docs(spark), threshold=0.5, max_df=None).collect())
+    )
+    pref = sorted(
+        map(tuple, ngram_jaccard_pairs_prefix(_docs(spark), threshold=0.5).collect())
+    )
+    assert base == pref and len(base) == 3
+
+
+def test_ngram_jaccard_prefix_short_and_empty_docs(spark):
+    from tmdb_index_spark.operators.dedup_text import ngram_jaccard_pairs_prefix
+
+    weird = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c d e"), (2, ""), (3, "  a b c d  "), (4, "x y")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs_prefix(weird, threshold=0.5).collect()
+    }
+    assert got == {(0, 1): 0.6667, (0, 3): 1.0, (1, 3): 0.6667}

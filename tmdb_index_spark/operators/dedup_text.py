@@ -32,7 +32,7 @@ of codegen'd stages.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tmdb_index_spark.functions.text import portable_hash60, tokens, word_shingles
@@ -40,6 +40,7 @@ from tmdb_index_spark.functions.text import portable_hash60, tokens, word_shingl
 __all__ = [
     "dedup_exact",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_prefix",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash64",
@@ -178,6 +179,98 @@ def ngram_jaccard_pairs(
             F.round(
                 F.col("__inter__").cast("double")
                 / (F.col("__na__") + F.col("__nb__") - F.col("__inter__")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Prefix-filtered (PPJoin/All-Pairs-style) exact Jaccard pair
+    search — same result set as :func:`ngram_jaccard_pairs`, different
+    candidate generation.
+
+    Shingles are globally ordered rarest-first (document frequency asc,
+    shingle asc) and only each doc's first ``|A| − ⌈t·|A|⌉ + 1``
+    shingles are indexed: two sets with Jaccard ≥ t MUST share a
+    prefix element under any common global order (Chaudhuri et al.,
+    "A Primitive Operator for Similarity Joins", ICDE'06; Xiao et al.,
+    "Efficient Similarity Joins for Near Duplicate Detection", WWW'08).
+    Candidates are verified with one ``array_intersect`` against the
+    full sorted shingle arrays.
+
+    Scale behavior: the inverted-index join shrinks ~(1−t)² in
+    candidate-occurrence volume AND the most-frequent shingles (the
+    quadratic candidate generators) fall out of every prefix — so
+    pruning strengthens exactly where the base operator degrades:
+    Zipfian shingle distributions with long posting lists. On the
+    synthetic bench corpus (max document frequency 25 — no skew to
+    prune) the base operator wins at every threshold (measured 1.7s vs
+    2.8s at t=0.5, sf0.1) because the df-ranking window and the
+    verify joins cost more than the small candidate set they avoid;
+    this variant is the high-threshold/skewed-corpus path, not a
+    universal replacement.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("prefix filtering needs 0 < threshold <= 1")
+    sh = _shingle_frame(df, text_col, id_col, n).cache()
+    dfd = sh.groupBy("__sh__").agg(F.count(F.lit(1)).alias("__df__"))
+    ranked = sh.join(dfd, "__sh__").withColumn(
+        "__pos__",
+        F.row_number().over(
+            Window.partitionBy("__id__").orderBy(
+                F.asc("__df__"), F.asc("__sh__")
+            )
+        ),
+    )
+    prefix_len = F.col("__n__") - F.ceil(F.lit(threshold) * F.col("__n__")) + 1
+    pref = ranked.filter(F.col("__pos__") <= prefix_len).select(
+        "__id__", "__sh__", "__n__"
+    )
+    a = pref.select(
+        F.col("__id__").alias("id_a"), "__sh__", F.col("__n__").alias("__na__")
+    )
+    b = pref.select(
+        F.col("__id__").alias("id_b"), "__sh__", F.col("__n__").alias("__nb__")
+    )
+    cand = (
+        a.join(b, "__sh__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("__na__") >= F.lit(threshold) * F.col("__nb__"))
+            & (F.col("__nb__") >= F.lit(threshold) * F.col("__na__"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    arrs = sh.groupBy("__id__").agg(
+        F.sort_array(F.collect_list("__sh__")).alias("__arr__")
+    )
+    return (
+        cand.join(arrs.withColumnRenamed("__id__", "id_a"), "id_a")
+        .withColumnRenamed("__arr__", "__arr_a__")
+        .join(arrs.withColumnRenamed("__id__", "id_b"), "id_b")
+        .withColumn(
+            "__inter__",
+            F.size(F.array_intersect(F.col("__arr_a__"), F.col("__arr__"))),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter__").cast("double")
+                / (
+                    F.size("__arr_a__")
+                    + F.size("__arr__")
+                    - F.col("__inter__")
+                ),
                 4,
             ),
         )

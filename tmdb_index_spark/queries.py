@@ -909,9 +909,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NGRAM_JACCARD_SQL = (
-    _DUCK_SHINGLES
-    + """, ex AS (
+def _ngram_jaccard_sql(threshold: float) -> str:
+    return (
+        _DUCK_SHINGLES
+        + f""", ex AS (
   SELECT doc_id, UNNEST(shs) AS s FROM sh
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1
@@ -925,9 +926,27 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes na ON id_a = na.doc_id
 JOIN sizes nb ON id_b = nb.doc_id
-WHERE c * 1.0 / (na.n + nb.n - c) >= 0.1
+WHERE c * 1.0 / (na.n + nb.n - c) >= {threshold}
 """
-)
+    )
+
+
+_NGRAM_JACCARD_SQL = _ngram_jaccard_sql(0.1)
+
+
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin/All-Pairs prefix-filtered exact Jaccard at t=0.5
+    (extension: the candidate-pruning scale path; identical result set
+    to the inverted-index operator, verified against the same plain
+    SQL oracle)."""
+    from tmdb_index_spark.operators.dedup_text import ngram_jaccard_pairs_prefix
+
+    return ngram_jaccard_pairs_prefix(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+_JACCARD_PREFIX_SQL = _ngram_jaccard_sql(0.5)
 
 
 def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1828,6 +1847,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_clean": corpus_clean,
     "asof_purchase_snapshot": asof_purchase_snapshot,
     "train_test_split_counts": train_test_split_counts,
+    "dedup_jaccard_prefix": dedup_jaccard_prefix,
     "dedup_groups": dedup_groups,
     "tfidf_terms": tfidf_terms,
     "bm25_search": bm25_search,
@@ -1887,6 +1907,7 @@ ORACLES: dict[str, str] = {
     "corpus_clean": _CORPUS_CLEAN_SQL,
     "asof_purchase_snapshot": _ASOF_SQL,
     "train_test_split_counts": _SPLIT_SQL,
+    "dedup_jaccard_prefix": _JACCARD_PREFIX_SQL,
     "dedup_groups": _DEDUP_GROUPS_SQL,
     "tfidf_terms": _TFIDF_SQL,
     "bm25_search": _BM25_SQL,
