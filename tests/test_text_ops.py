@@ -215,3 +215,18 @@ def test_ngram_jaccard_prefix_short_and_empty_docs(spark):
         for r in ngram_jaccard_pairs_prefix(weird, threshold=0.5).collect()
     }
     assert got == {(0, 1): 0.6667, (0, 3): 1.0, (1, 3): 0.6667}
+
+
+def test_simhash_pandas_matches_sql_bitforbit(spark):
+    from tmdb_index_spark.operators.dedup_text import simhash64
+
+    edge = spark.createDataFrame(
+        [(0, "a b c"), (1, ""), (2, "   "), (3, None), (4, "a\t b\n c"), (5, "x")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, simhash64(edge, impl="sql").collect()))
+    b = sorted(map(tuple, simhash64(edge, impl="pandas").collect()))
+    # Integer-only pipeline: the Arrow fast path must agree exactly,
+    # including the empty-string-votes-with-md5('') and null-text-is-null
+    # edge semantics.
+    assert a == b

@@ -400,16 +400,30 @@ def minhash_lsh_pairs(
 
 
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    impl: str = "pandas",
 ) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
     Each token hashes to 60 portable bits; for every bit position the
-    tokens vote +1/−1 and the sign becomes the fingerprint bit. Pure
-    array expressions — a single map stage, no shuffle. Near-duplicate
-    docs differ in few bits: compare fingerprints downstream with
-    ``bit_count(a ^ b) <= k``.
+    tokens vote +1/−1 and the sign becomes the fingerprint bit.
+    Near-duplicate docs differ in few bits: compare fingerprints
+    downstream with ``bit_count(a ^ b) <= k``.
+
+    ``impl='pandas'`` (default) computes fingerprints wholesale in an
+    Arrow-batched map-only stage: the JVM shape explodes every token
+    and evaluates 60 conditional sums per token row (~15M branch evals
+    at 5k docs × 52 tokens), while numpy derives all 60 bit-votes from
+    one shift-and-mask over the token-hash vector. Everything is
+    integer arithmetic on the same md5-derived hash, so both impls and
+    the SQL oracle agree BIT-FOR-BIT (asserted in tests) — this is a
+    pure speed choice, unlike float-path trade-offs elsewhere.
+    ``impl='sql'`` keeps the pure column-expression twin.
     """
+    if impl == "pandas":
+        return _simhash64_pandas(df, text_col, id_col)
     # Explode distinct tokens → one portable hash per row → ONE
     # aggregation producing all 60 bit-votes (map-side combined). The
     # alternative — 60 aggregate() folds over the token array — walks
@@ -441,6 +455,72 @@ def simhash64(
     )
     # Preserve docs with no tokens (null fingerprint), like the SQL twin.
     return df.select(F.col(id_col)).join(sig, id_col, "left")
+
+
+def _simhash64_pandas(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Arrow-batched SimHash: md5 per distinct token (hashlib == Spark
+    ``md5`` on UTF-8 bytes), 60 bit-votes via one numpy shift-mask,
+    sign threshold > 0. Map-only, no shuffle; preserves empty docs as
+    null fingerprints like the SQL twin."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)
+    shifts = None  # built lazily inside workers
+
+    def fingerprints(batches):
+        nonlocal shifts
+        bit_idx = np.arange(60, dtype="uint64")
+        for pdf in batches:
+            ids, sims, ntoks = [], [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                # Mirror the column-expression twin exactly:
+                # split(trim(text), '\s+') yields [''] for empty text
+                # (which then votes with md5('')), and only NULL text
+                # yields a null fingerprint.
+                if txt is None:
+                    seen = []
+                else:
+                    seen = list(
+                        dict.fromkeys(ws.split(txt.strip(" \t\n\r\f\v")))
+                    )
+                ids.append(i)
+                if not seen:
+                    sims.append(None)
+                    ntoks.append(None)
+                    continue
+                hs = np.array(
+                    [
+                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                        for t in seen
+                    ],
+                    dtype="uint64",
+                )
+                bits = (hs[:, None] >> bit_idx) & np.uint64(1)
+                votes = (2 * bits.astype("int64") - 1).sum(axis=0)
+                fp = int(
+                    ((votes > 0).astype("uint64") << bit_idx).sum(dtype="uint64")
+                )
+                sims.append(fp)
+                ntoks.append(len(seen))
+            yield pd.DataFrame(
+                {"__id__": ids, "__fp__": sims, "__nt__": ntoks}
+            ).astype({"__fp__": "Int64", "__nt__": "Int64"})
+
+    id_type = dict(df.dtypes)[id_col]
+    sig = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        fingerprints, f"__id__ {id_type}, __fp__ long, __nt__ long"
+    )
+    return sig.select(
+        F.col("__id__").alias(id_col),
+        F.col("__fp__").alias("simhash"),
+        F.col("__nt__").alias("n_tokens"),
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
