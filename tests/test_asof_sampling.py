@@ -60,3 +60,24 @@ def test_hash_sample_subset_and_stable(spark):
     ids = {r["doc_id"] for r in s.collect()}
     bigger = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2).collect()}
     assert ids <= bigger  # nested samples: growing the fraction only adds rows
+
+
+def test_stratified_sample_deterministic_and_scoped(spark):
+    from tmdb_index_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+        + [(1000 + i, "c") for i in range(10)],
+        "id long, cls string",
+    )
+    out = stratified_sample(df, "cls", "id", {"a": 1.0, "b": 0.2})
+    rows_ = out.collect()
+    # stratum 'c' absent from fractions -> dropped entirely
+    assert all(r.cls != "c" for r in rows_)
+    # 'a' keeps everything
+    assert sum(1 for r in rows_ if r.cls == "a") == 100
+    # 'b' keeps a deterministic subset: identical across reruns
+    again = {r.id for r in stratified_sample(df, "cls", "id", {"a": 1.0, "b": 0.2}).collect()}
+    assert {r.id for r in rows_} == again
+    n_b = sum(1 for r in rows_ if r.cls == "b")
+    assert 0 < n_b < 100

@@ -159,3 +159,51 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     ).parquet(src)
     second = drain("state_b2")
     assert second == {1: (3, 6.0), 2: (1, 4.0)}
+
+
+CLICKS = [
+    (10, datetime(2024, 1, 1, 0, 0), 1, "click", 0.0),
+    (11, datetime(2024, 1, 1, 1, 0), 1, "click", 0.0),
+    (12, datetime(2024, 1, 1, 0, 10), 2, "click", 0.0),
+]
+PURCHASES = [
+    (20, datetime(2024, 1, 1, 0, 20), 1, "purchase", 9.0),   # within 30m of click 10
+    (21, datetime(2024, 1, 1, 2, 30), 1, "purchase", 5.0),   # not within 30m of any click
+    (22, datetime(2024, 1, 1, 0, 25), 2, "purchase", 7.0),   # within 30m of click 12
+]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    from tmdb_index_spark.streaming.windowed import attribute_outcomes
+
+    a_path, o_path = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    spark.createDataFrame(CLICKS, EVENT_SCHEMA).coalesce(1).write.parquet(a_path)
+    spark.createDataFrame(PURCHASES, EVENT_SCHEMA).coalesce(1).write.parquet(o_path)
+
+    batch = attribute_outcomes(
+        spark.read.parquet(a_path), spark.read.parquet(o_path)
+    )
+    expected = {(1, 10, 20), (2, 12, 22)}
+    got_batch = {
+        (r.user_id, r.action_id, r.outcome_id) for r in batch.collect()
+    }
+    assert got_batch == expected
+
+    stream = attribute_outcomes(
+        spark.readStream.schema(EVENT_SCHEMA).parquet(a_path),
+        spark.readStream.schema(EVENT_SCHEMA).parquet(o_path),
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attrib"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_stream = {
+        (r.user_id, r.action_id, r.outcome_id)
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    assert got_stream == expected

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from tmdb_index_spark.functions.text import portable_hash60
 
-__all__ = ["hash_split", "hash_sample", "split_column"]
+__all__ = ["hash_split", "hash_sample", "split_column", "stratified_sample"]
 
 #: Granularity of split fractions (hash buckets).
 _BUCKETS = 10_000
@@ -63,3 +63,24 @@ def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     if not 0 <= fraction <= 1:
         raise ValueError("fraction must be in [0, 1]")
     return df.filter(_bucket(F.col(key)) < int(fraction * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, key: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum keeps its own
+    hash-bucket fraction (e.g. downsample the dominant class, keep all
+    of the rare one — the class-rebalancing shape). Strata absent from
+    ``fractions`` are dropped; still map-only, no shuffle, no RNG —
+    ``df.sampleBy`` gives approximate, seed-dependent strata instead.
+    """
+    for name, frac in fractions.items():
+        if not 0 <= frac <= 1:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1]")
+    b = _bucket(F.col(key))
+    thresh = F.lit(None).cast("int")
+    for name, frac in fractions.items():
+        thresh = F.when(
+            F.col(strata_col) == name, F.lit(int(frac * _BUCKETS))
+        ).otherwise(thresh)
+    return df.filter(b < thresh)

@@ -1780,6 +1780,150 @@ FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
 """
 
 
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping over (returnflag, linestatus): every grouping-set
+    combination in one pass (completes the grouping-set family next to
+    ``rollup_revenue``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def parts_never_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set-op breadth: part keys shipped in 2001 with no 2001
+    return (scoped to the year — over full history every part has a
+    return, which would make the set difference trivially empty)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    shipped = li.select("l_partkey")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return shipped.subtract(returned)
+
+
+_EXCEPT_SQL = """
+SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+EXCEPT
+SELECT l_partkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2001-01-01' AND l_returnflag = 'R'
+"""
+
+
+def value_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE window breadth: quartile buckets over event value (ties
+    broken by event id so the bucketing is a deterministic total
+    order), profiled per bucket."""
+    ev = _events(spark, sf_dir)
+    w = Window.orderBy(F.asc("value"), F.asc("event_id"))
+    return (
+        ev.select("event_id", "value", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .select(F.col("quartile").cast("long").alias("quartile"), "n_events", "lo", "hi")
+    )
+
+
+_NTILE_SQL = """
+SELECT quartile::BIGINT AS quartile, COUNT(*) AS n_events,
+       MIN(value) AS lo, MAX(value) AS hi
+FROM (SELECT event_id, value,
+             NTILE(4) OVER (ORDER BY value ASC, event_id ASC) AS quartile
+      FROM events)
+GROUP BY quartile
+"""
+
+
+def customers_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery family: per customer, how many of
+    their orders exceed their own average order value. Decorrelated to
+    the aggregate-join Catalyst itself rewrites correlated subqueries
+    into; the comparison uses the exact DECIMAL cross-multiply
+    ``price·n > total`` so no float division can diverge between
+    engines."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("__total__"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        orders.join(per_cust, "o_custkey")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    _dec("o_totalprice") * F.col("n_orders")
+                    > F.col("__total__"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_above"),
+            F.max("n_orders").alias("n_orders"),
+        )
+        .select(F.col("o_custkey").alias("custkey"), "n_above", "n_orders")
+    )
+
+
+_ABOVE_AVG_SQL = """
+WITH t AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+         COUNT(*) AS n FROM orders GROUP BY 1
+)
+SELECT o.o_custkey AS custkey,
+       SUM(CASE WHEN CAST(o.o_totalprice AS DECIMAL(18,2)) * t.n > t.total
+                THEN 1 ELSE 0 END)::BIGINT AS n_above,
+       MAX(t.n)::BIGINT AS n_orders
+FROM orders o JOIN t ON o.o_custkey = t.o_custkey
+GROUP BY 1
+"""
+
+
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (extension: class
+    rebalancing) — keep 10% of views, 50% of clicks, all errors; same
+    rows in any engine/rerun from the hash formula alone."""
+    from tmdb_index_spark.operators.sampling import stratified_sample
+
+    ev = _events(spark, sf_dir)
+    return (
+        stratified_sample(
+            ev, "event_type", "event_id",
+            {"view": 0.1, "click": 0.5, "error": 1.0},
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_STRATIFIED_SQL = """
+WITH b AS (
+  SELECT event_type,
+         (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 10000) AS bucket
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events FROM b
+WHERE (event_type = 'view' AND bucket < 1000)
+   OR (event_type = 'click' AND bucket < 5000)
+   OR (event_type = 'error' AND bucket < 10000)
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1856,6 +2000,11 @@ QUERIES: dict[str, QueryFn] = {
     "customers_without_orders": customers_without_orders,
     "top_supplier_per_nation": top_supplier_per_nation,
     "user_event_gaps": user_event_gaps,
+    "cube_revenue": cube_revenue,
+    "parts_never_returned": parts_never_returned,
+    "value_ntile_quartiles": value_ntile_quartiles,
+    "customers_above_avg_orders": customers_above_avg_orders,
+    "stratified_sample_counts": stratified_sample_counts,
 }
 
 QUERIES = {name: _self_configuring(fn) for name, fn in QUERIES.items()}
@@ -1916,4 +2065,9 @@ ORACLES: dict[str, str] = {
     "customers_without_orders": _Q22_SQL,
     "top_supplier_per_nation": _TOP_SUPPLIER_SQL,
     "user_event_gaps": _EVENT_GAPS_SQL,
+    "cube_revenue": _CUBE_SQL,
+    "parts_never_returned": _EXCEPT_SQL,
+    "value_ntile_quartiles": _NTILE_SQL,
+    "customers_above_avg_orders": _ABOVE_AVG_SQL,
+    "stratified_sample_counts": _STRATIFIED_SQL,
 }

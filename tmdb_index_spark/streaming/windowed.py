@@ -37,6 +37,7 @@ __all__ = [
     "windowed_event_counts",
     "sessionize_stream",
     "run_upsert_stream",
+    "attribute_outcomes",
 ]
 
 
@@ -97,6 +98,49 @@ def sessionize_stream(
             F.col("win.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+def attribute_outcomes(
+    actions: DataFrame,
+    outcomes: DataFrame,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream event-time interval join: pair every outcome with
+    each prior action by the same key within ``within`` (the ad-click /
+    purchase attribution shape).
+
+    Both inputs get the watermark and the join condition carries the
+    time-range bound — that pair is what lets Spark EXPIRE buffered
+    state (state per side ≈ watermark horizon + interval × key arrival
+    rate) instead of holding both streams forever; an unbounded-state
+    stream-stream join is the classic production incident. Works
+    identically on batch frames (no watermark attached), which is how
+    the tests pin stream/batch parity.
+    """
+    a = actions.select(
+        F.col(key),
+        F.col("event_id").alias("action_id"),
+        F.col("ts").alias("action_ts"),
+    )
+    o = outcomes.select(
+        F.col(key).alias(f"__{key}__"),
+        F.col("event_id").alias("outcome_id"),
+        F.col("ts").alias("outcome_ts"),
+    )
+    if a.isStreaming:
+        a = a.withWatermark("action_ts", watermark)
+    if o.isStreaming:
+        o = o.withWatermark("outcome_ts", watermark)
+    cond = (
+        (a[key] == o[f"__{key}__"])
+        & (F.col("outcome_ts") >= F.col("action_ts"))
+        & (F.col("outcome_ts") <= F.col("action_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return a.join(o, cond).select(
+        key, "action_id", "action_ts", "outcome_id", "outcome_ts"
     )
 
 
