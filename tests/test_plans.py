@@ -1,0 +1,71 @@
+"""Physical-plan property tests: the plan IS the product at 100 TB.
+
+Each assertion pins an optimizer behavior the engine relies on —
+losing one (by restructuring a query so Catalyst can no longer apply
+it) is a performance regression even while results stay correct:
+
+* column pruning reaching the parquet scan (ReadSchema),
+* predicate pushdown (DataFilters/PushedFilters on the FileScan),
+* dimension joins planned as BroadcastHashJoin, not SortMergeJoin,
+* global ``row_number() <= k`` compiling to TakeOrderedAndProject
+  (per-partition top-k + driver merge of k·P rows — no global sort),
+* aggregation running as partial (map-side) + final HashAggregate.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tmdb_index_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = Q.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_scan_prunes_and_pushes(spark):
+    p = _plan(spark, "flagship_scan_filter")
+    assert "PushedFilters" in p
+    # filter constants must reach the scan, not sit in a post-filter only
+    assert "DataFilters: [isnotnull" in p
+    # pruning: the scan must not read columns the query never touches
+    assert "l_tax" not in p and "l_returnflag" not in p
+
+
+def test_q3_broadcasts_dims_and_takeordered(spark):
+    p = _plan(spark, "q3_order_revenue_topk")
+    assert "BroadcastHashJoin" in p
+    # deterministic top-10 compiles to per-partition top-k, no global sort
+    assert "TakeOrderedAndProject" in p
+    # the BUILDING segment filter is pushed into the customer scan line
+    assert "BUILDING" in p.split("FileScan parquet [c_custkey")[1][:400]
+
+
+def test_backfill_topk_rank_limit_pushdown(spark):
+    p = _plan(spark, "backfill_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_except_uses_broadcast_not_sortmerge(spark):
+    p = _plan(spark, "parts_never_returned")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q1_partial_aggregation_and_codegen(spark):
+    df = Q.QUERIES["q1_pricing_summary"](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # partial (map-side) + final aggregate pair, split by one exchange
+    assert "partial_sum" in p
+    assert p.count("HashAggregate") >= 2
+    # codegen spans only materialize in the AQE final plan — execute first
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    # '*(n)' operator prefixes are the WholeStageCodegen stage markers
+    assert re.search(r"\*\(\d+\) HashAggregate", final)
