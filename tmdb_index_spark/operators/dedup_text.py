@@ -82,17 +82,30 @@ def dedup_exact(
 def _shingle_frame(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs — the inverted-index input.
+    """Distinct (id, shingle-hash, set-size) rows — the inverted-index
+    input. ``__sh__`` is the shingle's 60-bit md5 (``portable_hash60``
+    of the space-joined shingle, computed Python-side), NOT the string:
+
+    * the inverted-index self-joins shuffle 8-byte longs instead of
+      ~20-byte strings, and long-key hash joins beat string keys;
+    * MinHash needs exactly this md5 as its base hash, so the one
+      crypto hash per shingle happens HERE, once, instead of as a JVM
+      md5+conv per signature row;
+    * set semantics are equality-only downstream (Jaccard counts,
+      banding, df ranking), where a 60-bit hash is interchangeable
+      with the string (collision odds ~|shingles|²/2^61).
 
     Arrow-batched ``mapInPandas`` instead of
     ``explode(array_distinct(word_shingles(...)))``: Spark evaluates
     higher-order array functions interpreted (outside whole-stage
     codegen), and the measured Pandas path is ~5× faster while staying
     map-only — no shuffle, scales with executors. Tokenization matches
-    the column-expression/or SQL twin exactly: split on runs of ASCII
-    whitespace after trimming (``re.ASCII`` — Java/RE2 ``\\s`` is
-    ASCII-only, Python's default is not).
+    the SQL twin exactly: split on runs of ASCII whitespace after
+    trimming (``re.ASCII`` — Java/RE2 ``\\s`` is ASCII-only, Python's
+    default is not); hashing matches because
+    ``int(md5(s).hexdigest()[:15], 16) == md5(s).digest()[:8] >> 4``.
     """
+    import hashlib
     import re
 
     import pandas as pd
@@ -100,9 +113,11 @@ def _shingle_frame(
     ws = re.compile(r"\s+", re.ASCII)
 
     def shingler(batches):
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
         for pdf in batches:
             ids: list = []
-            shs: list[str] = []
+            shs: list[int] = []
             cnt: list[int] = []
             for i, txt in zip(pdf[id_col], pdf[text_col]):
                 toks = ws.split(txt.strip(" \t\n\r\f\v")) if txt else []
@@ -111,13 +126,16 @@ def _shingle_frame(
                     seen.setdefault(" ".join(toks[j : j + n]))
                 k = len(seen)
                 ids.extend([i] * k)
-                shs.extend(seen)
+                shs.extend(
+                    from_bytes(md5(s.encode("utf-8")).digest()[:8], "big") >> 4
+                    for s in seen
+                )
                 cnt.extend([k] * k)
             yield pd.DataFrame({"__id__": ids, "__sh__": shs, "__n__": cnt})
 
     id_type = dict(df.dtypes)[id_col]
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        shingler, f"__id__ {id_type}, __sh__ string, __n__ long"
+        shingler, f"__id__ {id_type}, __sh__ long, __n__ long"
     )
 
 
@@ -300,7 +318,9 @@ def minhash_signatures(
     minhashes.
     """
     sh = _shingle_frame(df, text_col, id_col, n)
-    base = portable_hash60(F.col("__sh__")) % F.lit(MINHASH_P)
+    # __sh__ IS md5_60(shingle) already (computed in the shingle stage),
+    # so the universal-hash base is a bare modulus — no JVM md5 here.
+    base = F.col("__sh__") % F.lit(MINHASH_P)
     hashed = sh.select(
         "__id__",
         *[
