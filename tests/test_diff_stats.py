@@ -101,3 +101,50 @@ def test_compute_stats_approx_mode(spark):
     approx = {r["name"]: r["unique"] for r in compute_stats(df, df, approx=True).collect()}
     # HLL at this cardinality lands within 5%, so the flags agree.
     assert exact == approx == {"id": "true", "v": "true"}
+
+
+def test_dq_checks_detect_planted_violations(spark):
+    from tmdb_index_spark.operators.checks import (
+        check_foreign_key,
+        check_non_null,
+        check_range,
+        check_unique,
+        run_checks,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10, 0.5), (1, 20, -0.1), (2, 99, 1.5), (3, None, 0.2)],
+        "k long, fk long, v double",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = {
+        r.check: r.n_violations
+        for r in run_checks(
+            [
+                check_unique(child, ["k"]),
+                check_non_null(child, "fk"),
+                check_range(child, "v", lo=0.0, hi=1.0),
+                check_foreign_key(child, "fk", parent, "pk"),
+            ]
+        ).collect()
+    }
+    # both rows of the duplicated key count, null fk is not an fk orphan
+    assert out == {
+        "unique(k)": 2,
+        "non_null(fk)": 1,
+        "range(v)": 2,
+        "fk(fk)": 1,
+    }
+
+
+def test_dq_clean_table_reports_zero(spark):
+    from tmdb_index_spark.operators.checks import check_range, check_unique, run_checks
+
+    df = spark.createDataFrame([(1, 0.1), (2, 0.9)], "k long, v double")
+    out = {
+        r.check: r.n_violations
+        for r in run_checks(
+            [check_unique(df, ["k"]), check_range(df, "v", 0.0, 1.0)]
+        ).collect()
+    }
+    assert set(out.values()) == {0}

@@ -1924,6 +1924,65 @@ GROUP BY 1
 """
 
 
+def dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (extension: generalizes the
+    reference's dense-key invariant into a composable check family):
+    uniqueness, non-null, range, and referential integrity in one
+    summary frame."""
+    from tmdb_index_spark.operators.checks import (
+        check_foreign_key,
+        check_non_null,
+        check_range,
+        check_unique,
+        run_checks,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    return run_checks(
+        [
+            check_unique(orders, ["o_orderkey"]),
+            check_unique(lineitem, ["l_orderkey", "l_linenumber"]),
+            check_non_null(orders, "o_custkey"),
+            check_range(lineitem, "l_discount", lo=0.0, hi=1.0),
+            check_range(orders, "o_totalprice", lo=0.0),
+            check_foreign_key(orders, "o_custkey", customer, "c_custkey"),
+            check_foreign_key(lineitem, "l_orderkey", orders, "o_orderkey"),
+        ]
+    )
+
+
+_DQ_SQL = """
+SELECT 'unique(o_orderkey)' AS check, (
+  SELECT COALESCE(SUM(c), 0) FROM (
+    SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))::BIGINT AS n_violations
+UNION ALL
+SELECT 'unique(l_orderkey,l_linenumber)', (
+  SELECT COALESCE(SUM(c), 0) FROM (
+    SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))::BIGINT
+UNION ALL
+SELECT 'non_null(o_custkey)',
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)::BIGINT
+UNION ALL
+SELECT 'range(l_discount)',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 1.0))::BIGINT
+UNION ALL
+SELECT 'range(o_totalprice)',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_totalprice < 0.0)::BIGINT
+UNION ALL
+SELECT 'fk(o_custkey)',
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT
+UNION ALL
+SELECT 'fk(l_orderkey)',
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))::BIGINT
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2005,6 +2064,7 @@ QUERIES: dict[str, QueryFn] = {
     "value_ntile_quartiles": value_ntile_quartiles,
     "customers_above_avg_orders": customers_above_avg_orders,
     "stratified_sample_counts": stratified_sample_counts,
+    "dq_summary": dq_summary,
 }
 
 QUERIES = {name: _self_configuring(fn) for name, fn in QUERIES.items()}
@@ -2070,4 +2130,5 @@ ORACLES: dict[str, str] = {
     "value_ntile_quartiles": _NTILE_SQL,
     "customers_above_avg_orders": _ABOVE_AVG_SQL,
     "stratified_sample_counts": _STRATIFIED_SQL,
+    "dq_summary": _DQ_SQL,
 }
