@@ -74,3 +74,22 @@ def test_salted_agg_matches_plain(spark):
         for r in df.groupBy("k").agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == exp
+
+
+def test_salted_join_matches_plain_join(spark):
+    from tmdb_index_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, 10.0)] * 50 + [(2, 5.0)] * 3 + [(9, 1.0)],  # key 1 is hot; 9 has no dim row
+        "k long, v double",
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, name string")
+    plain = fact.join(dim, "k").groupBy("k", "name").count()
+    salted = salted_join(fact, dim, ["k"], n_salts=4).groupBy("k", "name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join keeps unmatched fact rows exactly once
+    left = salted_join(fact, dim, ["k"], n_salts=4, how="left")
+    assert left.filter("k = 9").count() == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        salted_join(fact, dim, ["k"], how="full")

@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["two_phase_count_distinct", "salted_agg"]
+__all__ = ["two_phase_count_distinct", "salted_agg", "salted_join"]
 
 
 def two_phase_count_distinct(
@@ -69,3 +69,38 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[p2.alias(name) for name, (_, p2) in partials.items()]
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key-proof join for a too-big-to-broadcast dimension: the
+    dimension is replicated across ``n_salts`` copies and each skewed
+    row is scattered to one copy, so a hot join key occupies at most
+    1/n_salts of any shuffle partition.
+
+    The salt never changes WHICH rows join — only where they meet —
+    so the result is exactly the plain join (the oracle query runs the
+    unsalted SQL). Row cost: dim shuffles n_salts×; use when AQE's
+    skew splitting can't help (e.g. the skewed side feeds a
+    co-partitioned downstream op it would have to re-shuffle anyway).
+    Only ``inner`` and ``left`` are allowed — replicating the dim side
+    would duplicate its unmatched rows under right/full joins.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left' only")
+    # The salt value is irrelevant to correctness (each skewed row meets
+    # one full dim copy), so a cheap nondeterministic spread is fine
+    # under task retries — identical output either way.
+    s = skewed.withColumn(
+        "__salt__",
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
+    )
+    d = dim.withColumn(
+        "__salt__", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return s.join(d, [*on, "__salt__"], how).drop("__salt__")

@@ -1983,6 +1983,36 @@ SELECT 'fk(l_orderkey)',
 """
 
 
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted fact-to-dimension join (extension: the
+    hot-key join path when the dimension can't broadcast). The salt
+    only redistributes where rows meet, so the oracle is the plain
+    unsalted join."""
+    from tmdb_index_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    return (
+        salted_join(li, orders.select("l_orderkey", "o_orderstatus"), ["l_orderkey"], n_salts=8)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT o_orderstatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2065,6 +2095,7 @@ QUERIES: dict[str, QueryFn] = {
     "customers_above_avg_orders": customers_above_avg_orders,
     "stratified_sample_counts": stratified_sample_counts,
     "dq_summary": dq_summary,
+    "salted_join_revenue": salted_join_revenue,
 }
 
 QUERIES = {name: _self_configuring(fn) for name, fn in QUERIES.items()}
@@ -2131,4 +2162,5 @@ ORACLES: dict[str, str] = {
     "customers_above_avg_orders": _ABOVE_AVG_SQL,
     "stratified_sample_counts": _STRATIFIED_SQL,
     "dq_summary": _DQ_SQL,
+    "salted_join_revenue": _SALTED_JOIN_SQL,
 }
