@@ -119,3 +119,24 @@ def test_ivf_topk_pandas_matches_sql(spark):
     a = sorted(map(tuple, ivf_topk(_emb(spark), CENTROIDS, k=2, impl="sql").collect()))
     b = sorted(map(tuple, ivf_topk(_emb(spark), CENTROIDS, k=2, impl="pandas").collect()))
     assert a == b and a
+
+
+def test_ivf_multiprobe_recovers_brute_force_when_exhaustive(spark):
+    # nprobe == number of cells means every query searches every cell:
+    # the "approximate" search must reproduce brute force exactly.
+    mp = ivf_topk(_emb(spark), CENTROIDS, k=2, nprobe=2).collect()
+    emb = _emb(spark)
+    brute = brute_force_topk(emb, emb, k=2).collect()
+    key = lambda rows: sorted((r.query_id, r.neighbor_id, r.cos_sim) for r in rows)
+    assert key(mp) == key(brute)
+
+    # single-probe is a strict subset of the candidate space: its best
+    # hit can never beat multi-probe's best hit for any query.
+    sp = ivf_topk(_emb(spark), CENTROIDS, k=2, impl="sql").collect()
+    best = {}
+    for r in sp:
+        if r.rank == 1:
+            best[r.query_id] = r.cos_sim
+    for r in mp:
+        if r.rank == 1 and r.query_id in best:
+            assert r.cos_sim >= best[r.query_id]

@@ -262,6 +262,54 @@ def ivf_assign(
     )
 
 
+def ivf_probe_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Each vector's ``nprobe`` nearest cells (query-side multi-probe).
+
+    Same exploded exact-fold distances as :func:`ivf_assign`, ranked
+    per vector by (distance, cell) — the deterministic tie-break the
+    oracle mirrors — keeping ``probe_rank <= nprobe``. One window
+    shuffle on the vector id.
+    """
+    if not centroids:
+        raise ValueError("ivf_probe_assign requires at least one centroid")
+    v = _as_double(vec_col)
+    cent = F.array(
+        *[
+            F.struct(
+                F.lit(cell_id).cast("long").alias("cell"),
+                F.array(*[F.lit(float(x)) for x in cvec]).alias("cvec"),
+            )
+            for cell_id, cvec in centroids
+        ]
+    )
+    from pyspark.sql import Window
+
+    exploded = df.select(
+        F.col(id_col), F.col(vec_col), F.explode(cent).alias("__c__")
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__c__.cell").alias("cell"),
+        F.aggregate(
+            F.zip_with(v, F.col("__c__.cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__dist__"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("__dist__"), F.asc("cell"))
+    return (
+        exploded.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(id_col, vec_col, "cell", "probe_rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -269,6 +317,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     impl: str = "pandas",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF all-pairs top-``k``: assign to cells, compare only within a
     cell, rank per vector. The recall/speed trade is the centroid count
@@ -287,16 +336,32 @@ def ivf_topk(
     absorbed by the ROUND(...,4) the ranking runs on.
     ``impl='sql'`` keeps the pure column-expression path (the
     engine-portable twin of the DuckDB oracle).
+
+    ``nprobe > 1`` searches each query's ``nprobe`` nearest cells
+    instead of one (corpus membership stays single-cell) — the
+    standard recall lever for vectors near cell boundaries, at
+    ~nprobe× candidate volume. Multi-probe always uses the expression
+    path: a neighbor lives in exactly one cell, so no dedup is needed,
+    and candidates from different cells re-rank in one per-query
+    window.
     """
     b = ivf_assign(corpus, centroids, id_col, vec_col)
-    if impl == "pandas":
+    if nprobe > 1:
+        a = ivf_probe_assign(corpus, centroids, nprobe, id_col, vec_col).select(
+            F.col(id_col).alias("query_id"),
+            _as_double(vec_col).alias("__qv__"),
+            _norm(_as_double(vec_col)).alias("__qn__"),
+            "cell",
+        )
+    elif impl == "pandas":
         return _within_group_topk_pandas(b, "cell", k, id_col, vec_col)
-    a = b.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(vec_col).alias("__qv__"),
-        _norm(_as_double(vec_col)).alias("__qn__"),
-        "cell",
-    )
+    else:
+        a = b.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(vec_col).alias("__qv__"),
+            _norm(_as_double(vec_col)).alias("__qn__"),
+            "cell",
+        )
     c = b.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("__cv__"),

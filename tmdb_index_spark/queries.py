@@ -1221,6 +1221,47 @@ _IVF_SQL = (
 )
 
 
+def embedding_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-3 with query-side multi-probe (nprobe=2): each query
+    searches its two nearest cells — the recall lever for boundary
+    vectors (extension: similarity-search scale path)."""
+    from tmdb_index_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"), _IVF_CENTROIDS, k=3, nprobe=2,
+        impl="sql",
+    )
+
+
+_IVF_MULTIPROBE_SQL = (
+    "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+    "d AS (SELECT vec_id, v, "
+    + ", ".join(f"{_ivf_dist_sql(j)} AS d{j}" for j in range(_IVF_CELLS))
+    + " FROM v),\n"
+    "cells AS (\n"
+    + " UNION ALL\n".join(
+        f"  SELECT vec_id, v, {j} AS cell, d{j} AS dist FROM d"
+        for j in range(_IVF_CELLS)
+    )
+    + "\n),\n"
+    "ranked AS (\n"
+    "  SELECT vec_id, v, cell,\n"
+    "         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS cr\n"
+    "  FROM cells\n"
+    "),\n"
+    "scored AS (\n"
+    f"  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim\n"
+    "  FROM (SELECT * FROM ranked WHERE cr <= 2) q\n"
+    "  JOIN (SELECT * FROM ranked WHERE cr = 1) c ON q.cell = c.cell\n"
+    "  WHERE q.vec_id <> c.vec_id\n"
+    ")\n"
+    "SELECT query_id, neighbor_id, cos_sim, rank FROM (\n"
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id\n"
+    "    ORDER BY cos_sim DESC, neighbor_id ASC)::BIGINT AS rank FROM scored\n"
+    ") WHERE rank <= 3\n"
+)
+
+
 def embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (extension: embedding near-dup
     dedup) — exact baseline; the LSH-bucketed variant is the scale
@@ -2096,6 +2137,7 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample_counts": stratified_sample_counts,
     "dq_summary": dq_summary,
     "salted_join_revenue": salted_join_revenue,
+    "embedding_ivf_multiprobe": embedding_ivf_multiprobe,
 }
 
 QUERIES = {name: _self_configuring(fn) for name, fn in QUERIES.items()}
@@ -2163,4 +2205,5 @@ ORACLES: dict[str, str] = {
     "stratified_sample_counts": _STRATIFIED_SQL,
     "dq_summary": _DQ_SQL,
     "salted_join_revenue": _SALTED_JOIN_SQL,
+    "embedding_ivf_multiprobe": _IVF_MULTIPROBE_SQL,
 }
