@@ -140,3 +140,22 @@ def test_ivf_multiprobe_recovers_brute_force_when_exhaustive(spark):
     for r in mp:
         if r.rank == 1 and r.query_id in best:
             assert r.cos_sim >= best[r.query_id]
+
+
+def test_fitted_centroids_balance_cells_and_are_deterministic(spark):
+    from tmdb_index_spark.operators.similarity import fit_centroids, ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    c1 = fit_centroids(emb, k=8)
+    c2 = fit_centroids(emb, k=8)
+    assert c1 == c2  # bit-identical across reruns
+    sizes = [
+        r["count"]
+        for r in ivf_assign(emb, c1).groupBy("cell").count().collect()
+    ]
+    # fitted cells must be reasonably balanced: no cell above 3x the mean
+    assert len(sizes) >= 2
+    assert max(sizes) <= 3 * (sum(sizes) / len(sizes))
+    # and usable end-to-end
+    out = ivf_topk(emb.limit(50), c1, k=2)
+    assert out.count() > 0

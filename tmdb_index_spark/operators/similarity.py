@@ -262,6 +262,57 @@ def ivf_assign(
     )
 
 
+def fit_centroids(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 13,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic sampled k-means fit for IVF centroids.
+
+    Production IVF fits cells on a bounded sample, not the corpus: the
+    sample here is the first ``max_sample`` vectors by id (a stable,
+    engine-independent choice — swap in :func:`tmdb_index_spark
+    .operators.sampling.hash_sample` for an unbiased one), Lloyd
+    iterations run driver-side in numpy, and init is k-means++ seeded
+    with a fixed RNG, so the same inputs always produce the same
+    centroids — reruns of the index build assign identical cells.
+    Returns the ``[(cell_id, vector)]`` list :func:`ivf_topk` takes;
+    cell ids are ordered by first principal coordinate for stability.
+    """
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(max_sample).collect()
+    )
+    X = np.array([list(r[1]) for r in rows], dtype="float64")
+    n = len(X)
+    if n == 0:
+        raise ValueError("fit_centroids needs a non-empty corpus")
+    k = min(k, n)
+    rng = np.random.RandomState(seed)
+    # k-means++ init
+    centers = [X[rng.randint(n)]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [((X - c) ** 2).sum(axis=1) for c in centers], axis=0
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        centers.append(X[rng.choice(n, p=probs)])
+    C = np.stack(centers)
+    for _ in range(iters):
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    order = np.argsort(C[:, 0], kind="stable")
+    return [(i, [float(x) for x in C[j]]) for i, j in enumerate(order)]
+
+
 def ivf_probe_assign(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
