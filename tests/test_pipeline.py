@@ -192,3 +192,26 @@ def test_read_jsonl_gz_native_scan(spark, tmp_path):
     assert [(r["id"], r["original_title"]) for r in got] == [
         (1, "t1"), (2, "t2"), (3, "t3"),
     ]
+
+
+def test_partitioned_sink_dynamic_overwrite_and_pruning(spark, tmp_path):
+    from tmdb_index_spark.sources.parquet import write_partitioned
+
+    path = str(tmp_path / "part")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id long, day string, v double",
+    )
+    write_partitioned(base, path, ["day"])
+    # overwrite ONLY day=a; day=b must survive untouched
+    patch = spark.createDataFrame([(9, "a", 99.0)], "id long, day string, v double")
+    write_partitioned(patch, path, ["day"])
+    got = {(r.id, r.day) for r in spark.read.parquet(path).collect()}
+    assert got == {(9, "a"), (3, "b")}
+    # partition pruning: a day filter must reach PartitionFilters
+    plan = (
+        spark.read.parquet(path)
+        .filter("day = 'b'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:80]

@@ -2054,6 +2054,37 @@ GROUP BY o_orderstatus
 """
 
 
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch family (rows-only check — no oracle by design: HLL
+    estimates are engine-private, which is exactly why the EXACT
+    profiling path exists for parity and this one for scale). Same
+    plan shape as the exact count, no extra shuffle."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch family (rows-only check — approx percentile
+    digests are engine-private; the exact twin is
+    ``value_percentiles``). One pass, mergeable sketch per group."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "event_type",
+        F.col("q")[0].alias("p50"),
+        F.col("q")[1].alias("p90"),
+        F.col("q")[2].alias("p99"),
+        "n",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2138,6 +2169,10 @@ QUERIES: dict[str, QueryFn] = {
     "dq_summary": dq_summary,
     "salted_join_revenue": salted_join_revenue,
     "embedding_ivf_multiprobe": embedding_ivf_multiprobe,
+    # rows-only entries (sketches are engine-private; exact twins exist
+    # above for cross-engine parity) — deliberately absent from ORACLES.
+    "approx_distinct_users_daily": approx_distinct_users_daily,
+    "approx_value_quantiles": approx_value_quantiles,
 }
 
 QUERIES = {name: _self_configuring(fn) for name, fn in QUERIES.items()}

@@ -59,6 +59,32 @@ def write_index(
         )
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    compression: str = "zstd",
+) -> None:
+    """Hive-partitioned zstd parquet sink — the cluster-scale artifact
+    next to the single-file reference-parity one.
+
+    Dynamic partition overwrite replaces ONLY the partitions present in
+    ``df`` (the daily-incremental shape: writing one day's batch leaves
+    every other day's directory untouched), and the directory layout
+    gives consumers partition pruning on the partition columns for
+    free.
+    """
+    df.sparkSession.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    (
+        df.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .option("compression", compression)
+        .parquet(path)
+    )
+
+
 def write_single_parquet(df: DataFrame, path: str) -> None:
     """Produce ONE ``.parquet`` file at ``path`` (a file, not a dir).
 
