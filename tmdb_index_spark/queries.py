@@ -2085,6 +2085,36 @@ def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE window breadth: each customer's first and
+    most recent order value over the full-partition frame (values pass
+    through untouched — no arithmetic to diverge)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.first_value("o_totalprice").over(w).alias("first_price"),
+            F.last_value("o_totalprice").over(w).alias("last_price"),
+        )
+        .distinct()
+    )
+
+
+_FIRST_LAST_SQL = """
+SELECT DISTINCT o_custkey AS custkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice) OVER w AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2169,6 +2199,7 @@ QUERIES: dict[str, QueryFn] = {
     "dq_summary": dq_summary,
     "salted_join_revenue": salted_join_revenue,
     "embedding_ivf_multiprobe": embedding_ivf_multiprobe,
+    "customer_first_last_order": customer_first_last_order,
     # rows-only entries (sketches are engine-private; exact twins exist
     # above for cross-engine parity) — deliberately absent from ORACLES.
     "approx_distinct_users_daily": approx_distinct_users_daily,
@@ -2241,4 +2272,5 @@ ORACLES: dict[str, str] = {
     "dq_summary": _DQ_SQL,
     "salted_join_revenue": _SALTED_JOIN_SQL,
     "embedding_ivf_multiprobe": _IVF_MULTIPROBE_SQL,
+    "customer_first_last_order": _FIRST_LAST_SQL,
 }
