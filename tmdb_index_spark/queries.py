@@ -266,14 +266,17 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try_cast: ANSI mode makes plain cast THROW on a non-numeric payload
     # value; dirty JSON must degrade to null, not kill the job.
     k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    # Aggregates cast to DOUBLE on both engines: nullable-BIGINT outputs
+    # are type-ambiguous in the driver's pandas canonicalizer (Spark side
+    # promotes to float64/NaN, DuckDB keeps Int64 — round-1 hash mismatch).
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("k").alias("sum_k"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
+            F.sum("k").cast("double").alias("sum_k"),
+            F.min("k").cast("double").alias("min_k"),
+            F.max("k").cast("double").alias("max_k"),
         )
     )
 
@@ -281,9 +284,9 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_SQL = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-       MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS sum_k,
+       CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS min_k,
+       CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS max_k
 FROM events
 GROUP BY event_type
 """
@@ -379,14 +382,16 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda s: s["event_type"],
     )
+    # Serialized to a scalar string: the driver's no-Arrow canonicalizer
+    # cannot sort/hash array-typed cells (round-1 red row).
     return ev.groupBy("user_id").agg(
-        seq.alias("seq"), F.count(F.lit(1)).alias("n_events")
+        F.array_join(seq, "|").alias("seq"), F.count(F.lit(1)).alias("n_events")
     )
 
 
 _SEQUENCES_SQL = """
 SELECT user_id,
-       list(event_type ORDER BY ts, event_id) AS seq,
+       array_to_string(list(event_type ORDER BY ts, event_id), '|') AS seq,
        COUNT(*) AS n_events
 FROM events GROUP BY user_id
 """

@@ -75,6 +75,19 @@ def main() -> int:
             pd.testing.assert_frame_equal(
                 g, e, check_dtype=False, check_exact=False, rtol=0, atol=0
             )
+            # Driver-hash mimic: the driver hashes STRING forms, so a
+            # value-equal frame can still mismatch if dtypes render
+            # differently (Int64 "1" vs float64 "1.0" — round-1 red row).
+            gs, es = g.astype(str), e.astype(str)
+            if not gs.equals(es):
+                sdiff = gs != es
+                bad = [c for c in gs.columns if sdiff[c].any()]
+                failures.append(name)
+                print(f"FAIL {name}: string-form (hash) drift in {bad}")
+                for c in bad[:2]:
+                    idx = sdiff[c].idxmax()
+                    print(f"  {c}[{idx}]: spark={gs[c][idx]!r} duckdb={es[c][idx]!r}")
+                continue
             print(f"PASS {name} ({len(got)} rows)")
         except AssertionError as err:
             failures.append(name)
