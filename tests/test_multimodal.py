@@ -7,6 +7,21 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tmdb_index_spark.operators.media_codec import (
+    header_codec,
+    make_bmp,
+    make_gif,
+    make_jpeg,
+    make_png,
+    make_wav,
+    parse_bmp,
+    parse_gif,
+    parse_jpeg,
+    parse_png,
+    parse_wav,
+    parse_webp,
+    sniff_mime,
+)
 from tmdb_index_spark.operators.multimodal import (
     MEDIA_STRUCT,
     decode_media,
@@ -25,8 +40,8 @@ def _media(spark):
         ]
     )
     rows = [
-        (0, (b"\x89PNG-payload-0", "image/png", "s3://bucket/0.png")),
-        (1, (b"RIFF-wav-payload-1", "audio/wav", "s3://bucket/1.wav")),
+        (0, (make_png(320, 200), "image/png", "s3://bucket/0.png")),
+        (1, (make_wav(4410), "audio/wav", "s3://bucket/1.wav")),
         (2, (b"", "image/png", "s3://bucket/2.png")),  # empty payload
         (3, None),  # null media
     ]
@@ -39,8 +54,9 @@ def test_decode_media_appends_typed_fields(spark):
         "width", "height", "n_frames", "decode_ok",
     ]
     img, wav, empty, null = out
-    assert img["decode_ok"] and img["n_frames"] == 1  # images are single-frame
-    assert wav["decode_ok"] and wav["n_frames"] > 1
+    assert img["decode_ok"] and (img["width"], img["height"]) == (320, 200)
+    assert img["n_frames"] == 1  # still images are single-frame
+    assert wav["decode_ok"] and wav["n_frames"] == 4410
     assert empty["decode_ok"] is False and empty["width"] is None
     assert null["decode_ok"] is None
 
@@ -59,6 +75,89 @@ def test_unavailable_codec_raises_with_dependency_hint():
 def test_fake_codec_stable():
     assert fake_codec(b"abc", "image/png") == fake_codec(b"abc", "image/png")
     assert fake_codec(b"abc", "image/png") != fake_codec(b"abd", "image/png")
+
+
+# Golden bytes: a 1x1 grayscale PNG hand-assembled from the spec's
+# byte offsets, independent of make_png, so a synth/parse bug (e.g.
+# width/height swapped in both) can't cancel out.
+_GOLDEN_PNG_1x1 = bytes.fromhex(
+    "89504e470d0a1a0a"              # signature
+    "0000000d49484452"              # len 13, IHDR
+    "00000001000000010800000000"    # 1x1, bit depth 8, gray
+    "3a7e9b55"                      # IHDR crc (unchecked by parser)
+    "0000000b49444154"              # len 11, IDAT
+    "789c636000000002000158"        # deflate of filter byte + 1 pixel
+    "29bd0383"                      # IDAT crc (unchecked by parser)
+    "0000000049454e44ae426082"      # IEND
+)
+
+
+def test_parse_png_golden_bytes():
+    got = parse_png(_GOLDEN_PNG_1x1)
+    assert (got["width"], got["height"], got["n_frames"], got["decode_ok"]) == (
+        1, 1, 1, True,
+    )
+
+
+def test_header_parsers_roundtrip_known_dimensions():
+    assert parse_png(make_png(640, 480)) == {
+        "width": 640, "height": 480, "n_frames": 1, "decode_ok": True,
+    }
+    assert parse_jpeg(make_jpeg(1920, 1080)) == {
+        "width": 1920, "height": 1080, "n_frames": 1, "decode_ok": True,
+    }
+    assert parse_gif(make_gif(33, 44, n_frames=7)) == {
+        "width": 33, "height": 44, "n_frames": 7, "decode_ok": True,
+    }
+    assert parse_bmp(make_bmp(12, 34)) == {
+        "width": 12, "height": 34, "n_frames": 1, "decode_ok": True,
+    }
+    assert parse_wav(make_wav(22_050, channels=2)) == {
+        "width": None, "height": None, "n_frames": 22_050, "decode_ok": True,
+    }
+
+
+def test_parse_webp_variants():
+    # Hand-packed headers per the container spec (no make_webp: the VP8
+    # bitstreams here are header-only).
+    vp8l_bits = (17 - 1) | ((23 - 1) << 14)
+    vp8l = (
+        b"RIFF" + (4 + 8 + 5).to_bytes(4, "little") + b"WEBP"
+        + b"VP8L" + (5).to_bytes(4, "little")
+        + b"\x2f" + vp8l_bits.to_bytes(4, "little")
+    )
+    got = parse_webp(vp8l)
+    assert (got["width"], got["height"], got["decode_ok"]) == (17, 23, True)
+
+    vp8x = (
+        b"RIFF" + (4 + 8 + 10).to_bytes(4, "little") + b"WEBP"
+        + b"VP8X" + (10).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (256 - 1).to_bytes(3, "little") + (128 - 1).to_bytes(3, "little")
+    )
+    got = parse_webp(vp8x)
+    assert (got["width"], got["height"], got["decode_ok"]) == (256, 128, True)
+
+
+def test_sniff_mime_ignores_declared_mime():
+    assert sniff_mime(make_png(1, 1)) == "image/png"
+    assert sniff_mime(make_jpeg(1, 1)) == "image/jpeg"
+    assert sniff_mime(make_gif(1, 1)) == "image/gif"
+    assert sniff_mime(make_bmp(1, 1)) == "image/bmp"
+    assert sniff_mime(make_wav(1)) == "audio/wav"
+    assert sniff_mime(b"not media") is None
+    # header_codec trusts bytes, not labels: a PNG declared as JPEG
+    # still parses as PNG.
+    assert header_codec(make_png(5, 6), "image/jpeg")["width"] == 5
+
+
+def test_header_codec_rejects_truncated_and_corrupt():
+    assert header_codec(b"", "image/png")["decode_ok"] is False
+    assert header_codec(make_png(9, 9)[:12], "")["decode_ok"] is False
+    assert header_codec(b"\xff\xd8\xff\xd9", "")["decode_ok"] is False  # SOI+EOI only
+    assert header_codec(b"GIF89a\x00\x00\x00\x00\x00\x00\x00", "")["decode_ok"] is False
+    bad_wav = b"RIFF\x00\x00\x00\x00WAVEjunk"
+    assert header_codec(bad_wav, "")["decode_ok"] is False
 
 
 def test_media_features_shape(spark):

@@ -14,16 +14,16 @@ metadata) happens WITHOUT touching the payload bytes:
 The decode / feature-extract / resize / frame-sample operators run as
 Arrow-batched ``mapInPandas`` stages: the Spark-side plumbing (schemas,
 batch iteration, partition parallelism, column pruning) is real and
-tested; the codec itself is injectable. This container has no
-image/audio libraries, so the default codec is either
+tested; the codec itself is injectable. The default is
+:func:`~tmdb_index_spark.operators.media_codec.header_codec` — a real
+stdlib-only parser of PNG/JPEG/GIF/BMP/WebP/WAV headers (format sniff,
+dimensions, frame count). Alternatives:
 
 * :func:`fake_codec` — a deterministic stand-in that derives metadata
-  from the payload bytes (stable across runs/engines, good for tests
-  and plumbing benchmarks), or
+  from a payload hash (for plumbing benchmarks on arbitrary bytes), or
 * :func:`unavailable_codec` — raises ``NotImplementedError`` with the
-  dependency name, the clearly-marked stub for real deployments to
-  replace (swap in Pillow/torchaudio/PyAV without touching the Spark
-  plumbing).
+  dependency name; inject Pillow/torchaudio/PyAV through the same seam
+  for full pixel/sample decode without touching the Spark plumbing.
 
 Scale notes (100 TB): payload bytes dominate — the operators must never
 shuffle them. Everything here is a map-only stage; downstream joins
@@ -46,10 +46,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tmdb_index_spark.operators.media_codec import header_codec
+
 __all__ = [
     "MEDIA_STRUCT",
     "DECODED_FIELDS",
     "fake_codec",
+    "header_codec",
     "unavailable_codec",
     "decode_media",
     "media_features",
@@ -99,8 +102,9 @@ def fake_codec(data: bytes, mime: str) -> dict[str, Any]:
 
 
 def unavailable_codec(data: bytes, mime: str) -> dict[str, Any]:
-    """The production stub: decoding requires an image/audio library not
-    present in this environment."""
+    """The full-decode stub: pixel/sample decoding requires an
+    image/audio library not present in this environment (header parsing
+    does not — see :func:`header_codec`)."""
     raise NotImplementedError(
         f"no codec available for {mime!r}: install Pillow (image/*), "
         "torchaudio (audio/*) or PyAV (video/*) and inject it as "
@@ -111,7 +115,7 @@ def unavailable_codec(data: bytes, mime: str) -> dict[str, Any]:
 def decode_media(
     df: DataFrame,
     media_col: str = "media",
-    codec: Codec = fake_codec,
+    codec: Codec = header_codec,
 ) -> DataFrame:
     """Append :data:`DECODED_FIELDS` by running ``codec`` over every
     payload in Arrow-batched ``mapInPandas``. Map-only: no shuffle, and

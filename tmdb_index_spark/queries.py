@@ -32,6 +32,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tmdb_index_spark.functions.text import (
     LANG_MARKERS,
@@ -2120,6 +2121,85 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode with the REAL stdlib header codec: synthesize a
+    spec-valid PNG/GIF/JPEG/WAV payload per document (dimensions are a
+    pure function of ``doc_id``), then parse them back via
+    ``decode_media``'s default ``header_codec``. The DuckDB oracle
+    recomputes the expected metadata arithmetically, so any synth/parse
+    disagreement (sniffing, endianness, offsets, frame walk) fails the
+    gate. Both stages are Arrow ``mapInPandas``, map-only — payload
+    bytes never shuffle."""
+    import pandas as pd
+
+    from tmdb_index_spark.operators.media_codec import (
+        make_gif,
+        make_jpeg,
+        make_png,
+        make_wav,
+    )
+    from tmdb_index_spark.operators.multimodal import (
+        MEDIA_STRUCT,
+        decode_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", MEDIA_STRUCT),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            media = []
+            for raw in pdf["doc_id"]:
+                d = int(raw)
+                w, h = 1 + d % 64, 1 + (d * 7) % 64
+                kind = d % 4
+                if kind == 0:
+                    data, mime = make_png(w, h), "image/png"
+                elif kind == 1:
+                    data, mime = make_gif(w, h, n_frames=1 + d % 5), "image/gif"
+                elif kind == 2:
+                    data, mime = make_jpeg(w, h), "image/jpeg"
+                else:
+                    data, mime = make_wav(100 + d % 500), "audio/wav"
+                media.append(
+                    {"data": data, "mime": mime, "source_uri": f"synth://{d}"}
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    decoded = decode_media(docs.mapInPandas(synth, synth_schema))
+    # width/height are null for audio: cast to DOUBLE so the nullable
+    # column renders identically in both engines (see json_props_rollup).
+    return decoded.select(
+        "doc_id",
+        F.col("media.mime").alias("mime"),
+        F.col("width").cast("double").alias("width"),
+        F.col("height").cast("double").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "decode_ok",
+    )
+
+
+_MEDIA_DECODE_SQL = """
+SELECT doc_id,
+  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+                  WHEN 2 THEN 'image/jpeg' ELSE 'audio/wav' END AS mime,
+  CASE WHEN doc_id % 4 = 3 THEN NULL
+       ELSE CAST(1 + doc_id % 64 AS DOUBLE) END AS width,
+  CASE WHEN doc_id % 4 = 3 THEN NULL
+       ELSE CAST(1 + (doc_id * 7) % 64 AS DOUBLE) END AS height,
+  CAST(CASE doc_id % 4 WHEN 1 THEN 1 + doc_id % 5
+                       WHEN 3 THEN 100 + doc_id % 500
+                       ELSE 1 END AS BIGINT) AS n_frames,
+  TRUE AS decode_ok
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2205,6 +2285,7 @@ QUERIES: dict[str, QueryFn] = {
     "salted_join_revenue": salted_join_revenue,
     "embedding_ivf_multiprobe": embedding_ivf_multiprobe,
     "customer_first_last_order": customer_first_last_order,
+    "media_decode": media_decode,
     # rows-only entries (sketches are engine-private; exact twins exist
     # above for cross-engine parity) — deliberately absent from ORACLES.
     "approx_distinct_users_daily": approx_distinct_users_daily,
@@ -2278,4 +2359,5 @@ ORACLES: dict[str, str] = {
     "salted_join_revenue": _SALTED_JOIN_SQL,
     "embedding_ivf_multiprobe": _IVF_MULTIPROBE_SQL,
     "customer_first_last_order": _FIRST_LAST_SQL,
+    "media_decode": _MEDIA_DECODE_SQL,
 }
