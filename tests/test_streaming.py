@@ -3,6 +3,7 @@ session windows, and the foreachBatch incremental upsert."""
 
 from __future__ import annotations
 
+import os
 from datetime import datetime
 
 import pytest
@@ -110,6 +111,79 @@ def test_upsert_stream_folds_batches(spark, tmp_path):
     run_upsert_stream(stream2, index, str(tmp_path / "ckpt1"))
     final = {r["id"]: r["v"] for r in spark.read.parquet(index).collect()}
     assert final == {0: "a", 1: "B", 2: "c"}
+
+
+def _stream(spark, path):
+    return spark.readStream.schema(
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.StringType()),
+                T.StructField("seq", T.LongType()),
+            ]
+        )
+    ).parquet(path)
+
+
+def test_upsert_stream_seq_col_tie_break(spark, tmp_path):
+    """Intra-batch duplicate ids resolve by the EXPLICIT sequence
+    column, not physical arrival order — deterministic across
+    retries/replays."""
+    batches = str(tmp_path / "b")
+    index = str(tmp_path / "idx.parquet")
+    # seq order deliberately disagrees with row order
+    spark.createDataFrame(
+        [(1, "late", 10), (1, "early", 5), (2, "only", 1)],
+        "id long, v string, seq long",
+    ).coalesce(1).write.mode("append").parquet(batches)
+    run_upsert_stream(
+        _stream(spark, batches), index, str(tmp_path / "ck"), seq_col="seq"
+    )
+    got = {r["id"]: r["v"] for r in spark.read.parquet(index).collect()}
+    assert got == {1: "late", 2: "only"}
+
+
+def test_upsert_stream_recovers_mid_swap_crash(spark, tmp_path):
+    """A crash between rename-aside and rename-in leaves only
+    <index>.old; the next batch must roll the old index back and merge
+    into it, not bootstrap over nothing."""
+    import shutil
+
+    batches = str(tmp_path / "b")
+    index = str(tmp_path / "idx.parquet")
+    spark.createDataFrame([(0, "a", 1)], "id long, v string, seq long").coalesce(
+        1
+    ).write.mode("append").parquet(batches)
+    run_upsert_stream(_stream(spark, batches), index, str(tmp_path / "ck"))
+
+    # Simulate the crash window: index renamed aside, swap-in never ran.
+    shutil.move(index, index + ".old")
+    assert not os.path.exists(index)
+
+    spark.createDataFrame([(1, "b", 2)], "id long, v string, seq long").coalesce(
+        1
+    ).write.mode("append").parquet(batches)
+    run_upsert_stream(_stream(spark, batches), index, str(tmp_path / "ck"))
+    got = {r["id"]: r["v"] for r in spark.read.parquet(index).collect()}
+    assert got == {0: "a", 1: "b"}  # id 0 survived the crash
+    assert not os.path.exists(index + ".old")
+
+
+def test_upsert_stream_unreadable_index_fails_not_bootstraps(spark, tmp_path):
+    """An EXISTING but unreadable index must abort the batch — the
+    round-1 except-bootstrap shape would silently replace the whole
+    index with the current batch."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    batches = str(tmp_path / "b")
+    index = str(tmp_path / "idx.parquet")
+    os.makedirs(index)  # exists, but holds no readable parquet
+    spark.createDataFrame([(0, "a", 1)], "id long, v string, seq long").coalesce(
+        1
+    ).write.mode("append").parquet(batches)
+    with pytest.raises(StreamingQueryException):
+        run_upsert_stream(_stream(spark, batches), index, str(tmp_path / "ck"))
+    assert os.listdir(index) == []  # untouched, not overwritten
 
 
 def test_stateful_running_totals_across_batches(spark, tmp_path):

@@ -149,6 +149,7 @@ def run_upsert_stream(
     index_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    seq_col: str | None = None,
 ) -> None:
     """Fold a stream of change batches into a persistent parquet index.
 
@@ -158,37 +159,76 @@ def run_upsert_stream(
     ``Trigger.AvailableNow`` this drains pending batches and returns:
     the daily-cron lifecycle, restartable from ``checkpoint_dir``.
 
-    Duplicate ids WITHIN one micro-batch are resolved keep-last by a
-    per-batch arrival index before the merge, mirroring the per-day
-    dedup (reference tmdb_index.py:214).
+    Duplicate ids WITHIN one micro-batch resolve keep-last, mirroring
+    the per-day dedup (reference tmdb_index.py:214). Pass ``seq_col``
+    (an event-time / sequence column) to make that tie-break
+    deterministic across replays; without it the fallback is physical
+    arrival order (``monotonically_increasing_id``), which is stable
+    within one execution but ARBITRARY across task retries — fine when
+    intra-batch duplicates are idempotent re-sends, wrong when they
+    carry different payloads.
+
+    Crash safety: the index swap is rename-aside (never
+    delete-then-rename), and bootstrap only happens when the index
+    genuinely doesn't exist — a transient read error aborts the batch
+    instead of silently overwriting the index with one batch's rows.
+    A crash mid-swap leaves ``<index>.old``, which the next batch (or
+    restarted run) rolls back before merging.
     """
     spark = batches.sparkSession
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
-        w = Window.partitionBy("id").orderBy(F.col("__arrival__").desc())
+        order = F.col(seq_col).desc() if seq_col else None
+        if order is None:
+            batch_df = batch_df.withColumn(
+                "__arrival__", F.monotonically_increasing_id()
+            )
+            order = F.col("__arrival__").desc()
+        w = Window.partitionBy("id").orderBy(order)
         deduped = (
-            batch_df.withColumn("__arrival__", F.monotonically_increasing_id())
-            .withColumn("__rn__", F.row_number().over(w))
+            batch_df.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") == 1)
             .drop("__rn__", "__arrival__")
         )
-        try:
-            index = spark.read.parquet(index_path)
-            merged = update_or_append(index, deduped)
-        except Exception:  # noqa: BLE001 — first batch bootstraps the index
-            merged = deduped
-        # Stage-and-swap: the merge plan reads index_path, so write the
-        # result to a staging dir first, then atomically swap. No
-        # driver-side materialization — index size is unbounded.
-        staging = index_path + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
+
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path
         fs = hpath(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(hpath(index_path), True)
-        fs.rename(hpath(staging), hpath(index_path))
+        cur, old, staging = (
+            hpath(index_path),
+            hpath(index_path + ".old"),
+            hpath(index_path + ".staging"),
+        )
+
+        # Recover from a crash between rename-aside and rename-in:
+        # the previous index survives at .old — roll it back. If the
+        # index exists, .old is a completed swap's leftover — drop it.
+        if fs.exists(old):
+            if fs.exists(cur):
+                fs.delete(old, True)
+            else:
+                fs.rename(old, cur)
+
+        if fs.exists(cur):
+            # Any read/merge failure here must FAIL the batch: the
+            # except-and-bootstrap shape would overwrite the whole
+            # index with this batch's rows on a transient IO error.
+            index = spark.read.parquet(index_path)
+            merged = update_or_append(index, deduped)
+        else:
+            merged = deduped  # genuine first batch
+
+        # Stage-and-swap: the merge plan reads index_path, so write the
+        # result to a staging dir first. No driver-side materialization
+        # — index size is unbounded.
+        merged.write.mode("overwrite").parquet(index_path + ".staging")
+        if fs.exists(cur) and not fs.rename(cur, old):
+            raise IOError(f"failed to rename {cur} aside to {old}")
+        if not fs.rename(staging, cur):
+            raise IOError(f"failed to swap {staging} into {cur}")
+        fs.delete(old, True)
 
     writer = batches.writeStream.foreachBatch(merge).option(
         "checkpointLocation", checkpoint_dir
