@@ -110,6 +110,42 @@ def test_ngram_jaccard_max_df_guard(spark):
     assert out.count() == 0
 
 
+def test_jaccard_parquet_materialization_matches_cache(spark):
+    """The 100 TB reuse path (shingle frame written to parquet instead
+    of memory-cached) must be result-identical, and the resulting join
+    plan must contain no Python stage — the shingler ran exactly once,
+    at materialization time."""
+    import pytest
+
+    base = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    mat_df = ngram_jaccard_pairs(
+        _docs(spark), threshold=0.5, materialize="parquet"
+    )
+    mat = {(r["id_a"], r["id_b"]): r["jaccard"] for r in mat_df.collect()}
+    assert mat == base
+    plan = mat_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "FileScan parquet" in plan  # both join sides read the one write
+
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            _docs(spark), threshold=0.5, materialize="parquet"
+        ).collect()
+    }
+    lsh_base = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    assert lsh == lsh_base
+
+    with pytest.raises(ValueError, match="materialize"):
+        ngram_jaccard_pairs(_docs(spark), materialize="nope")
+
+
 def test_minhash_signature_identical_docs_match(spark):
     sig = minhash_signatures(_docs(spark), num_hashes=8).orderBy("doc_id").collect()
     s0, s1, s2, s3, s4 = sig

@@ -139,6 +139,30 @@ def _shingle_frame(
     )
 
 
+def _reuse_shingles(sh: DataFrame, materialize: str) -> DataFrame:
+    """The shingle frame feeds BOTH sides of the self-join (three
+    subtrees in the prefix variant), and its Python stage is treated as
+    nondeterministic by Spark — so it must be pinned, not recomputed:
+
+    * ``"cache"`` (default): storage-memory cache — right while the
+      shingle frame fits cluster memory (small/medium corpora).
+    * ``"parquet"``: write once to a temp dir and re-read — the 100 TB
+      path. Bounded memory, truncated lineage/statistics (the graph.py
+      lesson), and the shingle stage provably executes exactly once:
+      a cache-evicted partition would otherwise recompute mid-join and
+      could desynchronize the join sides.
+    """
+    if materialize == "cache":
+        return sh.cache()
+    if materialize == "parquet":
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="tmdb_index_spark_sh_") + "/sh.parquet"
+        sh.write.mode("overwrite").parquet(path)
+        return sh.sparkSession.read.parquet(path)
+    raise ValueError(f"materialize must be 'cache' or 'parquet', got {materialize!r}")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -146,6 +170,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 1000,
+    materialize: str = "cache",
 ) -> DataFrame:
     """Doc pairs with word-``n``-gram Jaccard similarity ≥ ``threshold``.
 
@@ -163,7 +188,7 @@ def ngram_jaccard_pairs(
     # desynchronizing a separately-aggregated sizes relation from the
     # pair counts. Sizes are the TRUE per-doc shingle counts (pre
     # max_df filter), matching the SQL oracle's denominator.
-    sh = _shingle_frame(df, text_col, id_col, n).cache()
+    sh = _reuse_shingles(_shingle_frame(df, text_col, id_col, n), materialize)
     if max_df is not None:
         common = (
             sh.groupBy("__sh__")
@@ -211,6 +236,7 @@ def ngram_jaccard_pairs_prefix(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    materialize: str = "cache",
 ) -> DataFrame:
     """Prefix-filtered (PPJoin/All-Pairs-style) exact Jaccard pair
     search — same result set as :func:`ngram_jaccard_pairs`, different
@@ -239,7 +265,7 @@ def ngram_jaccard_pairs_prefix(
     """
     if not 0 < threshold <= 1:
         raise ValueError("prefix filtering needs 0 < threshold <= 1")
-    sh = _shingle_frame(df, text_col, id_col, n).cache()
+    sh = _reuse_shingles(_shingle_frame(df, text_col, id_col, n), materialize)
     dfd = sh.groupBy("__sh__").agg(F.count(F.lit(1)).alias("__df__"))
     ranked = sh.join(dfd, "__sh__").withColumn(
         "__pos__",
@@ -346,6 +372,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    materialize: str = "cache",
 ) -> DataFrame:
     """MinHash + LSH candidate generation, then exact Jaccard verify.
 
@@ -388,9 +415,10 @@ def minhash_lsh_pairs(
     )
 
     # Exact verify on candidates only: intersect shingle sets per pair.
-    # Cached — the inverted index feeds both join sides; per-doc set
-    # sizes ride on the rows (__n__), see ngram_jaccard_pairs.
-    sh = _shingle_frame(df, text_col, id_col, n).cache()
+    # Pinned (cache or parquet, see _reuse_shingles) — the inverted
+    # index feeds both join sides; per-doc set sizes ride on the rows
+    # (__n__), see ngram_jaccard_pairs.
+    sh = _reuse_shingles(_shingle_frame(df, text_col, id_col, n), materialize)
     ia = sh.select(
         F.col("__id__").alias("id_a"), "__sh__", F.col("__n__").alias("__na__")
     )

@@ -915,16 +915,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ngram_jaccard_sql(threshold: float) -> str:
+def _ngram_jaccard_sql(threshold: float, max_df: int | None = None) -> str:
+    """Oracle for the Jaccard pair operators. ``max_df`` mirrors the
+    operator's skew guard EXACTLY: shingles in more than ``max_df``
+    docs are excluded from intersection counts while denominators stay
+    the true pre-filter set sizes — so the oracle stays equivalent at
+    corpus scales where the guard actually fires, not just where it's
+    vacuous."""
+    if max_df is None:
+        ex_filtered = "ex"
+        df_cte = ""
+    else:
+        df_cte = f""", sdf AS (
+  SELECT s, COUNT(*) AS df FROM ex GROUP BY 1
+), exf AS (
+  SELECT e.doc_id, e.s FROM ex e JOIN sdf USING (s) WHERE sdf.df <= {max_df}
+)"""
+        ex_filtered = "exf"
     return (
         _DUCK_SHINGLES
         + f""", ex AS (
   SELECT doc_id, UNNEST(shs) AS s FROM sh
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1
-), inter AS (
+){df_cte}, inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM {ex_filtered} a JOIN {ex_filtered} b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -932,12 +948,12 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes na ON id_a = na.doc_id
 JOIN sizes nb ON id_b = nb.doc_id
-WHERE c * 1.0 / (na.n + nb.n - c) >= {threshold}
+WHERE ROUND(c * 1.0 / (na.n + nb.n - c), 4) >= {threshold}
 """
     )
 
 
-_NGRAM_JACCARD_SQL = _ngram_jaccard_sql(0.1)
+_NGRAM_JACCARD_SQL = _ngram_jaccard_sql(0.1, max_df=1000)
 
 
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,7 +1044,7 @@ SELECT id_a, id_b, ROUND(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
 FROM inter
 JOIN sizes na ON id_a = na.doc_id
 JOIN sizes nb ON id_b = nb.doc_id
-WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
+WHERE ROUND(c * 1.0 / (na.n + nb.n - c), 4) >= 0.5
 """
 )
 
@@ -1504,11 +1520,14 @@ def _corpus_clean_sql() -> str:
     sig_cols = ", ".join(f"{_minhash_expr(i)} AS mh{i}" for i in range(16))
     return f"""
 WITH gated AS (
+  -- stopword gate compares the SAME round-4 value the Spark side
+  -- gates on (quality_features rounds), so threshold-boundary docs
+  -- can't diverge between engines
   SELECT * FROM documents
   WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 10
-    AND len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+    AND ROUND(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                         w -> list_contains(['the','and','of','to','a','is'], lower(w))))
-        * 1.0 / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) <= 0.9
+        * 1.0 / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4) <= 0.9
     AND lang IN ('en', 'de', 'fr', 'es')
 ), kept AS (
   SELECT doc_id, text, lang, source, n_chars FROM (
@@ -1547,7 +1566,7 @@ WITH gated AS (
   GROUP BY 1, 2
 ), losers AS (
   SELECT DISTINCT id_b AS doc_id FROM inter
-  WHERE c * 1.0 / (na + nb - c) >= 0.8
+  WHERE ROUND(c * 1.0 / (na + nb - c), 4) >= 0.8
 )
 SELECT k.* FROM kept k LEFT JOIN losers l ON k.doc_id = l.doc_id
 WHERE l.doc_id IS NULL
