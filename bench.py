@@ -9,7 +9,11 @@ prints ONE JSON line:
 Each query is forced end-to-end with a noop sink (full computation, no
 driver collect — the same shape a cluster job has). A warmup run of the
 flagship query absorbs JVM/codegen startup so timings measure the
-engine, not the JIT.
+engine, not the JIT. Per query the reported number is the BEST of
+``$SPARK_GRAFT_BENCH_RUNS`` (default 2) executions: single-shot
+timings on a shared box swing ±15-20% run-to-run, which would drown
+real regressions; min-of-N is the standard way to measure the code
+rather than the scheduler.
 """
 
 from __future__ import annotations
@@ -61,11 +65,22 @@ def main() -> int:
         "overwrite"
     ).save()
 
+    # Whole-pass repetition, not per-query: each pass starts from a
+    # cleared cache and runs the list in order, so in-pass cache reuse
+    # (e.g. minhash riding jaccard's shingle cache) matches the
+    # round-1 methodology and no query is ever timed against its OWN
+    # still-warm cache.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(runs):
+        spark.catalog.clearCache()
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            timings[name] = round(min(timings.get(name, dt), dt), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -54,7 +54,10 @@ from tmdb_index_spark.operators.dedup_text import (
     simhash64,
 )
 from tmdb_index_spark.operators.similarity import brute_force_topk, lsh_topk
-from tmdb_index_spark.operators.upsert import update_or_append
+from tmdb_index_spark.operators.upsert import (
+    update_or_append,
+    update_or_append_join,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -465,6 +468,44 @@ WITH unioned AS (
 SELECT id, o_totalprice, o_orderstatus FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY prec DESC) AS rn FROM unioned
 ) WHERE rn = 1
+"""
+
+
+def upsert_join_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND upsert formulation (C2 as one full-outer join —
+    ``update_or_append_join``, the co-located/bucketed scale path that
+    consumes an id-bucketed index with no Exchange on the index side).
+    Exercises all three merge cases: matched ids take the batch row,
+    genuinely new ids append, and the batch-absent ``o_orderstatus``
+    column carries forward from the index (null for appends)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"), "o_totalprice", "o_orderstatus"
+    )
+    updates = orders.filter(F.col("id") % 10 == 0).select(
+        "id", (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice")
+    )
+    appends = orders.filter(
+        (F.col("id") % 997 == 0) & (F.col("id") % 10 != 0)
+    ).select(
+        (-F.col("id")).alias("id"),
+        (F.col("o_totalprice") + F.lit(5.0)).alias("o_totalprice"),
+    )
+    return update_or_append_join(orders, updates.unionByName(appends))
+
+
+_UPSERT_JOIN_SQL = """
+WITH idx AS (
+  SELECT o_orderkey AS id, o_totalprice, o_orderstatus FROM orders
+), batch AS (
+  SELECT id, o_totalprice + 1000.0 AS o_totalprice FROM idx WHERE id % 10 = 0
+  UNION ALL
+  SELECT -id, o_totalprice + 5.0 FROM idx WHERE id % 997 = 0 AND id % 10 <> 0
+)
+SELECT COALESCE(i.id, b.id) AS id,
+       CASE WHEN b.id IS NOT NULL THEN b.o_totalprice
+            ELSE i.o_totalprice END AS o_totalprice,
+       i.o_orderstatus
+FROM idx i FULL OUTER JOIN batch b ON i.id = b.id
 """
 
 
@@ -2253,6 +2294,7 @@ QUERIES: dict[str, QueryFn] = {
     "pivot_event_counts": pivot_event_counts,
     "user_event_sequences": user_event_sequences,
     "upsert_keep_last": upsert_keep_last,
+    "upsert_join_keep_last": upsert_join_keep_last,
     "align_dense_ids": align_dense_ids,
     "latest_event_per_user": latest_event_per_user,
     "first_event_per_user": first_event_per_user,
@@ -2327,6 +2369,7 @@ ORACLES: dict[str, str] = {
     "pivot_event_counts": _PIVOT_SQL,
     "user_event_sequences": _SEQUENCES_SQL,
     "upsert_keep_last": _UPSERT_SQL,
+    "upsert_join_keep_last": _UPSERT_JOIN_SQL,
     "align_dense_ids": _ALIGN_SQL,
     "latest_event_per_user": _LATEST_EVENT_SQL,
     "first_event_per_user": _FIRST_EVENT_SQL,
