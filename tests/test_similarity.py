@@ -113,6 +113,39 @@ def test_cosine_neardup_exact_vs_bucketed(spark):
     assert {(r["id_a"], r["id_b"]) for r in bucketed.collect()} == got
 
 
+def test_ivf_assign_blas_matches_expr(spark):
+    """The BLAS assignment (scale path) must place every vector in the
+    same cell as the exact-fold assignment, on real data too."""
+    expr = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(_emb(spark), CENTROIDS, impl="expr").collect()
+    }
+    blas = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(_emb(spark), CENTROIDS, impl="pandas").collect()
+    }
+    assert expr == blas
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from tmdb_index_spark.operators.similarity import fit_centroids
+
+    cents = fit_centroids(emb, 8)
+    e = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(emb, cents, impl="expr").collect()
+    }
+    b = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(emb, cents, impl="pandas").collect()
+    }
+    assert e == b
+
+    import pytest
+
+    with pytest.raises(ValueError, match="impl"):
+        ivf_assign(_emb(spark), CENTROIDS, impl="nope")
+
+
 def test_ivf_topk_pandas_matches_sql(spark):
     # The BLAS applyInPandas path and the column-expression path must
     # agree exactly after the shared ROUND(...,4) ranking contract.

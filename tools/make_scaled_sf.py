@@ -1,0 +1,84 @@
+"""Build a scaled-up copy of an sf directory for stress runs.
+
+Replicates lineitem / documents / embeddings ``factor``× with
+deterministic key offsets. Documents get a per-replica Caesar rotation
+of the lowercase alphabet (``F.translate``): a bijection on tokens, so
+every replica preserves the ORIGINAL corpus's intra-replica similarity
+structure exactly while sharing zero shingles across replicas — pair
+counts scale ~linearly in ``factor``, the way a real larger corpus
+behaves, instead of quadratically the way naive duplication would.
+
+Usage:
+    PYTHONPATH=/root/repo python tools/make_scaled_sf.py \
+        [src_sf_dir] [dst_dir] [factor]
+
+Defaults: /root/testdata/sf0.1 -> /tmp/sf_scaled x10 (~sf1.0).
+"""
+
+from __future__ import annotations
+
+import string
+import sys
+
+from pyspark.sql import functions as F
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_scaled"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    from tmdb_index_spark.session import get_spark
+
+    spark = get_spark("make-scaled-sf")
+    spark.sparkContext.setLogLevel("ERROR")
+    alpha = string.ascii_lowercase
+
+    # lineitem: offset the order key per replica; everything else rides.
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    max_ok = li.agg(F.max("l_orderkey")).first()[0] + 1
+    reps = spark.range(factor).select(F.col("id").alias("__rep__"))
+    (
+        li.crossJoin(reps)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__rep__") * max_ok)
+        .drop("__rep__")
+        .write.mode("overwrite")
+        .parquet(f"{dst}/lineitem.parquet")
+    )
+
+    # documents: id offset + per-replica alphabet rotation (translate
+    # takes literal alphabets, so replicas union as separate branches).
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+    branches = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * max_doc)).withColumn(
+            "text",
+            F.translate(F.col("text"), alpha, alpha[k % 26:] + alpha[: k % 26]),
+        )
+        for k in range(factor)
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    out.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+
+    # embeddings: id offset; vectors replicate as-is (cell populations
+    # grow factor×, the IVF stress case).
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    max_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    (
+        emb.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep__") * max_vec)
+        .drop("__rep__")
+        .write.mode("overwrite")
+        .parquet(f"{dst}/embeddings.parquet")
+    )
+
+    for t in ("lineitem", "documents", "embeddings"):
+        n = spark.read.parquet(f"{dst}/{t}.parquet").count()
+        print(f"{t}: {n} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
