@@ -2260,6 +2260,185 @@ FROM documents
 """
 
 
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill (extension: the feature-store
+    shape): a dense (user, day) spine with last-observation-carried-
+    forward of each user's daily value. Days before a user's first
+    activity stay null. The spine is users × global day range — the
+    days side is a tiny broadcast, so no shuffle is added beyond the
+    daily rollup's own."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(_dec("value")).cast("double").alias("day_value"))
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    days = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    spine = daily.select("user_id").distinct().crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("day_value", ignorenulls=True).over(w).alias("value_locf"),
+        )
+    )
+
+
+_GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+), b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+days AS (
+  SELECT UNNEST(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+                                INTERVAL 1 DAY)) AS day
+),
+spine AS (SELECT DISTINCT d.user_id, days.day FROM daily d, days)
+SELECT s.user_id, s.day,
+       last_value(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (completes the grouping family beside
+    rollup/cube): per-returnflag totals, per-linestatus totals, and the
+    grand total — with ``grouping_id`` disambiguating real nulls from
+    subtotal rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (reshape family, inverse of pivot): wide lineitem
+    measure columns to long (metric, value) rows, profiled per metric.
+    The melt is a zero-shuffle projection; only the profile
+    aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.min("val").alias("lo"),
+        F.max("val").alias("hi"),
+    )
+
+
+_UNPIVOT_SQL = """
+WITH long AS (
+  SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+)
+SELECT metric, COUNT(*) AS n,
+       CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       MIN(val) AS lo, MAX(val) AS hi
+FROM long GROUP BY metric
+"""
+
+
+def value_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST window breadth: per event type, how
+    many events sit in the top decile by rank and the bottom decile by
+    cumulative distribution, with the top decile's entry value. Both
+    functions are pure functions of the ordered multiset, so the
+    engines cannot diverge on ties."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("pr") >= 0.9, 1).otherwise(0))
+        .cast("long")
+        .alias("n_top_decile"),
+        F.min(F.when(F.col("pr") >= 0.9, F.col("value"))).alias("top_entry_value"),
+        F.sum(F.when(F.col("cd") <= 0.1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bottom_decile"),
+    )
+
+
+_RANK_DIST_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value) AS pr,
+         CUME_DIST() OVER (PARTITION BY event_type ORDER BY value) AS cd
+  FROM events
+)
+SELECT event_type,
+       SUM(CASE WHEN pr >= 0.9 THEN 1 ELSE 0 END)::BIGINT AS n_top_decile,
+       MIN(CASE WHEN pr >= 0.9 THEN value END) AS top_entry_value,
+       SUM(CASE WHEN cd <= 0.1 THEN 1 ELSE 0 END)::BIGINT AS n_bottom_decile
+FROM ranked GROUP BY event_type
+"""
+
+
+def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join on a batch frame (the batch twin of the
+    streaming ``attribute_outcomes``, same function — stream/batch
+    parity by construction): every purchase paired with each prior
+    click by the same user within 30 minutes."""
+    from tmdb_index_spark.streaming.windowed import attribute_outcomes
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return attribute_outcomes(clicks, purchases, within="30 minutes")
+
+
+_ATTRIBUTION_SQL = """
+SELECT a.user_id, a.event_id AS action_id, a.ts AS action_ts,
+       o.event_id AS outcome_id, o.ts AS outcome_ts
+FROM events a JOIN events o ON a.user_id = o.user_id
+WHERE a.event_type = 'click' AND o.event_type = 'purchase'
+  AND o.ts >= a.ts AND o.ts <= a.ts + INTERVAL 30 MINUTE
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2347,6 +2526,11 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_ivf_multiprobe": embedding_ivf_multiprobe,
     "customer_first_last_order": customer_first_last_order,
     "media_decode": media_decode,
+    "gap_fill_locf": gap_fill_locf,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+    "value_rank_dist": value_rank_dist,
+    "click_purchase_attribution": click_purchase_attribution,
     # rows-only entries (sketches are engine-private; exact twins exist
     # above for cross-engine parity) — deliberately absent from ORACLES.
     "approx_distinct_users_daily": approx_distinct_users_daily,
@@ -2422,4 +2606,9 @@ ORACLES: dict[str, str] = {
     "embedding_ivf_multiprobe": _IVF_MULTIPROBE_SQL,
     "customer_first_last_order": _FIRST_LAST_SQL,
     "media_decode": _MEDIA_DECODE_SQL,
+    "gap_fill_locf": _GAP_FILL_SQL,
+    "grouping_sets_revenue": _GROUPING_SETS_SQL,
+    "unpivot_lineitem_metrics": _UNPIVOT_SQL,
+    "value_rank_dist": _RANK_DIST_SQL,
+    "click_purchase_attribution": _ATTRIBUTION_SQL,
 }
