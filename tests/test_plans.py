@@ -57,6 +57,36 @@ def test_except_uses_broadcast_not_sortmerge(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_disjunctive_predicate_stays_pushed(spark):
+    # Q19 shape: each OR branch touches both tables, but the
+    # lineitem-only implied constraint (quantity range) and the
+    # part-only brand disjunction must still reach their scans rather
+    # than surviving only as a post-join filter.
+    p = _plan(spark, "disjunctive_brand_revenue")
+    assert "BroadcastHashJoin" in p
+    # part side: brand disjunction pushed into the part scan line
+    part_scan = p.split("FileScan parquet [p_partkey")[1][:600]
+    assert "Brand#" in part_scan
+
+
+def test_nation_trade_joins_shapes(spark):
+    # Every dimension chain must broadcast — a SortMergeJoin against a
+    # nation/customer/supplier dim would shuffle the fact side five
+    # times. (At this tiny SF even lineitem x orders broadcasts, which
+    # is the right call; at scale that one becomes the lone SMJ.)
+    p = _plan(spark, "nation_trade_volume")
+    assert p.count("BroadcastHashJoin") + p.count("SortMergeJoin") == 5
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_grouping_sets_single_expand(spark):
+    # grouping sets compile to one Expand + one aggregate pair, not a
+    # union of per-set scans.
+    p = _plan(spark, "grouping_sets_revenue")
+    assert "Expand" in p
+    assert p.count("FileScan parquet") == 1
+
+
 def test_q1_partial_aggregation_and_codegen(spark):
     df = Q.QUERIES["q1_pricing_summary"](spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()

@@ -2439,6 +2439,119 @@ WHERE a.event_type = 'click' AND o.event_type = 'purchase'
 """
 
 
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs join predicate. Catalyst must push
+    the common join key while keeping the disjunction as a join-side
+    filter — the classic test that disjunctive predicates don't defeat
+    pushdown (each OR branch references both tables)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the deepest join tree in the catalog — lineitem
+    × orders (both fact-sized, sort-merge) with supplier→nation and
+    orders→customer→nation dimension chains (all broadcast). Yearly
+    shipping volume between two nation pairs, both directions."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width binning (feature-engineering family): event values
+    histogrammed into width-10 buckets. Pure arithmetic — floor before
+    cast on both engines, since DuckDB's double→int cast ROUNDS while
+    Spark's truncates."""
+    ev = _events(spark, sf_dir)
+    bucket = F.floor(F.col("value") / F.lit(10.0)).cast("long")
+    return (
+        ev.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+_HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n_events, MIN(value) AS lo, MAX(value) AS hi
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2531,6 +2644,9 @@ QUERIES: dict[str, QueryFn] = {
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "value_rank_dist": value_rank_dist,
     "click_purchase_attribution": click_purchase_attribution,
+    "disjunctive_brand_revenue": disjunctive_brand_revenue,
+    "nation_trade_volume": nation_trade_volume,
+    "value_histogram": value_histogram,
     # rows-only entries (sketches are engine-private; exact twins exist
     # above for cross-engine parity) — deliberately absent from ORACLES.
     "approx_distinct_users_daily": approx_distinct_users_daily,
@@ -2611,4 +2727,7 @@ ORACLES: dict[str, str] = {
     "unpivot_lineitem_metrics": _UNPIVOT_SQL,
     "value_rank_dist": _RANK_DIST_SQL,
     "click_purchase_attribution": _ATTRIBUTION_SQL,
+    "disjunctive_brand_revenue": _Q19_SQL,
+    "nation_trade_volume": _Q7_SQL,
+    "value_histogram": _HISTOGRAM_SQL,
 }
