@@ -186,6 +186,55 @@ def test_upsert_stream_unreadable_index_fails_not_bootstraps(spark, tmp_path):
     assert os.listdir(index) == []  # untouched, not overwritten
 
 
+def test_dedup_stream_drops_redelivered_across_batches(spark, tmp_path):
+    """Re-delivered event_ids (same batch or a later micro-batch within
+    the watermark) must be dropped; batch mode degrades to plain
+    dropDuplicates."""
+    from tmdb_index_spark.streaming.windowed import dedup_stream
+
+    src = str(tmp_path / "src")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    # file 1: ids 1,2,2 (intra-batch dup); file 2: redelivered 2 + new 3
+    spark.createDataFrame(
+        [(1, t, "a"), (2, t, "b"), (2, t, "b")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(2, t, "b"), (3, t, "c")], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(src)
+    )
+    out = dedup_stream(stream, keys=("event_id",), watermark="10 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: r["v"] for r in spark.sql("SELECT * FROM dedup_sink").collect()
+    }
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+    # batch parity: same key set survives
+    batch = spark.read.parquet(src)
+    assert sorted(
+        r["event_id"] for r in dedup_stream(batch).collect()
+    ) == [1, 2, 3]
+
+
 def test_stateful_running_totals_across_batches(spark, tmp_path):
     from tmdb_index_spark.streaming.stateful import running_user_totals
 

@@ -38,7 +38,37 @@ __all__ = [
     "sessionize_stream",
     "run_upsert_stream",
     "attribute_outcomes",
+    "dedup_stream",
 ]
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Ingestion dedup: drop re-delivered rows by key, keeping state
+    only inside the watermark horizon.
+
+    At-least-once transports (log shippers, HTTP retries, replayed
+    Kafka offsets) re-deliver events; this is the first stage of any
+    streaming training-data ingest. ``dropDuplicatesWithinWatermark``
+    keys state by ``keys`` and EVICTS each key once the watermark
+    passes it — bounded state, unlike plain ``dropDuplicates`` on a
+    stream, which holds every key forever and is the classic OOM-in-
+    week-two incident. Duplicates arriving later than the watermark
+    horizon are not caught (that bound is the price of bounded state —
+    choose the horizon from the transport's redelivery window).
+
+    On a batch frame this degrades to plain ``dropDuplicates`` over the
+    same keys, which is how the tests pin stream/batch parity.
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))
 
 
 def windowed_event_counts(
