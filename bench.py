@@ -72,17 +72,24 @@ def main() -> int:
     # still-warm cache.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
+    passes: list[dict[str, float]] = []
     for _ in range(runs):
         spark.catalog.clearCache()
+        this_pass: dict[str, float] = {}
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             dt = time.perf_counter() - t0
+            this_pass[name] = round(dt, 3)
             timings[name] = round(min(timings.get(name, dt), dt), 3)
+        passes.append(this_pass)
 
     total = round(sum(timings.values()), 3)
+    # "queries" is min-of-N (measures the code, not the scheduler);
+    # "passes" carries every raw pass so any referent methodology —
+    # single-shot (pass 0) or min-of-N — can be compared like for like.
     print(
         json.dumps(
             {
@@ -90,6 +97,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "passes": passes,
                 "sf": sf,
             }
         )

@@ -139,6 +139,32 @@ def test_parse_webp_variants():
     assert (got["width"], got["height"], got["decode_ok"]) == (256, 128, True)
 
 
+def test_parse_webp_counts_anmf_by_chunk_walk_not_substring():
+    # Two real ANMF sub-chunks whose payloads ALSO contain the literal
+    # bytes b"ANMF" — a substring count would report 4 frames.
+    anmf_payload = b"\x00" * 16 + b"ANMF" + b"\x00" * 4
+    anmf = b"ANMF" + len(anmf_payload).to_bytes(4, "little") + anmf_payload
+    body = (
+        b"WEBP"
+        + b"VP8X" + (10).to_bytes(4, "little")
+        + b"\x02\x00\x00\x00"  # animation flag
+        + (64 - 1).to_bytes(3, "little") + (32 - 1).to_bytes(3, "little")
+        + anmf + anmf
+    )
+    vp8x = b"RIFF" + len(body).to_bytes(4, "little") + body
+    got = parse_webp(vp8x)
+    assert (got["width"], got["height"], got["n_frames"]) == (64, 32, 2)
+
+
+def test_parse_wav_clamps_truncated_data_chunk():
+    # Declared 1000 frames, payload truncated to 100 frames' bytes:
+    # n_frames must reflect the decodable payload, not the header.
+    full = make_wav(1000)  # mono PCM-16: block_align 2
+    truncated = full[: len(full) - 900 * 2]
+    got = parse_wav(truncated)
+    assert got["decode_ok"] is True and got["n_frames"] == 100
+
+
 def test_sniff_mime_ignores_declared_mime():
     assert sniff_mime(make_png(1, 1)) == "image/png"
     assert sniff_mime(make_jpeg(1, 1)) == "image/jpeg"

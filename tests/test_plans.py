@@ -87,6 +87,47 @@ def test_grouping_sets_single_expand(spark):
     assert p.count("FileScan parquet") == 1
 
 
+def test_ntile_quartiles_no_single_partition_exchange(spark):
+    # The round-2 weak plan: ntile(4) OVER (ORDER BY ...) funneled every
+    # row through Exchange SinglePartition. The two-phase rewrite
+    # (literal range cuts -> per-bucket row_number + offset) must keep
+    # every exchange hash-partitioned.
+    p = _plan(spark, "value_ntile_quartiles")
+    assert "Exchange SinglePartition" not in p
+    assert "Window" in p  # still a window plan, just partitioned
+
+
+def test_bm25_tokenizes_corpus_once(spark):
+    # The round-2 weak plan: term_frequencies fed four subtrees (dl,
+    # corpus scalars, qterms, dfreq) as four full tokenize+shuffle
+    # passes. Pinned, every consumer must read the cache: each FileScan
+    # in the plan string is the one printed inside an InMemoryRelation
+    # description — a standalone (re-tokenizing) scan would break the
+    # equality. The final top-k must still be TakeOrderedAndProject.
+    p = _plan(spark, "bm25_search")
+    assert p.count("InMemoryTableScan") >= 3
+    assert p.count("FileScan parquet") == p.count("InMemoryRelation")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_llm_pair_searches_never_go_cartesian(spark):
+    # The bucketed-not-all-pairs claim, asserted on the physical plan:
+    # candidate generation must be a hash join on the bucket/shingle
+    # key, never a cartesian or broadcast-nested-loop expansion.
+    for name in ("dedup_minhash_lsh", "dedup_jaccard_prefix", "embedding_lsh_topk"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_media_decode_is_map_only(spark):
+    # Payload bytes must never shuffle: decode is an Arrow map stage
+    # over the scan, so the plan may contain no Exchange at all.
+    p = _plan(spark, "media_decode")
+    assert "Exchange" not in p
+    assert "mapInPandas" in p or "MapInPandas" in p
+
+
 def test_q1_partial_aggregation_and_codegen(spark):
     df = Q.QUERIES["q1_pricing_summary"](spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()

@@ -192,3 +192,35 @@ def test_fitted_centroids_balance_cells_and_are_deterministic(spark):
     # and usable end-to-end
     out = ivf_topk(emb.limit(50), c1, k=2)
     assert out.count() > 0
+
+
+def test_ivf_index_topk_self_tuning_contract(spark):
+    from tmdb_index_spark.operators.similarity import ivf_index_topk
+
+    emb = _emb(spark)
+    res = ivf_index_topk(emb, k=2, cells=2, n_estimate=len(VECS))
+    assert res.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+    out = res.collect()
+    assert out  # 5 near-collinear vectors in 2 cells -> some neighbors
+    assert all(r["rank"] <= 2 and r["query_id"] != r["neighbor_id"] for r in out)
+    # deterministic: fitting + assignment are seeded and tie-stable
+    again = ivf_index_topk(emb, k=2, cells=2, n_estimate=len(VECS)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_ivf_index_topk_default_cells_sqrt_n(spark):
+    from tmdb_index_spark.operators import similarity as S
+
+    seen = {}
+    orig = S.fit_centroids
+
+    def spy(df, k, *a, **kw):
+        seen["cells"] = k
+        return orig(df, k, *a, **kw)
+
+    S.fit_centroids, fit = spy, orig
+    try:
+        S.ivf_index_topk(_emb(spark), k=1, n_estimate=10_000)
+    finally:
+        S.fit_centroids = fit
+    assert seen["cells"] == 100  # round(sqrt(10000))

@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tmdb_index_spark.functions.text import portable_hash60, tokens, word_shingles
+from tmdb_index_spark.operators.materialize import pin_frame
 
 __all__ = [
     "dedup_exact",
@@ -139,28 +140,17 @@ def _shingle_frame(
     )
 
 
-def _reuse_shingles(sh: DataFrame, materialize: str) -> DataFrame:
+def _reuse_shingles(
+    sh: DataFrame, materialize: str, scratch_dir: str | None = None
+) -> DataFrame:
     """The shingle frame feeds BOTH sides of the self-join (three
     subtrees in the prefix variant), and its Python stage is treated as
-    nondeterministic by Spark — so it must be pinned, not recomputed:
-
-    * ``"cache"`` (default): storage-memory cache — right while the
-      shingle frame fits cluster memory (small/medium corpora).
-    * ``"parquet"``: write once to a temp dir and re-read — the 100 TB
-      path. Bounded memory, truncated lineage/statistics (the graph.py
-      lesson), and the shingle stage provably executes exactly once:
-      a cache-evicted partition would otherwise recompute mid-join and
-      could desynchronize the join sides.
+    nondeterministic by Spark — so it must be pinned, not recomputed.
+    See :func:`tmdb_index_spark.operators.materialize.pin_frame` for
+    the cache-vs-parquet trade-off and the shared-storage requirement
+    ``scratch_dir`` carries on a multi-node cluster.
     """
-    if materialize == "cache":
-        return sh.cache()
-    if materialize == "parquet":
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="tmdb_index_spark_sh_") + "/sh.parquet"
-        sh.write.mode("overwrite").parquet(path)
-        return sh.sparkSession.read.parquet(path)
-    raise ValueError(f"materialize must be 'cache' or 'parquet', got {materialize!r}")
+    return pin_frame(sh, materialize, scratch_dir)
 
 
 def ngram_jaccard_pairs(
@@ -171,6 +161,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = 1000,
     materialize: str = "cache",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Doc pairs with word-``n``-gram Jaccard similarity ≥ ``threshold``.
 
@@ -188,7 +179,7 @@ def ngram_jaccard_pairs(
     # desynchronizing a separately-aggregated sizes relation from the
     # pair counts. Sizes are the TRUE per-doc shingle counts (pre
     # max_df filter), matching the SQL oracle's denominator.
-    sh = _reuse_shingles(_shingle_frame(df, text_col, id_col, n), materialize)
+    sh = _reuse_shingles(_shingle_frame(df, text_col, id_col, n), materialize, scratch_dir)
     if max_df is not None:
         common = (
             sh.groupBy("__sh__")
@@ -237,6 +228,7 @@ def ngram_jaccard_pairs_prefix(
     n: int = 3,
     threshold: float = 0.5,
     materialize: str = "cache",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Prefix-filtered (PPJoin/All-Pairs-style) exact Jaccard pair
     search — same result set as :func:`ngram_jaccard_pairs`, different
@@ -265,7 +257,7 @@ def ngram_jaccard_pairs_prefix(
     """
     if not 0 < threshold <= 1:
         raise ValueError("prefix filtering needs 0 < threshold <= 1")
-    sh = _reuse_shingles(_shingle_frame(df, text_col, id_col, n), materialize)
+    sh = _reuse_shingles(_shingle_frame(df, text_col, id_col, n), materialize, scratch_dir)
     dfd = sh.groupBy("__sh__").agg(F.count(F.lit(1)).alias("__df__"))
     ranked = sh.join(dfd, "__sh__").withColumn(
         "__pos__",
@@ -373,6 +365,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     materialize: str = "cache",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """MinHash + LSH candidate generation, then exact Jaccard verify.
 
@@ -418,7 +411,7 @@ def minhash_lsh_pairs(
     # Pinned (cache or parquet, see _reuse_shingles) — the inverted
     # index feeds both join sides; per-doc set sizes ride on the rows
     # (__n__), see ngram_jaccard_pairs.
-    sh = _reuse_shingles(_shingle_frame(df, text_col, id_col, n), materialize)
+    sh = _reuse_shingles(_shingle_frame(df, text_col, id_col, n), materialize, scratch_dir)
     ia = sh.select(
         F.col("__id__").alias("id_a"), "__sh__", F.col("__n__").alias("__na__")
     )

@@ -1,0 +1,66 @@
+"""Pin a DataFrame that feeds multiple plan subtrees.
+
+Spark recomputes a shared subtree once per consumer unless it is
+pinned: an expensive stage (Python ``mapInPandas``, a tokenize+shuffle
+pass over the corpus) that feeds a self-join or several aggregates
+would otherwise run 2-4x. Two pinning strategies:
+
+* ``"cache"`` (default): storage-memory cache — right while the frame
+  fits cluster memory (small/medium corpora). Also the only mode with
+  no filesystem requirements.
+* ``"parquet"``: write once and re-read — the 100 TB path. Bounded
+  memory, truncated lineage/statistics, and the expensive stage
+  provably executes exactly once (a cache-evicted partition would
+  otherwise recompute mid-join and, for a nondeterministic Python
+  stage, could desynchronize the join sides).
+
+Scratch location for ``"parquet"``: callers on a multi-node cluster
+should pass ``scratch_dir`` pointing at SHARED storage (HDFS/S3/NFS) —
+executor tasks write the files, so a driver-local temp dir would leave
+the re-read incomplete. When ``scratch_dir`` is omitted the path is
+derived from ``spark.sql.warehouse.dir``, which on a configured
+cluster already names shared storage (and in local mode a local dir,
+which is then also correct). Local scratch dirs are best-effort
+deleted at interpreter exit; remote (``scheme://``) dirs are the
+caller's retention responsibility — delete them once the returned
+frame is no longer needed.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+
+_SCRATCH_PATHS: list[str] = []
+
+
+def _cleanup() -> None:
+    for p in _SCRATCH_PATHS:
+        local = p[len("file:"):] if p.startswith("file:") else p
+        if "://" not in local:
+            shutil.rmtree(local, ignore_errors=True)
+
+
+atexit.register(_cleanup)
+
+
+def pin_frame(
+    df: DataFrame, materialize: str = "cache", scratch_dir: str | None = None
+) -> DataFrame:
+    """Return ``df`` pinned so repeated consumption computes it once."""
+    if materialize == "cache":
+        return df.cache()
+    if materialize == "parquet":
+        spark = df.sparkSession
+        base = scratch_dir or (
+            spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+            + "/_pin_scratch"
+        )
+        path = f"{base}/pin_{uuid.uuid4().hex}.parquet"
+        df.write.mode("overwrite").parquet(path)
+        _SCRATCH_PATHS.append(path)
+        return spark.read.parquet(path)
+    raise ValueError(f"materialize must be 'cache' or 'parquet', got {materialize!r}")

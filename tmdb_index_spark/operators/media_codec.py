@@ -248,8 +248,19 @@ def parse_webp(data: bytes) -> dict[str, Any]:
             return dict(_FAIL)
         width = int.from_bytes(payload[4:7], "little") + 1
         height = int.from_bytes(payload[7:10], "little") + 1
-        n_frames = max(data.count(b"ANMF"), 1)
-        return _ok(width, height, n_frames)
+        # Count ANMF frames by walking RIFF sub-chunk headers — a raw
+        # substring count would also match the byte pattern inside
+        # compressed frame payloads.
+        n_frames = 0
+        (vp8x_size,) = struct.unpack("<I", data[16:20])
+        pos = 20 + vp8x_size + (vp8x_size & 1)
+        while pos + 8 <= len(data):
+            sub = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            if sub == b"ANMF":
+                n_frames += 1
+            pos += 8 + size + (size & 1)
+        return _ok(width, height, max(n_frames, 1))
     return dict(_FAIL)
 
 
@@ -268,7 +279,10 @@ def parse_wav(data: bytes) -> dict[str, Any]:
         if fourcc == b"fmt " and pos + 22 <= len(data):
             (block_align,) = struct.unpack("<H", data[pos + 20 : pos + 22])
         elif fourcc == b"data":
-            data_size = size
+            # Clamp to the bytes actually present: a truncated file may
+            # declare more samples than it carries, and the frame count
+            # must reflect the decodable payload.
+            data_size = min(size, max(len(data) - pos - 8, 0))
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if not block_align or data_size is None:
         return dict(_FAIL)

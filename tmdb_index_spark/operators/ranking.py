@@ -29,6 +29,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tmdb_index_spark.operators.materialize import pin_frame
+
 _WORD_RE = "[a-z0-9]+"
 
 
@@ -50,18 +52,28 @@ def tfidf_top_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    materialize: str = "cache",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Top-``k`` TF-IDF terms per document.
 
     ``tfidf = tf · ln(N / df)``, rounded to 4 decimals; rank is
     ``row_number`` over (tfidf desc, term asc) so ties are
     deterministic. Returns ``(id, term, tf, tfidf, rank)``.
+
+    Document frequency rides on the term-frequency rows as a window
+    count partitioned by term, NOT as a separate aggregate subtree —
+    the corpus is tokenized and aggregated exactly once, and no pinning
+    of the big frame is needed (the round-2 audit flagged the
+    re-tokenization; a full-frame cache measured SLOWER than one extra
+    shuffle of the compact (id, term, tf) rows).
     """
+    del materialize, scratch_dir  # kept for API stability; no pin needed
     tf = term_frequencies(docs, text_col, id_col)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    wdf = Window.partitionBy("term")
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
@@ -90,6 +102,8 @@ def bm25_topk(
     k: int = 20,
     k1: float = 1.2,
     b: float = 0.75,
+    materialize: str = "cache",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Top-``k`` documents for a bag-of-words query under BM25.
 
@@ -98,41 +112,69 @@ def bm25_topk(
     ``score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
     summed over query terms, rounded to 4 decimals before ranking.
     Returns ``(id, score, rank)``.
+
+    The round-2 plan audit showed four full tokenize+shuffle passes of
+    the corpus (the term-frequency subtree fed document lengths, corpus
+    scalars, query-term rows, and document frequencies separately).
+    Query terms are a tiny LITERAL list, so per-term frequencies fold
+    into ONE per-doc conditional aggregation instead of a generic
+    (doc, term) relation: tokenize → explode → ``groupBy(doc)`` with
+    ``dl = count(*)`` and one ``sum(term = t)`` per query term — a
+    single corpus pass and a single map-side-combined shuffle keyed by
+    doc id, all inside codegen. The per-doc frame (|docs| rows, 1+|q|
+    columns) is pinned and feeds just two consumers: a 1-row broadcast
+    aggregate carrying N / avgdl / every per-term df, and the flat
+    scoring expression. Docs containing no query term are filtered
+    before ranking (same result set as the old qterms join).
     """
-    tf = term_frequencies(docs, text_col, id_col)
-    # dl = total tokens per doc; avgdl = exact integer sum / count.
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    corpus = dl.agg(
+    terms = list(dict.fromkeys(query_terms))
+    toks = docs.select(
+        id_col,
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+        ).alias("term"),
+    )
+    per_doc = pin_frame(
+        toks.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum((F.col("term") == F.lit(t)).cast("long")).alias(f"__tf{i}__")
+                for i, t in enumerate(terms)
+            ],
+        ),
+        materialize,
+        scratch_dir,
+    )
+    scalars = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}__") > 0).cast("long")).alias(f"__df{i}__")
+            for i in range(len(terms))
+        ],
     )
-    qterms = tf.filter(F.col("term").isin(list(query_terms)))
-    dfreq = qterms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        qterms.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(corpus))
-        .withColumn(
-            "idf",
-            F.log(
-                1.0
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
+    parts = []
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}__")
+        dfq = F.col(f"__df{i}__")
+        idf = F.log(
+            1.0 + (F.col("n_docs") - dfq + 0.5) / (dfq + 0.5)
         )
-        .withColumn(
-            "part",
-            F.col("idf")
-            * (
-                (F.col("tf") * (k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-                )
-            ),
+        parts.append(
+            idf
+            * (tf * (k1 + 1.0))
+            / (tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
         )
-    )
-    totals = scored.groupBy(id_col).agg(
-        F.round(F.sum("part"), 4).alias("score")
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    hit = F.col("__tf0__") > 0
+    for i in range(1, len(terms)):
+        hit = hit | (F.col(f"__tf{i}__") > 0)
+    totals = (
+        per_doc.crossJoin(F.broadcast(scalars))
+        .filter(hit)
+        .select(id_col, F.round(score, 4).alias("score"))
     )
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return (

@@ -287,9 +287,16 @@ def _ivf_assign_pandas(
 ) -> DataFrame:
     """BLAS cell assignment: ‖x−c‖² = ‖x‖² − 2x·C + ‖c‖² as one matmul
     per Arrow batch. Map-only; vectors cross the Arrow boundary once
-    per batch instead of once per centroid."""
+    per batch instead of once per centroid.
+
+    The centroid matrix is built in cell-id order: ``argmin`` breaks
+    exact-distance ties by matrix ROW position, while the expression
+    twin's ``min_by((dist, cell))`` breaks them by lower cell id — with
+    the rows sorted by cell id the two rules coincide, so the impls
+    stay bit-identical even on exact-tie vectors."""
     import pandas as pd
 
+    centroids = sorted(centroids, key=lambda cv: int(cv[0]))
     cells = [int(c) for c, _ in centroids]
     cvecs = [[float(x) for x in v] for _, v in centroids]
     dtypes = dict(df.dtypes)
@@ -369,6 +376,68 @@ def fit_centroids(
                 C[j] = members.mean(axis=0)
     order = np.argsort(C[:, 0], kind="stable")
     return [(i, [float(x) for x in C[j]]) for i, j in enumerate(order)]
+
+
+#: Above this corpus size the interpreted per-centroid assignment fold
+#: dominates query time (measured ~¾ of total at 64 cells × 200k
+#: vectors) and :func:`ivf_index_topk` switches to BLAS assignment.
+IVF_BLAS_ASSIGN_THRESHOLD = 50_000
+
+
+def ivf_index_topk(
+    corpus: DataFrame,
+    k: int = 3,
+    cells: int | None = None,
+    n_estimate: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    max_sample: int = 10_000,
+    seed: int = 13,
+) -> DataFrame:
+    """Self-tuning IVF top-``k``: fit + assign + search with scale-aware
+    defaults — the production entry point.
+
+    :func:`ivf_topk` takes caller-fixed centroids, and a FIXED cell
+    count is the measured scale failure mode (SCALE.md: 10× data with
+    the same cells → 3.2× time, because mean cell size — and the
+    within-cell quadratic work per cell — grows linearly with N).
+    Balanced-cell IVF cost is ``N²/cells + N·cells·d``; minimizing over
+    ``cells`` gives the classic ``cells ≈ √N`` rule, which keeps BOTH
+    terms — and therefore query time — linear in N. This wrapper:
+
+    * defaults ``cells = round(√N)`` from ``n_estimate`` (pass it when
+      the caller already knows the corpus size — e.g. a catalog row
+      count — to skip the count job) or a cheap distributed ``count()``;
+    * switches assignment to the BLAS Arrow path above
+      :data:`IVF_BLAS_ASSIGN_THRESHOLD` vectors (bit-identical to the
+      expression fold now that both break exact-distance ties on lower
+      cell id; the expression fold stays the default below the
+      threshold only because it keeps the whole plan JVM-side);
+    * fits centroids on a bounded deterministic sample
+      (:func:`fit_centroids` — ``max_sample`` rows to the driver, never
+      the corpus).
+
+    Exact-oracle catalog queries keep calling :func:`ivf_topk` with
+    pinned literal centroids; this wrapper is for real corpora where
+    the index must track N.
+    """
+    n = n_estimate if n_estimate is not None else corpus.count()
+    if cells is None:
+        cells = max(1, round(n ** 0.5))
+    assign_impl = "pandas" if n >= IVF_BLAS_ASSIGN_THRESHOLD else "expr"
+    centroids = fit_centroids(
+        corpus, cells, id_col, vec_col, max_sample=max_sample, seed=seed
+    )
+    return ivf_topk(
+        corpus,
+        centroids,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        nprobe=nprobe,
+        assign_impl=assign_impl,
+    )
 
 
 def ivf_probe_assign(

@@ -61,14 +61,31 @@ def dedup_stream(
     horizon are not caught (that bound is the price of bounded state —
     choose the horizon from the transport's redelivery window).
 
-    On a batch frame this degrades to plain ``dropDuplicates`` over the
-    same keys, which is how the tests pin stream/batch parity.
+    On a batch frame this degrades to a DETERMINISTIC keep-first: the
+    row kept per key is the minimum over (``ts_col``, then the
+    remaining columns in schema order) — a batch frame has no arrival
+    order, and plain ``dropDuplicates`` keeps an arbitrary row, so the
+    advertised stream/batch parity would only hold when duplicate
+    deliveries carry identical payloads. With keep-min the batch path
+    matches the streaming first-arrival rule whenever redeliveries
+    preserve the event timestamp (the at-least-once transport case),
+    and is at least reproducible when they don't.
     """
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             list(keys)
         )
-    return events.dropDuplicates(list(keys))
+    from pyspark.sql import Window
+
+    order = [ts_col] + [
+        c for c in events.columns if c not in keys and c != ts_col
+    ]
+    w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in order])
+    return (
+        events.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
 
 
 def windowed_event_counts(

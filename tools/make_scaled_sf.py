@@ -1,12 +1,20 @@
 """Build a scaled-up copy of an sf directory for stress runs.
 
-Replicates lineitem / documents / embeddings ``factor``× with
-deterministic key offsets. Documents get a per-replica Caesar rotation
-of the lowercase alphabet (``F.translate``): a bijection on tokens, so
-every replica preserves the ORIGINAL corpus's intra-replica similarity
-structure exactly while sharing zero shingles across replicas — pair
-counts scale ~linearly in ``factor``, the way a real larger corpus
-behaves, instead of quadratically the way naive duplication would.
+Replicates the FACT tables (lineitem / orders / events / documents /
+embeddings) ``factor``× with deterministic key offsets; the dimension
+tables (region / nation / customer / supplier / part) copy through
+unscaled — dims grow far slower than facts in a real warehouse, and
+keeping them fixed preserves the broadcast-join shape the plans rely
+on. Key consistency: lineitem and orders share one order-key offset so
+fact-fact joins keep linear cardinality; events offset both event and
+user ids, so user-grained windows/sessions grow in USER count (linear
+work), not in per-key density (which would manufacture hot keys).
+Documents get a per-replica Caesar rotation of the lowercase alphabet
+(``F.translate``): a bijection on tokens, so every replica preserves
+the ORIGINAL corpus's intra-replica similarity structure exactly while
+sharing zero shingles across replicas — pair counts scale ~linearly in
+``factor``, the way a real larger corpus behaves, instead of
+quadratically the way naive duplication would.
 
 Usage:
     PYTHONPATH=/root/repo python tools/make_scaled_sf.py \
@@ -34,9 +42,17 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     alpha = string.ascii_lowercase
 
-    # lineitem: offset the order key per replica; everything else rides.
+    # lineitem + orders: ONE shared order-key offset keeps the
+    # fact-fact join consistent across replicas.
     li = spark.read.parquet(f"{src}/lineitem.parquet")
-    max_ok = li.agg(F.max("l_orderkey")).first()[0] + 1
+    orders = spark.read.parquet(f"{src}/orders.parquet")
+    max_ok = (
+        max(
+            li.agg(F.max("l_orderkey")).first()[0],
+            orders.agg(F.max("o_orderkey")).first()[0],
+        )
+        + 1
+    )
     reps = spark.range(factor).select(F.col("id").alias("__rep__"))
     (
         li.crossJoin(reps)
@@ -45,6 +61,33 @@ def main() -> int:
         .write.mode("overwrite")
         .parquet(f"{dst}/lineitem.parquet")
     )
+    (
+        orders.crossJoin(reps)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__rep__") * max_ok)
+        .drop("__rep__")
+        .write.mode("overwrite")
+        .parquet(f"{dst}/orders.parquet")
+    )
+
+    # events: new event AND user ids per replica — the corpus grows in
+    # users (linear work), not in per-user density (hot keys).
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    max_ev = ev.agg(F.max("event_id")).first()[0] + 1
+    max_user = ev.agg(F.max("user_id")).first()[0] + 1
+    (
+        ev.crossJoin(reps)
+        .withColumn("event_id", F.col("event_id") + F.col("__rep__") * max_ev)
+        .withColumn("user_id", F.col("user_id") + F.col("__rep__") * max_user)
+        .drop("__rep__")
+        .write.mode("overwrite")
+        .parquet(f"{dst}/events.parquet")
+    )
+
+    # dimensions: copy through unscaled.
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{t}.parquet")
 
     # documents: id offset + per-replica alphabet rotation (translate
     # takes literal alphabets, so replicas union as separate branches).
@@ -74,7 +117,7 @@ def main() -> int:
         .parquet(f"{dst}/embeddings.parquet")
     )
 
-    for t in ("lineitem", "documents", "embeddings"):
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         n = spark.read.parquet(f"{dst}/{t}.parquet").count()
         print(f"{t}: {n} rows")
     return 0

@@ -1,9 +1,14 @@
-"""Scale-stress run: time the most expensive catalog queries at sf0.1
-and at a ``make_scaled_sf.py`` output (~10×), and report the scaling
-ratio per query. Linear-ish ratios (≈ the replication factor) validate
-the bounded-shuffle claims empirically; superlinear ratios indicate a
-fixed parameter that must grow with N (and the script demonstrates the
-lever where one exists — IVF cell count).
+"""Scale-stress run: time the FULL headline-query set at sf0.1 and at
+a ``make_scaled_sf.py`` output (~10×), and report the scaling ratio per
+query. Linear-ish ratios (≤ the replication factor) validate the
+bounded-shuffle claims empirically; superlinear ratios indicate a fixed
+parameter that must grow with N — and the script demonstrates the lever
+where one exists (IVF cell count, via the self-tuning
+:func:`~tmdb_index_spark.operators.similarity.ivf_index_topk`).
+
+Emits a BENCH-style JSON line per scale point plus the ratio table, so
+BASELINE.md can carry an sf1.0 referent measured with the same
+min-of-N methodology as bench.py.
 
 Usage:
     PYTHONPATH=/root/repo python tools/stress_scale.py \
@@ -15,16 +20,6 @@ from __future__ import annotations
 import json
 import sys
 import time
-
-from pyspark.sql import functions as F
-
-STRESS_QUERIES = [
-    "q1_pricing_summary",
-    "text_quality",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "embedding_ivf_topk",
-]
 
 
 def _time(df) -> float:
@@ -38,7 +33,9 @@ def main() -> int:
     big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_scaled"
     factor = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
 
-    from tmdb_index_spark.operators.similarity import fit_centroids, ivf_topk
+    from bench import BENCH_QUERIES
+
+    from tmdb_index_spark.operators.similarity import ivf_index_topk
     from tmdb_index_spark.queries import QUERIES
     from tmdb_index_spark.session import get_spark
 
@@ -51,7 +48,7 @@ def main() -> int:
     ).save()
 
     report: dict[str, dict[str, float]] = {}
-    for name in STRESS_QUERIES:
+    for name in BENCH_QUERIES:
         spark.catalog.clearCache()
         t_small = _time(QUERIES[name](spark, small))
         spark.catalog.clearCache()
@@ -63,30 +60,37 @@ def main() -> int:
         }
         print(f"{name}: {t_small}s -> {t_big}s (x{report[name]['ratio']})")
 
-    # IVF scale lever: cells must grow with N (fixed cells make
-    # within-cell work quadratic in corpus size), and at high cell
-    # counts assignment must be BLAS (assign_impl='pandas'), not the
-    # interpreted per-centroid fold.
-    emb = spark.read.parquet(f"{big}/embeddings.parquet").select(
-        "vec_id", F.col("embedding")
-    )
-    for assign_impl in ("expr", "pandas"):
+    # IVF scale lever: the catalog query keeps its FIXED pinned cells
+    # (the documented failure mode — within-cell work quadratic in N);
+    # ivf_index_topk defaults cells to sqrt(N) and BLAS assignment
+    # above the size threshold, which is the production configuration.
+    import pyspark.sql.functions as F
+
+    for label, d in (("small", small), ("big", big)):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", F.col("embedding")
+        )
+        n = emb.count()
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        cents = fit_centroids(emb, 64, max_sample=4000)
-        ivf_topk(emb, cents, k=3, assign_impl=assign_impl).write.format(
+        ivf_index_topk(emb, k=3, n_estimate=n, max_sample=4000).write.format(
             "noop"
         ).mode("overwrite").save()
-        t_lever = round(time.perf_counter() - t0, 2)
-        report[f"embedding_ivf_topk@64cells_big_{assign_impl}"] = {
-            "big_sec": t_lever
-        }
-        print(
-            f"embedding_ivf_topk, 64 fitted cells, assign={assign_impl}, "
-            f"at {factor}x: {t_lever}s"
-        )
+        t = round(time.perf_counter() - t0, 2)
+        report[f"ivf_index_topk_selftuned_{label}"] = {"sec": t, "n": n}
+        print(f"ivf_index_topk self-tuned ({label}, n={n}): {t}s")
+    st = report["ivf_index_topk_selftuned_small"]["sec"]
+    bt = report["ivf_index_topk_selftuned_big"]["sec"]
+    report["ivf_index_topk_selftuned_ratio"] = {
+        "ratio": round(bt / max(st, 1e-9), 1)
+    }
+    print(f"ivf self-tuned ratio at {factor}x: x{report['ivf_index_topk_selftuned_ratio']['ratio']}")
 
-    print(json.dumps({"factor": factor, "queries": report}))
+    totals = {
+        "small_total": round(sum(r["small_sec"] for r in report.values() if "small_sec" in r), 2),
+        "big_total": round(sum(r["big_sec"] for r in report.values() if "big_sec" in r), 2),
+    }
+    print(json.dumps({"factor": factor, **totals, "queries": report}))
     return 0
 
 
