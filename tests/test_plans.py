@@ -104,10 +104,28 @@ def test_bm25_tokenizes_corpus_once(spark):
     # in the plan string is the one printed inside an InMemoryRelation
     # description — a standalone (re-tokenizing) scan would break the
     # equality. The final top-k must still be TakeOrderedAndProject.
+    # The round-3 rewrite folds per-term frequencies into ONE per-doc
+    # aggregation, leaving exactly two cache consumers (corpus scalars +
+    # scoring projection), so the floor is 2, not 3; the FileScan ==
+    # InMemoryRelation equality below is what proves single-pass.
     p = _plan(spark, "bm25_search")
-    assert p.count("InMemoryTableScan") >= 3
+    assert p.count("InMemoryTableScan") >= 2
     assert p.count("FileScan parquet") == p.count("InMemoryRelation")
     assert "TakeOrderedAndProject" in p
+
+
+def test_tfidf_broadcasts_df_no_hot_term_window(spark):
+    # Document frequency must come back as a broadcast join of the
+    # vocabulary-sized per-term aggregate, never as a window count
+    # partitioned by term (a stopword's partition is |docs| rows
+    # through one task at 100 TB).
+    p = _plan(spark, "tfidf_terms")
+    assert "BroadcastHashJoin" in p
+    assert not re.search(r"windowspecdefinition\(term#", p)
+    # the per-doc rank<=k filter must push into the window operator
+    # (Spark 3.5+ InferWindowGroupLimit) so no doc's full term list
+    # survives the shuffle
+    assert "WindowGroupLimit" in p
 
 
 def test_llm_pair_searches_never_go_cartesian(spark):

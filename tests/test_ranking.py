@@ -72,3 +72,11 @@ def test_bm25_ignores_docs_without_query_terms(spark):
     )
     out = bm25_topk(df, ["x"], k=10).collect()
     assert [r.doc_id for r in out] == [0]
+
+
+def test_bm25_empty_query_returns_empty_frame(corpus):
+    out = bm25_topk(corpus, [], k=10)
+    assert out.columns == ["doc_id", "score", "rank"]
+    assert out.count() == 0
+    # duplicate-only input collapsing to empty hits the same path
+    assert bm25_topk(corpus, ["apple", "apple"], k=1).count() == 1

@@ -61,19 +61,21 @@ def tfidf_top_terms(
     ``row_number`` over (tfidf desc, term asc) so ties are
     deterministic. Returns ``(id, term, tf, tfidf, rank)``.
 
-    Document frequency rides on the term-frequency rows as a window
-    count partitioned by term, NOT as a separate aggregate subtree —
-    the corpus is tokenized and aggregated exactly once, and no pinning
-    of the big frame is needed (the round-2 audit flagged the
-    re-tokenization; a full-frame cache measured SLOWER than one extra
-    shuffle of the compact (id, term, tf) rows).
+    Document frequency is aggregated per term (a vocabulary-sized
+    relation, ≤~10M rows at any corpus scale) and BROADCAST-joined back
+    onto the term-frequency rows — the design the module docstring
+    promises. A window count partitioned by ``term`` would funnel every
+    tf row of a stopword through one task (a hot-key scale-killer at
+    100 TB); the broadcast join keeps the big side map-only after its
+    single groupBy shuffle. The compact ``(id, term, tf)`` frame feeds
+    two consumers (the df aggregate and the scoring join) and is pinned
+    so tokenization runs exactly once.
     """
-    del materialize, scratch_dir  # kept for API stability; no pin needed
-    tf = term_frequencies(docs, text_col, id_col)
+    tf = pin_frame(term_frequencies(docs, text_col, id_col), materialize, scratch_dir)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    wdf = Window.partitionBy("term")
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
@@ -128,6 +130,13 @@ def bm25_topk(
     before ranking (same result set as the old qterms join).
     """
     terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        # An empty query matches nothing; the per-term column expansion
+        # below would otherwise index parts[0] out of range.
+        id_type = docs.schema[id_col].dataType.simpleString()
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, score double, rank long"
+        )
     toks = docs.select(
         id_col,
         F.explode(
