@@ -1944,6 +1944,13 @@ def value_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the window form while every stage stays parallel.
     """
     ev = _events(spark, sf_dir).select("event_id", "value")
+    return ntile_quartiles_distributed(spark, ev)
+
+
+def ntile_quartiles_distributed(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Distributed exact ``ntile(4)`` profile over ``(event_id, value)``
+    rows — the scalable core of :func:`value_ntile_quartiles`, split out
+    so the NULL-value path is unit-testable off the fixed tables."""
     k = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     # Range cuts are computed ONCE and embedded as literals so the
     # counts job and the rank job see the SAME partitioning — a
@@ -1961,6 +1968,12 @@ def value_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pid_expr = sum(
         (F.col("value") > F.lit(float(c))).cast("int") for c in cuts
     ) if cuts else F.lit(0)
+    # NULL values: (value > cut) is NULL, so route them to a dedicated
+    # lowest partition id. Spark's window ASC is nulls-first, so ranking
+    # them before every real bucket reproduces the ntile() ordering the
+    # docstring claims bit-parity with (and keeps the driver-side
+    # sorted(sizes) int-only).
+    pid_expr = F.when(F.col("value").isNull(), F.lit(-1)).otherwise(pid_expr)
     part = ev.withColumn("__pid__", pid_expr.cast("int"))
     # Bounded driver data: one (pid, count) row per range bucket.
     sizes = {

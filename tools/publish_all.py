@@ -114,6 +114,28 @@ def run_one(spark, feed, entity_type: str, args, fixed_clock: bool) -> bool:
     return True
 
 
+def run_matrix(spark, feed, args, fixed_clock: bool, runner=run_one) -> list[str]:
+    """fail-fast: false — every matrix entry runs; failures collect.
+
+    Mirrors the reference workflow matrix
+    (``/root/reference/.github/workflows/publish.yml``): an exception
+    inside one entity's run (feed/Spark error) must not abort the
+    remaining entries, and the monotonic-shrink guard's ``False`` is
+    just another failure. Returns the failed entity types in matrix
+    order.
+    """
+    failed = []
+    for t in MATRIX:
+        try:
+            ok = runner(spark, feed, t, args, fixed_clock)
+        except Exception:
+            logger.exception("matrix entry %s raised", t)
+            ok = False
+        if not ok:
+            failed.append(t)
+    return failed
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="publish-all")
     p.add_argument("--data-dir", default="/tmp/tmdb_publish/data")
@@ -141,11 +163,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.days_limit is None:
         args.days_limit = 30 if api_key else 100_000
 
-    # fail-fast: false — every matrix entry runs; failures collect.
-    failed = [
-        t for t in MATRIX
-        if not run_one(spark, feed, t, args, fixed_clock)
-    ]
+    failed = run_matrix(spark, feed, args, fixed_clock)
 
     if not args.dry_run:
         # Deploy: flatten the per-type artifacts into the site dir.
