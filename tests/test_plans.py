@@ -128,6 +128,25 @@ def test_tfidf_broadcasts_df_no_hot_term_window(spark):
     assert "WindowGroupLimit" in p
 
 
+def test_per_group_argmax_uses_window_group_limit(spark):
+    # row_number()==1 per nation must push a per-partition group limit
+    # below the shuffle (Spark 3.5+ InferWindowGroupLimit) — partial +
+    # final — so only each task's leader rows shuffle, not every
+    # supplier. A Spark upgrade dropping the rewrite shows up here.
+    p = _plan(spark, "top_supplier_per_nation")
+    assert p.count("WindowGroupLimit") >= 2
+    assert "BroadcastHashJoin" in p
+
+
+def test_first_last_window_stays_hash_partitioned(spark):
+    # first_value/last_value has no rank filter for a group limit, but
+    # the whole plan must stay partitioned by custkey: one exchange for
+    # the window, one for the distinct, never a global funnel.
+    p = _plan(spark, "customer_first_last_order")
+    assert "Exchange SinglePartition" not in p
+    assert p.count("Exchange") <= 2
+
+
 def test_llm_pair_searches_never_go_cartesian(spark):
     # The bucketed-not-all-pairs claim, asserted on the physical plan:
     # candidate generation must be a hash join on the bucket/shingle

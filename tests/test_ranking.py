@@ -74,6 +74,34 @@ def test_bm25_ignores_docs_without_query_terms(spark):
     assert [r.doc_id for r in out] == [0]
 
 
+def test_bm25_parquet_pin_lands_in_warehouse_and_cleans_up(corpus, spark):
+    # The parquet pin path without an explicit scratch_dir must derive
+    # its location from spark.sql.warehouse.dir (shared storage on a
+    # real cluster — executor tasks write the files, so a driver-local
+    # temp dir would leave the re-read incomplete) and best-effort
+    # delete it at interpreter exit.
+    import os
+
+    from tmdb_index_spark.operators import materialize as M
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:"):]
+    before = list(M._SCRATCH_PATHS)
+    out = bm25_topk(corpus, ["apple"], k=3, materialize="parquet")
+    assert out.count() > 0
+    new = [p for p in M._SCRATCH_PATHS if p not in before]
+    assert new, "parquet pin registered no scratch path"
+    for p in new:
+        local = p[len("file:"):] if p.startswith("file:") else p
+        assert local.startswith(warehouse + "/_pin_scratch/"), p
+        assert os.path.isdir(local), "scratch parquet not written"
+    M._cleanup()
+    for p in new:
+        local = p[len("file:"):] if p.startswith("file:") else p
+        assert not os.path.exists(local), "scratch not cleaned"
+
+
 def test_bm25_empty_query_returns_empty_frame(corpus):
     out = bm25_topk(corpus, [], k=10)
     assert out.columns == ["doc_id", "score", "rank"]

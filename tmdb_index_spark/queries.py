@@ -2795,47 +2795,55 @@ ORACLES: dict[str, str] = {
     "value_histogram": _HISTOGRAM_SQL,
 }
 
-# The driver's per-round CORRECTNESS file scores the first 50 registry
-# entries only, and rounds 1-2 both presented the same first 50 — so the
-# round-2 additions below never earned a hard driver row (they are green
-# under tools/check_oracle.py, the local driver-mimic). Rotate the
-# never-driver-checked keys to the front so round 3's window covers
-# them; the long-green veterans take the tail. Registry CONTENT is
-# unchanged — this is ordering only.
-_DRIVER_WINDOW_PRIORITY = [
-    "bm25_search",
-    "cumulative_daily_revenue",
-    "order_priority_counts",
-    "customers_without_orders",
-    "top_supplier_per_nation",
-    "user_event_gaps",
-    "cube_revenue",
-    "parts_never_returned",
-    "value_ntile_quartiles",
-    "customers_above_avg_orders",
-    "stratified_sample_counts",
-    "dq_summary",
-    "salted_join_revenue",
-    "embedding_ivf_multiprobe",
-    "customer_first_last_order",
-    "media_decode",
-    "gap_fill_locf",
-    "grouping_sets_revenue",
-    "unpivot_lineitem_metrics",
-    "value_rank_dist",
-    "click_purchase_attribution",
-    "disjunctive_brand_revenue",
-    "nation_trade_volume",
-    "value_histogram",
-    "approx_distinct_users_daily",
-    "approx_value_quantiles",
-]
+# Driver-window rotation, DETERMINISTIC (round-3 advisory): the
+# driver's per-round CORRECTNESS file scores only the first 50 registry
+# entries, so with >50 queries the presentation order decides which get
+# a fresh hard driver row. Rather than a hand-picked priority list, the
+# registry is ordered least-recently-driver-checked first: for each
+# query, find the highest round whose CORRECTNESS_r{N}.json (written by
+# the driver into the repo root) contains it; sort ascending by that
+# round, ties broken by name. Never-checked queries sort first
+# (round 0). The schedule is therefore a pure function of the driver's
+# own published history — every query re-earns a row at most
+# ceil(|catalog|/50) rounds after its last one, and a regression in any
+# query is never invisible for more than one cycle. The full local
+# gate (tools/check_oracle.py, which iterates ALL entries) remains the
+# per-change hard gate regardless of window position. Registry CONTENT
+# is unchanged — this is ordering only.
+
+
+def _driver_check_history() -> dict[str, int]:
+    import glob
+    import json
+    import os
+    import re as _re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path, encoding="utf-8") as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _rotated(registry: dict) -> dict:
-    head = [k for k in _DRIVER_WINDOW_PRIORITY if k in registry]
-    tail = [k for k in registry if k not in _DRIVER_WINDOW_PRIORITY]
-    return {k: registry[k] for k in head + tail}
+    try:
+        last = _driver_check_history()
+    except Exception:
+        return registry
+    order = sorted(registry, key=lambda k: (last.get(k, 0), k))
+    return {k: registry[k] for k in order}
 
 
 QUERIES = _rotated(QUERIES)
