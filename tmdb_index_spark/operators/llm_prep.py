@@ -1,0 +1,199 @@
+"""Training-data preparation operators: decontamination, repetition
+quality signals, PII-style redaction, and sequence packing.
+
+These extend the corpus-cleaning surface (`operators/corpus.py`,
+`operators/dedup_text.py`) with the remaining steps a large-scale LLM
+pretraining pipeline runs between "raw crawl" and "tokenizer input":
+
+* :func:`ngram_contamination` — flag training documents that share any
+  word n-gram with a benchmark/eval set (the standard n-gram-overlap
+  decontamination from the GPT-3/PaLM appendices). Scale shape: the
+  eval side is aggregated to a DISTINCT set of n-gram hashes (eval sets
+  are orders of magnitude smaller than the corpus) and **broadcast**;
+  the training side explodes per-doc distinct n-grams and semi-joins —
+  no shuffle of the big side, map-side hash lookups only. If the eval
+  set ever outgrows broadcast range, drop ``broadcast_eval=False`` to
+  fall back to a hash-partitioned join on the n-gram hash.
+* :func:`repetition_signals` — Gopher-style repetitiousness features
+  (duplicate-token fraction, most-common-bigram fraction) as pure
+  column expressions over the token array: map-only, no explode, no
+  shuffle, whole-stage codegen. Per-doc cost is O(distinct_bigrams ×
+  bigrams) array ops, bounded by document length — constant per row at
+  any corpus size.
+* :func:`redact_patterns` — regex masking (emails, long digit runs by
+  default) with per-doc match counts. One ``regexp_replace`` chain per
+  pattern, map-only. Patterns are applied in declaration order; counts
+  are taken against the text as each pattern sees it (after prior
+  masks), so overlapping patterns never double-count.
+* :func:`pack_sequences` — contiguous concat-and-chunk packing: docs
+  are laid out in deterministic ``id`` order within a (group, shard)
+  stream and a document is assigned to the chunk where its first token
+  lands (``floor(exclusive_cumsum / capacity)``). This is the
+  window-expressible form of GPT-style "concatenate and split every
+  `capacity` tokens"; sharding bounds each window partition so no
+  single source becomes a one-task serial scan at 100 TB.
+
+Cross-engine determinism: hashing is the portable md5-derived 60-bit
+int (`functions/text.py: portable_hash60`), never ``F.hash``/
+``xxhash64``, so the DuckDB oracles reproduce every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tmdb_index_spark.functions.text import (
+    portable_hash60,
+    token_count,
+    tokens,
+    word_shingles,
+)
+
+__all__ = [
+    "ngram_contamination",
+    "repetition_signals",
+    "redact_patterns",
+    "pack_sequences",
+    "DEFAULT_REDACTIONS",
+]
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-train-doc contamination hits against ``eval_df``.
+
+    Returns one row per contaminated training document:
+    ``(id_col, ngram_hits)`` where ``ngram_hits`` counts the DISTINCT
+    training n-grams of that doc also present anywhere in the eval set.
+    Clean documents are absent (left-join + fillna(0) at the call site
+    if a dense flag column is wanted).
+    """
+    def _grams(df: DataFrame, *keep: str) -> DataFrame:
+        return df.select(
+            *keep,
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("__ng__"),
+        ).select(*keep, portable_hash60(F.col("__ng__")).alias("__h__"))
+
+    ev = _grams(eval_df).distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        _grams(train, id_col)
+        .join(ev, "__h__")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("ngram_hits"))
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition-based quality features per document.
+
+    * ``dup_token_ratio`` — fraction of tokens that are repeats of an
+      earlier token: ``(n_tokens - n_distinct) / n_tokens``.
+    * ``top_bigram_frac`` — occurrences of the most frequent word
+      bigram over total bigrams (0.0 for docs shorter than 2 tokens).
+
+    Both are pure array expressions (no explode/shuffle); high values
+    flag boilerplate and degenerate generations for filtering.
+    """
+    t = tokens(F.col(text_col))
+    bg = word_shingles(F.col(text_col), 2)
+    n_tok = F.size(t)
+    dup_ratio = F.round(
+        (n_tok - F.size(F.array_distinct(t)))
+        * F.lit(1.0)
+        / F.greatest(n_tok, F.lit(1)),
+        4,
+    )
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda x: F.size(F.filter(bg, lambda y: y == x)),
+        )
+    )
+    top_frac = F.when(F.size(bg) <= 0, F.lit(0.0)).otherwise(
+        F.round(top_count * F.lit(1.0) / F.size(bg), 4)
+    )
+    return df.select(
+        id_col,
+        dup_ratio.alias("dup_token_ratio"),
+        top_frac.alias("top_bigram_frac"),
+    )
+
+
+#: Default masking rules, applied in order. Regex subset chosen to mean
+#: the same thing in Java (Spark) and RE2 (DuckDB/others).
+DEFAULT_REDACTIONS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{4,}", "<NUM>"),
+)
+
+
+def redact_patterns(
+    df: DataFrame,
+    text_col: str = "text",
+    rules: tuple[tuple[str, str], ...] = DEFAULT_REDACTIONS,
+    out_col: str = "redacted",
+    count_prefix: str = "n_redacted_",
+) -> DataFrame:
+    """Mask every occurrence of each ``(pattern, replacement)`` rule and
+    count matches per rule. Counts index the text *after* earlier rules
+    ran, so e.g. digits inside an already-masked email never also count
+    as a number hit. Appends ``out_col`` plus one count column per rule.
+    """
+    cur: Column = F.col(text_col)
+    counts: list[Column] = []
+    for i, (pat, repl) in enumerate(rules):
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"{count_prefix}{i}")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select("*", *counts, cur.alias(out_col))
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = "source",
+    capacity: int = 256,
+    shards: int = 8,
+) -> DataFrame:
+    """Assign each document to a training chunk (concat-and-chunk).
+
+    Documents are ordered by ``id_col`` within ``(group_col, shard)``
+    where ``shard = id % shards``; a doc belongs to the chunk containing
+    its first token: ``floor(exclusive_running_token_sum / capacity)``.
+    Appends ``n_tokens`` (BPE-ish count), ``shard`` and ``bin``.
+
+    Sharding keeps every window partition ~|group|/shards docs, so the
+    sort-within-partition stays parallel at 100 TB; `shards` trades
+    packing tightness (cross-shard chunks never merge) for parallelism,
+    exactly like per-worker packing in a real tokenizer pipeline.
+    """
+    shard = (F.col(id_col) % shards).cast("long")
+    parts = ([group_col] if group_col else []) + ["__shard__"]
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = token_count(F.col(text_col)).cast("long")
+    out = df.withColumn("__tok__", tok).withColumn("__shard__", shard)
+    start = F.sum("__tok__").over(w) - F.col("__tok__")
+    return (
+        out.withColumn("bin", F.floor(start / capacity).cast("long"))
+        .withColumnRenamed("__tok__", "n_tokens")
+        .withColumnRenamed("__shard__", "shard")
+    )

@@ -833,7 +833,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum — the window-function twin of streaming session windows."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    # cast: unix_micros requires TIMESTAMP; driver parquet may carry
+    # TIMESTAMP_NTZ, which reinterprets wall-clock under the pinned UTC
+    # session — identical micros either way.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = us - F.lag(us).over(w)
     with_session = ev.withColumn(
         "new_session",
@@ -1864,7 +1867,8 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines agree bit-for-bit."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ts_ltz = F.col("ts").cast("timestamp")  # NTZ-safe (see sessionize)
+    gap = F.unix_micros(ts_ltz) - F.unix_micros(F.lag(ts_ltz).over(w))
     g = ev.select("user_id", gap.alias("gap_us")).filter(
         F.col("gap_us").isNotNull()
     )
@@ -2612,6 +2616,176 @@ _HISTOGRAM_SQL = """
 SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
        COUNT(*) AS n_events, MIN(value) AS lo, MAX(value) AS hi
 FROM events GROUP BY 1
+"""
+
+
+def decontam_ngram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (extension: n-gram overlap): docs
+    whose 5-grams collide with a held-out eval split (doc_id % 10 == 0),
+    rolled up per source. Eval n-gram hashes are broadcast — the train
+    side never shuffles."""
+    from tmdb_index_spark.operators.llm_prep import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    hits = ngram_contamination(tr, ev, n=5)
+    return (
+        tr.select("doc_id", "source")
+        .join(hits, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("contaminated_docs"),
+            F.sum("ngram_hits").cast("long").alias("ngram_hits"),
+        )
+    )
+
+
+_DECONTAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents
+),
+ng AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+           list_distinct(list_transform(range(1, len(ts) - 3),
+                                        i -> array_to_string(ts[i:i+4], ' '))),
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS h
+  FROM toks
+),
+ev AS (SELECT DISTINCT h FROM ng WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id, source, h FROM ng WHERE doc_id % 10 <> 0),
+hit AS (SELECT tr.source, tr.doc_id FROM tr JOIN ev USING (h))
+SELECT source,
+       COUNT(DISTINCT doc_id)::BIGINT AS contaminated_docs,
+       COUNT(*)::BIGINT AS ngram_hits
+FROM hit GROUP BY source
+"""
+
+
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (extension: quality scoring):
+    duplicate-token fraction and most-common-bigram fraction, pure
+    array expressions — map-only at any scale."""
+    from tmdb_index_spark.operators.llm_prep import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents
+),
+b AS (
+  SELECT doc_id, ts,
+         CASE WHEN len(ts) >= 2
+              THEN list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+              ELSE []::VARCHAR[] END AS bg
+  FROM t
+)
+SELECT doc_id,
+  ROUND((len(ts) - len(list_distinct(ts))) * 1.0 / greatest(len(ts), 1), 4)
+    AS dup_token_ratio,
+  CASE WHEN len(bg) = 0 THEN 0.0
+       ELSE ROUND(list_max(list_transform(list_distinct(bg),
+                    x -> len(list_filter(bg, y -> y = x)))) * 1.0 / len(bg), 4)
+  END AS top_bigram_frac
+FROM b
+"""
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style masking (extension: redaction): a deterministic dirty
+    column (doc_id-derived email + number — the corpus itself is
+    digit-free) is masked by the default rules; per-doc counts plus the
+    md5 of the masked text prove the rewrite bit-for-bit."""
+    from tmdb_index_spark.operators.llm_prep import redact_patterns
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.lit("contact"),
+            F.concat(
+                F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")
+            ),
+            F.lit("ref"),
+            (F.col("doc_id") * 7919 + 10007).cast("string"),
+        ).alias("text"),
+    )
+    red = redact_patterns(dirty)
+    return red.select(
+        "doc_id",
+        F.col("n_redacted_0").alias("emails_masked"),
+        F.col("n_redacted_1").alias("numbers_masked"),
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )
+
+
+_PII_REDACTION_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com ref '
+              || (doc_id * 7919 + 10007) AS t
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+           AS emails_masked,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t2
+  FROM d
+)
+SELECT doc_id, emails_masked,
+       len(regexp_extract_all(t2, '[0-9]{4,}'))::BIGINT AS numbers_masked,
+       md5(regexp_replace(t2, '[0-9]{4,}', '<NUM>', 'g')) AS redacted_md5
+FROM e
+"""
+
+
+def pack_sequences_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (extension: concat-and-chunk): assign docs to
+    fixed-capacity token chunks within (source, shard) streams, then
+    report packing efficiency per source."""
+    from tmdb_index_spark.operators.llm_prep import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, capacity=256, shards=8)
+    binkey = F.col("shard") * 1_000_000 + F.col("bin")
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct(binkey).cast("long").alias("n_bins"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens") * F.lit(1.0) / (F.countDistinct(binkey) * 256), 4
+        ).alias("avg_bin_fill"),
+    )
+
+
+_PACK_SEQUENCES_SQL = """
+WITH t AS (
+  SELECT doc_id, source, doc_id % 8 AS shard,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS tok
+  FROM documents
+),
+c AS (
+  SELECT source, shard, tok,
+         SUM(tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS strt
+  FROM t
+),
+b AS (
+  SELECT source, tok, shard * 1000000 + floor(strt / 256)::BIGINT AS binkey FROM c
+)
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT binkey)::BIGINT AS n_bins,
+       SUM(tok)::BIGINT AS total_tokens,
+       ROUND(SUM(tok) * 1.0 / (COUNT(DISTINCT binkey) * 256), 4) AS avg_bin_fill
+FROM b GROUP BY source
 """
 
 
