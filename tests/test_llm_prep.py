@@ -1,0 +1,227 @@
+"""Tests for LLM training-data prep operators (north-star extensions:
+n-gram decontamination, repetition quality, redaction, sequence
+packing). Edge-case model follows the reference's tiny-inline-frame
+test style (/root/reference/test_tmdb_index.py:29-92)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+from tmdb_index_spark.operators.llm_prep import (
+    DEFAULT_REDACTIONS,
+    ngram_contamination,
+    pack_sequences,
+    redact_patterns,
+    repetition_signals,
+)
+
+
+def _df(spark, rows_, schema="doc_id long, text string"):
+    return spark.createDataFrame(rows_, schema)
+
+
+# ---------------------------------------------------------------------------
+# ngram_contamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_basic_hit_counts(spark):
+    train = _df(
+        spark,
+        [
+            (1, "a b c d e f g"),  # shares 5-grams "a b c d e".."c d e f g"
+            (2, "x y z w v u t"),  # clean
+        ],
+    )
+    ev = _df(spark, [(100, "a b c d e f g h")])
+    got = rows(ngram_contamination(train, ev, n=5), order_by="doc_id")
+    # train doc 1 has 3 distinct 5-grams, all present in eval; doc 2 clean
+    assert got == [{"doc_id": 1, "ngram_hits": 3}]
+
+
+def test_contamination_empty_eval_set(spark):
+    train = _df(spark, [(1, "a b c d e f g")])
+    ev = _df(spark, [], "doc_id long, text string")
+    assert ngram_contamination(train, ev, n=5).count() == 0
+
+
+def test_contamination_doc_shorter_than_n(spark):
+    # both a short train doc and a short eval doc produce zero n-grams
+    train = _df(spark, [(1, "a b"), (2, "a b c d e")])
+    ev = _df(spark, [(100, "a b"), (101, "a b c d e")])
+    got = rows(ngram_contamination(train, ev, n=5), order_by="doc_id")
+    assert got == [{"doc_id": 2, "ngram_hits": 1}]
+
+
+def test_contamination_counts_distinct_train_ngrams_once(spark):
+    # the same 5-gram repeated in a train doc counts once (array_distinct)
+    train = _df(spark, [(1, "a b c d e a b c d e")])
+    ev = _df(spark, [(100, "a b c d e")])
+    got = rows(ngram_contamination(train, ev, n=5), order_by="doc_id")
+    assert got[0]["doc_id"] == 1
+    # distinct n-grams of the train doc that hit: "a b c d e" plus the
+    # wrap-around grams ("b c d e a" etc.) are NOT in eval -> exactly 1
+    assert got[0]["ngram_hits"] == 1
+
+
+def test_contamination_no_broadcast_fallback_same_result(spark):
+    train = _df(spark, [(1, "a b c d e f"), (2, "q r s t u v")])
+    ev = _df(spark, [(100, "b c d e f g")])
+    a = rows(ngram_contamination(train, ev, n=5), order_by="doc_id")
+    b = rows(
+        ngram_contamination(train, ev, n=5, broadcast_eval=False),
+        order_by="doc_id",
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# repetition_signals
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_short_and_null_docs(spark):
+    got = {
+        r["doc_id"]: r
+        for r in rows(
+            repetition_signals(
+                _df(
+                    spark,
+                    [(1, "word"), (2, ""), (3, None), (4, "a a")],
+                )
+            ),
+            order_by="doc_id",
+        )
+    }
+    # <2 tokens -> no bigrams -> top_bigram_frac 0.0, no NULL leakage
+    for d in (1, 2, 3):
+        assert got[d]["top_bigram_frac"] == 0.0
+        assert got[d]["dup_token_ratio"] == 0.0
+    # "a a": 2 tokens 1 distinct -> dup 0.5; one bigram "a a" -> frac 1.0
+    assert got[4] == {
+        "doc_id": 4,
+        "dup_token_ratio": 0.5,
+        "top_bigram_frac": 1.0,
+    }
+
+
+def test_repetition_known_values(spark):
+    # "x y x y x": tokens 5, distinct 2 -> dup 0.6
+    # bigrams: [x y, y x, x y, y x] -> top count 2 of 4 -> 0.5
+    got = rows(repetition_signals(_df(spark, [(1, "x y x y x")])))
+    assert got == [
+        {"doc_id": 1, "dup_token_ratio": 0.6, "top_bigram_frac": 0.5}
+    ]
+
+
+def test_repetition_explode_impl_matches_expr(spark):
+    # includes a "long" repetitive doc to exercise the scale path on a
+    # non-trivial bigram distribution, plus the degenerate edges
+    long_doc = " ".join(["spam", "ham", "spam"] * 200)
+    df = _df(
+        spark,
+        [(1, "x y x y x"), (2, "solo"), (3, None), (4, long_doc), (5, "")],
+    )
+    a = rows(repetition_signals(df, impl="expr"), order_by="doc_id")
+    b = rows(repetition_signals(df, impl="explode"), order_by="doc_id")
+    assert a == b
+
+
+def test_repetition_bad_impl_raises(spark):
+    with pytest.raises(ValueError, match="impl"):
+        repetition_signals(_df(spark, [(1, "a")]), impl="nope")
+
+
+# ---------------------------------------------------------------------------
+# redact_patterns
+# ---------------------------------------------------------------------------
+
+
+def test_redact_email_and_numbers(spark):
+    df = _df(spark, [(1, "mail bob99@corp.io or call 12345 now 77")])
+    got = rows(redact_patterns(df), order_by="doc_id")[0]
+    assert got["redacted"] == "mail <EMAIL> or call <NUM> now 77"
+    assert got["n_redacted_0"] == 1  # one email
+    assert got["n_redacted_1"] == 1  # 12345 masked; 77 too short
+
+
+def test_redact_digits_inside_email_not_double_counted(spark):
+    # 123456 sits inside the email; after the email mask it is gone, so
+    # the number rule must count 0 (counts index post-mask text)
+    df = _df(spark, [(1, "u123456@example.com")])
+    got = rows(redact_patterns(df), order_by="doc_id")[0]
+    assert got["n_redacted_0"] == 1
+    assert got["n_redacted_1"] == 0
+    assert got["redacted"] == "<EMAIL>"
+
+
+def test_redact_overlapping_custom_rules_apply_in_order(spark):
+    # rule 0 rewrites 'abcd' first; rule 1 then sees the rewritten text
+    rules = ((r"abcd", "<X>"), (r"<X>e", "<Y>"))
+    df = _df(spark, [(1, "abcde abcd")])
+    got = rows(redact_patterns(df, rules=rules), order_by="doc_id")[0]
+    assert got["redacted"] == "<Y> <X>"
+    assert got["n_redacted_0"] == 2
+    assert got["n_redacted_1"] == 1
+
+
+def test_redact_null_text_yields_empty_and_zero_counts(spark):
+    got = rows(redact_patterns(_df(spark, [(1, None)])), order_by="doc_id")[0]
+    assert got["redacted"] == ""
+    assert got["n_redacted_0"] == 0 and got["n_redacted_1"] == 0
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def _packed(spark, docs, **kw):
+    df = spark.createDataFrame(
+        docs, "doc_id long, source string, text string"
+    )
+    return {
+        r["doc_id"]: r
+        for r in rows(pack_sequences(df, **kw), order_by="doc_id")
+    }
+
+
+def test_pack_basic_bin_assignment(spark):
+    # one group, one shard: cumulative starts 0,2,4 with capacity 4
+    docs = [(0, "s", "a b"), (8, "s", "c d"), (16, "s", "e f")]
+    got = _packed(spark, docs, capacity=4, shards=8)
+    assert [got[i]["bin"] for i in (0, 8, 16)] == [0, 0, 1]
+    assert all(got[i]["n_tokens"] == 2 for i in (0, 8, 16))
+    assert all(got[i]["shard"] == 0 for i in (0, 8, 16))
+
+
+def test_pack_group_col_none_single_stream(spark):
+    docs = [(0, "a", "x y"), (8, "b", "z w")]
+    got = _packed(spark, docs, group_col=None, capacity=2, shards=1)
+    # without grouping, both docs share one stream: bins 0 then 1
+    assert got[0]["bin"] == 0 and got[8]["bin"] == 1
+
+
+def test_pack_capacity_one_gives_doc_per_bin_start(spark):
+    docs = [(0, "s", "a b c"), (8, "s", "d")]
+    got = _packed(spark, docs, capacity=1, shards=1)
+    # starts are 0 and 3 -> bins 0 and 3
+    assert got[0]["bin"] == 0 and got[8]["bin"] == 3
+
+
+def test_pack_sharding_partitions_by_id_mod(spark):
+    docs = [(i, "s", "t") for i in range(6)]
+    got = _packed(spark, docs, capacity=10, shards=3)
+    assert [got[i]["shard"] for i in range(6)] == [0, 1, 2, 0, 1, 2]
+    # each shard's first doc starts a fresh cumsum -> bin 0 everywhere
+    assert all(got[i]["bin"] == 0 for i in range(6))
+
+
+def test_pack_null_text_counts_zero_tokens(spark):
+    docs = [(0, "s", None), (8, "s", "a b")]
+    got = _packed(spark, docs, capacity=2, shards=1)
+    assert got[0]["n_tokens"] == 0
+    # NULL doc consumes nothing: next doc still starts at 0 -> bin 0
+    assert got[8]["bin"] == 0

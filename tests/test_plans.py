@@ -177,3 +177,12 @@ def test_q1_partial_aggregation_and_codegen(spark):
     assert "isFinalPlan=true" in final
     # '*(n)' operator prefixes are the WholeStageCodegen stage markers
     assert re.search(r"\*\(\d+\) HashAggregate", final)
+
+
+def test_decontam_broadcasts_eval_ngrams(spark):
+    # 100 TB-critical shape: the eval n-gram set (tiny) broadcasts and
+    # the train side is probed map-side — the big side must never
+    # shuffle through a SortMergeJoin for the contamination lookup.
+    p = _plan(spark, "decontam_ngram_hits")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

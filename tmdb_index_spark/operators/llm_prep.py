@@ -15,11 +15,15 @@ pretraining pipeline runs between "raw crawl" and "tokenizer input":
   set ever outgrows broadcast range, drop ``broadcast_eval=False`` to
   fall back to a hash-partitioned join on the n-gram hash.
 * :func:`repetition_signals` — Gopher-style repetitiousness features
-  (duplicate-token fraction, most-common-bigram fraction) as pure
-  column expressions over the token array: map-only, no explode, no
-  shuffle, whole-stage codegen. Per-doc cost is O(distinct_bigrams ×
-  bigrams) array ops, bounded by document length — constant per row at
-  any corpus size.
+  (duplicate-token fraction, most-common-bigram fraction). The default
+  ``impl='expr'`` is pure column expressions over the token array:
+  map-only, no explode, no shuffle, whole-stage codegen — but the
+  top-bigram search is O(distinct_bigrams × bigrams) per doc, so it
+  presumes bounded document length (fine for cleaned web docs, ruinous
+  for a single pathological 1M-token row). ``impl='explode'`` is the
+  unbounded-doc scale path: explode bigrams → count per (doc, bigram)
+  → max per doc — linear per doc, two narrow shuffles, identical
+  output (pinned by test).
 * :func:`redact_patterns` — regex masking (emails, long digit runs by
   default) with per-doc match counts. One ``regexp_replace`` chain per
   pattern, map-only. Patterns are applied in declaration order; counts
@@ -93,7 +97,10 @@ def ngram_contamination(
 
 
 def repetition_signals(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    impl: str = "expr",
 ) -> DataFrame:
     """Repetition-based quality features per document.
 
@@ -102,11 +109,23 @@ def repetition_signals(
     * ``top_bigram_frac`` — occurrences of the most frequent word
       bigram over total bigrams (0.0 for docs shorter than 2 tokens).
 
-    Both are pure array expressions (no explode/shuffle); high values
-    flag boilerplate and degenerate generations for filtering.
+    NULL text is treated as empty (both ratios 0.0) — matching a
+    ``coalesce(text, '')`` in any SQL twin — rather than inheriting
+    Spark's ``size(NULL) = -1`` arithmetic.
+
+    ``impl='expr'`` (default): pure array expressions, no shuffle, but
+    the top-bigram scan is quadratic in per-doc distinct bigrams — use
+    only when doc length is bounded (normal cleaned corpora).
+    ``impl='explode'``: linear per doc — explode bigrams, count per
+    (doc, bigram), take the per-doc max. Two narrow shuffles whose keys
+    are (doc, bigram) — high cardinality, skew-free — so it survives
+    pathological million-token documents.
     """
-    t = tokens(F.col(text_col))
-    bg = word_shingles(F.col(text_col), 2)
+    if impl not in ("expr", "explode"):
+        raise ValueError(f"impl must be 'expr' or 'explode', got {impl!r}")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    t = tokens(txt)
+    bg = word_shingles(txt, 2)
     n_tok = F.size(t)
     dup_ratio = F.round(
         (n_tok - F.size(F.array_distinct(t)))
@@ -114,19 +133,44 @@ def repetition_signals(
         / F.greatest(n_tok, F.lit(1)),
         4,
     )
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(bg),
-            lambda x: F.size(F.filter(bg, lambda y: y == x)),
+    if impl == "expr":
+        top_count = F.array_max(
+            F.transform(
+                F.array_distinct(bg),
+                lambda x: F.size(F.filter(bg, lambda y: y == x)),
+            )
         )
-    )
-    top_frac = F.when(F.size(bg) <= 0, F.lit(0.0)).otherwise(
-        F.round(top_count * F.lit(1.0) / F.size(bg), 4)
-    )
-    return df.select(
-        id_col,
-        dup_ratio.alias("dup_token_ratio"),
-        top_frac.alias("top_bigram_frac"),
+        top_frac = F.when(F.size(bg) <= 0, F.lit(0.0)).otherwise(
+            F.round(top_count * F.lit(1.0) / F.size(bg), 4)
+        )
+        return df.select(
+            id_col,
+            dup_ratio.alias("dup_token_ratio"),
+            top_frac.alias("top_bigram_frac"),
+        )
+    # Scale path: dup_ratio and the bigram count stay map-side columns
+    # carried through the explode, so no join back to the source is
+    # needed. explode_outer keeps zero-bigram docs alive (NULL group).
+    return (
+        df.select(
+            id_col,
+            dup_ratio.alias("dup_token_ratio"),
+            F.size(bg).alias("__nbg__"),
+            F.explode_outer(bg).alias("__b__"),
+        )
+        .groupBy(id_col, "dup_token_ratio", "__nbg__", "__b__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .groupBy(id_col, "dup_token_ratio", "__nbg__")
+        .agg(F.max("__c__").alias("__top__"))
+        .select(
+            id_col,
+            "dup_token_ratio",
+            F.when(F.col("__nbg__") <= 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("__top__") * F.lit(1.0) / F.col("__nbg__"), 4)
+            )
+            .alias("top_bigram_frac"),
+        )
     )
 
 
@@ -149,8 +193,10 @@ def redact_patterns(
     count matches per rule. Counts index the text *after* earlier rules
     ran, so e.g. digits inside an already-masked email never also count
     as a number hit. Appends ``out_col`` plus one count column per rule.
+    NULL text is treated as empty (0 matches, ``''`` output) so counts
+    stay non-null and SQL twins agree via ``coalesce(text, '')``.
     """
-    cur: Column = F.col(text_col)
+    cur: Column = F.coalesce(F.col(text_col), F.lit(""))
     counts: list[Column] = []
     for i, (pat, repl) in enumerate(rules):
         counts.append(
@@ -189,7 +235,9 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    tok = token_count(F.col(text_col)).cast("long")
+    # coalesce: size(regexp_extract_all(NULL)) is -1 under Spark's
+    # sizeOfNull legacy default, which would corrupt the running sum.
+    tok = token_count(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
     out = df.withColumn("__tok__", tok).withColumn("__shard__", shard)
     start = F.sum("__tok__").over(w) - F.col("__tok__")
     return (

@@ -2675,7 +2675,8 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REPETITION_SQL = """
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS ts
+  FROM documents
 ),
 b AS (
   SELECT doc_id, ts,
@@ -2707,7 +2708,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat_ws(
             " ",
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit("contact"),
             F.concat(
                 F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")
@@ -2728,7 +2729,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PII_REDACTION_SQL = """
 WITH d AS (
   SELECT doc_id,
-         text || ' contact user' || doc_id || '@example.com ref '
+         coalesce(text, '') || ' contact user' || doc_id || '@example.com ref '
               || (doc_id * 7919 + 10007) AS t
   FROM documents
 ),
@@ -2755,13 +2756,16 @@ def pack_sequences_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     packed = pack_sequences(docs, capacity=256, shards=8)
-    binkey = F.col("shard") * 1_000_000 + F.col("bin")
+    # distinct over the (shard, bin) PAIR — a scalar shard*K+bin key
+    # would collide once any stream exceeds K bins, silently merging
+    # chunks at scale.
+    nbins = F.countDistinct(F.col("shard"), F.col("bin"))
     return packed.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.countDistinct(binkey).cast("long").alias("n_bins"),
+        nbins.cast("long").alias("n_bins"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.round(
-            F.sum("n_tokens") * F.lit(1.0) / (F.countDistinct(binkey) * 256), 4
+            F.sum("n_tokens") * F.lit(1.0) / (nbins * 256), 4
         ).alias("avg_bin_fill"),
     )
 
@@ -2769,7 +2773,8 @@ def pack_sequences_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_SEQUENCES_SQL = """
 WITH t AS (
   SELECT doc_id, source, doc_id % 8 AS shard,
-         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS tok
+         len(regexp_extract_all(coalesce(text, ''),
+             '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS tok
   FROM documents
 ),
 c AS (
@@ -2779,12 +2784,12 @@ c AS (
   FROM t
 ),
 b AS (
-  SELECT source, tok, shard * 1000000 + floor(strt / 256)::BIGINT AS binkey FROM c
+  SELECT source, shard, tok, floor(strt / 256)::BIGINT AS bin FROM c
 )
 SELECT source, COUNT(*)::BIGINT AS n_docs,
-       COUNT(DISTINCT binkey)::BIGINT AS n_bins,
+       COUNT(DISTINCT (shard, bin))::BIGINT AS n_bins,
        SUM(tok)::BIGINT AS total_tokens,
-       ROUND(SUM(tok) * 1.0 / (COUNT(DISTINCT binkey) * 256), 4) AS avg_bin_fill
+       ROUND(SUM(tok) * 1.0 / (COUNT(DISTINCT (shard, bin)) * 256), 4) AS avg_bin_fill
 FROM b GROUP BY source
 """
 
@@ -2884,6 +2889,10 @@ QUERIES: dict[str, QueryFn] = {
     "disjunctive_brand_revenue": disjunctive_brand_revenue,
     "nation_trade_volume": nation_trade_volume,
     "value_histogram": value_histogram,
+    "decontam_ngram_hits": decontam_ngram_hits,
+    "repetition_quality": repetition_quality,
+    "pii_redaction": pii_redaction,
+    "pack_sequences_stats": pack_sequences_stats,
     # rows-only entries (sketches are engine-private; exact twins exist
     # above for cross-engine parity) — deliberately absent from ORACLES.
     "approx_distinct_users_daily": approx_distinct_users_daily,
@@ -2967,6 +2976,10 @@ ORACLES: dict[str, str] = {
     "disjunctive_brand_revenue": _Q19_SQL,
     "nation_trade_volume": _Q7_SQL,
     "value_histogram": _HISTOGRAM_SQL,
+    "decontam_ngram_hits": _DECONTAM_SQL,
+    "repetition_quality": _REPETITION_SQL,
+    "pii_redaction": _PII_REDACTION_SQL,
+    "pack_sequences_stats": _PACK_SEQUENCES_SQL,
 }
 
 # Driver-window rotation, DETERMINISTIC (round-3 advisory): the

@@ -47,8 +47,19 @@ def main() -> int:
         "overwrite"
     ).save()
 
+    # LLM-prep extensions stressed alongside the headline set: the
+    # pack_sequences sharded-window claim ("no one-task serial scan")
+    # and the decontam broadcast shape are argued in docstrings — this
+    # run measures them at ~10x.
+    stress_set = BENCH_QUERIES + [
+        "pack_sequences_stats",
+        "decontam_ngram_hits",
+        "repetition_quality",
+        "pii_redaction",
+    ]
+
     report: dict[str, dict[str, float]] = {}
-    for name in BENCH_QUERIES:
+    for name in stress_set:
         spark.catalog.clearCache()
         t_small = _time(QUERIES[name](spark, small))
         spark.catalog.clearCache()
