@@ -186,3 +186,21 @@ def test_decontam_broadcasts_eval_ngrams(spark):
     p = _plan(spark, "decontam_ngram_hits")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_q18_having_topk_shapes(spark):
+    # HAVING-aggregate joined back on the same key, then a global
+    # top-20: the limit must compile to TakeOrderedAndProject and the
+    # customer dim must broadcast.
+    p = _plan(spark, "q18_large_orders")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q15_max_subquery_broadcasts(spark):
+    # The 1-row MAX aggregate and the supplier dim both broadcast — a
+    # SortMergeJoin against either would shuffle the revenue frame for
+    # nothing.
+    p = _plan(spark, "q15_top_suppliers")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p

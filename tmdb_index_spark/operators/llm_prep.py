@@ -151,12 +151,24 @@ def repetition_signals(
     # Scale path: dup_ratio and the bigram count stay map-side columns
     # carried through the explode, so no join back to the source is
     # needed. explode_outer keeps zero-bigram docs alive (NULL group).
+    # The scalar columns MUST be a separate projection feeding the
+    # explode: selecting them alongside explode() lets Catalyst place
+    # the Project AFTER the Generate, re-evaluating the whole
+    # tokenize+shingle tree once per exploded row (measured 209 s vs
+    # ~3 s at sf0.1). Materializing them as pass-through attributes
+    # pins their evaluation before the Generate.
+    pre = df.select(
+        id_col,
+        dup_ratio.alias("dup_token_ratio"),
+        F.size(bg).alias("__nbg__"),
+        bg.alias("__bg__"),
+    )
     return (
-        df.select(
+        pre.select(
             id_col,
-            dup_ratio.alias("dup_token_ratio"),
-            F.size(bg).alias("__nbg__"),
-            F.explode_outer(bg).alias("__b__"),
+            "dup_token_ratio",
+            "__nbg__",
+            F.explode_outer("__bg__").alias("__b__"),
         )
         .groupBy(id_col, "dup_token_ratio", "__nbg__", "__b__")
         .agg(F.count(F.lit(1)).alias("__c__"))

@@ -2666,11 +2666,18 @@ FROM hit GROUP BY source
 
 def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (extension: quality scoring):
-    duplicate-token fraction and most-common-bigram fraction, pure
-    array expressions — map-only at any scale."""
+    duplicate-token fraction and most-common-bigram fraction.
+
+    Uses the linear ``impl='explode'`` path: the expr form's NESTED
+    higher-order functions (filter inside transform) drop out of
+    whole-stage codegen and re-evaluate the captured shingle array per
+    element — measured 243 s for 5000×54-token docs at sf0.1 vs ~2 s
+    exploded (SCALE.md round 5). Results are identical (pinned by
+    tests/test_llm_prep.py::test_repetition_explode_impl_matches_expr).
+    """
     from tmdb_index_spark.operators.llm_prep import repetition_signals
 
-    return repetition_signals(_t(spark, sf_dir, "documents"))
+    return repetition_signals(_t(spark, sf_dir, "documents"), impl="explode")
 
 
 _REPETITION_SQL = """
@@ -2794,6 +2801,230 @@ FROM b GROUP BY source
 """
 
 
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer×orders LEFT OUTER join (join-side
+    predicate, not a pre-filter of customers) → per-customer order
+    count INCLUDING zeros → histogram of counts. Two aggregations; the
+    second one's key (c_count) is tiny-cardinality, so the final
+    shuffle moves ~|distinct counts| rows per partition after partial
+    aggregation."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep every
+    supplier tied at the MAX (scalar-subquery-over-aggregate). The max
+    is a 1-row aggregate broadcast against the revenue frame; the tie
+    comparison runs on the exact DECIMAL sum, never a double, so
+    equality cannot diverge between engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    disc = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(disc).alias("__rev__"))
+    mx = rev.agg(F.max("__rev__").alias("__mx__"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("__rev__") == F.col("__mx__"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev__").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+"""
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated AVG subquery — revenue from
+    lineitems of one brand whose quantity is below 20% of that part's
+    average. The brand filter broadcasts FIRST so the per-part stats
+    aggregate only brand rows; the threshold test is rewritten to the
+    integer-exact form ``5·qty·cnt < sum_qty`` (DECIMAL both sides) so
+    no engine ever materializes the float average."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    bl = li.join(
+        F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey
+    ).drop("p_partkey")
+    per_part = bl.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("__sumq__"),
+        F.count(F.lit(1)).alias("__cnt__"),
+    )
+    return (
+        bl.join(per_part, "l_partkey")
+        .filter(
+            _dec("l_quantity") * F.lit(5) * F.col("__cnt__")
+            < F.col("__sumq__")
+        )
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+_Q17_SQL = """
+WITH bl AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+),
+pp AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sumq,
+         COUNT(*) AS cnt
+  FROM bl GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+         AS avg_yearly
+FROM bl JOIN pp USING (l_partkey)
+WHERE 5 * CAST(l_quantity AS DECIMAL(18,2)) * cnt < sumq
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact aggregate (orders whose
+    total quantity > 250 — ~top 1%) joined back to orders + broadcast
+    customer, deterministic top-20 by (totalprice DESC, orderkey). The
+    aggregate-then-join runs co-partitioned on orderkey; the limit
+    compiles to TakeOrderedAndProject (per-partition top-k, no global
+    sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__q__"))
+        .filter(F.col("__q__") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("__q__").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(q AS DOUBLE) AS sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: conditional-aggregation ratio — NATION_1's share
+    of yearly revenue across all customer nations. Dimension chain
+    (customer→nation) broadcasts; the share divides two decimal-exact
+    sums cast to double at the very end (identical bits both engines),
+    rounded before compare."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    target = F.when(F.col("n_name") == "NATION_1", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+_Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       ROUND(
+         CAST(SUM(CASE WHEN n_name = 'NATION_1'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+         6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2893,6 +3124,11 @@ QUERIES: dict[str, QueryFn] = {
     "repetition_quality": repetition_quality,
     "pii_redaction": pii_redaction,
     "pack_sequences_stats": pack_sequences_stats,
+    "q13_order_distribution": q13_order_distribution,
+    "q15_top_suppliers": q15_top_suppliers,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q8_market_share": q8_market_share,
     # rows-only entries (sketches are engine-private; exact twins exist
     # above for cross-engine parity) — deliberately absent from ORACLES.
     "approx_distinct_users_daily": approx_distinct_users_daily,
@@ -2980,6 +3216,11 @@ ORACLES: dict[str, str] = {
     "repetition_quality": _REPETITION_SQL,
     "pii_redaction": _PII_REDACTION_SQL,
     "pack_sequences_stats": _PACK_SEQUENCES_SQL,
+    "q13_order_distribution": _Q13_SQL,
+    "q15_top_suppliers": _Q15_SQL,
+    "q17_small_qty_revenue": _Q17_SQL,
+    "q18_large_orders": _Q18_SQL,
+    "q8_market_share": _Q8_SQL,
 }
 
 # Driver-window rotation, DETERMINISTIC (round-3 advisory): the
