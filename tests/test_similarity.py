@@ -224,3 +224,30 @@ def test_ivf_index_topk_default_cells_sqrt_n(spark):
     finally:
         S.fit_centroids = fit
     assert seen["cells"] == 100  # round(sqrt(10000))
+
+
+def test_lsh_index_topk_selftunes_bits(spark):
+    from tmdb_index_spark.operators.similarity import lsh_index_topk, lsh_topk
+
+    emb = _emb(spark)
+    # n=5, target_bucket=2 -> bits = ceil(log2(2.5)) = 2; must equal the
+    # fixed-bits run at 2 bits exactly (the wrapper only picks n_bits)
+    got = sorted(
+        lsh_index_topk(emb, k=2, n_estimate=5, target_bucket=2, dim=4).collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    )
+    want = sorted(
+        lsh_topk(emb, k=2, n_bits=2).collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    )
+    assert got == want
+
+
+def test_lsh_index_topk_caps_bits_at_dim(spark):
+    from tmdb_index_spark.operators.similarity import lsh_index_topk
+
+    emb = _emb(spark)
+    # huge n_estimate would want ~25 bits; dim=4 must cap it (element_at
+    # beyond the array would null every bucket contribution otherwise)
+    out = lsh_index_topk(emb, k=2, n_estimate=10**9, target_bucket=2, dim=4)
+    assert out.count() >= 0  # plan builds and runs

@@ -40,6 +40,7 @@ __all__ = [
     "brute_force_topk",
     "signbit_buckets",
     "lsh_topk",
+    "lsh_index_topk",
     "ivf_assign",
     "ivf_topk",
 ]
@@ -205,6 +206,60 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+#: Target mean bucket occupancy for self-tuned LSH. Within-bucket work
+#: is ~N·bucket_size pair scores; holding bucket size constant keeps it
+#: linear in N.
+LSH_TARGET_BUCKET = 32
+
+
+def lsh_index_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    n_bits: int | None = None,
+    n_estimate: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multi_probe: bool = False,
+    target_bucket: int = LSH_TARGET_BUCKET,
+    dim: int | None = None,
+) -> DataFrame:
+    """Self-tuning LSH top-``k``: :func:`lsh_topk` with a bit count
+    that tracks corpus size — the production entry point.
+
+    A FIXED ``n_bits`` is the measured scale failure mode (SCALE.md
+    round 5: 10× data with the same 8 bits → 64.9× time). With 2^bits
+    buckets, mean occupancy is N/2^bits and within-bucket scoring is
+    ~N·occupancy pair folds, so constant bits make the query quadratic
+    in N. Setting ``bits = ⌈log2(N / target_bucket)⌉`` pins occupancy
+    at ``target_bucket`` and the total at ~N·target_bucket — linear —
+    at the usual LSH price: more bits split more true neighbors across
+    bucket boundaries, so recall drops unless ``multi_probe`` rises
+    with bits. Bits are capped at the embedding dimension (sign-bit
+    hashing has one hyperplane per coordinate).
+
+    Pass ``n_estimate``/``dim`` when known to skip the count()/head()
+    probe jobs. Exact-oracle catalog queries keep calling
+    :func:`lsh_topk` with pinned literal bits; this wrapper is for real
+    corpora where the index must track N.
+    """
+    import math
+
+    if n_bits is None:
+        n = n_estimate if n_estimate is not None else corpus.count()
+        n_bits = max(1, math.ceil(math.log2(max(n, 2) / target_bucket)))
+        if dim is None:
+            dim = len(corpus.select(vec_col).head()[0])
+        n_bits = min(n_bits, dim)
+    return lsh_topk(
+        corpus,
+        k=k,
+        n_bits=n_bits,
+        id_col=id_col,
+        vec_col=vec_col,
+        multi_probe=multi_probe,
     )
 
 

@@ -35,7 +35,10 @@ def main() -> int:
 
     from bench import BENCH_QUERIES
 
-    from tmdb_index_spark.operators.similarity import ivf_index_topk
+    from tmdb_index_spark.operators.similarity import (
+        ivf_index_topk,
+        lsh_index_topk,
+    )
     from tmdb_index_spark.queries import QUERIES
     from tmdb_index_spark.session import get_spark
 
@@ -96,6 +99,29 @@ def main() -> int:
         "ratio": round(bt / max(st, 1e-9), 1)
     }
     print(f"ivf self-tuned ratio at {factor}x: x{report['ivf_index_topk_selftuned_ratio']['ratio']}")
+
+    # LSH scale lever: the catalog query pins 8 bits (oracle-exact);
+    # lsh_index_topk grows bits with log2(N/target_bucket), holding
+    # bucket occupancy — and within-bucket quadratic work — constant.
+    for label, d in (("small", small), ("big", big)):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", F.col("embedding")
+        )
+        n = emb.count()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        lsh_index_topk(emb, k=5, n_estimate=n, dim=64).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t = round(time.perf_counter() - t0, 2)
+        report[f"lsh_index_topk_selftuned_{label}"] = {"sec": t, "n": n}
+        print(f"lsh_index_topk self-tuned ({label}, n={n}): {t}s")
+    st = report["lsh_index_topk_selftuned_small"]["sec"]
+    bt = report["lsh_index_topk_selftuned_big"]["sec"]
+    report["lsh_index_topk_selftuned_ratio"] = {
+        "ratio": round(bt / max(st, 1e-9), 1)
+    }
+    print(f"lsh self-tuned ratio at {factor}x: x{report['lsh_index_topk_selftuned_ratio']['ratio']}")
 
     totals = {
         "small_total": round(sum(r["small_sec"] for r in report.values() if "small_sec" in r), 2),
