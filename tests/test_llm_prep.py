@@ -225,3 +225,73 @@ def test_pack_null_text_counts_zero_tokens(spark):
     assert got[0]["n_tokens"] == 0
     # NULL doc consumes nothing: next doc still starts at 0 -> bin 0
     assert got[8]["bin"] == 0
+
+
+# ---------------------------------------------------------------------------
+# unigram_logprob
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logprob_known_values(spark):
+    from tmdb_index_spark.operators.llm_prep import unigram_logprob
+
+    # tf: a=2, b=2, c=1; N=5, V=3 -> p(a)=p(b)=3/8, p(c)=2/8
+    df = _df(spark, [(1, "a a b"), (2, "b c"), (3, None)])
+    got = {r["doc_id"]: r for r in rows(unigram_logprob(df), order_by="doc_id")}
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["mean_neg_logp"] == 0.426   # -log10(3/8)
+    assert got[2]["n_tokens"] == 2
+    assert got[2]["mean_neg_logp"] == 0.514   # mean(-log10(3/8), -log10(2/8))
+    assert 3 not in got  # NULL text has no tokens to score
+
+
+def test_unigram_logprob_rare_scores_higher(spark):
+    from tmdb_index_spark.operators.llm_prep import unigram_logprob
+
+    df = _df(
+        spark,
+        [(1, "common common common common"), (2, "common rare")],
+    )
+    got = {r["doc_id"]: r for r in rows(unigram_logprob(df), order_by="doc_id")}
+    assert got[2]["mean_neg_logp"] > got[1]["mean_neg_logp"]
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from tmdb_index_spark.operators.llm_prep import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(1, 11))  # 10 tokens
+    out = rows(
+        chunk_documents(_df(spark, [(1, text)]), chunk_tokens=4, stride=3),
+        order_by="chunk_id",
+    )
+    # starts 1,4,7,10 -> sizes 4,4,4,1; no suffix lost
+    assert [r["chunk_id"] for r in out] == [0, 1, 2, 3]
+    assert [r["n_chunk_tokens"] for r in out] == [4, 4, 4, 1]
+    assert out[0]["chunk_text"] == "t1 t2 t3 t4"
+    assert out[1]["chunk_text"] == "t4 t5 t6 t7"  # 1-token overlap
+    assert out[3]["chunk_text"] == "t10"
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from tmdb_index_spark.operators.llm_prep import chunk_documents
+
+    out = rows(
+        chunk_documents(_df(spark, [(1, "only two")]), chunk_tokens=64, stride=48)
+    )
+    assert len(out) == 1
+    assert out[0]["chunk_id"] == 0 and out[0]["n_chunk_tokens"] == 2
+    assert out[0]["chunk_text"] == "only two"
+
+
+def test_chunk_documents_bad_params_raise(spark):
+    from tmdb_index_spark.operators.llm_prep import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(_df(spark, [(1, "a")]), chunk_tokens=0, stride=1)
+    with pytest.raises(ValueError):
+        chunk_documents(_df(spark, [(1, "a")]), chunk_tokens=4, stride=0)

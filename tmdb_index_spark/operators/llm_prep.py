@@ -59,6 +59,8 @@ __all__ = [
     "repetition_signals",
     "redact_patterns",
     "pack_sequences",
+    "unigram_logprob",
+    "chunk_documents",
     "DEFAULT_REDACTIONS",
 ]
 
@@ -256,4 +258,108 @@ def pack_sequences(
         out.withColumn("bin", F.floor(start / capacity).cast("long"))
         .withColumnRenamed("__tok__", "n_tokens")
         .withColumnRenamed("__shard__", "shard")
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int = 4,
+) -> DataFrame:
+    """CCNet-style perplexity-proxy quality score: mean negative log10
+    unigram probability per document, scored against the corpus's own
+    (add-one-smoothed) unigram distribution.
+
+    Real pipelines score against a reference-language model; the
+    operator SHAPE is what matters at 100 TB and it is identical: a
+    token-frequency table joined back to the exploded corpus. Scale
+    path: one explode + two aggregations — the frequency table is
+    grouped on the token (high-cardinality, skew bounded by natural
+    Zipf, partial aggregation absorbs the head), and the per-doc mean
+    re-aggregates on ``id_col``. All arithmetic is double with a final
+    round, deterministic in any engine (sum of per-token logs is
+    computed as sum/count of the joined rows — no float fold order
+    ambiguity because aggregation is commutative to the rounded
+    digits).
+
+    Returns ``(id_col, n_tokens, mean_neg_logp)`` — higher means more
+    surprising (rarer tokens); boilerplate scores low. Docs with no
+    tokens (empty/NULL text) are dropped (no tokens to score).
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = df.select(
+        id_col, F.explode(tokens(txt)).alias("__tok__")
+    ).filter(F.col("__tok__") != "")
+    freq = toks.groupBy("__tok__").agg(
+        F.count(F.lit(1)).cast("long").alias("__tf__")
+    )
+    total = freq.agg(
+        F.sum("__tf__").alias("__n__"),
+        F.count(F.lit(1)).alias("__v__"),
+    )
+    scored = (
+        toks.join(freq, "__tok__")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (
+                -F.log10(
+                    (F.col("__tf__") + 1).cast("double")
+                    / (F.col("__n__") + F.col("__v__")).cast("double")
+                )
+            ).alias("__nlp__"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("__nlp__"), decimals).alias("mean_neg_logp"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking: split each document's whitespace tokens
+    into windows of ``chunk_tokens`` advancing by ``stride`` (overlap =
+    ``chunk_tokens - stride``), the standard long-document treatment
+    for embedding / context-window-bound training.
+
+    Map-only: chunk starts come from ``sequence()`` over the token
+    array, windows from ``slice``, text from ``concat_ws`` — a single
+    Generate per doc with per-chunk work proportional to chunk size,
+    no shuffle at any corpus size. The final (possibly short) window
+    always lands so no suffix is lost; a document shorter than one
+    chunk yields exactly one chunk. Chunks are numbered 0.. per doc.
+
+    Returns ``(id_col, chunk_id, n_chunk_tokens, chunk_text)``.
+    """
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    t = tokens(txt)
+    n = F.size(t)
+    # last start index (1-based): the greatest stride multiple that
+    # still begins a non-empty window = floor((n-1)/stride)*stride + 1
+    last_start = (
+        F.floor((n - 1).cast("double") / stride).cast("int") * stride + 1
+    )
+    starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), last_start, F.lit(stride))
+    )
+    pre = df.select(
+        id_col,
+        t.alias("__t__"),
+        F.explode(starts).alias("__start__"),
+    )
+    chunk = F.slice(F.col("__t__"), F.col("__start__"), chunk_tokens)
+    return pre.select(
+        id_col,
+        ((F.col("__start__") - 1) / stride).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
     )

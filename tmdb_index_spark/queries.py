@@ -2801,6 +2801,62 @@ FROM b GROUP BY source
 """
 
 
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (extension: CCNet-style
+    filter): mean negative log10 add-one-smoothed unigram probability
+    per doc, scored against the corpus's own token distribution. One
+    explode + token-frequency groupBy + per-doc mean — the reference-LM
+    join shape at any scale."""
+    from tmdb_index_spark.operators.llm_prep import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+_UNIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS tok
+  FROM documents
+),
+nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+tf AS (SELECT tok, COUNT(*)::BIGINT AS tf FROM nz GROUP BY tok),
+tot AS (SELECT SUM(tf) AS n, COUNT(*) AS v FROM tf)
+SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+       ROUND(AVG(-log10((tf + 1) * 1.0 / (n + v))), 4) AS mean_neg_logp
+FROM nz JOIN tf USING (tok), tot
+GROUP BY doc_id
+"""
+
+
+def chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (extension: context-window prep):
+    64-token windows advancing by 48 (16-token overlap), map-only, the
+    final short window kept. Returns every chunk with its text."""
+    from tmdb_index_spark.operators.llm_prep import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
+    )
+
+
+_CHUNKED_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS ts
+  FROM documents
+),
+s AS (
+  SELECT doc_id, ts,
+         unnest(range(1, (len(ts) - 1) // 48 * 48 + 2, 48)) AS strt
+  FROM t WHERE len(ts) > 0
+)
+SELECT doc_id, ((strt - 1) // 48)::BIGINT AS chunk_id,
+       len(ts[strt:strt + 63])::BIGINT AS n_chunk_tokens,
+       array_to_string(ts[strt:strt + 63], ' ') AS chunk_text
+FROM s
+"""
+
+
 def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: customer×orders LEFT OUTER join (join-side
     predicate, not a pre-filter of customers) → per-customer order
@@ -3129,6 +3185,8 @@ QUERIES: dict[str, QueryFn] = {
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "q18_large_orders": q18_large_orders,
     "q8_market_share": q8_market_share,
+    "unigram_surprisal": unigram_surprisal,
+    "chunked_documents": chunked_documents,
     # rows-only entries (sketches are engine-private; exact twins exist
     # above for cross-engine parity) — deliberately absent from ORACLES.
     "approx_distinct_users_daily": approx_distinct_users_daily,
@@ -3221,6 +3279,8 @@ ORACLES: dict[str, str] = {
     "q17_small_qty_revenue": _Q17_SQL,
     "q18_large_orders": _Q18_SQL,
     "q8_market_share": _Q8_SQL,
+    "unigram_surprisal": _UNIGRAM_SQL,
+    "chunked_documents": _CHUNKED_SQL,
 }
 
 # Driver-window rotation, DETERMINISTIC (round-3 advisory): the
