@@ -330,3 +330,34 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM attrib").collect()
     }
     assert got_stream == expected
+
+
+def test_enrich_stream_static_join_matches_batch(spark, tmp_path):
+    import pytest
+
+    from tmdb_index_spark.streaming.windowed import enrich_stream
+
+    src = str(tmp_path / "events")
+    _write_events(spark, src)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (3, "silver")], "user_id int, tier string"
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (
+        enrich_stream(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt_enrich")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM enriched").collect()
+    exp = enrich_stream(spark.read.parquet(src), dim).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    # left semantics: user 2 (no dim row) survives with NULL tier
+    tiers = {r["user_id"]: r["tier"] for r in got}
+    assert tiers[1] == "gold" and tiers[2] is None
+    with pytest.raises(ValueError):
+        enrich_stream(stream, dim, how="full")

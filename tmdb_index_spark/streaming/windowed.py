@@ -39,6 +39,7 @@ __all__ = [
     "run_upsert_stream",
     "attribute_outcomes",
     "dedup_stream",
+    "enrich_stream",
 ]
 
 
@@ -283,3 +284,34 @@ def run_upsert_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     writer.start().awaitTermination()
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    live event stream (the lookup-table pattern — user profile, device
+    registry, geo table).
+
+    Stream-static joins are STATELESS in Structured Streaming: each
+    micro-batch joins against the static side as of that batch, no
+    watermark and no state store involved — so this is the cheapest
+    join shape a streaming pipeline has, and the first choice before
+    reaching for a stream-stream join. The static side is explicitly
+    ``broadcast()`` (a dimension that fits one executor's memory at
+    100 TB fact scale is still the common case); drop the hint by
+    passing a pre-transformed ``dim`` if the dimension is genuinely
+    fact-sized — Spark then shuffles the static side per batch, which
+    is the signal to pre-key and bucket it instead.
+
+    The same expression works on a batch frame (identical join), which
+    is how the parity test pins semantics. Inner and left joins only:
+    right/full joins against a stream are not meaningful batch-by-batch
+    (the stream side is never "complete").
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"stream-static join must be left or inner, got {how!r}")
+    return events.join(F.broadcast(dim), on, how)
