@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from tmdb_index_spark.functions.text import portable_hash60, tokens, word_shingles
 from tmdb_index_spark.operators.materialize import pin_frame
+from tmdb_index_spark.operators.partitioning import widen_small_scan
 
 __all__ = [
     "dedup_exact",
@@ -135,7 +136,11 @@ def _shingle_frame(
             yield pd.DataFrame({"__id__": ids, "__sh__": shs, "__n__": cnt})
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    # Single-row-group corpora scan as one task; the per-doc shingle+md5
+    # loop is the engine's heaviest Python stage, so widen first (no-op
+    # at production scan widths — operators/partitioning.py).
+    src = widen_small_scan(df.select(F.col(id_col), F.col(text_col)))
+    return src.mapInPandas(
         shingler, f"__id__ {id_type}, __sh__ long, __n__ long"
     )
 
@@ -554,7 +559,7 @@ def _simhash64_pandas(
             ).astype({"__fp__": "Int64", "__nt__": "Int64"})
 
     id_type = dict(df.dtypes)[id_col]
-    sig = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    sig = widen_small_scan(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
         fingerprints, f"__id__ {id_type}, __fp__ long, __nt__ long"
     )
     return sig.select(

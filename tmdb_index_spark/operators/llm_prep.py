@@ -47,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from tmdb_index_spark.operators.partitioning import widen_small_scan
 from tmdb_index_spark.functions.text import (
     portable_hash60,
     token_count,
@@ -82,7 +83,7 @@ def ngram_contamination(
     if a dense flag column is wanted).
     """
     def _grams(df: DataFrame, *keep: str) -> DataFrame:
-        return df.select(
+        return widen_small_scan(df).select(
             *keep,
             F.explode(F.array_distinct(word_shingles(text_col, n))).alias("__ng__"),
         ).select(*keep, portable_hash60(F.col("__ng__")).alias("__h__"))
@@ -159,7 +160,7 @@ def repetition_signals(
     # tokenize+shingle tree once per exploded row (measured 209 s vs
     # ~3 s at sf0.1). Materializing them as pass-through attributes
     # pins their evaluation before the Generate.
-    pre = df.select(
+    pre = widen_small_scan(df).select(
         id_col,
         dup_ratio.alias("dup_token_ratio"),
         F.size(bg).alias("__nbg__"),
@@ -288,7 +289,7 @@ def unigram_logprob(
     tokens (empty/NULL text) are dropped (no tokens to score).
     """
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    toks = df.select(
+    toks = widen_small_scan(df).select(
         id_col, F.explode(tokens(txt)).alias("__tok__")
     ).filter(F.col("__tok__") != "")
     freq = toks.groupBy("__tok__").agg(

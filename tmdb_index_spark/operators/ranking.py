@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tmdb_index_spark.operators.materialize import pin_frame
+from tmdb_index_spark.operators.partitioning import widen_small_scan
 
 _WORD_RE = "[a-z0-9]+"
 
@@ -38,7 +39,10 @@ def term_frequencies(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """``(id, term, tf)`` — lowercase word terms and their per-doc counts."""
-    toks = docs.select(
+    # Widen first: single-row-group corpora scan as one task, and the
+    # regex tokenize + explode is the hot per-row stage (no-op at
+    # production scan widths — operators/partitioning.py).
+    toks = widen_small_scan(docs.select(id_col, text_col)).select(
         id_col,
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
@@ -137,7 +141,10 @@ def bm25_topk(
         return docs.sparkSession.createDataFrame(
             [], f"{id_col} {id_type}, score double, rank long"
         )
-    toks = docs.select(
+    # Widen first: single-row-group corpora scan as one task, and the
+    # regex tokenize + explode is the hot per-row stage (no-op at
+    # production scan widths — operators/partitioning.py).
+    toks = widen_small_scan(docs.select(id_col, text_col)).select(
         id_col,
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)

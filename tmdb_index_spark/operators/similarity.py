@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tmdb_index_spark.operators.partitioning import widen_small_scan
+
 __all__ = [
     "cosine",
     "brute_force_topk",
@@ -90,7 +92,7 @@ def brute_force_topk(
             _norm(_as_double(vec_col)).alias("__qn__"),
         )
     )
-    c = corpus.select(
+    c = widen_small_scan(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("__cv__"),
         _norm(_as_double(vec_col)).alias("__cn__"),
@@ -163,7 +165,7 @@ def lsh_topk(
     found). Probing is asymmetric — only the query side expands — so
     pairs aren't double-counted within a probe and are deduped across
     probes by (query, neighbor)."""
-    b = signbit_buckets(corpus, n_bits, id_col, vec_col)
+    b = signbit_buckets(widen_small_scan(corpus), n_bits, id_col, vec_col)
     a = b.select(
         F.col(id_col).alias("query_id"),
         _as_double(vec_col).alias("__qv__"),
@@ -314,7 +316,7 @@ def ivf_assign(
             for cell_id, cvec in centroids
         ]
     )
-    exploded = df.select(
+    exploded = widen_small_scan(df).select(
         F.col(id_col), F.col(vec_col), F.explode(cent).alias("__c__")
     ).select(
         F.col(id_col),
@@ -523,7 +525,7 @@ def ivf_probe_assign(
     )
     from pyspark.sql import Window
 
-    exploded = df.select(
+    exploded = widen_small_scan(df).select(
         F.col(id_col), F.col(vec_col), F.explode(cent).alias("__c__")
     ).select(
         F.col(id_col),
@@ -704,6 +706,7 @@ def cosine_neardup_pairs(
     candidate volume ÷ ~2^bits, recall approximate at boundaries; pair
     a bigger ``n_bits`` with multi-probe re-runs for coverage).
     """
+    corpus = widen_small_scan(corpus)
     if n_bits is None:
         base = corpus.select(
             F.col(id_col),
