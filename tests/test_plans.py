@@ -204,3 +204,14 @@ def test_q15_max_subquery_broadcasts(spark):
     p = _plan(spark, "q15_top_suppliers")
     assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p
+
+
+def test_widen_small_scan_noop_when_wide(spark):
+    from tmdb_index_spark.operators.partitioning import widen_small_scan
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame([(i,) for i in range(10)], "id long").coalesce(1)
+    assert widen_small_scan(narrow).rdd.getNumPartitions() == target
+    wide = narrow.repartition(target + 4)
+    # already at/above parallelism: returned UNCHANGED, no extra exchange
+    assert widen_small_scan(wide) is wide
