@@ -1,0 +1,135 @@
+"""Range (point-in-interval) join and cascaded time rollups.
+
+Two operator families Spark has no native physical strategy for, each
+re-expressed as equi-join / reuse-friendly plans (the reference engine
+has neither; they are north-star extensions listed alongside the as-of
+join):
+
+* :func:`point_in_interval_join` — join fact points into dimension
+  intervals (``start <= point < end``). Spark plans a bare inequality
+  join as BroadcastNestedLoopJoin — |facts|·|intervals| comparisons,
+  the classic silent scale-killer. This operator buckets both sides at
+  ``bucket_width`` granularity: each interval explodes into the
+  buckets it covers, each point maps to exactly one bucket, the join
+  becomes an EQUI-join on the bucket id (hash-partitionable, AQE- and
+  skew-handling-eligible), and the original predicate remains as a
+  residual filter. Cost: |intervals| × avg_buckets_per_interval extra
+  index rows — pick ``bucket_width`` near the typical interval length
+  so that factor stays small (the TimescaleDB/interval-index rule).
+
+* :func:`cascade_time_rollup` — hypertable-style continuous-aggregate
+  cascade: hour from raw, day from HOUR, month from DAY. Each coarser
+  grain re-aggregates the previous grain's partial aggregates (sums of
+  sums, sums of counts), so raw data is scanned exactly once and the
+  day/month shuffles move |hours| / |days| rows, not |raw|. That reuse
+  is the entire point of a continuous aggregate at 100 TB: the naive
+  union of three groupBys over raw is three full scans + three full
+  shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["point_in_interval_join", "cascade_time_rollup"]
+
+
+def point_in_interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    broadcast_intervals: bool = True,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each fact row to every interval containing its point
+    (half-open: ``start <= point < end``).
+
+    Returns facts columns + intervals columns. ``how='left'`` keeps
+    unmatched facts (interval columns null). The bucketed index join
+    keeps the big side hash-partitioned on a dense numeric key; set
+    ``broadcast_intervals=False`` when the interval table is itself
+    fact-sized (the join then shuffles both sides on the bucket id).
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner or left, got {how!r}")
+    w = float(bucket_width)
+    # Interval side: one row per covered bucket. sequence() is inclusive
+    # on both ends; an interval touching buckets [b0 .. b1] must index
+    # all of them. Empty/invalid intervals (end <= start) produce the
+    # start bucket only and are then removed by the residual predicate.
+    b0 = F.floor(F.col(start_col) / w).cast("long")
+    b1 = F.floor(
+        (F.col(end_col) - F.lit(1e-12)) / w  # end is exclusive
+    ).cast("long")
+    idx = intervals.select(
+        "*", F.explode(F.sequence(b0, F.greatest(b1, b0))).alias("__bucket__")
+    )
+    if broadcast_intervals:
+        idx = F.broadcast(idx)
+    pts = facts.withColumn(
+        "__bucket__", F.floor(F.col(point_col) / w).cast("long")
+    )
+    residual = (F.col(point_col) >= F.col(start_col)) & (
+        F.col(point_col) < F.col(end_col)
+    )
+    if how == "inner":
+        return pts.join(idx, "__bucket__").filter(residual).drop("__bucket__")
+    # left: residual must live in the join condition, not a post-filter
+    # (a post-filter would drop the null-extended rows again)
+    cond = (pts["__bucket__"] == idx["__bucket__"]) & residual
+    return (
+        pts.join(idx, cond, "left")
+        .drop(idx["__bucket__"])
+        .drop(pts["__bucket__"])
+    )
+
+
+def cascade_time_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = (),
+) -> dict[str, DataFrame]:
+    """Continuous-aggregate cascade: ``{'hour': df, 'day': df,
+    'month': df}``, each with ``(bucket, *group_cols, n_events,
+    total_value)``.
+
+    The hour frame aggregates raw events; day aggregates the HOUR
+    frame (``sum(n_events)``, ``sum(total_value)``); month aggregates
+    the day frame. Decimal-exact value sums so re-aggregation is
+    bit-identical to a direct groupBy at every grain (pinned by test
+    and by the catalog oracle, which computes each grain directly from
+    raw in SQL).
+    """
+    gc = list(group_cols)
+
+    def _roll(df: DataFrame, grain: str, src_bucket: str, agg_exprs) -> DataFrame:
+        return (
+            df.groupBy(
+                F.date_trunc(grain, F.col(src_bucket)).alias("bucket"), *gc
+            )
+            .agg(*agg_exprs)
+        )
+
+    hour = _roll(
+        events,
+        "hour",
+        ts_col,
+        [
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("total_value"),
+        ],
+    )
+    reagg = [
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("total_value").alias("total_value"),
+    ]
+    day = _roll(hour, "day", "bucket", reagg)
+    month = _roll(day, "month", "bucket", reagg)
+    return {"hour": hour, "day": day, "month": month}

@@ -2857,6 +2857,90 @@ FROM s
 """
 
 
+def acctbal_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (extension: point-in-interval): customers joined into
+    five equal-width balance bands derived from the data's own
+    [min, max] — a real interval-dimension join, not arithmetic
+    bucketing. The bucketed index join keeps it an equi-join (no
+    BroadcastNestedLoopJoin) — `operators/ranges.py`."""
+    from tmdb_index_spark.operators.ranges import point_in_interval_join
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    mm = cust.agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+    span = F.col("hi") - F.col("lo")
+    bands = mm.select(
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("band"), "lo", "hi"
+    ).select(
+        F.col("band").cast("long").alias("band"),
+        (F.col("lo") + F.col("band") * span / 5.0).alias("band_lo"),
+        F.when(F.col("band") == 4, F.col("hi") + 1.0)
+        .otherwise(F.col("lo") + (F.col("band") + 1) * span / 5.0)
+        .alias("band_hi"),
+    )
+    joined = point_in_interval_join(
+        cust, bands, "c_acctbal", "band_lo", "band_hi", bucket_width=2000.0
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+    )
+
+
+_BAND_JOIN_SQL = """
+WITH mm AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer),
+bands AS (
+  SELECT band, lo + band * (hi - lo) / 5.0 AS band_lo,
+         CASE WHEN band = 4 THEN hi + 1.0
+              ELSE lo + (band + 1) * (hi - lo) / 5.0 END AS band_hi
+  FROM mm, unnest(range(0, 5)) AS t(band)
+)
+SELECT band, COUNT(*)::BIGINT AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer JOIN bands
+  ON c_acctbal >= band_lo AND c_acctbal < band_hi
+GROUP BY band
+"""
+
+
+def multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade (extension):
+    hour from raw, day from HOUR, month from DAY — raw scanned once,
+    coarser shuffles move |finer-grain| rows. The oracle computes every
+    grain directly from raw, proving the cascade re-aggregation exact
+    (decimal partial sums)."""
+    from tmdb_index_spark.operators.ranges import cascade_time_rollup
+
+    grains = cascade_time_rollup(_events(spark, sf_dir))
+    out = None
+    for name in ("hour", "day", "month"):
+        g = grains[name].select(
+            F.lit(name).alias("grain"),
+            "bucket",
+            "n_events",
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+        out = g if out is None else out.unionByName(g)
+    return out
+
+
+_MULTI_GRAIN_SQL = """
+SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket,
+       COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'day', date_trunc('day', ts),
+       COUNT(*)::BIGINT,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'month', date_trunc('month', ts),
+       COUNT(*)::BIGINT,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+FROM events GROUP BY 2
+"""
+
+
 def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: customer×orders LEFT OUTER join (join-side
     predicate, not a pre-filter of customers) → per-customer order
@@ -3187,6 +3271,8 @@ QUERIES: dict[str, QueryFn] = {
     "q8_market_share": q8_market_share,
     "unigram_surprisal": unigram_surprisal,
     "chunked_documents": chunked_documents,
+    "acctbal_band_counts": acctbal_band_counts,
+    "multi_grain_rollup": multi_grain_rollup,
     # rows-only entries (sketches are engine-private; exact twins exist
     # above for cross-engine parity) — deliberately absent from ORACLES.
     "approx_distinct_users_daily": approx_distinct_users_daily,
@@ -3281,6 +3367,8 @@ ORACLES: dict[str, str] = {
     "q8_market_share": _Q8_SQL,
     "unigram_surprisal": _UNIGRAM_SQL,
     "chunked_documents": _CHUNKED_SQL,
+    "acctbal_band_counts": _BAND_JOIN_SQL,
+    "multi_grain_rollup": _MULTI_GRAIN_SQL,
 }
 
 # Driver-window rotation, DETERMINISTIC (round-3 advisory): the
