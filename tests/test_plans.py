@@ -215,3 +215,21 @@ def test_widen_small_scan_noop_when_wide(spark):
     wide = narrow.repartition(target + 4)
     # already at/above parallelism: returned UNCHANGED, no extra exchange
     assert widen_small_scan(wide) is wide
+
+
+def test_q6_all_predicates_reach_scan(spark):
+    # Q6's value is entirely in scan-side filtering: every range
+    # predicate must appear in the scan's pushed filters so row-group
+    # min/max skipping works at scale; plan is filter -> one partial +
+    # final aggregate pair, no shuffle beyond the 1-row merge.
+    p = _plan(spark, "q6_forecast_revenue")
+    scan = p.split("FileScan parquet")[1][:900]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan, col
+    assert "partial" in p
+
+
+def test_q10_topk_and_broadcast_dims(spark):
+    p = _plan(spark, "q10_returned_item_customers")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastHashJoin") >= 2

@@ -2857,6 +2857,90 @@ FROM s
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side conjunctive range filters into a
+    single global aggregate — every predicate must reach the parquet
+    scan (min/max row-group skipping at scale), no join, no groupBy
+    shuffle, one partial+final agg pair."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer in a
+    quarter, deterministic top-20. Fact-fact join co-partitioned on
+    orderkey; customer/nation dims broadcast; TakeOrderedAndProject
+    for the limit."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("__rev__"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("__rev__").cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("__rev__").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+WITH r AS (
+  SELECT c_custkey, c_name, n_name,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, n_name, CAST(rev AS DOUBLE) AS revenue
+FROM r ORDER BY rev DESC, c_custkey LIMIT 20
+"""
+
+
 def acctbal_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (extension: point-in-interval): customers joined into
     five equal-width balance bands derived from the data's own
@@ -3273,6 +3357,8 @@ QUERIES: dict[str, QueryFn] = {
     "chunked_documents": chunked_documents,
     "acctbal_band_counts": acctbal_band_counts,
     "multi_grain_rollup": multi_grain_rollup,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_item_customers": q10_returned_item_customers,
     # rows-only entries (sketches are engine-private; exact twins exist
     # above for cross-engine parity) — deliberately absent from ORACLES.
     "approx_distinct_users_daily": approx_distinct_users_daily,
@@ -3369,6 +3455,8 @@ ORACLES: dict[str, str] = {
     "chunked_documents": _CHUNKED_SQL,
     "acctbal_band_counts": _BAND_JOIN_SQL,
     "multi_grain_rollup": _MULTI_GRAIN_SQL,
+    "q6_forecast_revenue": _Q6_SQL,
+    "q10_returned_item_customers": _Q10_SQL,
 }
 
 # Driver-window rotation, DETERMINISTIC (round-3 advisory): the
