@@ -2857,6 +2857,29 @@ FROM s
 """
 
 
+def corpus_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle (extension: reproducible training
+    order): every doc gets a contiguous 0-based position under the
+    md5(doc_id # seed) order — computed WITHOUT a single-partition
+    global window (`operators/ordering.py`: monotone data-derived
+    buckets + per-bucket offsets; the only serial window is over
+    |buckets| rows)."""
+    from tmdb_index_spark.operators.ordering import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", seed=7).select("doc_id", "pos")
+
+
+_SHUFFLE_POS_SQL = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+         ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '#7'), 1, 15))::BIGINT,
+                  doc_id
+       ) - 1 AS pos
+FROM documents
+"""
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan-side conjunctive range filters into a
     single global aggregate — every predicate must reach the parquet
@@ -3359,6 +3382,7 @@ QUERIES: dict[str, QueryFn] = {
     "multi_grain_rollup": multi_grain_rollup,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_item_customers": q10_returned_item_customers,
+    "corpus_shuffle_positions": corpus_shuffle_positions,
     # rows-only entries (sketches are engine-private; exact twins exist
     # above for cross-engine parity) — deliberately absent from ORACLES.
     "approx_distinct_users_daily": approx_distinct_users_daily,
@@ -3457,6 +3481,7 @@ ORACLES: dict[str, str] = {
     "multi_grain_rollup": _MULTI_GRAIN_SQL,
     "q6_forecast_revenue": _Q6_SQL,
     "q10_returned_item_customers": _Q10_SQL,
+    "corpus_shuffle_positions": _SHUFFLE_POS_SQL,
 }
 
 # Driver-window rotation, DETERMINISTIC (round-3 advisory): the
