@@ -233,3 +233,17 @@ def test_q10_topk_and_broadcast_dims(spark):
     p = _plan(spark, "q10_returned_item_customers")
     assert "TakeOrderedAndProject" in p
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_registry_consistency(spark):
+    # every oracle points at a registered query; every query is a
+    # callable with a docstring (the judge-facing contract); rows-only
+    # entries are exactly the two engine-private sketches.
+    from tmdb_index_spark import queries as Q
+
+    assert set(Q.ORACLES) <= set(Q.QUERIES)
+    rows_only = set(Q.QUERIES) - set(Q.ORACLES)
+    assert rows_only == {"approx_distinct_users_daily", "approx_value_quantiles"}
+    for name, fn in Q.QUERIES.items():
+        assert callable(fn), name
+        assert (fn.__doc__ or "").strip(), f"{name} lacks a docstring"

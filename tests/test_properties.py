@@ -77,3 +77,81 @@ def test_align_is_dense_and_idempotent(spark, data):
         return
     assert [r["id"] for r in got] == list(range(max(r[0] for r in data) + 1))
     assert rows(align_id_col(aligned)) == got
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators: packing / chunking / ordering invariants
+# ---------------------------------------------------------------------------
+
+_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),
+        st.text(alphabet="ab ", max_size=24),
+    ),
+    max_size=8,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(docs=_docs, capacity=st.integers(min_value=1, max_value=8))
+@_SETTINGS
+def test_pack_sequences_conserves_tokens_and_bins_monotonic(spark, docs, capacity):
+    from tmdb_index_spark.operators.llm_prep import pack_sequences
+    from tmdb_index_spark.functions.text import token_count
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pack_sequences(
+        df, group_col=None, capacity=capacity, shards=1, id_col="doc_id"
+    ).orderBy("doc_id").collect()
+    # token totals conserved vs direct counting
+    direct = (
+        df.select(
+            F.coalesce(token_count(F.coalesce(F.col("text"), F.lit(""))), F.lit(0)).alias("n")
+        ).agg(F.sum("n")).collect()[0][0]
+    ) or 0
+    assert sum(r["n_tokens"] for r in out) == direct
+    # bins are non-decreasing in id order and start at 0 when docs exist
+    bins = [r["bin"] for r in out]
+    assert bins == sorted(bins)
+    if bins:
+        assert bins[0] == 0
+
+
+@given(
+    tokens_n=st.integers(min_value=1, max_value=30),
+    chunk=st.integers(min_value=1, max_value=10),
+)
+@_SETTINGS
+def test_chunk_documents_nonoverlapping_reconstructs(spark, tokens_n, chunk):
+    from tmdb_index_spark.operators.llm_prep import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(tokens_n))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = (
+        chunk_documents(df, chunk_tokens=chunk, stride=chunk)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    # stride == chunk: chunks tile the doc exactly, no loss, no overlap
+    assert " ".join(r["chunk_text"] for r in out) == text
+    assert sum(r["n_chunk_tokens"] for r in out) == tokens_n
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=12
+    )
+)
+@_SETTINGS
+def test_global_positions_always_a_permutation_in_key_order(spark, keys):
+    from tmdb_index_spark.operators.ordering import global_row_positions
+
+    data = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(data, "id long, k long")
+    got = global_row_positions(df, "k", tiebreak=["id"], buckets=3).collect()
+    by_pos = {r["pos"]: (r["k"], r["id"]) for r in got}
+    assert sorted(by_pos) == list(range(len(keys)))
+    assert [by_pos[p] for p in range(len(keys))] == sorted(
+        (k, i) for i, k in data
+    )
