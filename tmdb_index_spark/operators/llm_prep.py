@@ -352,10 +352,14 @@ def chunk_documents(
     starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
         F.sequence(F.lit(1), last_start, F.lit(stride))
     )
+    # Two-step projection so the token array materializes BEFORE the
+    # Generate: exploding alongside sibling expressions of the same
+    # tokenize tree lets Catalyst re-evaluate it once per chunk row
+    # (the repetition_signals lesson — see that operator's comment).
     pre = df.select(
-        id_col,
-        t.alias("__t__"),
-        F.explode(starts).alias("__start__"),
+        id_col, t.alias("__t__"), starts.alias("__starts__")
+    ).select(
+        id_col, "__t__", F.explode("__starts__").alias("__start__")
     )
     chunk = F.slice(F.col("__t__"), F.col("__start__"), chunk_tokens)
     return pre.select(

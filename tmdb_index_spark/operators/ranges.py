@@ -95,6 +95,8 @@ def cascade_time_rollup(
     ts_col: str = "ts",
     value_col: str = "value",
     group_cols: tuple[str, ...] = (),
+    materialize: str = "cache",
+    scratch_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     """Continuous-aggregate cascade: ``{'hour': df, 'day': df,
     'month': df}``, each with ``(bucket, *group_cols, n_events,
@@ -106,7 +108,17 @@ def cascade_time_rollup(
     bit-identical to a direct groupBy at every grain (pinned by test
     and by the catalog oracle, which computes each grain directly from
     raw in SQL).
+
+    The hour and day frames are PINNED (`materialize` — cache by
+    default, 'parquet' for a shared-scratch cluster): a consumer that
+    unions all three grains would otherwise re-execute the hour
+    aggregate (and the raw scan under it) once per branch — Spark's
+    ReuseExchange does not canonicalize across the differing
+    downstream aggregates, so without pinning the "raw scanned once"
+    claim silently becomes three scans.
     """
+    from tmdb_index_spark.operators.materialize import pin_frame
+
     gc = list(group_cols)
 
     def _roll(df: DataFrame, grain: str, src_bucket: str, agg_exprs) -> DataFrame:
@@ -130,6 +142,7 @@ def cascade_time_rollup(
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum("total_value").alias("total_value"),
     ]
-    day = _roll(hour, "day", "bucket", reagg)
+    hour = pin_frame(hour, materialize, scratch_dir)
+    day = pin_frame(_roll(hour, "day", "bucket", reagg), materialize, scratch_dir)
     month = _roll(day, "month", "bucket", reagg)
     return {"hour": hour, "day": day, "month": month}
