@@ -238,12 +238,17 @@ def test_q10_topk_and_broadcast_dims(spark):
 def test_registry_consistency(spark):
     # every oracle points at a registered query; every query is a
     # callable with a docstring (the judge-facing contract); rows-only
-    # entries are exactly the two engine-private sketches.
+    # entries are exactly the two engine-private sketches plus the
+    # k-means-fitted IVF index (iterative fit, not SQL-expressible).
     from tmdb_index_spark import queries as Q
 
     assert set(Q.ORACLES) <= set(Q.QUERIES)
     rows_only = set(Q.QUERIES) - set(Q.ORACLES)
-    assert rows_only == {"approx_distinct_users_daily", "approx_value_quantiles"}
+    assert rows_only == {
+        "approx_distinct_users_daily",
+        "approx_value_quantiles",
+        "embedding_ivf_tuned_topk",
+    }
     for name, fn in Q.QUERIES.items():
         assert callable(fn), name
         assert (fn.__doc__ or "").strip(), f"{name} lacks a docstring"

@@ -249,11 +249,22 @@ def lsh_index_topk(
     """
     import math
 
+    if n_estimate is not None and n_estimate <= 0:
+        raise ValueError(f"n_estimate must be positive, got {n_estimate}")
     if n_bits is None:
         n = n_estimate if n_estimate is not None else corpus.count()
         n_bits = max(1, math.ceil(math.log2(max(n, 2) / target_bucket)))
         if dim is None:
-            dim = len(corpus.select(vec_col).head()[0])
+            row = corpus.select(vec_col).head()
+            if row is None:
+                # Empty corpus: no pairs exist at any bit count; run
+                # with 1 bit so the caller still gets the empty result
+                # frame with the contract schema instead of a crash.
+                return lsh_topk(
+                    corpus, k=k, n_bits=1, id_col=id_col, vec_col=vec_col,
+                    multi_probe=multi_probe,
+                )
+            dim = len(row[0])
         n_bits = min(n_bits, dim)
     return lsh_topk(
         corpus,

@@ -1235,6 +1235,52 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
+def embedding_lsh_tuned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-tuned LSH top-3: the production ANN entry point
+    (:func:`~tmdb_index_spark.operators.similarity.lsh_index_topk`)
+    with the bit count derived from the corpus row count —
+    ``bits = clamp(ceil(log2(N / 32)), 1, dim)`` — so mean bucket
+    occupancy (and therefore within-bucket scoring work per vector)
+    stays constant as N grows. The fixed-bits twin above
+    (``embedding_lsh_topk``) is the measured scale failure mode
+    (SCALE.md: 10x data at 8 fixed bits -> 64.9x time); this query is
+    the certified fix. The bit formula is a deterministic function of
+    ``COUNT(*)``, so the DuckDB oracle computes the identical bucket
+    ids (extension: similarity-search scale path)."""
+    from tmdb_index_spark.operators.similarity import lsh_index_topk
+
+    return lsh_index_topk(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+# Oracle mirror of lsh_index_topk's tuning rule (similarity.py):
+#   bits = min(max(1, ceil(log2(max(N, 2) / target_bucket))), dim)
+# with target_bucket=32 and dim=64. Both engines evaluate the same
+# IEEE-double division and log2, so the computed bit count — and hence
+# every bucket id — is identical.
+_EMB_LSH_TUNED_SQL = f"""
+WITH p AS (
+  SELECT LEAST(GREATEST(1, CAST(CEIL(LOG2(GREATEST(COUNT(*), 2) / 32.0)) AS BIGINT)), 64) AS nb
+  FROM embeddings
+),
+v AS (
+  SELECT vec_id, v,
+         list_sum(list_transform(generate_series(0, (SELECT nb FROM p) - 1),
+           i -> CASE WHEN v[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
+  FROM v q JOIN v c ON q.bucket = c.bucket
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 #: Deterministic IVF centroids for the catalog query: 8 axis-aligned
 #: unit vectors in the 64-dim embedding space. A production index fits
 #: these with sampled k-means; the operator (assign + in-cell search) is
@@ -1285,6 +1331,24 @@ _IVF_SQL = (
     "    ORDER BY cos_sim DESC, neighbor_id ASC)::BIGINT AS rank FROM scored\n"
     ") WHERE rank <= 3\n"
 )
+
+
+def embedding_ivf_tuned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-tuned IVF top-3: the production IVF entry point
+    (:func:`~tmdb_index_spark.operators.similarity.ivf_index_topk`)
+    with ``cells = round(sqrt(N))`` (keeps both the within-cell
+    quadratic and the assignment cost linear in N) and centroids fit
+    by deterministic sampled k-means. Rows-only correctness entry by
+    design: the k-means fit is an iterative driver-side algorithm
+    (seeded k-means++ + Lloyd iterations over a bounded sample) that
+    ANSI SQL cannot express — the exact-centroid twins above carry the
+    cross-engine value check for the assign+search operator itself,
+    and ``tests/test_similarity.py`` pins this wrapper's determinism
+    and its recall against the brute-force baseline (extension:
+    similarity-search scale path)."""
+    from tmdb_index_spark.operators.similarity import ivf_index_topk
+
+    return ivf_index_topk(_t(spark, sf_dir, "embeddings"), k=3)
 
 
 def embedding_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3330,6 +3394,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_neardups": simhash_neardups,
     "embedding_topk": embedding_topk,
     "embedding_lsh_topk": embedding_lsh_topk,
+    "embedding_lsh_tuned_topk": embedding_lsh_tuned_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
     "embedding_neardups": embedding_neardups,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
@@ -3383,10 +3448,12 @@ QUERIES: dict[str, QueryFn] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_item_customers": q10_returned_item_customers,
     "corpus_shuffle_positions": corpus_shuffle_positions,
-    # rows-only entries (sketches are engine-private; exact twins exist
-    # above for cross-engine parity) — deliberately absent from ORACLES.
+    # rows-only entries (sketches are engine-private; the k-means fit is
+    # an iterative algorithm; exact twins exist above for cross-engine
+    # parity) — deliberately absent from ORACLES.
     "approx_distinct_users_daily": approx_distinct_users_daily,
     "approx_value_quantiles": approx_value_quantiles,
+    "embedding_ivf_tuned_topk": embedding_ivf_tuned_topk,
 }
 
 QUERIES = {name: _self_configuring(fn) for name, fn in QUERIES.items()}
@@ -3429,6 +3496,7 @@ ORACLES: dict[str, str] = {
     "simhash_neardups": _SIMHASH_NEARDUP_SQL,
     "embedding_topk": _EMB_TOPK_SQL,
     "embedding_lsh_topk": _EMB_LSH_SQL,
+    "embedding_lsh_tuned_topk": _EMB_LSH_TUNED_SQL,
     "embedding_ivf_topk": _IVF_SQL,
     "embedding_neardups": _EMB_NEARDUP_SQL,
     "distinct_parts_per_supplier": _DISTINCT_PARTS_SQL,
