@@ -252,3 +252,22 @@ def test_registry_consistency(spark):
     for name, fn in Q.QUERIES.items():
         assert callable(fn), name
         assert (fn.__doc__ or "").strip(), f"{name} lacks a docstring"
+
+
+def test_q21_semi_anti_joins_stay_hash_partitioned(spark):
+    # Q21's correlated EXISTS / NOT EXISTS rewrite must plan as equi
+    # semi/anti joins on l_orderkey (hash or sort-merge, the supplier
+    # <> residual attached) — never a nested-loop or cartesian — and
+    # the dimension chain must broadcast. Losing either turns the
+    # hardest standard join topology into an all-pairs scan at scale.
+    p = _plan(spark, "q21_waiting_suppliers")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p and "LeftAnti" in p
+    # semi + anti + orders-semi all keyed on orderkey: co-partitioned
+    # (SMJ reuses one exchange) or broadcast — either is a keyed join;
+    # count the keyed-join operators to pin all three probes.
+    keyed = p.count("SortMergeJoin") + p.count("BroadcastHashJoin") + p.count(
+        "ShuffledHashJoin"
+    )
+    assert keyed >= 5  # 3 fact probes + supplier + nation

@@ -3289,6 +3289,84 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 """
 
 
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape ("suppliers who kept orders waiting"): the
+    hardest standard join topology — correlated EXISTS and NOT EXISTS
+    against two more aliases of the same fact, correlated on orderkey.
+    The synthetic lineitem has no receipt/commit dates, so (as in the
+    Q4 shape above) ``l_returnflag = 'R'`` stands in for "late".
+
+    A NATION_1 supplier's late line waits iff the order is finalized
+    ('F'), some OTHER supplier contributed a line to the same order
+    (EXISTS → left-semi), and no other supplier was also late on it
+    (NOT EXISTS → left-anti). Both rewritten joins are equi-joins on
+    ``l_orderkey`` with the ``<>`` supplier residual attached — so the
+    fact shuffles once on orderkey and the semi, anti, and orders
+    probes all reuse that partitioning (plan-pinned: no
+    BroadcastNestedLoopJoin, no cartesian); supplier and nation
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    late_cols = ["l_orderkey", "l_suppkey"]
+    l1 = li.filter(F.col("l_returnflag") == "R").select(*late_cols).alias("l1")
+    l2 = li.select(*late_cols).alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").select(*late_cols).alias("l3")
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1"
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "leftsemi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "leftanti",
+        )
+        .join(orders_f, F.col("l1.l_orderkey") == orders_f.o_orderkey, "leftsemi")
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*)::BIGINT AS numwait
+FROM lineitem l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_1'
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: conditional-aggregation ratio — NATION_1's share
     of yearly revenue across all customer nations. Dimension chain
@@ -3440,6 +3518,7 @@ QUERIES: dict[str, QueryFn] = {
     "q15_top_suppliers": q15_top_suppliers,
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "q18_large_orders": q18_large_orders,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q8_market_share": q8_market_share,
     "unigram_surprisal": unigram_surprisal,
     "chunked_documents": chunked_documents,
@@ -3542,6 +3621,7 @@ ORACLES: dict[str, str] = {
     "q15_top_suppliers": _Q15_SQL,
     "q17_small_qty_revenue": _Q17_SQL,
     "q18_large_orders": _Q18_SQL,
+    "q21_waiting_suppliers": _Q21_SQL,
     "q8_market_share": _Q8_SQL,
     "unigram_surprisal": _UNIGRAM_SQL,
     "chunked_documents": _CHUNKED_SQL,
