@@ -111,7 +111,14 @@ def main() -> int:
     }[bench_set]
     timings: dict[str, float] = {}
     passes: list[dict[str, float]] = []
+    from tmdb_index_spark.operators.materialize import release_pins
+
     for _ in range(runs):
+        # Drop operator pins (cascade rollup hour/day frames, bm25
+        # corpus cache, ...) AND the whole SQL cache between passes so
+        # no query is ever timed against its own still-warm state and
+        # repeated passes don't accumulate storage.
+        release_pins()
         spark.catalog.clearCache()
         this_pass: dict[str, float] = {}
         for name in names:

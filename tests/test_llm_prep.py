@@ -295,3 +295,33 @@ def test_chunk_documents_bad_params_raise(spark):
         chunk_documents(_df(spark, [(1, "a")]), chunk_tokens=0, stride=1)
     with pytest.raises(ValueError):
         chunk_documents(_df(spark, [(1, "a")]), chunk_tokens=4, stride=0)
+
+
+def test_pack_default_shards_tracks_session_parallelism(spark):
+    # shards=None must scale the window partition count with the
+    # cluster (defaultParallelism), not pin a fixed handful of giant
+    # serial sorts at 100 TB; shard = id % shards, so dense ids cover
+    # every shard.
+    par = spark.sparkContext.defaultParallelism
+    docs = [(i, "s", "w") for i in range(4 * par)]
+    got = _packed(spark, docs, capacity=4)
+    assert {r["shard"] for r in got.values()} == set(range(par))
+
+
+def test_chunk_documents_blank_docs_emit_no_chunks(spark):
+    # split('') is [''] — without the empty-token filter a blank/NULL/
+    # whitespace-only doc would emit one phantom chunk with
+    # n_chunk_tokens=1 and chunk_text=''.
+    from tmdb_index_spark.operators.llm_prep import chunk_documents
+
+    out = rows(
+        chunk_documents(
+            _df(spark, [(1, ""), (2, None), (3, "   "), (4, "one tok")]),
+            chunk_tokens=4,
+            stride=3,
+        ),
+        order_by="doc_id",
+    )
+    assert [(r["doc_id"], r["n_chunk_tokens"], r["chunk_text"]) for r in out] == [
+        (4, 2, "one tok")
+    ]

@@ -103,6 +103,45 @@ def test_interval_join_bad_args_raise(spark):
         )
 
 
+def test_interval_join_end_exactly_on_bucket_edge(spark):
+    # end = 30.0 sits exactly on the 10-wide bucket edge: the final
+    # covered bucket is [20, 30) and the (inclusively indexed) bucket
+    # starting AT 30 must contribute nothing. A point one ulp under the
+    # edge is the case the old 1e-12 epsilon could under-index.
+    import math
+
+    just_under = math.nextafter(30.0, 0.0)
+    facts = spark.createDataFrame(
+        [(1, 20.0), (2, just_under), (3, 30.0), (4, 29.0)],
+        "fact_id long, v double",
+    )
+    ivals = _ivals(spark, [("edge", 10.0, 30.0)])
+    got = rows(
+        point_in_interval_join(facts, ivals, "v", "lo", "hi", 10.0),
+        order_by="fact_id",
+    )
+    assert [r["fact_id"] for r in got] == [1, 2, 4]  # 30.0 excluded
+
+
+def test_interval_join_end_one_ulp_above_edge(spark):
+    # end one ulp ABOVE the bucket edge: bucket 3 ([30, 40)) holds the
+    # single point 30.0 < end; inclusive end-bucket indexing must find
+    # it (the documented failure mode of epsilon subtraction, where
+    # end - 1e-12 == 30.0 - nothing and the final bucket was skipped
+    # whenever ulp(end) > 1e-12 ... here it is the reverse: the
+    # subtraction was a no-op only by luck; exact math needs no luck).
+    import math
+
+    end = math.nextafter(30.0, 100.0)
+    facts = spark.createDataFrame([(1, 30.0)], "fact_id long, v double")
+    ivals = _ivals(spark, [("tight", 0.0, end)])
+    got = rows(
+        point_in_interval_join(facts, ivals, "v", "lo", "hi", 10.0),
+        order_by="fact_id",
+    )
+    assert [r["fact_id"] for r in got] == [1]
+
+
 def test_cascade_rollup_matches_direct_aggregation(spark):
     from datetime import datetime
 
@@ -134,3 +173,33 @@ def test_cascade_rollup_matches_direct_aggregation(spark):
     assert grains["hour"].count() == 4
     assert grains["day"].count() == 3
     assert grains["month"].count() == 2
+
+
+def test_release_pins_frees_cascade_storage(spark):
+    from datetime import datetime
+
+    from tmdb_index_spark.operators import materialize as M
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 5), 1.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    M.release_pins()  # drop pins left over from other tests
+    grains = cascade_time_rollup(ev)
+    grains["month"].count()  # materialize the cascade (fills the pins)
+    assert grains["hour"].storageLevel.useMemory
+    assert len(M._PINNED_FRAMES) == 2  # hour + day
+    released = M.release_pins()
+    assert released == 2
+    assert not grains["hour"].storageLevel.useMemory
+    assert not grains["day"].storageLevel.useMemory
+    assert M._PINNED_FRAMES == [] and M._SCRATCH_PATHS == []
+    # parquet pins register scratch paths that release_pins deletes
+    import os
+
+    grains_p = cascade_time_rollup(ev, materialize="parquet")
+    grains_p["month"].count()
+    paths = [p.removeprefix("file:") for p in M._SCRATCH_PATHS]
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+    M.release_pins()
+    assert all(not os.path.exists(p) for p in paths)

@@ -229,7 +229,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     group_col: str | None = "source",
     capacity: int = 256,
-    shards: int = 8,
+    shards: int | None = None,
 ) -> DataFrame:
     """Assign each document to a training chunk (concat-and-chunk).
 
@@ -242,7 +242,17 @@ def pack_sequences(
     sort-within-partition stays parallel at 100 TB; `shards` trades
     packing tightness (cross-shard chunks never merge) for parallelism,
     exactly like per-worker packing in a real tokenizer pipeline.
+
+    ``shards=None`` (default) uses the session's default parallelism —
+    on a 1000-executor cluster the window work spreads over every core
+    instead of a fixed handful of giant serial sorts, the same
+    cluster-tracking rule as ``widen_small_scan``. Because the shard a
+    doc lands in changes its bin assignment, callers that need
+    cluster-size-independent reproducible packing (the catalog query,
+    any regression fixture) must pin ``shards`` explicitly.
     """
+    if shards is None:
+        shards = max(1, df.sparkSession.sparkContext.defaultParallelism)
     shard = (F.col(id_col) % shards).cast("long")
     parts = ([group_col] if group_col else []) + ["__shard__"]
     w = (
@@ -334,15 +344,20 @@ def chunk_documents(
     array, windows from ``slice``, text from ``concat_ws`` — a single
     Generate per doc with per-chunk work proportional to chunk size,
     no shuffle at any corpus size. The final (possibly short) window
-    always lands so no suffix is lost; a document shorter than one
-    chunk yields exactly one chunk. Chunks are numbered 0.. per doc.
+    always lands so no suffix is lost; a non-empty document shorter
+    than one chunk yields exactly one chunk, and a document with no
+    tokens (empty/NULL/whitespace-only text) yields none. Chunks are
+    numbered 0.. per doc.
 
     Returns ``(id_col, chunk_id, n_chunk_tokens, chunk_text)``.
     """
     if chunk_tokens < 1 or stride < 1:
         raise ValueError("chunk_tokens and stride must be >= 1")
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    t = tokens(txt)
+    # split('') yields [''] — drop empty tokens so a blank/NULL/all-
+    # whitespace document has n = 0 and emits NO chunks (not one
+    # phantom chunk of a single empty token).
+    t = F.filter(tokens(txt), lambda x: x != F.lit(""))
     n = F.size(t)
     # last start index (1-based): the greatest stride multiple that
     # still begins a non-empty window = floor((n-1)/stride)*stride + 1

@@ -35,6 +35,7 @@ import uuid
 from pyspark.sql import DataFrame
 
 _SCRATCH_PATHS: list[str] = []
+_PINNED_FRAMES: list[DataFrame] = []
 
 
 def _cleanup() -> None:
@@ -50,9 +51,18 @@ atexit.register(_cleanup)
 def pin_frame(
     df: DataFrame, materialize: str = "cache", scratch_dir: str | None = None
 ) -> DataFrame:
-    """Return ``df`` pinned so repeated consumption computes it once."""
+    """Return ``df`` pinned so repeated consumption computes it once.
+
+    Every pin is registered; call :func:`release_pins` once the
+    consuming query has materialized to return the storage (cached
+    blocks / scratch files) — a long-lived session or bench loop that
+    re-invokes a pinning operator would otherwise accumulate one pin
+    per call until memory-eviction pressure (cache) or interpreter
+    exit (parquet scratch)."""
     if materialize == "cache":
-        return df.cache()
+        out = df.cache()
+        _PINNED_FRAMES.append(out)
+        return out
     if materialize == "parquet":
         spark = df.sparkSession
         base = scratch_dir or (
@@ -64,3 +74,22 @@ def pin_frame(
         _SCRATCH_PATHS.append(path)
         return spark.read.parquet(path)
     raise ValueError(f"materialize must be 'cache' or 'parquet', got {materialize!r}")
+
+
+def release_pins() -> int:
+    """Unpersist every frame pinned so far and delete local parquet
+    scratch; returns the number of pins released. Call after the
+    consumer of the pinned frames has fully materialized (collected /
+    written) — releasing earlier silently degrades the pin back to
+    per-consumer recomputation. Remote (``scheme://``) scratch dirs
+    remain the caller's retention responsibility."""
+    n = len(_PINNED_FRAMES) + len(_SCRATCH_PATHS)
+    for f in _PINNED_FRAMES:
+        try:
+            f.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+    _PINNED_FRAMES.clear()
+    _cleanup()
+    _SCRATCH_PATHS.clear()
+    return n

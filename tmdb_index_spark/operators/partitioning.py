@@ -35,7 +35,17 @@ def widen_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFr
     """Round-robin repartition ``df`` up to ``min_partitions`` (default:
     the session's default parallelism) iff its current plan width is
     narrower. Row-order neutral for every downstream use in this
-    engine (aggregations, hash joins, keyed windows)."""
+    engine (aggregations, hash joins, keyed windows).
+
+    Probe cost (intentional): ``df.rdd.getNumPartitions()`` forces one
+    physical planning pass of the upstream plan at operator-BUILD time,
+    and the compiled width it reports is the pre-AQE one. That is the
+    point — the decision must be made before execution, and the widths
+    this guard acts on (a handful of row-group splits vs the session's
+    parallelism) are not ones AQE re-plans. The probe is per operator
+    call on plans that are scan-rooted and small; if build-time ever
+    matters, pass ``min_partitions`` explicitly from a known width
+    instead."""
     target = (
         min_partitions
         if min_partitions is not None

@@ -59,14 +59,23 @@ def point_in_interval_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner or left, got {how!r}")
     w = float(bucket_width)
-    # Interval side: one row per covered bucket. sequence() is inclusive
-    # on both ends; an interval touching buckets [b0 .. b1] must index
-    # all of them. Empty/invalid intervals (end <= start) produce the
-    # start bucket only and are then removed by the residual predicate.
+    # Interval side: one row per covered bucket, END BUCKET INCLUSIVE.
+    # Correctness argument, exact in IEEE arithmetic with no epsilon:
+    # the facts side computes bucket(p) = floor(p / w) with the same
+    # double division, and division by a positive w is monotonic, so
+    # p < end  =>  floor(p/w) <= floor(end/w) = b1 — every bucket a
+    # matching point can land in is indexed. When end lies exactly on
+    # a bucket edge this indexes one bucket no matching point falls
+    # in; the residual predicate filters those rows, costing one
+    # candidate bucket per such interval. (An earlier version made the
+    # end bucket exclusive via a 1e-12 epsilon; wherever
+    # ulp(end) > 1e-12 the subtraction was a no-op, and on near-edge
+    # values it could under-index the final bucket — a missed
+    # candidate the residual cannot recover. Exactness beats the one
+    # saved bucket.) Empty/invalid intervals (end <= start) produce
+    # the start bucket only and are then removed by the residual.
     b0 = F.floor(F.col(start_col) / w).cast("long")
-    b1 = F.floor(
-        (F.col(end_col) - F.lit(1e-12)) / w  # end is exclusive
-    ).cast("long")
+    b1 = F.floor(F.col(end_col) / w).cast("long")
     idx = intervals.select(
         "*", F.explode(F.sequence(b0, F.greatest(b1, b0))).alias("__bucket__")
     )
@@ -116,6 +125,13 @@ def cascade_time_rollup(
     ReuseExchange does not canonicalize across the differing
     downstream aggregates, so without pinning the "raw scanned once"
     claim silently becomes three scans.
+
+    The returned hour/day frames ARE the pinned handles — callers may
+    ``.unpersist()`` them directly once consumers have materialized,
+    or call :func:`tmdb_index_spark.operators.materialize
+    .release_pins` to drop every outstanding pin (what bench.py does
+    between passes); otherwise each invocation parks two cached
+    frames in executor storage for the session's lifetime.
     """
     from tmdb_index_spark.operators.materialize import pin_frame
 

@@ -2906,7 +2906,10 @@ def chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNKED_SQL = """
 WITH t AS (
   SELECT doc_id,
-         regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS ts
+         list_filter(
+           regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+           x -> x <> ''
+         ) AS ts
   FROM documents
 ),
 s AS (
