@@ -151,7 +151,12 @@ def test_llm_pair_searches_never_go_cartesian(spark):
     # The bucketed-not-all-pairs claim, asserted on the physical plan:
     # candidate generation must be a hash join on the bucket/shingle
     # key, never a cartesian or broadcast-nested-loop expansion.
-    for name in ("dedup_minhash_lsh", "dedup_jaccard_prefix", "embedding_lsh_topk"):
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_jaccard_prefix",
+        "embedding_lsh_topk",
+        "crossmodal_image_neardups",
+    ):
         p = _plan(spark, name)
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name

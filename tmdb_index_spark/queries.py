@@ -2391,6 +2391,101 @@ FROM documents
 """
 
 
+def crossmodal_image_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal pipeline end-to-end under one oracle: synthesize a
+    spec-valid media payload per document (same deterministic synth as
+    ``media_decode``), DECODE it with the real stdlib header codec,
+    keep documents whose payload parsed as a valid image
+    (``decode_ok AND mime LIKE 'image/%'``), semi-join their doc_ids
+    to the embedding table, and run sign-bit LSH top-3 among the
+    surviving vectors — "near-dup images by embedding among
+    decode-valid payloads".
+
+    The decode filter is the real codec verdict on real bytes; the
+    DuckDB oracle recomputes the same predicate arithmetically
+    (``doc_id % 4 IN (0,1,2)`` — WAVs are the non-images and every
+    synthesized payload is spec-valid), so a codec regression that
+    mis-sniffs or rejects a valid image changes the corpus and fails
+    the hash gate. Scale shape: decode is Arrow map-only (payload
+    bytes never shuffle), the embedding restriction is a semi-join on
+    the id, and candidate generation stays LSH-bucketed — no
+    cartesian (plan-pinned with the other pair searches)."""
+    import pandas as pd
+
+    from tmdb_index_spark.operators.media_codec import (
+        make_gif,
+        make_jpeg,
+        make_png,
+        make_wav,
+    )
+    from tmdb_index_spark.operators.multimodal import (
+        MEDIA_STRUCT,
+        decode_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", MEDIA_STRUCT),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            media = []
+            for raw in pdf["doc_id"]:
+                d = int(raw)
+                w, h = 1 + d % 64, 1 + (d * 7) % 64
+                kind = d % 4
+                if kind == 0:
+                    data, mime = make_png(w, h), "image/png"
+                elif kind == 1:
+                    data, mime = make_gif(w, h, n_frames=1 + d % 5), "image/gif"
+                elif kind == 2:
+                    data, mime = make_jpeg(w, h), "image/jpeg"
+                else:
+                    data, mime = make_wav(100 + d % 500), "audio/wav"
+                media.append(
+                    {"data": data, "mime": mime, "source_uri": f"synth://{d}"}
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    decoded = decode_media(docs.mapInPandas(synth, synth_schema))
+    valid_images = decoded.filter(
+        F.col("decode_ok") & F.col("media.mime").startswith("image/")
+    ).select("doc_id")
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.join(
+        valid_images, emb.vec_id == valid_images.doc_id, "leftsemi"
+    )
+    return lsh_topk(corpus, k=3, n_bits=6)
+
+
+_CROSSMODAL_SQL = f"""
+WITH img AS (
+  SELECT doc_id FROM documents WHERE doc_id % 4 IN (0, 1, 2)
+),
+v AS (
+  SELECT vec_id, v,
+         list_sum(list_transform(generate_series(0, 5),
+           i -> CASE WHEN v[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id IN (SELECT doc_id FROM img))
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
+  FROM v q JOIN v c ON q.bucket = c.bucket
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + gap fill (extension: the feature-store
     shape): a dense (user, day) spine with last-observation-carried-
@@ -3505,6 +3600,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_ivf_multiprobe": embedding_ivf_multiprobe,
     "customer_first_last_order": customer_first_last_order,
     "media_decode": media_decode,
+    "crossmodal_image_neardups": crossmodal_image_neardups,
     "gap_fill_locf": gap_fill_locf,
     "grouping_sets_revenue": grouping_sets_revenue,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
@@ -3608,6 +3704,7 @@ ORACLES: dict[str, str] = {
     "embedding_ivf_multiprobe": _IVF_MULTIPROBE_SQL,
     "customer_first_last_order": _FIRST_LAST_SQL,
     "media_decode": _MEDIA_DECODE_SQL,
+    "crossmodal_image_neardups": _CROSSMODAL_SQL,
     "gap_fill_locf": _GAP_FILL_SQL,
     "grouping_sets_revenue": _GROUPING_SETS_SQL,
     "unpivot_lineitem_metrics": _UNPIVOT_SQL,
