@@ -276,3 +276,66 @@ def test_q21_semi_anti_joins_stay_hash_partitioned(spark):
         "ShuffledHashJoin"
     )
     assert keyed >= 5  # 3 fact probes + supplier + nation
+
+
+def test_q2_correlated_min_broadcasts_dims(spark):
+    # Q2's correlated-MIN rewrite: every dimension (part, supplier,
+    # nation, region) broadcasts into the derived part-supplier
+    # relation, and the per-part window MIN must not introduce a
+    # nested-loop — the only shuffles are the groupBy and the window's
+    # partkey repartition.
+    p = _plan(spark, "q2_min_cost_supplier")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "TakeOrderedAndProject" in p  # LIMIT 100 never global-sorts
+
+
+def test_q9_single_fact_scan_broadcast_dims(spark):
+    # Q9 joins the fact to four tables; part/supplier/nation broadcast
+    # and lineitem is scanned exactly once.
+    p = _plan(spark, "q9_product_type_profit")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert p.count("FileScan parquet [l_") == 1
+    assert "partial" in p  # profit aggregates map-side first
+
+
+def test_q11_global_total_broadcasts(spark):
+    # The 1-row total/count aggregate must broadcast back onto the
+    # per-part frame (Q15-style) — re-shuffling |parts| rows against a
+    # single row would be absurd at scale.
+    p = _plan(spark, "q11_important_parts")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q12_predicates_reach_scan(spark):
+    # Both the IN-list and the shipdate range must be pushed into the
+    # lineitem scan for row-group skipping; orders projects 2 columns.
+    p = _plan(spark, "q12_shipmode_priority")
+    scan = p.split("FileScan parquet [l_")[1][:900]
+    assert "l_shipdate" in scan and "l_returnflag" in scan
+    o_scan = p.split("FileScan parquet [o_")[1][:200]
+    assert "o_orderpriority" in o_scan and "o_totalprice" not in o_scan
+
+
+def test_q16_anti_join_broadcasts(spark):
+    # NOT-IN rewrite: the complaint supplier list broadcasts into a
+    # left-anti; the distinct pair projection partial-aggregates.
+    p = _plan(spark, "q16_supplier_relationship")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # part + anti both broadcast
+
+
+def test_q20_one_pass_conditional_aggregates(spark):
+    # The 1996 stock and 1997 demand aggregates must come from ONE
+    # lineitem scan (conditional aggregation), not two scans unioned;
+    # part gates via broadcast semi join.
+    p = _plan(spark, "q20_promotion_suppliers")
+    assert p.count("FileScan parquet [l_") == 1
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

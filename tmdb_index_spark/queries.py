@@ -3512,6 +3512,350 @@ GROUP BY 1
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape ("minimum cost supplier"): a correlated scalar
+    MIN subquery over the part-supplier relation, re-expressed as a
+    window MIN so the relation is scanned once. The synthetic schema
+    has no ``partsupp`` table (TESTDATA.md), so it is derived from
+    lineitem — ``supplycost = MIN(l_extendedprice / l_quantity)`` per
+    (part, supplier), the same stand-in family as the Q4/Q21 shapes'
+    returnflag dates. Region-filtered suppliers (EUROPE) restrict the
+    relation BEFORE the per-part MIN, exactly like the correlated
+    subquery in the spec (tpch q2: ps_supplycost = (SELECT MIN ...
+    WHERE r_name = '...')). supplier/nation/region/part are all
+    dimension-sized and broadcast; the only shuffle is the derived
+    relation's groupBy — at 100 TB the window MIN re-uses that
+    partitioning (partkey ⊂ grouping keys)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 15) & (F.col("p_type") == "ECONOMY")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+        )
+    )
+    # Region filter BEFORE the per-part MIN (the correlation domain).
+    ps_eu = (
+        ps.join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps_eu.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            F.col("s_acctbal"),
+            F.col("s_name"),
+            F.col("n_name"),
+            F.col("p_partkey"),
+            F.round(F.col("cost"), 2).alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+_Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY 1, 2
+),
+ps_eu AS (
+  SELECT ps.*, s_acctbal, s_name, n_name
+  FROM ps
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, ROUND(cost, 2) AS supplycost
+FROM (
+  SELECT *, MIN(cost) OVER (PARTITION BY l_partkey) AS min_cost FROM ps_eu
+)
+JOIN part ON l_partkey = p_partkey AND p_size < 15 AND p_type = 'ECONOMY'
+WHERE cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape ("product type profit measure"): profit per
+    supplier-nation per year over a name-substring part filter. With
+    no ``partsupp.ps_supplycost`` in the synthetic schema, unit cost
+    is the deterministic stand-in ``ROUND(0.5 * p_retailprice, 2)``
+    (both engines compute the identical double product and half-even
+    round before the decimal cast). Every term is exact DECIMAL(18,2)
+    two-factor arithmetic — the same discipline as the Q1/Q8 shapes —
+    summed exactly and cast to double only at the end. part is
+    broadcast (it is the filter dim); lineitem→orders is the one
+    co-partitioned fact join; supplier/nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    cost = F.round(F.col("p_retailprice") * F.lit(0.5), 2).cast(
+        "decimal(18,2)"
+    ) * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(revenue - cost).cast("double"), 2).alias("sum_profit")
+        )
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       ROUND(CAST(SUM(
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+         - CAST(ROUND(0.5 * p_retailprice, 2) AS DECIMAL(18,2))
+           * CAST(l_quantity AS DECIMAL(18,2))
+       ) AS DOUBLE), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape ("important stock identification"): per-part
+    value with a HAVING threshold computed from the GLOBAL total of
+    the same relation — the scalar-subquery-in-HAVING topology. The
+    part-supplier value is derived from lineitem (no partsupp table):
+    ``value = SUM(l_extendedprice)`` over lines from EUROPE suppliers.
+    The global total is a 1-row aggregate broadcast to the per-part
+    side (plan-pinned like the Q15 MAX); the threshold keeps the
+    spec's scale-invariance (tpch scales its fraction by 1/SF) by
+    selecting parts above the MEAN share — written multiplicatively,
+    ``value * n_parts > total``, so the compare is exact
+    decimal-times-integer with no division rounding. At 100 TB the
+    relation aggregates once, and the total re-aggregates the (tiny,
+    |parts|-sized) per-part output — no second fact scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_lines = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    per_part = eu_lines.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice")).alias("value_dec")
+    )
+    total = per_part.agg(
+        F.sum("value_dec").alias("total_dec"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_dec") * F.col("n_parts") > F.col("total_dec"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("value_dec").cast("double"), 2).alias("value"),
+        )
+    )
+
+
+_Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  GROUP BY 1
+)
+SELECT l_partkey AS p_partkey,
+       ROUND(CAST(value_dec AS DOUBLE), 2) AS value
+FROM per_part
+WHERE value_dec * (SELECT COUNT(*) FROM per_part)
+      > (SELECT SUM(value_dec) FROM per_part)
+"""
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape ("shipping modes and order priority"):
+    conditional CASE counts of urgent vs non-urgent orders per line
+    class over a one-year shipdate window. The synthetic lineitem has
+    no ``l_shipmode`` (TESTDATA.md), so ``l_returnflag`` plays the
+    mode column, the same stand-in as the Q4/Q21 shapes. Both the
+    range predicate and the IN-list reach the parquet scan
+    (plan-pinned); the orders side projects only (o_orderkey,
+    o_orderpriority) so the fact join carries two columns."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag").isin("A", "N"))
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag AS ship_class,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag IN ('A', 'N')
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape ("parts/supplier relationship"): COUNT(DISTINCT
+    supplier) per (brand, type, size) bucket with a NOT-IN supplier
+    exclusion. The part-supplier relation is the DISTINCT
+    (l_partkey, l_suppkey) projection of lineitem (no partsupp
+    table); the spec's "complaints" name-pattern exclusion becomes
+    the deterministic stand-in ``s_suppkey % 4 = 0`` (documented;
+    both engines evaluate the identical modulus), rewritten NOT-IN →
+    left-anti against the dimension-sized supplier list. The distinct
+    projection and the count-distinct both partial-aggregate map-side;
+    part is broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(9, 10, 16, 24, 29))
+    )
+    complaints = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 4 == 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(complaints),
+            li.l_suppkey == complaints.s_suppkey,
+            "leftanti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (9, 10, 16, 24, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 4 = 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape ("potential part promotion"): nested
+    IN-subqueries — suppliers IN (part-supplier pairs whose stock
+    exceeds half of a correlated period aggregate, for parts IN a
+    name-pattern list) — rewritten as a left-semi join chain. The
+    spec's ``ps_availqty`` has no synthetic column, so stock is the
+    prior-year shipment volume: both the 1996 "stock" and the 1997
+    "demand" aggregates come from ONE conditional-aggregation pass
+    over lineitem (a single fact scan — plan-pinned), compared
+    exactly in DECIMAL; a NULL 1997 aggregate excludes the pair in
+    both engines (NULL comparison). part is broadcast into the semi
+    join; the supplier output joins dimension-sized nation/region
+    (ASIA) broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    yr = F.year("l_shipdate")
+    ps = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.when(yr == 1996, _dec("l_quantity"))).alias("stock_qty"),
+        F.sum(F.when(yr == 1997, _dec("l_quantity"))).alias("demand_qty"),
+    )
+    flagged = (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey, "leftsemi")
+        .filter(
+            F.col("stock_qty")
+            > F.col("demand_qty") * F.lit(0.5).cast("decimal(2,1)")
+        )
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(flagged, supp.s_suppkey == flagged.l_suppkey, "leftsemi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+_Q20_SQL = """
+WITH ps AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CASE WHEN year(l_shipdate) = 1996
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS stock_qty,
+         SUM(CASE WHEN year(l_shipdate) = 1997
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS demand_qty
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM ps
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+    AND stock_qty > demand_qty * CAST(0.5 AS DECIMAL(2,1))
+)
+ORDER BY s_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3618,6 +3962,12 @@ QUERIES: dict[str, QueryFn] = {
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "q18_large_orders": q18_large_orders,
     "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q11_important_parts": q11_important_parts,
+    "q12_shipmode_priority": q12_shipmode_priority,
+    "q16_supplier_relationship": q16_supplier_relationship,
+    "q20_promotion_suppliers": q20_promotion_suppliers,
     "q8_market_share": q8_market_share,
     "unigram_surprisal": unigram_surprisal,
     "chunked_documents": chunked_documents,
@@ -3722,6 +4072,12 @@ ORACLES: dict[str, str] = {
     "q17_small_qty_revenue": _Q17_SQL,
     "q18_large_orders": _Q18_SQL,
     "q21_waiting_suppliers": _Q21_SQL,
+    "q2_min_cost_supplier": _Q2_SQL,
+    "q9_product_type_profit": _Q9_SQL,
+    "q11_important_parts": _Q11_SQL,
+    "q12_shipmode_priority": _Q12_SQL,
+    "q16_supplier_relationship": _Q16_SQL,
+    "q20_promotion_suppliers": _Q20_SQL,
     "q8_market_share": _Q8_SQL,
     "unigram_surprisal": _UNIGRAM_SQL,
     "chunked_documents": _CHUNKED_SQL,
