@@ -79,6 +79,13 @@ EXTENDED_QUERIES = [
     "q17_small_qty_revenue",
     "q18_large_orders",
     "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_shipmode_priority",
+    "q16_supplier_relationship",
+    "q20_promotion_suppliers",
+    "crossmodal_image_neardups",
 ]
 
 
