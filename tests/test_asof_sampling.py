@@ -81,3 +81,59 @@ def test_stratified_sample_deterministic_and_scoped(spark):
     assert {r.id for r in rows_} == again
     n_b = sum(1 for r in rows_ if r.cls == "b")
     assert 0 < n_b < 100
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from tmdb_index_spark.operators.sampling import mixture_sample
+
+    rows = [(i, f"src{i % 4}", 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, src string, cost long")
+    # Budget 5000 over weights {src0: .75, src1: .25}: target 3750 of
+    # src0's 10000 -> rate .375; 1250 of src1's 10000 -> rate .125;
+    # src2/src3 unlisted -> dropped entirely.
+    out = mixture_sample(
+        df, "src", "cost", key="id",
+        weights={"src0": 0.75, "src1": 0.25}, budget=5000,
+    )
+    got = out.groupBy("src").count().collect()
+    by_src = {r["src"]: r["count"] for r in got}
+    assert set(by_src) <= {"src0", "src1"}
+    # hash buckets approximate the rate; 100 rows per source, wide tol
+    assert 20 <= by_src.get("src0", 0) <= 55
+    assert 3 <= by_src.get("src1", 0) <= 25
+    assert by_src.get("src0", 0) > by_src.get("src1", 0)
+    # deterministic under repartitioning
+    again = mixture_sample(
+        df.repartition(7), "src", "cost", key="id",
+        weights={"src0": 0.75, "src1": 0.25}, budget=5000,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+def test_mixture_sample_rate_caps_at_one(spark):
+    from tmdb_index_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a", 10) for i in range(50)], "id long, src string, cost long"
+    )
+    # budget far above total: rate clamps to 1, everything kept
+    out = mixture_sample(
+        df, "src", "cost", key="id", weights={"a": 1.0}, budget=1e9
+    )
+    assert out.count() == 50
+
+
+def test_mixture_sample_rejects_bad_weights(spark):
+    import pytest
+
+    from tmdb_index_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame([(1, "a", 1)], "id long, src string, cost long")
+    with pytest.raises(ValueError):
+        mixture_sample(df, "src", "cost", key="id", weights={}, budget=10)
+    with pytest.raises(ValueError):
+        mixture_sample(
+            df, "src", "cost", key="id", weights={"a": 0.0}, budget=10
+        )

@@ -325,3 +325,46 @@ def test_chunk_documents_blank_docs_emit_no_chunks(spark):
     assert [(r["doc_id"], r["n_chunk_tokens"], r["chunk_text"]) for r in out] == [
         (4, 2, "one tok")
     ]
+
+
+def test_dup_span_fraction_cross_doc_only(spark):
+    from tmdb_index_spark.operators.llm_prep import dup_span_fraction
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1 & 2 share the trigram "a b c"; doc 1's "x y z" is
+            # unique; doc 3 shares nothing; doc 4 is too short for any
+            # trigram.
+            (1, "a b c x y z"),
+            (2, "q q a b c"),
+            (3, "p r s t"),
+            (4, "u v"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_spans"], r["dup_frac"])
+        for r in dup_span_fraction(docs, n=3).collect()
+    }
+    # doc 1: spans {a b c, b c x, c x y, x y z} -> 4, one duplicated
+    assert got[1] == (4, 1, 0.25)
+    # doc 2: spans {q q a, q a b, a b c} -> 3, one duplicated
+    assert got[2] == (3, 1, round(1 / 3, 4))
+    # doc 3: two spans, none shared
+    assert got[3] == (2, 0, 0.0)
+    # doc 4: too short -> zero spans, NULL fraction (caller decides)
+    assert got[4] == (0, 0, None)
+
+
+def test_dup_span_fraction_within_doc_repeat_not_dup(spark):
+    from tmdb_index_spark.operators.llm_prep import dup_span_fraction
+
+    # the span repeats INSIDE one doc only: per-doc distinct spans mean
+    # it is not counted as corpus-duplicated
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "z z z z")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["dup_spans"] for r in dup_span_fraction(docs, n=3).collect()}
+    assert got[1] == 0
+    assert got[2] == 0

@@ -339,3 +339,21 @@ def test_q20_one_pass_conditional_aggregates(spark):
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_mixture_sample_corpus_never_shuffles(spark):
+    # The per-source rate table is |sources| rows and must broadcast
+    # back onto the corpus; the corpus itself is filtered map-side.
+    p = _plan(spark, "mixture_token_sample")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_dup_span_quality_no_pair_join(spark):
+    # The cross-doc duplicated-span signal is two keyed aggregations,
+    # never a doc-pair join: nothing quadratic may appear in the plan.
+    p = _plan(spark, "dup_span_quality")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial" in p  # span-df aggregation combines map-side

@@ -302,3 +302,73 @@ def test_tuned_catalog_queries_match_fixed_twin_and_brute_recall(spark):
     # geometric index); require >= 3x chance so the test pins "the fit
     # is doing real geometric work" without overfitting one RNG draw.
     assert hit >= 3 / 22, f"IVF top-1 recall {hit:.2f} vs brute force"
+
+
+def test_lsh_knn_join_matches_bucketed_candidates(spark):
+    import pyspark.sql.functions as F
+
+    from tmdb_index_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_knn_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("label") == 0)
+    got = lsh_knn_join(
+        emb, queries, k=1, n_bits=2, multi_probe=True, exclude_self=True
+    )
+    # 2 bits + full 1-bit probing covers 3 of 4 buckets per query: on
+    # near-orthogonal synthetic vectors recall of the brute top-1 should
+    # be well above the 3/4 bucket-coverage floor
+    brute = brute_force_topk(emb, queries, k=1)
+    top1 = {(r["query_id"], r["neighbor_id"]) for r in got.filter("rank = 1").collect()}
+    btop1 = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    assert len(top1 & btop1) / len(btop1) >= 0.5
+    # every query emitted at most k rows with ranks 1..k
+    counts = got.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 1 for r in counts)
+
+
+def test_lsh_knn_join_single_probe_subset(spark):
+    import pyspark.sql.functions as F
+
+    from tmdb_index_spark.operators.similarity import lsh_knn_join
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("label") == 0)
+    # k above any possible candidate count: compare raw candidate sets,
+    # not rank-truncated ones
+    single = lsh_knn_join(
+        emb, queries, k=10_000, n_bits=4, multi_probe=False, exclude_self=True
+    )
+    multi = lsh_knn_join(
+        emb, queries, k=10_000, n_bits=4, multi_probe=True, exclude_self=True
+    )
+    s_pairs = {(r["query_id"], r["neighbor_id"]) for r in single.collect()}
+    m_pairs = {(r["query_id"], r["neighbor_id"]) for r in multi.collect()}
+    # multi-probe candidates strictly contain the single-probe set
+    assert s_pairs <= m_pairs
+    assert len(m_pairs) > len(s_pairs)
+
+
+def test_lsh_knn_join_corpus_never_shuffles(spark):
+    import pyspark.sql.functions as F
+
+    from tmdb_index_spark.operators.similarity import lsh_knn_join
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    df = lsh_knn_join(
+        emb, emb.filter(F.col("label") == 0), k=3, broadcast_queries=True
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the only Exchange allowed on the corpus path is the final
+    # per-query window's hashpartitioning on query_id — the scored scan
+    # side must reach the join without one
+    before_join = p.split("BroadcastHashJoin")[-1]
+    assert "Exchange hashpartitioning(bucket" not in before_join

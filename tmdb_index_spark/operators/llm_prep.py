@@ -62,6 +62,7 @@ __all__ = [
     "pack_sequences",
     "unigram_logprob",
     "chunk_documents",
+    "dup_span_fraction",
     "DEFAULT_REDACTIONS",
 ]
 
@@ -382,4 +383,65 @@ def chunk_documents(
         ((F.col("__start__") - 1) / stride).cast("long").alias("chunk_id"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+def dup_span_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-document duplicated-span quality signal (the Gopher /
+    RefinedWeb "fraction of text in duplicated n-grams" filter): for
+    each document, the fraction of its DISTINCT word ``n``-gram spans
+    that also occur in at least one OTHER document. Complements
+    :func:`repetition_signals`, which measures repetition WITHIN a
+    document; this measures how much of a document is boilerplate
+    shared ACROSS the corpus (nav bars, license headers, templated
+    pages score high and get filtered before training).
+
+    Plan shape: the per-doc distinct spans come from the shared
+    Arrow-batched shingle stage (`dedup_text._shingle_frame` — hashes
+    computed once, 8-byte keys); span multiplicity is a groupBy on the
+    span hash (partial-aggregated map-side, so the Zipf head of common
+    spans collapses before the shuffle); the join back to spans is on
+    the same hash key — two narrow shuffles total, nothing quadratic,
+    no all-pairs. Docs shorter than ``n`` tokens have no spans and
+    report ``n_spans = 0`` with a NULL fraction (kept via left join —
+    a filter deciding their fate belongs to the caller).
+
+    Returns ``(id, n_spans, dup_spans, dup_frac)`` with ``dup_frac``
+    rounded to 4 for stable cross-engine compares.
+    """
+    from tmdb_index_spark.operators.dedup_text import _shingle_frame
+
+    sh = _shingle_frame(df, text_col, id_col, n)
+    # #docs containing each span (per-doc distinct ⇒ count == doc count)
+    span_df = sh.groupBy("__sh__").agg(F.count(F.lit(1)).alias("__df__"))
+    per_doc = (
+        sh.join(span_df, "__sh__")
+        .groupBy("__id__")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("__df__") >= 2, 1).otherwise(0)).alias(
+                "dup_spans"
+            ),
+        )
+    )
+    base = df.select(F.col(id_col))
+    return (
+        base.join(per_doc, base[id_col] == per_doc["__id__"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias(
+                "n_spans"
+            ),
+            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("bigint").alias(
+                "dup_spans"
+            ),
+            F.round(
+                F.col("dup_spans") / F.col("n_spans").cast("double"), 4
+            ).alias("dup_frac"),
+        )
     )

@@ -18,7 +18,13 @@ from pyspark.sql import functions as F
 
 from tmdb_index_spark.functions.text import portable_hash60
 
-__all__ = ["hash_split", "hash_sample", "split_column", "stratified_sample"]
+__all__ = [
+    "hash_split",
+    "hash_sample",
+    "split_column",
+    "stratified_sample",
+    "mixture_sample",
+]
 
 #: Granularity of split fractions (hash buckets).
 _BUCKETS = 10_000
@@ -84,3 +90,59 @@ def stratified_sample(
             F.col(strata_col) == name, F.lit(int(frac * _BUCKETS))
         ).otherwise(thresh)
     return df.filter(b < thresh)
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    cost_col: str,
+    key: str,
+    weights: dict[str, float],
+    budget: float,
+) -> DataFrame:
+    """Token-budget mixture sampling — the data-mixing step of a
+    pretraining pipeline: given target mixture ``weights`` per source
+    and a global ``budget`` (in units of ``cost_col``: tokens, chars,
+    bytes), deterministically sample each source at the rate that
+    lands its share of the budget. A source's rate is
+    ``min(1, budget·w̄ₛ / totalₛ)`` (w̄ = weights normalized to sum 1;
+    sources absent from ``weights`` get rate 0 and drop out); row
+    selection is the same hash-bucket rule as :func:`hash_sample`, so
+    membership is stable across reruns, engines, and partitionings —
+    no RNG state, no stored assignments.
+
+    Scale shape: one partial-aggregated groupBy over the corpus for
+    the per-source totals (|sources| rows), rates broadcast back, then
+    a map-only filter — the corpus never shuffles. The rate is an
+    IEEE-double division floored onto the shared bucket grid, so any
+    engine computes the identical keep set.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    # Unroll the (small, driver-side) mixture table into a literal
+    # CASE chain — it rides the plan, nothing joins a Python dict.
+    wexpr = F.lit(0.0)
+    for name, w in sorted(weights.items()):
+        wexpr = F.when(F.col("__src__") == name, F.lit(w / wsum)).otherwise(
+            wexpr
+        )
+    totals = df.groupBy(F.col(source_col).alias("__src__")).agg(
+        F.sum(F.col(cost_col).cast("double")).alias("__tot__")
+    )
+    rates = totals.select(
+        "__src__",
+        F.floor(
+            F.least(
+                F.lit(1.0), F.lit(float(budget)) * wexpr / F.col("__tot__")
+            )
+            * _BUCKETS
+        ).cast("long").alias("__keep__"),
+    )
+    return (
+        df.join(F.broadcast(rates), F.col(source_col) == F.col("__src__"))
+        .filter(_bucket(F.col(key)) < F.col("__keep__"))
+        .drop("__src__", "__keep__")
+    )

@@ -43,6 +43,7 @@ __all__ = [
     "signbit_buckets",
     "lsh_topk",
     "lsh_index_topk",
+    "lsh_knn_join",
     "ivf_assign",
     "ivf_topk",
 ]
@@ -767,4 +768,85 @@ def cosine_neardup_pairs(
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def lsh_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multi_probe: bool = True,
+    broadcast_queries: bool = True,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Asymmetric ANN join: top-``k`` CORPUS neighbors for each row of a
+    separate ``queries`` frame — the "label a query set against a big
+    index" shape (retrieval eval, nearest-exemplar tagging), distinct
+    from the all-pairs self-joins (:func:`lsh_topk`) where both sides
+    are the corpus.
+
+    Both sides bucket by the same sign-bit hyperplanes, so the join is
+    a bucket equi-join: the corpus NEVER pairs beyond the query set's
+    buckets. ``multi_probe=True`` (default here, unlike the self-join)
+    expands only the query side to its 1-bit-flip buckets — with an
+    asymmetric join the query set is the small side, so ×(1+n_bits)
+    probe volume is cheap and buys the boundary recall a lone query
+    vector otherwise loses. ``broadcast_queries=True`` ships the
+    (probed) query side to every executor: the corpus is scanned
+    map-side with NO shuffle at all — the right plan whenever
+    |queries|·(1+n_bits) fits the broadcast threshold; flip it off and
+    the join hash-partitions both sides on the bucket key instead.
+    ``exclude_self`` drops identical-id pairs when the two frames share
+    an id space (e.g. a labeled subset of the corpus itself).
+
+    Returns ``(query_id, neighbor_id, cos_sim, rank)``; ties break on
+    neighbor id. Queries whose probed buckets hold no corpus vector
+    emit no rows (same recall contract as the self-join paths).
+    """
+    qb = signbit_buckets(queries, n_bits, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("__qv__"),
+        _norm(_as_double(vec_col)).alias("__qn__"),
+        "bucket",
+    )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)],
+        )
+        qb = qb.withColumn("bucket", F.explode(probes))
+    if broadcast_queries:
+        qb = F.broadcast(qb)
+    cb = signbit_buckets(widen_small_scan(corpus), n_bits, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("__cv__"),
+        _norm(_as_double(vec_col)).alias("__cn__"),
+        "bucket",
+    )
+    scored = qb.join(cb, "bucket")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("__qv__"), F.col("__cv__"))
+            / (F.col("__qn__") * F.col("__cn__")),
+            4,
+        ).alias("cos_sim"),
+    )
+    if multi_probe:
+        scored = scored.distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
     )

@@ -3856,6 +3856,139 @@ ORDER BY s_name
 """
 
 
+def dup_span_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span fraction (extension: text
+    analysis / corpus curation — the Gopher/RefinedWeb "fraction of
+    text in duplicated n-grams" signal). Word-3-gram spans so the
+    oracle reuses the shared shingle CTE; within-doc repetition is the
+    separate ``repetition_quality`` query — this one scores corpus-wide
+    boilerplate."""
+    from tmdb_index_spark.operators.llm_prep import dup_span_fraction
+
+    return dup_span_fraction(_t(spark, sf_dir, "documents"), n=3)
+
+
+_DUP_SPAN_SQL = (
+    _DUCK_SHINGLES
+    + """, ex AS (
+  SELECT doc_id, UNNEST(shs) AS s FROM sh
+), sdf AS (
+  SELECT s, COUNT(*) AS df FROM ex GROUP BY 1
+), per AS (
+  SELECT doc_id, COUNT(*) AS n_spans,
+         SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_spans
+  FROM ex JOIN sdf USING (s) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(per.n_spans, 0)::BIGINT AS n_spans,
+       COALESCE(per.dup_spans, 0)::BIGINT AS dup_spans,
+       ROUND(per.dup_spans * 1.0 / per.n_spans, 4) AS dup_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+)
+
+
+#: Mixture weights for the catalog query: a 3-source mixture over the
+#: 20 synthetic sources (unlisted sources get rate 0 — the operator's
+#: contract), with a fixed char budget so per-source rates stay < 1 at
+#: every SF.
+_MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIXTURE_BUDGET = 5000.0
+
+
+def mixture_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (extension: training-data mixing):
+    deterministically sample each source at the rate that lands its
+    weighted share of a global char budget — the data-mixing step
+    between curation and tokenization. Hash-bucket membership, so the
+    same rows are kept on any engine/partitioning/rerun."""
+    from tmdb_index_spark.operators.sampling import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        source_col="source",
+        cost_col="n_chars",
+        key="doc_id",
+        weights=_MIXTURE_WEIGHTS,
+        budget=_MIXTURE_BUDGET,
+    ).select("doc_id", "source", "n_chars")
+
+
+_MIXTURE_SQL = """
+WITH totals AS (
+  SELECT source, SUM(CAST(n_chars AS DOUBLE)) AS tot
+  FROM documents GROUP BY 1
+),
+rates AS (
+  SELECT source,
+         CAST(FLOOR(LEAST(1.0,
+           5000.0 * (CASE source WHEN 'src0' THEN 0.5
+                                 WHEN 'src1' THEN 0.3
+                                 WHEN 'src2' THEN 0.2
+                                 ELSE 0.0 END) / tot) * 10000) AS BIGINT)
+           AS keep
+  FROM totals
+)
+SELECT doc_id, source, n_chars
+FROM documents JOIN rates USING (source)
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      < keep
+"""
+
+
+def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric ANN join (extension: similarity search): top-3 corpus
+    neighbors for the label-0 query subset via the bucketed
+    :func:`~tmdb_index_spark.operators.similarity.lsh_knn_join` — the
+    "label a query set against a big index" shape. Query side
+    multi-probes its 1-bit-flip buckets and broadcasts; the corpus
+    never shuffles (plan-pinned)."""
+    from tmdb_index_spark.operators.similarity import lsh_knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_knn_join(
+        corpus=emb,
+        queries=emb.filter(F.col("label") == 0),
+        k=3,
+        n_bits=8,
+        multi_probe=True,
+        exclude_self=True,
+    )
+
+
+_KNN_JOIN_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+         list_sum(list_transform(generate_series(0, 7),
+           i -> CASE WHEN v[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END))
+           AS bucket
+  FROM v
+),
+q AS (
+  SELECT b.vec_id, b.v, b.bucket
+  FROM b JOIN embeddings e ON b.vec_id = e.vec_id
+  WHERE e.label = 0
+),
+qp AS (
+  SELECT DISTINCT vec_id, v, xor(bucket, m.mask) AS bucket
+  FROM q, (SELECT UNNEST([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS mask) m
+),
+scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS_SQL} AS cos_sim
+  FROM qp q JOIN b c ON q.bucket = c.bucket
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC)::BIGINT
+              AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3968,6 +4101,9 @@ QUERIES: dict[str, QueryFn] = {
     "q12_shipmode_priority": q12_shipmode_priority,
     "q16_supplier_relationship": q16_supplier_relationship,
     "q20_promotion_suppliers": q20_promotion_suppliers,
+    "dup_span_quality": dup_span_quality,
+    "mixture_token_sample": mixture_token_sample,
+    "embedding_knn_join": embedding_knn_join,
     "q8_market_share": q8_market_share,
     "unigram_surprisal": unigram_surprisal,
     "chunked_documents": chunked_documents,
@@ -4078,6 +4214,9 @@ ORACLES: dict[str, str] = {
     "q12_shipmode_priority": _Q12_SQL,
     "q16_supplier_relationship": _Q16_SQL,
     "q20_promotion_suppliers": _Q20_SQL,
+    "dup_span_quality": _DUP_SPAN_SQL,
+    "mixture_token_sample": _MIXTURE_SQL,
+    "embedding_knn_join": _KNN_JOIN_SQL,
     "q8_market_share": _Q8_SQL,
     "unigram_surprisal": _UNIGRAM_SQL,
     "chunked_documents": _CHUNKED_SQL,
