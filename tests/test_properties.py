@@ -155,3 +155,64 @@ def test_global_positions_always_a_permutation_in_key_order(spark, keys):
     assert [by_pos[p] for p in range(len(keys))] == sorted(
         (k, i) for i, k in data
     )
+
+
+# --- mixture_sample: hash-grid algebra ------------------------------------
+
+_mix_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=1, max_value=50),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(data=_mix_rows, b1=st.floats(min_value=1, max_value=200),
+       b2=st.floats(min_value=1, max_value=200))
+@_SETTINGS
+def test_mixture_sample_budget_monotone(spark, data, b1, b2):
+    """A larger budget's keep-set CONTAINS a smaller budget's: rates
+    grow monotonically with budget on the shared hash-bucket grid, so
+    scaling a mixture up never swaps rows — the property that lets a
+    pipeline grow a dataset incrementally."""
+    from tmdb_index_spark.operators.sampling import mixture_sample
+
+    lo, hi = sorted([b1, b2])
+    df = spark.createDataFrame(data, "id long, src string, cost long")
+    w = {"a": 0.6, "b": 0.4}
+    small = {r["id"] for r in mixture_sample(df, "src", "cost", "id", w, lo).collect()}
+    big = {r["id"] for r in mixture_sample(df, "src", "cost", "id", w, hi).collect()}
+    assert small <= big
+
+
+# --- dup_span_fraction: bounds and blindness to unique text ----------------
+
+_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),
+        st.lists(
+            st.sampled_from(["w1", "w2", "w3", "w4"]), max_size=8
+        ).map(" ".join),
+    ),
+    min_size=1,
+    max_size=6,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(docs=_docs)
+@_SETTINGS
+def test_dup_span_fraction_bounds(spark, docs):
+    from tmdb_index_spark.operators.llm_prep import dup_span_fraction
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for r in dup_span_fraction(df, n=3).collect():
+        assert 0 <= r["dup_spans"] <= r["n_spans"]
+        if r["n_spans"] == 0:
+            assert r["dup_frac"] is None
+        else:
+            assert 0.0 <= r["dup_frac"] <= 1.0

@@ -3989,6 +3989,44 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: revenue and line counts at every grain of
+    (returnflag × linestatus) — both axes, each alone, and the grand
+    total — in ONE pass with ``grouping_id`` disambiguating the
+    subtotal rows from genuine NULL groups. Complements the
+    ``rollup_revenue`` hierarchy: CUBE is the cross-grain topology
+    (2^k grouping sets). Spark expands the cube BEFORE the exchange,
+    so each of the 4 grouping sets partial-aggregates map-side and one
+    shuffle carries all grains — at 100 TB this beats 4 separate
+    scans 4:1 on I/O."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "revenue", "n_lines")
+    )
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+         AS revenue,
+       COUNT(*)::BIGINT AS n_lines
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4104,6 +4142,7 @@ QUERIES: dict[str, QueryFn] = {
     "dup_span_quality": dup_span_quality,
     "mixture_token_sample": mixture_token_sample,
     "embedding_knn_join": embedding_knn_join,
+    "cube_revenue": cube_revenue,
     "q8_market_share": q8_market_share,
     "unigram_surprisal": unigram_surprisal,
     "chunked_documents": chunked_documents,
@@ -4217,6 +4256,7 @@ ORACLES: dict[str, str] = {
     "dup_span_quality": _DUP_SPAN_SQL,
     "mixture_token_sample": _MIXTURE_SQL,
     "embedding_knn_join": _KNN_JOIN_SQL,
+    "cube_revenue": _CUBE_SQL,
     "q8_market_share": _Q8_SQL,
     "unigram_surprisal": _UNIGRAM_SQL,
     "chunked_documents": _CHUNKED_SQL,

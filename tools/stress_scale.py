@@ -53,13 +53,31 @@ def main() -> int:
     # LLM-prep extensions stressed alongside the headline set: the
     # pack_sequences sharded-window claim ("no one-task serial scan")
     # and the decontam broadcast shape are argued in docstrings — this
-    # run measures them at ~10x.
-    stress_set = BENCH_QUERIES + [
-        "pack_sequences_stats",
-        "decontam_ngram_hits",
-        "repetition_quality",
-        "pii_redaction",
-    ]
+    # run measures them at ~10x. SPARK_GRAFT_STRESS_SET=full stresses
+    # every registered catalog query instead.
+    import os
+
+    if os.environ.get("SPARK_GRAFT_STRESS_SET") == "full":
+        stress_set = list(QUERIES)
+    else:
+        stress_set = BENCH_QUERIES + [
+            "pack_sequences_stats",
+            "decontam_ngram_hits",
+            "repetition_quality",
+            "pii_redaction",
+            # round-6 additions
+            "q21_waiting_suppliers",
+            "q2_min_cost_supplier",
+            "q9_product_type_profit",
+            "q11_important_parts",
+            "q12_shipmode_priority",
+            "q16_supplier_relationship",
+            "q20_promotion_suppliers",
+            "dup_span_quality",
+            "mixture_token_sample",
+            "embedding_knn_join",
+            "crossmodal_image_neardups",
+        ]
 
     report: dict[str, dict[str, float]] = {}
     for name in stress_set:
