@@ -357,3 +357,20 @@ def test_dup_span_quality_no_pair_join(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial" in p  # span-df aggregation combines map-side
+
+
+def test_funnel_stages_stay_user_partitioned(spark):
+    # Every stage join and aggregation keys on user_id; the only
+    # cross joins are the three 1-row stage counts at the very top.
+    p = _plan(spark, "funnel_conversion")
+    assert "CartesianProduct" not in p
+    assert "partial" in p
+
+
+def test_retention_cohort_no_global_window(spark):
+    # Per-user first-week is an aggregation, not a window over the
+    # whole fact; cells partial-aggregate before the shuffle.
+    p = _plan(spark, "weekly_retention_cohorts")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "partial" in p

@@ -4027,6 +4027,106 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → click → purchase): users counted at
+    each stage only when the stage's FIRST qualifying event strictly
+    follows the previous stage's — the product-analytics sequence-match
+    pattern, not independent event counts. Three aggregations over the
+    events table, every join keyed on ``user_id`` — co-partitioned end
+    to end, so at 100 TB the fact shuffles once on user and each stage
+    reuses that partitioning; the final three 1-row counts broadcast-
+    combine."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewed"))
+        .crossJoin(
+            c.agg(F.count(F.lit(1)).cast("bigint").alias("n_clicked_after"))
+        )
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchased_after"))
+        )
+    )
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM v)::BIGINT AS n_viewed,
+       (SELECT COUNT(*) FROM c)::BIGINT AS n_clicked_after,
+       (SELECT COUNT(*) FROM p)::BIGINT AS n_purchased_after
+"""
+
+
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen week
+    (cohort) × week of activity, counting distinct active users per
+    cell — the classic growth-analytics triangle. Week index is days
+    since the corpus epoch ÷ 7 (integer), identical arithmetic in both
+    engines. Two keyed aggregations (per-user first week, then the
+    cohort cell counts) plus a user-keyed join — no window over the
+    whole fact, nothing quadratic."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7
+        ).cast("bigint").alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy("cohort_week", F.col("week").alias("active_week"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+_RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+  FROM events
+),
+first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1
+)
+SELECT cohort_week, ev.week AS active_week,
+       COUNT(DISTINCT ev.user_id)::BIGINT AS n_users
+FROM ev JOIN first ON ev.user_id = first.user_id
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4143,6 +4243,8 @@ QUERIES: dict[str, QueryFn] = {
     "mixture_token_sample": mixture_token_sample,
     "embedding_knn_join": embedding_knn_join,
     "cube_revenue": cube_revenue,
+    "funnel_conversion": funnel_conversion,
+    "weekly_retention_cohorts": weekly_retention_cohorts,
     "q8_market_share": q8_market_share,
     "unigram_surprisal": unigram_surprisal,
     "chunked_documents": chunked_documents,
@@ -4257,6 +4359,8 @@ ORACLES: dict[str, str] = {
     "mixture_token_sample": _MIXTURE_SQL,
     "embedding_knn_join": _KNN_JOIN_SQL,
     "cube_revenue": _CUBE_SQL,
+    "funnel_conversion": _FUNNEL_SQL,
+    "weekly_retention_cohorts": _RETENTION_SQL,
     "q8_market_share": _Q8_SQL,
     "unigram_surprisal": _UNIGRAM_SQL,
     "chunked_documents": _CHUNKED_SQL,
