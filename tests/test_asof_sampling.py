@@ -137,3 +137,46 @@ def test_mixture_sample_rejects_bad_weights(spark):
         mixture_sample(
             df, "src", "cost", key="id", weights={"a": 0.0}, budget=10
         )
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from tmdb_index_spark.operators.sampling import weighted_sample
+
+    # 200 light rows (w=1) vs 200 heavy rows (w=1000): the heavy class
+    # must dominate a k=50 sample by a wide margin
+    rows_ = [(i, "g", 1 if i < 200 else 1000) for i in range(400)]
+    df = spark.createDataFrame(rows_, "id long, grp string, w long")
+    got = weighted_sample(df, key="id", weight_col="w", k=50, group_col="grp")
+    heavy = sum(1 for r in got.collect() if r["id"] >= 200)
+    assert got.count() == 50
+    assert heavy >= 45
+    # deterministic under repartitioning
+    again = weighted_sample(
+        df.repartition(13), key="id", weight_col="w", k=50, group_col="grp"
+    )
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
+
+
+def test_weighted_sample_global_topk_plan(spark):
+    from tmdb_index_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "id long, w long"
+    )
+    out = weighted_sample(df, key="id", weight_col="w", k=5)
+    assert out.count() == 5
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # global k must be per-partition top-k + driver merge, no full sort
+    assert "TakeOrderedAndProject" in p
+
+
+def test_weighted_sample_rejects_bad_k(spark):
+    import pytest
+
+    from tmdb_index_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, 1)], "id long, w long")
+    with pytest.raises(ValueError):
+        weighted_sample(df, key="id", weight_col="w", k=0)

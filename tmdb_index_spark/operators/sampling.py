@@ -24,6 +24,7 @@ __all__ = [
     "split_column",
     "stratified_sample",
     "mixture_sample",
+    "weighted_sample",
 ]
 
 #: Granularity of split fractions (hash buckets).
@@ -145,4 +146,51 @@ def mixture_sample(
         df.join(F.broadcast(rates), F.col(source_col) == F.col("__src__"))
         .filter(_bucket(F.col(key)) < F.col("__keep__"))
         .drop("__src__", "__keep__")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-Res): keep the ``k`` rows with the largest
+    ``ln(u) / w`` sort key, where ``u ∈ (0, 1)`` derives from the
+    portable row hash — rows with larger ``weight_col`` are
+    proportionally likelier to survive, membership is stable across
+    engines/partitionings/reruns (same hash → same u → same key), and
+    no RNG state or second pass is needed. ``ln(u)/w`` orders
+    identically to the textbook ``u^(1/w)`` (monotone transform) while
+    avoiding cross-engine ``pow`` at tiny exponents.
+
+    With ``group_col`` the top-``k`` is per group (window row_number —
+    the shuffle keys on the group, the reservoir never leaves its
+    partition); without it, the global top-``k`` compiles to
+    per-partition top-k + driver merge (TakeOrderedAndProject), never
+    a global sort. Ties (absent in practice for hash-derived u) break
+    on ``key`` for full determinism. Weights must be positive."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (
+        (portable_hash60(F.col(key).cast("string")) % 1_000_000).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    skey = F.log(u) / F.col(weight_col).cast("double")
+    tagged = df.withColumn("__skey__", skey)
+    if group_col is None:
+        return tagged.orderBy(
+            F.col("__skey__").desc(), F.col(key).asc()
+        ).limit(k).drop("__skey__")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__skey__").desc(), F.col(key).asc()
+    )
+    return (
+        tagged.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__skey__", "__rn__")
     )

@@ -4127,6 +4127,40 @@ GROUP BY 1, 2
 """
 
 
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (extension:
+    corpus curation): 3 docs per source, selection probability
+    proportional to ``n_chars``, via the Efraimidis–Spirakis hash key
+    (:func:`~tmdb_index_spark.operators.sampling.weighted_sample`).
+    The oracle reproduces the identical ``ln(u)/w`` keys from the same
+    md5-derived uniforms."""
+    from tmdb_index_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"),
+        key="doc_id",
+        weight_col="n_chars",
+        k=3,
+        group_col="source",
+    ).select("doc_id", "source", "n_chars")
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000) + 0.5) / 1000000.0)
+           / CAST(n_chars AS DOUBLE) AS skey
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY skey DESC, doc_id ASC) AS rn
+  FROM w
+) WHERE rn <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4245,6 +4279,7 @@ QUERIES: dict[str, QueryFn] = {
     "cube_revenue": cube_revenue,
     "funnel_conversion": funnel_conversion,
     "weekly_retention_cohorts": weekly_retention_cohorts,
+    "weighted_sample_per_source": weighted_sample_per_source,
     "q8_market_share": q8_market_share,
     "unigram_surprisal": unigram_surprisal,
     "chunked_documents": chunked_documents,
@@ -4361,6 +4396,7 @@ ORACLES: dict[str, str] = {
     "cube_revenue": _CUBE_SQL,
     "funnel_conversion": _FUNNEL_SQL,
     "weekly_retention_cohorts": _RETENTION_SQL,
+    "weighted_sample_per_source": _WEIGHTED_SAMPLE_SQL,
     "q8_market_share": _Q8_SQL,
     "unigram_surprisal": _UNIGRAM_SQL,
     "chunked_documents": _CHUNKED_SQL,
