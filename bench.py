@@ -86,6 +86,13 @@ EXTENDED_QUERIES = [
     "q16_supplier_relationship",
     "q20_promotion_suppliers",
     "crossmodal_image_neardups",
+    "dup_span_quality",
+    "mixture_token_sample",
+    "embedding_knn_join",
+    "cube_revenue",
+    "funnel_conversion",
+    "weekly_retention_cohorts",
+    "weighted_sample_per_source",
 ]
 
 
@@ -116,6 +123,12 @@ def main() -> int:
         "extended": EXTENDED_QUERIES,
         "full": BENCH_QUERIES + EXTENDED_QUERIES,
     }[bench_set]
+    # Referent maintenance: re-measure only the named queries (comma
+    # list) without re-running the whole set.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        names = [n for n in wanted if n in QUERIES]
     timings: dict[str, float] = {}
     passes: list[dict[str, float]] = []
     from tmdb_index_spark.operators.materialize import release_pins
@@ -153,7 +166,9 @@ def main() -> int:
         "passes": passes,
         "sf": sf,
     }
-    if bench_set == "headline":
+    if only:
+        out["metric"] = "only_queries_total"
+    elif bench_set == "headline":
         out["metric"] = "headline_queries_total"
         out["total_r1_set"] = round(
             sum(timings[q] for q in R1_QUERIES), 3

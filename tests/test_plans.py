@@ -359,12 +359,15 @@ def test_dup_span_quality_no_pair_join(spark):
     assert "partial" in p  # span-df aggregation combines map-side
 
 
-def test_funnel_stages_stay_user_partitioned(spark):
-    # Every stage join and aggregation keys on user_id; the only
-    # cross joins are the three 1-row stage counts at the very top.
+def test_funnel_single_scan_single_shuffle(spark):
+    # The cascaded-window form reads the events fact ONCE and keys all
+    # three stage thresholds on one user_id partitioning — no joins,
+    # no repeated scans (the oracle's aggregate-and-join form would
+    # scan the fact three times).
     p = _plan(spark, "funnel_conversion")
-    assert "CartesianProduct" not in p
-    assert "partial" in p
+    assert p.count("FileScan parquet") == 1
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning(user_id") == 1
 
 
 def test_retention_cohort_no_global_window(spark):

@@ -4028,43 +4028,43 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 
 
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered event funnel (view → click → purchase): users counted at
-    each stage only when the stage's FIRST qualifying event strictly
+    """Ordered event funnel (view -> click -> purchase): users counted
+    at each stage only when the stage's FIRST qualifying event strictly
     follows the previous stage's — the product-analytics sequence-match
-    pattern, not independent event counts. Three aggregations over the
-    events table, every join keyed on ``user_id`` — co-partitioned end
-    to end, so at 100 TB the fact shuffles once on user and each stage
-    reuses that partitioning; the final three 1-row counts broadcast-
-    combine."""
+    pattern, not independent event counts. Expressed as cascaded window
+    minimums over ONE user-partitioned pass: the fact is scanned once
+    and shuffled once on ``user_id``; all three stage thresholds
+    evaluate inside that single window partitioning (the per-stage
+    aggregate-and-join formulation the oracle uses would scan the fact
+    three times), then a per-user fold produces the three global stage
+    counts. Plan-pinned: one events FileScan, no join at all."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    c = (
-        ev.join(v, "user_id")
-        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.join(c, "user_id")
-        .filter(
-            (F.col("event_type") == "purchase")
-            & (F.col("ts") > F.col("t_click"))
+    w = Window.partitionBy("user_id")
+    typ, ts = F.col("event_type"), F.col("ts")
+    staged = (
+        ev.withColumn("t_view", F.min(F.when(typ == "view", ts)).over(w))
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when((typ == "click") & (ts > F.col("t_view")), ts)
+            ).over(w),
         )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when((typ == "purchase") & (ts > F.col("t_click")), ts)
+            ).over(w),
+        )
     )
-    return (
-        v.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewed"))
-        .crossJoin(
-            c.agg(F.count(F.lit(1)).cast("bigint").alias("n_clicked_after"))
-        )
-        .crossJoin(
-            p.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchased_after"))
-        )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").cast("bigint").alias("n_viewed"),
+        F.count("t_click").cast("bigint").alias("n_clicked_after"),
+        F.count("t_purchase").cast("bigint").alias("n_purchased_after"),
     )
 
 
