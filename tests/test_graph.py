@@ -75,3 +75,58 @@ def test_group_representatives_drop_list(spark):
     out = dedup_group_representatives(df)
     got = {r.drop_id: r.keep_id for r in out.collect()}
     assert got == {9: 5, 7: 5, 2: 1}
+
+
+def test_pagerank_fixed_point_hand_computed(spark):
+    from tmdb_index_spark.operators.graph import pagerank_fixed_point
+
+    # star: 1 -> {2, 3}, both point back at 1
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (3, 1)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["rank_ppm"]
+        for r in pagerank_fixed_point(e, iterations=2).collect()
+    }
+    # r1: hub = 150000 + 850000*2e6 div 1e6 = 1_850_000; leaves 575_000
+    # r2: hub = 150000 + 850000*(2*(575000 div 1)) div 1e6 = 1_127_500
+    #     leaves = 150000 + 850000*(1_850_000 div 2) div 1e6 = 936_250
+    assert got == {1: 1_127_500, 2: 936_250, 3: 936_250}
+
+
+def test_pagerank_symmetric_cycle_stable(spark):
+    from tmdb_index_spark.operators.graph import pagerank_fixed_point
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {
+        r["node"]: r["rank_ppm"]
+        for r in pagerank_fixed_point(e, iterations=3).collect()
+    }
+    # unit rank is a fixed point of the symmetric 2-cycle
+    assert got == {1: 1_000_000, 2: 1_000_000}
+
+
+def test_pagerank_deterministic_under_partitioning(spark):
+    from tmdb_index_spark.operators.graph import pagerank_fixed_point
+
+    e = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(100)], "src long, dst long"
+    )
+    a = sorted(map(tuple, pagerank_fixed_point(e, iterations=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pagerank_fixed_point(e.repartition(17), iterations=2).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_pagerank_rejects_bad_iterations(spark):
+    import pytest
+
+    from tmdb_index_spark.operators.graph import pagerank_fixed_point
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank_fixed_point(e, iterations=0)

@@ -125,3 +125,70 @@ def dedup_group_representatives(
     return cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("drop_id"), F.col("component").alias("keep_id")
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    damping_ppm: int = 850_000,
+) -> DataFrame:
+    """PageRank with EXACT fixed-point arithmetic, unrolled into a
+    static dataflow — the "iterative algorithm as a plan" pattern.
+
+    Ranks are integers in parts-per-million of a unit rank (1.0 ≡
+    10^6). Each iteration is
+
+        contrib(e) = rank(src) div out_degree(src)      -- integer div
+        rank'(v)   = (10^6 - d) + d * Σ contrib / 10^6  -- integer ops
+
+    so every operation is integer division/summation: NO float sums
+    cross a shuffle, which makes the result bit-identical on any
+    engine, partitioning, or aggregation order (a double-summed
+    PageRank is order-dependent and cannot be oracle-checked exactly).
+    The truncation error of div is < 1 ppm per hop — irrelevant for
+    ranking, decisive for reproducibility.
+
+    Scale shape: each iteration is one join of the edge list against
+    the (|V|-sized) rank frame on ``src`` plus one groupBy on ``dst``
+    — both partitioned by node key; ``iterations`` is a compile-time
+    unroll (2-3 suffices for relative ordering on bounded-diameter
+    graphs). Dangling nodes (no out-edges) simply stop propagating —
+    with a symmetrized edge list none exist. Nodes with no in-edges
+    keep the teleport term only, via the left join's COALESCE(0).
+
+    Returns ``(node, rank_ppm)``.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg__"))
+    unit = 1_000_000
+    teleport = unit - damping_ppm
+    rank = nodes.select("node", F.lit(unit).cast("bigint").alias("rank_ppm"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(rank, e.src == rank.node)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_ppm div __deg__").alias("__c__"),
+            )
+        )
+        in_sum = contrib.groupBy("node").agg(F.sum("__c__").alias("__in__"))
+        rank = nodes.join(in_sum, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport).cast("bigint")
+                + F.expr(
+                    f"({damping_ppm} * coalesce(__in__, 0)) div {unit}"
+                ).cast("bigint")
+            ).alias("rank_ppm"),
+        )
+    return rank

@@ -4161,6 +4161,66 @@ SELECT doc_id, source, n_chars FROM (
 """
 
 
+def trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (2 unrolled iterations) over the
+    symmetrized customer↔supplier trade graph (distinct pairs from
+    orders⋈lineitem; supplier node ids offset by 10^6). Extension:
+    iterative graph algorithms as static dataflow — exact integer
+    (ppm) arithmetic makes the ranks bit-identical across engines,
+    so unlike a float PageRank this one carries a full value oracle
+    (:func:`~tmdb_index_spark.operators.graph.pagerank_fixed_point`)."""
+    from tmdb_index_spark.operators.graph import pagerank_fixed_point
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    rel = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = rel.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).union(rel.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+    return pagerank_fixed_point(edges, iterations=2)
+
+
+_PAGERANK_SQL = """
+WITH rel AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (
+  SELECT cust AS src, supp AS dst FROM rel
+  UNION ALL
+  SELECT supp AS src, cust AS dst FROM rel
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+r0 AS (SELECT node, 1000000::BIGINT AS rank_ppm FROM nodes),
+c1 AS (
+  SELECT e.dst AS node, SUM(r0.rank_ppm // deg.d) AS s
+  FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+  GROUP BY 1
+),
+r1 AS (
+  SELECT n.node,
+         (150000 + (850000 * COALESCE(c1.s, 0)) // 1000000)::BIGINT AS rank_ppm
+  FROM nodes n LEFT JOIN c1 ON n.node = c1.node
+),
+c2 AS (
+  SELECT e.dst AS node, SUM(r1.rank_ppm // deg.d) AS s
+  FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+  GROUP BY 1
+)
+SELECT n.node,
+       (150000 + (850000 * COALESCE(c2.s, 0)) // 1000000)::BIGINT AS rank_ppm
+FROM nodes n LEFT JOIN c2 ON n.node = c2.node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4280,6 +4340,7 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_conversion": funnel_conversion,
     "weekly_retention_cohorts": weekly_retention_cohorts,
     "weighted_sample_per_source": weighted_sample_per_source,
+    "trade_graph_pagerank": trade_graph_pagerank,
     "q8_market_share": q8_market_share,
     "unigram_surprisal": unigram_surprisal,
     "chunked_documents": chunked_documents,
@@ -4397,6 +4458,7 @@ ORACLES: dict[str, str] = {
     "funnel_conversion": _FUNNEL_SQL,
     "weekly_retention_cohorts": _RETENTION_SQL,
     "weighted_sample_per_source": _WEIGHTED_SAMPLE_SQL,
+    "trade_graph_pagerank": _PAGERANK_SQL,
     "q8_market_share": _Q8_SQL,
     "unigram_surprisal": _UNIGRAM_SQL,
     "chunked_documents": _CHUNKED_SQL,
