@@ -447,10 +447,15 @@ def fit_centroids(
     return [(i, [float(x) for x in C[j]]) for i, j in enumerate(order)]
 
 
-#: Above this corpus size the interpreted per-centroid assignment fold
-#: dominates query time (measured ~¾ of total at 64 cells × 200k
-#: vectors) and :func:`ivf_index_topk` switches to BLAS assignment.
-IVF_BLAS_ASSIGN_THRESHOLD = 50_000
+#: Above this corpus size :func:`ivf_index_topk` switches assignment to
+#: the BLAS Arrow path. Measured crossover is far lower than intuition
+#: suggests: Catalyst evaluates the per-centroid ``aggregate`` fold
+#: INTERPRETED (outside whole-stage codegen), so even 500 vectors × 22
+#: cells × 64 dims costs 1.2 s where one numpy matmul costs 0.44 s —
+#: and the gap widens with N·cells (2000×45: 5.3 s vs 0.67 s). The
+#: expression path remains for sub-thousand corpora where keeping the
+#: plan JVM-only (no Python workers) is worth more than the second.
+IVF_BLAS_ASSIGN_THRESHOLD = 1_000
 
 
 def ivf_index_topk(
