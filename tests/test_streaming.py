@@ -361,3 +361,93 @@ def test_enrich_stream_static_join_matches_batch(spark, tmp_path):
     assert tiers[1] == "gold" and tiers[2] is None
     with pytest.raises(ValueError):
         enrich_stream(stream, dim, how="full")
+
+
+DOCS_B1 = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "completely different content about spark streaming state stores"),
+]
+DOCS_B2 = [
+    # near-identical to doc 1 (one word changed at the end)
+    (3, "the quick brown fox jumps over the lazy dog again and once"),
+    # novel
+    (4, "yet another unrelated document with fresh vocabulary entirely"),
+    # exact redelivery of doc 1: must NOT self-match or duplicate state
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+]
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def test_neardup_stream_detects_across_batches(spark, tmp_path):
+    from tmdb_index_spark.streaming.neardup import neardup_detect_stream
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt_neardup")
+    spark.createDataFrame(DOCS_B1, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain():
+        rows: list = []
+
+        def collect(batch_df, batch_id):
+            rows.extend(batch_df.collect())
+
+        q = (
+            neardup_detect_stream(
+                spark.readStream.schema(DOC_SCHEMA).parquet(src)
+            )
+            .writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return rows
+
+    first = drain()
+    assert first == []  # two unrelated docs: no detections
+
+    spark.createDataFrame(DOCS_B2, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    second = drain()
+    pairs = {(r["doc_id"], r["matched_id"]) for r in second}
+    # doc 3 is a near-dup of the doc-1 signature kept in bucket state
+    assert pairs == {(3, 1)}
+    assert all(r["sig_sim"] >= 0.5 for r in second)
+    # the redelivered doc 1 neither self-matched nor matched doc 3
+    assert not any(r["doc_id"] == 1 for r in second)
+
+
+def test_neardup_stream_agrees_with_batch_signatures(spark):
+    # the stream's row-local signature must equal the batch operator's
+    # explode->groupBy signature for the same docs
+    import pyspark.sql.functions as F
+
+    from tmdb_index_spark.operators.dedup_text import minhash_signatures
+    from tmdb_index_spark.streaming.neardup import _sig_mapper
+
+    df = spark.createDataFrame(DOCS_B1 + DOCS_B2[:2], DOC_SCHEMA)
+    batch = {
+        r["doc_id"]: [r[f"minhash_{i}"] for i in range(16)]
+        for r in minhash_signatures(df, num_hashes=16).collect()
+    }
+    stream_form = {
+        r["doc_id"]: list(r["sig"])
+        for r in df.mapInPandas(
+            _sig_mapper("text", "doc_id", 3, 16), "doc_id long, sig array<long>"
+        ).collect()
+    }
+    assert stream_form == batch
+
+
+def test_neardup_stream_rejects_bad_bands(spark):
+    import pytest
+
+    from tmdb_index_spark.streaming.neardup import neardup_detect_stream
+
+    df = spark.createDataFrame(DOCS_B1, DOC_SCHEMA)
+    with pytest.raises(ValueError):
+        neardup_detect_stream(df, num_hashes=16, bands=5)
