@@ -201,3 +201,50 @@ def test_sample_frames_plan(spark):
     out = sample_frames(df, every_n=30, id_col="media_id").collect()
     got = sorted((r["media_id"], r["frame_idx"]) for r in out)
     assert got == [(0, 0), (0, 30), (0, 60), (1, 0)]
+
+
+def test_resize_media_roundtrips_new_dimensions(spark):
+    from tmdb_index_spark.operators.multimodal import decode_media, resize_media
+
+    resized = resize_media(_media(spark), width=32, height=24)
+    out = {
+        r["media_id"]: (r["width"], r["height"], r["decode_ok"])
+        for r in decode_media(resized).collect()
+        if r["media"] is not None
+    }
+    # every surviving payload re-decodes at exactly the target dims
+    assert out, "expected at least one resizable payload"
+    assert all(v == (32, 24, True) for v in out.values())
+
+
+def test_resize_media_nulls_unresizable_payloads(spark):
+    import pandas as pd
+
+    from tmdb_index_spark.operators.multimodal import resize_media
+
+    rows = [
+        (1, {"data": b"not an image at all", "mime": "text/plain",
+             "source_uri": "m"}),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, _media(spark).schema)
+    got = {r["media_id"]: r["media"] for r in resize_media(df, 8, 8).collect()}
+    assert got[1] is None and got[2] is None
+
+
+def test_resize_media_rejects_bad_dims(spark):
+    import pytest
+
+    from tmdb_index_spark.operators.multimodal import resize_media
+
+    with pytest.raises(ValueError):
+        resize_media(_media(spark), 0, 8)
+
+
+def test_unavailable_resizer_raises_with_dependency_hint():
+    import pytest
+
+    from tmdb_index_spark.operators.multimodal import unavailable_resizer
+
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        unavailable_resizer(b"x", "image/png", 8, 8)

@@ -57,6 +57,9 @@ __all__ = [
     "decode_media",
     "media_features",
     "sample_frames",
+    "resize_media",
+    "fake_resizer",
+    "unavailable_resizer",
 ]
 
 #: The media column convention (see module docstring).
@@ -190,3 +193,82 @@ def sample_frames(
     return df.filter(F.col(n_frames_col).isNotNull()).select(
         F.col(id_col), idx.alias("frame_idx")
     )
+
+
+#: A resizer takes (payload, mime, target_w, target_h) and returns the
+#: resized payload bytes, or None when the payload can't be resized
+#: (undecodable, non-image mime). Inject Pillow here in production.
+Resizer = Callable[[bytes, str, int, int], "bytes | None"]
+
+
+def fake_resizer(data: bytes, mime: str, w: int, h: int) -> bytes | None:
+    """Deterministic stand-in resizer (the container ships no pixel
+    libraries — TESTDATA/brief contract): emits a syntactically valid
+    payload of the SAME container format at the target dimensions,
+    using the stdlib synthesizers in `operators/media_codec.py`, so a
+    downstream :func:`decode_media` round-trips the new width/height.
+    Non-image or unsniffable payloads resize to None — the same
+    contract a real decoder failure produces."""
+    from tmdb_index_spark.operators import media_codec as mc
+
+    kind = mc.sniff_mime(data)
+    if kind is None or not kind.startswith("image/"):
+        return None
+    maker = {
+        "image/png": mc.make_png,
+        "image/jpeg": mc.make_jpeg,
+        "image/gif": mc.make_gif,
+        "image/bmp": mc.make_bmp,
+        # no stdlib webp synthesizer: the stand-in resizes webp to None
+    }.get(kind)
+    return maker(w, h) if maker else None
+
+
+def unavailable_resizer(data: bytes, mime: str, w: int, h: int) -> bytes:
+    """Production seam for a real pixel path."""
+    raise NotImplementedError(
+        "pixel resizing needs an image library: install Pillow and "
+        "inject it as resize_media(..., resizer=...)"
+    )
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    media_col: str = "media",
+    resizer: Resizer = fake_resizer,
+) -> DataFrame:
+    """Rewrite each media payload to ``width``×``height`` via the
+    injected ``resizer``, preserving the media struct shape (payload
+    replaced, mime/uri kept) so the resized column drops into every
+    downstream stage unchanged — a following :func:`decode_media`
+    reports the new dimensions from the rewritten container headers.
+    Arrow-batched ``mapInPandas``, map-only: payload bytes never cross
+    a shuffle, batch memory is bounded by the same
+    ``arrow.maxRecordsPerBatch`` note as the module docstring. Payloads
+    the resizer returns ``None`` for surface as NULL media (the
+    caller's quality filter decides their fate), mirroring decode
+    failure semantics."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"target dims must be positive, got {width}x{height}")
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for m in pdf[media_col]:
+                if m is None or m["data"] is None:
+                    out.append(None)
+                    continue
+                resized = resizer(m["data"], m["mime"] or "", width, height)
+                if resized is None:
+                    out.append(None)
+                    continue
+                nm = dict(m)
+                nm["data"] = resized
+                out.append(nm)
+            pdf[media_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
