@@ -372,3 +372,24 @@ def test_lsh_knn_join_corpus_never_shuffles(spark):
     # side must reach the join without one
     before_join = p.split("BroadcastHashJoin")[-1]
     assert "Exchange hashpartitioning(bucket" not in before_join
+
+
+def test_lsh_topk_pandas_impl_matches_expr(spark):
+    from tmdb_index_spark.operators.similarity import lsh_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    expr = sorted(map(tuple, lsh_topk(emb, k=3, n_bits=4, impl="expr").collect()))
+    pan = sorted(map(tuple, lsh_topk(emb, k=3, n_bits=4, impl="pandas").collect()))
+    assert pan == expr
+
+
+def test_lsh_topk_pandas_rejects_multiprobe(spark):
+    import pytest
+
+    from tmdb_index_spark.operators.similarity import lsh_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    with pytest.raises(ValueError):
+        lsh_topk(emb, impl="pandas", multi_probe=True)

@@ -152,6 +152,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_probe: bool = False,
+    impl: str = "expr",
 ) -> DataFrame:
     """Approximate all-pairs top-``k``: bucket by sign bits, compare only
     within buckets, rank per vector. Returns
@@ -165,7 +166,23 @@ def lsh_topk(
     boundaries — a vector whose neighbor differs in one sign bit is
     found). Probing is asymmetric — only the query side expands — so
     pairs aren't double-counted within a probe and are deduped across
-    probes by (query, neighbor)."""
+    probes by (query, neighbor).
+
+    ``impl='pandas'`` scores each bucket as one BLAS matmul inside
+    ``applyInPandas`` (:func:`_within_group_topk_pandas` — the same
+    scale path :func:`ivf_topk` defaults to): each vector crosses the
+    Arrow boundary once per bucket instead of once per candidate pair,
+    and the within-bucket dot products vectorize instead of running as
+    interpreted ``aggregate`` folds. Identical output contract (sims
+    rounded to 4 before ranking, neighbor-id ties). Single-probe only —
+    the default stays ``'expr'`` as the engine-portable oracle twin."""
+    if impl == "pandas":
+        if multi_probe:
+            raise ValueError("impl='pandas' supports single-probe only")
+        b = signbit_buckets(widen_small_scan(corpus), n_bits, id_col, vec_col)
+        return _within_group_topk_pandas(b, "bucket", k, id_col, vec_col)
+    if impl != "expr":
+        raise ValueError(f"impl must be 'expr' or 'pandas', got {impl!r}")
     b = signbit_buckets(widen_small_scan(corpus), n_bits, id_col, vec_col)
     a = b.select(
         F.col(id_col).alias("query_id"),
@@ -226,6 +243,7 @@ def lsh_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_probe: bool = False,
+    impl: str | None = None,
     target_bucket: int = LSH_TARGET_BUCKET,
     dim: int | None = None,
 ) -> DataFrame:
@@ -252,8 +270,21 @@ def lsh_index_topk(
 
     if n_estimate is not None and n_estimate <= 0:
         raise ValueError(f"n_estimate must be positive, got {n_estimate}")
+    n = n_estimate if n_estimate is not None else corpus.count()
+    if impl is None:
+        # Unlike IVF (where BLAS also removes an N x cells assignment
+        # cost), LSH bucketing is a free map expression, so pandas only
+        # buys back the per-pair scoring fold — a smaller but still
+        # real win once JIT/Arrow overheads amortize: measured WARM at
+        # 2k x 64d, occupancy 32: pandas 0.78 s vs expr 1.03 s (cold
+        # single-shot comparisons invert this; always compare warm).
+        # Multi-probe always stays on expressions.
+        impl = (
+            "pandas"
+            if (n >= LSH_BLAS_SCORE_THRESHOLD and not multi_probe)
+            else "expr"
+        )
     if n_bits is None:
-        n = n_estimate if n_estimate is not None else corpus.count()
         n_bits = max(1, math.ceil(math.log2(max(n, 2) / target_bucket)))
         if dim is None:
             row = corpus.select(vec_col).head()
@@ -263,7 +294,7 @@ def lsh_index_topk(
                 # frame with the contract schema instead of a crash.
                 return lsh_topk(
                     corpus, k=k, n_bits=1, id_col=id_col, vec_col=vec_col,
-                    multi_probe=multi_probe,
+                    multi_probe=multi_probe, impl=impl,
                 )
             dim = len(row[0])
         n_bits = min(n_bits, dim)
@@ -274,6 +305,7 @@ def lsh_index_topk(
         id_col=id_col,
         vec_col=vec_col,
         multi_probe=multi_probe,
+        impl=impl,
     )
 
 
@@ -456,6 +488,10 @@ def fit_centroids(
 #: expression path remains for sub-thousand corpora where keeping the
 #: plan JVM-only (no Python workers) is worth more than the second.
 IVF_BLAS_ASSIGN_THRESHOLD = 1_000
+
+#: Above this corpus size :func:`lsh_index_topk` scores buckets via the
+#: BLAS path — see the crossover note inside that function.
+LSH_BLAS_SCORE_THRESHOLD = 1_000
 
 
 def ivf_index_topk(
