@@ -270,7 +270,10 @@ def lsh_index_topk(
 
     if n_estimate is not None and n_estimate <= 0:
         raise ValueError(f"n_estimate must be positive, got {n_estimate}")
-    n = n_estimate if n_estimate is not None else corpus.count()
+    # the count job only runs when a decision actually needs N
+    n = n_estimate
+    if n is None and (impl is None or n_bits is None):
+        n = corpus.count()
     if impl is None:
         # Unlike IVF (where BLAS also removes an N x cells assignment
         # cost), LSH bucketing is a free map expression, so pandas only
