@@ -4221,6 +4221,70 @@ FROM nodes n LEFT JOIN c2 ON n.node = c2.node
 """
 
 
+def source_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source outlier detection (extension: corpus curation
+    quality filter): documents whose length deviates from their
+    source's MEDIAN by more than 2.5× the source's MAD (median absolute
+    deviation) — the standard robust alternative to mean/stddev, which
+    a single giant document would drag. Two grouped exact-percentile
+    aggregations (median, then MAD of residuals) plus a broadcast join
+    of the |sources|-sized stats back onto the corpus; the corpus
+    itself never shuffles. Exact interpolated percentiles compute
+    identically in both engines (ints averaged in IEEE doubles).
+    Sources whose MAD is 0 (degenerate constant-length) flag nothing —
+    the explicit ``mad > 0`` guard both engines share."""
+    docs = _t(spark, sf_dir, "documents")
+    med = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    resid = docs.join(F.broadcast(med), "source").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.abs(F.col("n_chars") - F.col("med")).alias("__r__"),
+        "med",
+    )
+    mad = resid.groupBy("source").agg(
+        F.expr("percentile(__r__, 0.5)").alias("mad")
+    )
+    return (
+        resid.join(F.broadcast(mad), "source")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("n_chars") - F.col("med"))
+               > F.lit(2.5) * F.col("mad"))
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.round(
+                F.abs(F.col("n_chars") - F.col("med")) / F.col("mad"), 4
+            ).alias("robust_z"),
+        )
+    )
+
+
+_OUTLIER_SQL = """
+WITH med AS (
+  SELECT source, quantile_cont(n_chars, 0.5) AS med
+  FROM documents GROUP BY 1
+),
+resid AS (
+  SELECT d.source, d.doc_id, d.n_chars, ABS(d.n_chars - med.med) AS r, med.med
+  FROM documents d JOIN med ON d.source = med.source
+),
+mad AS (
+  SELECT source, quantile_cont(r, 0.5) AS mad FROM resid GROUP BY 1
+)
+SELECT resid.doc_id, resid.source, resid.n_chars::BIGINT AS n_chars,
+       ROUND(ABS(resid.n_chars - resid.med) / mad.mad, 4) AS robust_z
+FROM resid JOIN mad ON resid.source = mad.source
+WHERE mad.mad > 0
+  AND ABS(resid.n_chars - resid.med) > 2.5 * mad.mad
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4341,6 +4405,7 @@ QUERIES: dict[str, QueryFn] = {
     "weekly_retention_cohorts": weekly_retention_cohorts,
     "weighted_sample_per_source": weighted_sample_per_source,
     "trade_graph_pagerank": trade_graph_pagerank,
+    "source_length_outliers": source_length_outliers,
     "q8_market_share": q8_market_share,
     "unigram_surprisal": unigram_surprisal,
     "chunked_documents": chunked_documents,
@@ -4459,6 +4524,7 @@ ORACLES: dict[str, str] = {
     "weekly_retention_cohorts": _RETENTION_SQL,
     "weighted_sample_per_source": _WEIGHTED_SAMPLE_SQL,
     "trade_graph_pagerank": _PAGERANK_SQL,
+    "source_length_outliers": _OUTLIER_SQL,
     "q8_market_share": _Q8_SQL,
     "unigram_surprisal": _UNIGRAM_SQL,
     "chunked_documents": _CHUNKED_SQL,
