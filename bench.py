@@ -93,6 +93,8 @@ EXTENDED_QUERIES = [
     "funnel_conversion",
     "weekly_retention_cohorts",
     "weighted_sample_per_source",
+    "trade_graph_pagerank",
+    "source_length_outliers",
 ]
 
 

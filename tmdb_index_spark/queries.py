@@ -4096,7 +4096,10 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     since the corpus epoch ÷ 7 (integer), identical arithmetic in both
     engines. Two keyed aggregations (per-user first week, then the
     cohort cell counts) plus a user-keyed join — no window over the
-    whole fact, nothing quadratic."""
+    whole fact, nothing quadratic. (On the synthetic events table most
+    users are active from week 0, so cohort 0 dominates the matrix —
+    the SHAPE under test is the cohort topology, which fills out on
+    real arrival-distributed data.)"""
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         F.floor(
