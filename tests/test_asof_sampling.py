@@ -180,3 +180,54 @@ def test_weighted_sample_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, 1)], "id long, w long")
     with pytest.raises(ValueError):
         weighted_sample(df, key="id", weight_col="w", k=0)
+
+
+# ---------------------------------------------------------------------------
+# cap_per_group
+# ---------------------------------------------------------------------------
+
+from tmdb_index_spark.operators.sampling import cap_per_group  # noqa: E402
+
+
+def _docs(spark, ids_by_group):
+    rows = [(i, g) for g, ids in ids_by_group.items() for i in ids]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_cap_per_group_respects_cap(spark):
+    df = _docs(spark, {"a": range(100), "b": range(100, 103)})
+    out = cap_per_group(df, "doc_id", "source", cap=5)
+    counts = {r.source: r.n for r in out.groupBy("source").agg(
+        __import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    assert counts == {"a": 5, "b": 3}
+
+
+def test_cap_per_group_membership_is_stable_across_other_groups(spark):
+    # Adding docs to group b must not change which of group a's docs
+    # survive — membership is a pure function of (key, group).
+    base = _docs(spark, {"a": range(50), "b": range(100, 110)})
+    grown = _docs(spark, {"a": range(50), "b": range(100, 200)})
+    kept = lambda df: sorted(  # noqa: E731
+        r.doc_id
+        for r in cap_per_group(df, "doc_id", "source", cap=7)
+        .filter("source = 'a'")
+        .collect()
+    )
+    assert kept(base) == kept(grown)
+
+
+def test_cap_per_group_deterministic_across_partitionings(spark):
+    df = _docs(spark, {"a": range(200)})
+    a = cap_per_group(df.repartition(1), "doc_id", "source", cap=9)
+    b = cap_per_group(df.repartition(16), "doc_id", "source", cap=9)
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
+
+
+def test_cap_per_group_rejects_nonpositive_cap(spark):
+    df = _docs(spark, {"a": [1]})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cap_per_group(df, "doc_id", "source", cap=0)

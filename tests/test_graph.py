@@ -130,3 +130,68 @@ def test_pagerank_rejects_bad_iterations(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank_fixed_point(e, iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+from tmdb_index_spark.operators.graph import triangle_count  # noqa: E402
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return triangle_count(df).collect()[0]
+
+
+def test_triangle_count_known_graph(spark):
+    # Two triangles sharing edge (1,2), plus a pendant vertex.
+    r = _tri(
+        spark,
+        [(1, 2), (2, 3), (1, 3), (2, 4), (1, 4), (4, 5)],
+    )
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 6, 2)
+
+
+def test_triangle_count_canonicalizes_input(spark):
+    # Duplicates, reversed orientation, and self-loops must not
+    # change the count.
+    r = _tri(
+        spark,
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2), (1, 2)],
+    )
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (3, 3, 1)
+
+
+def test_triangle_count_matches_brute_force_random(spark):
+    from itertools import combinations
+
+    rng = random.Random(7)
+    nodes = list(range(12))
+    edges = [
+        (a, b) for a, b in combinations(nodes, 2) if rng.random() < 0.4
+    ]
+    eset = {frozenset(e) for e in edges}
+    expected = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= eset
+    )
+    r = _tri(spark, edges)
+    assert r.n_triangles == expected
+    assert r.n_edges == len(eset)
+
+
+def test_triangle_count_no_cartesian_in_plan(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    plan = triangle_count(df)._jdf.queryExecution().executedPlan().toString()
+    # The 1-row count aggregates combine via broadcast nested loop by
+    # design; the EDGE joins must all be hash equi-joins.
+    import re
+
+    for frag in re.findall(r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|BroadcastNestedLoopJoin) [^\n]*", plan):
+        if "BroadcastNestedLoopJoin" in frag:
+            continue  # scalar-count combine only
+    wedge_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin")
+    assert wedge_joins >= 4  # degree x2, wedge, closing
+    assert "CartesianProduct" not in plan

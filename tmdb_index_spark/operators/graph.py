@@ -127,6 +127,87 @@ def dedup_group_representatives(
     )
 
 
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count of an undirected graph, via the
+    degree-ordered edge-orientation algorithm (Cohen, "Graph Twiddling
+    in a MapReduce World", CiSE 2009; the MR standard): orient every
+    edge from its lower-(degree, id) endpoint to the higher, so each
+    triangle is counted exactly once and — the scale point — every
+    wedge join fans out from a vertex's OUT-degree, which orientation
+    caps at O(√m) even for power-law hubs. A join of the raw adjacency
+    against itself costs Σ d(v)²; the oriented join costs Σ d⁺(v)² =
+    O(m^1.5) worst case, and a celebrity node with 10^7 neighbors
+    stops being a 10^14-wedge task.
+
+    Input edges may carry duplicates, self-loops, or either endpoint
+    order; they are canonicalized first. Both joins are equi-joins on
+    a vertex key (shuffle- or broadcast-able; AQE splits residual
+    skew). Returns one row: ``n_nodes, n_edges, n_triangles``.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient by (degree, id): lower endpoint -> higher endpoint.
+    ranked = (
+        e.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "du")
+        .join(deg.withColumnRenamed("node", "v"), "v")
+        .withColumnRenamed("deg", "dv")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("lo"), F.col("u").alias("hi"))
+            )
+            .alias("o")
+        )
+        .select(F.col("o.lo").alias("lo"), F.col("o.hi").alias("hi"))
+    )
+    # Wedges: two oriented edges sharing their low endpoint; the wedge
+    # closes iff (hi1, hi2) is itself an edge (canonical order holds
+    # because orientation is a total order on vertices).
+    wedges = (
+        ranked.alias("e1")
+        .join(ranked.alias("e2"), F.col("e1.lo") == F.col("e2.lo"))
+        .filter(F.col("e1.hi") < F.col("e2.hi"))
+        .select(F.col("e1.hi").alias("x"), F.col("e2.hi").alias("y"))
+    )
+    closing = ranked.select(
+        F.least("lo", "hi").alias("cu"), F.greatest("lo", "hi").alias("cv")
+    )
+    tri = wedges.join(
+        closing,
+        (F.least("x", "y") == F.col("cu"))
+        & (F.greatest("x", "y") == F.col("cv")),
+    )
+    return (
+        tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .crossJoin(
+            e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        )
+        .crossJoin(
+            deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        )
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     src: str = "src",

@@ -25,6 +25,7 @@ __all__ = [
     "stratified_sample",
     "mixture_sample",
     "weighted_sample",
+    "cap_per_group",
 ]
 
 #: Granularity of split fractions (hash buckets).
@@ -193,4 +194,41 @@ def weighted_sample(
         tagged.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") <= k)
         .drop("__skey__", "__rn__")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    cap: int,
+) -> DataFrame:
+    """Deterministically keep at most ``cap`` rows per ``group_col``,
+    chosen by portable-hash rank over ``key`` — the domain-cap step of
+    web-corpus pipelines (C4/RefinedWeb cap documents per host so one
+    crawl-friendly domain cannot dominate the training mixture).
+
+    Hash rank, not arrival order: membership is a pure function of
+    (key, group), stable across engines, partitionings, and reruns,
+    and adding documents to OTHER groups never changes a group's kept
+    set. Ties on the hash (astronomically rare at 60 bits) break on
+    the key. One shuffle on ``group_col``; the row_number window is
+    the standard per-group top-k (rank computed per partition, no
+    global sort). A pathologically hot group degrades to one fat task
+    — at web scale cap ≪ group size, so pre-aggregation (keep the
+    cap·P per-partition hash-smallest via a partial top-k) is the
+    lever; documented, not defaulted, because the plain window wins
+    below ~10^7 rows per group.
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        portable_hash60(F.col(key).cast("string")).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= cap)
+        .drop("__rn__")
     )

@@ -4288,6 +4288,206 @@ WHERE mad.mad > 0
 """
 
 
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history of each user's event
+    state: one row per RUN of consecutive identical ``event_type``
+    values, with [valid_from, valid_to) validity, per-user version
+    number, and an is_current flag on the open version. The reference
+    keeps only latest state (keep-last upsert, tmdb_index.py:330-366);
+    this is the full-history complement
+    (:func:`~tmdb_index_spark.operators.temporal.scd2_build`). One
+    shuffle on user_id; run detection, versioning, and the validity
+    lead() all execute inside that partitioning."""
+    from tmdb_index_spark.operators.temporal import scd2_build
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    hist = scd2_build(ev, "user_id", "ts", "event_type", tiebreak="event_id")
+    return hist.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+        F.col("version").cast("bigint").alias("version"),
+        "is_current",
+    )
+
+
+_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type IS DISTINCT FROM
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM ordered
+),
+versions AS (
+  SELECT user_id, run, MIN(event_type) AS state, MIN(ts) AS valid_from
+  FROM runs GROUP BY 1, 2
+)
+-- valid_to casts to TIMESTAMP_NS: pandas tolerates a ns/us unit gap
+-- on dense datetime series but not on ones containing NaT (the open
+-- versions), so the NULLABLE column is pinned to Spark's ns unit.
+SELECT user_id, state, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         ::TIMESTAMP_NS AS valid_to,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from)::BIGINT
+         AS version,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         IS NULL AS is_current
+FROM versions
+"""
+
+
+def supplier_busy_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval merge (gaps-and-islands over spans): each lineitem
+    opens a 7-day busy window [shipdate, shipdate+7d) for its
+    supplier; overlapping/touching windows merge into islands
+    (:func:`~tmdb_index_spark.operators.temporal.merge_intervals`).
+    Output per supplier: island count, source-interval count, and
+    total busy seconds — exact integers via epoch arithmetic so the
+    cross-engine compare is bit-exact. Both windows and both
+    aggregations share the single l_suppkey shuffle."""
+    from tmdb_index_spark.operators.temporal import merge_intervals
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_shipdate").alias("start_ts"),
+        (F.col("l_shipdate") + F.expr("INTERVAL 7 DAYS")).alias("end_ts"),
+    )
+    islands = merge_intervals(li, "l_suppkey", "start_ts", "end_ts")
+    return islands.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum("n_merged").cast("bigint").alias("n_intervals"),
+        F.sum(
+            F.unix_timestamp("island_end") - F.unix_timestamp("island_start")
+        ).cast("bigint").alias("busy_seconds"),
+    )
+
+
+_BUSY_INTERVALS_SQL = """
+WITH iv AS (
+  SELECT l_suppkey, l_shipdate AS start_ts,
+         l_shipdate + INTERVAL 7 DAY AS end_ts
+  FROM lineitem
+),
+flagged AS (
+  SELECT l_suppkey, start_ts, end_ts,
+         CASE WHEN MAX(end_ts) OVER (PARTITION BY l_suppkey
+                                     ORDER BY start_ts, end_ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) IS NULL
+                OR start_ts > MAX(end_ts) OVER (PARTITION BY l_suppkey
+                                                ORDER BY start_ts, end_ts
+                                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                                         AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM iv
+),
+islands AS (
+  SELECT l_suppkey, start_ts, end_ts,
+         SUM(brk) OVER (PARTITION BY l_suppkey ORDER BY start_ts, end_ts
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+merged AS (
+  SELECT l_suppkey, island, MIN(start_ts) AS island_start,
+         MAX(end_ts) AS island_end, COUNT(*) AS n_merged
+  FROM islands GROUP BY 1, 2
+)
+SELECT l_suppkey, COUNT(*)::BIGINT AS n_islands,
+       SUM(n_merged)::BIGINT AS n_intervals,
+       SUM(epoch(island_end) - epoch(island_start))::BIGINT AS busy_seconds
+FROM merged GROUP BY 1
+"""
+
+
+def cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the supplier co-supply graph (suppliers are
+    adjacent when they ship lines of the same order) via
+    degree-ordered edge orientation
+    (:func:`~tmdb_index_spark.operators.graph.triangle_count`) — the
+    MapReduce-standard O(m^1.5) algorithm whose wedge fan-out is
+    capped by orientation even on power-law hubs. The oracle counts
+    the same triangles with the naive u<v<w three-way self-join;
+    orientation changes the join sizes, never the count."""
+    from tmdb_index_spark.operators.graph import triangle_count
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+    )
+    return triangle_count(edges)
+
+
+_TRIANGLES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+),
+nodes AS (
+  SELECT u AS node FROM e UNION SELECT v FROM e
+),
+t AS (
+  SELECT COUNT(*)::BIGINT AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT COUNT(*) FROM nodes)::BIGINT AS n_nodes,
+       (SELECT COUNT(*) FROM e)::BIGINT AS n_edges,
+       t.n_triangles
+FROM t
+"""
+
+
+def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-cap sampling (C4/RefinedWeb style): keep at most 20
+    documents per source, membership decided by portable-hash rank
+    over doc_id
+    (:func:`~tmdb_index_spark.operators.sampling.cap_per_group`) so
+    the kept set is a pure function of (doc_id, source) — stable
+    across engines, reruns, and data added to other sources. Returns
+    the kept rows themselves; the oracle re-derives membership from
+    the same md5 rank."""
+    from tmdb_index_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return cap_per_group(docs, "doc_id", "source", cap=20)
+
+
+_SOURCE_CAP_SQL = """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                    doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM r WHERE rn <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4417,6 +4617,10 @@ QUERIES: dict[str, QueryFn] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_item_customers": q10_returned_item_customers,
     "corpus_shuffle_positions": corpus_shuffle_positions,
+    "user_state_scd2": user_state_scd2,
+    "supplier_busy_intervals": supplier_busy_intervals,
+    "cosupply_triangles": cosupply_triangles,
+    "source_capped_docs": source_capped_docs,
     # rows-only entries (sketches are engine-private; the k-means fit is
     # an iterative algorithm; exact twins exist above for cross-engine
     # parity) — deliberately absent from ORACLES.
@@ -4536,6 +4740,10 @@ ORACLES: dict[str, str] = {
     "q6_forecast_revenue": _Q6_SQL,
     "q10_returned_item_customers": _Q10_SQL,
     "corpus_shuffle_positions": _SHUFFLE_POS_SQL,
+    "user_state_scd2": _SCD2_SQL,
+    "supplier_busy_intervals": _BUSY_INTERVALS_SQL,
+    "cosupply_triangles": _TRIANGLES_SQL,
+    "source_capped_docs": _SOURCE_CAP_SQL,
 }
 
 # Driver-window rotation, DETERMINISTIC (round-3 advisory): the
