@@ -93,3 +93,75 @@ def test_salted_join_matches_plain_join(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         salted_join(fact, dim, ["k"], how="full")
+
+
+# ---------------------------------------------------------------------------
+# token_edit1_pairs (SymSpell deletion neighborhoods at token level)
+# ---------------------------------------------------------------------------
+
+from tmdb_index_spark.operators.dedup_text import token_edit1_pairs  # noqa: E402
+
+
+def _edit1(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return sorted(
+        (r.id_a, r.id_b, r.match_kind)
+        for r in token_edit1_pairs(df).collect()
+    )
+
+
+def test_token_edit1_insert_delete_substitute(spark):
+    got = _edit1(
+        spark,
+        [
+            (1, "red shiny ball"),
+            (2, "red ball"),          # delete "shiny"
+            (3, "red dull ball"),     # substitute shiny->dull
+            (4, "blue car"),          # unrelated
+            (5, "red shiny ball toy"),  # insert "toy"
+        ],
+    )
+    assert got == [
+        (1, 2, "indel"),
+        (1, 3, "substitute"),
+        (1, 5, "indel"),
+        (2, 3, "indel"),
+    ]
+
+
+def test_token_edit1_excludes_exact_duplicates_and_distance2(spark):
+    got = _edit1(
+        spark,
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),   # exact dup -> dedup_exact's job
+            (3, "alpha delta epsilon"),  # distance 2
+        ],
+    )
+    assert got == []
+
+
+def test_token_edit1_repeated_token_corner_is_not_matched(spark):
+    # "a b a" and "b a b" share the deletion variant "a b" but at
+    # DIFFERENT positions — true token distance is 2; the same-position
+    # join must not pair them.
+    got = _edit1(spark, [(1, "a b a"), (2, "b a b")])
+    assert got == []
+
+
+def test_token_edit1_drops_single_token_rows(spark):
+    got = _edit1(spark, [(1, "ball"), (2, "red ball")])
+    assert got == []
+
+
+def test_token_edit1_one_pair_per_relationship(spark):
+    # multiple shared variants must not produce duplicate rows
+    got = _edit1(spark, [(1, "x x y"), (2, "x y")])
+    assert got == [(1, 2, "indel")]
+
+
+def test_token_edit1_plan_has_no_cartesian(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "a c")], "doc_id long, text string")
+    plan = token_edit1_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

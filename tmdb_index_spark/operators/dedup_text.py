@@ -630,3 +630,105 @@ def simhash_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def token_edit1_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs of rows whose token sequences are within ONE token-level
+    edit (insert, delete, or substitute one token) — the SymSpell
+    deletion-neighborhood algorithm lifted from characters to tokens.
+
+    Neighbor generation instead of pairwise comparison: each row emits
+    its full token string plus one variant per deleted position
+    (L+1 keys for an L-token row, generated by a single posexplode).
+    Two rows are within edit distance 1 iff their key sets collide in
+    one of two ways, each an EXACT equi-join on the key:
+
+    * ``variant(a) == full(b)``  -> a deletes one token to reach b
+      (covers insert/delete; no false positives — the match IS the
+      proof).
+    * ``variant(a) == variant(b)`` at the SAME deletion position ->
+      substitution. Same-position equality means the sequences agree
+      everywhere else, so the only residual needed is a Hamming != 0
+      check (``zip_with``) to exclude exact duplicates, which belong
+      to :func:`dedup_exact`, and the repeated-token corner
+      (``a b a`` / ``b a b`` both yield ``a b`` — at DIFFERENT
+      positions, true distance 2) never joins at all.
+
+    Scale: work is O(N·L) keys into hash equi-joins — never |N|².
+    Rows shorter than 2 tokens are dropped (their variants are empty/
+    trivial and a 1-token string is the classic hot key). The residual
+    hazard is a stopword variant of a 2-token row ("the car" -> "the");
+    bucket width is bounded by the count of near-identical short rows,
+    the same exposure the Jaccard index caps with ``max_df`` — apply
+    a length floor upstream for corpora of 1-2 token strings. Output:
+    ``id_a < id_b`` distinct pairs with ``match_kind`` ('indel' or
+    'substitute').
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (
+        df.select(F.col(id_col).alias("id"), toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .withColumn("s", F.concat_ws(" ", "t"))
+    )
+    variants = base.select(
+        "id",
+        "t",
+        "s",
+        F.posexplode(F.col("t")).alias("pos", "_tok"),
+    ).select(
+        "id",
+        "t",
+        "s",
+        "pos",
+        F.concat_ws(
+            " ",
+            F.concat(
+                F.slice("t", 1, F.col("pos")),
+                F.expr("slice(t, pos + 2, size(t) - pos - 1)"),
+            ),
+        ).alias("v"),
+    )
+    # indel: a's variant equals b's full string (sizes differ by 1, so
+    # a != b always; emit canonical order).
+    indel = (
+        variants.alias("a")
+        .join(base.alias("b"), F.col("a.v") == F.col("b.s"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            F.lit("indel").alias("match_kind"),
+        )
+    )
+    # substitution: same deletion position produces the same variant;
+    # confirm exactly one differing token position.
+    sub = (
+        variants.alias("a")
+        .join(
+            variants.alias("b"),
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(
+            F.size(F.col("a.t")) == F.size(F.col("b.t"))
+        )
+        .filter(
+            F.size(
+                F.filter(
+                    F.zip_with("a.t", "b.t", lambda x, y: x != y),
+                    lambda d: d,
+                )
+            )
+            == 1
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.lit("substitute").alias("match_kind"),
+        )
+    )
+    return indel.unionByName(sub).distinct()

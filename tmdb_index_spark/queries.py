@@ -4488,6 +4488,57 @@ SELECT doc_id, source, n_chars FROM r WHERE rn <= 20
 """
 
 
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level edit-distance-1 fuzzy join via SymSpell deletion
+    neighborhoods
+    (:func:`~tmdb_index_spark.operators.dedup_text.token_edit1_pairs`):
+    part names within one token insert/delete/substitute of each
+    other, found by exact equi-joins on deletion variants — O(N·L)
+    keys, never an all-pairs comparison. Scoped to one brand: TPC-H
+    part names (5 words from a ~90-word palette) are so dense that
+    the full-table edit-1 graph at sf0.01 already has 437k edges —
+    the scoping keeps the oracle row set discriminating, the operator
+    itself is the scale path."""
+    from tmdb_index_spark.operators.dedup_text import token_edit1_pairs
+
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select("p_partkey", "p_name")
+    )
+    return token_edit1_pairs(parts, id_col="p_partkey", text_col="p_name")
+
+
+_FUZZY_NAME_SQL = """
+WITH toks AS (
+  SELECT p_partkey AS id, string_split(p_name, ' ') AS t, p_name AS s
+  FROM part WHERE p_brand = 'Brand#11'
+    AND len(string_split(p_name, ' ')) >= 2
+),
+vars AS (
+  SELECT id, t, s, i AS pos,
+         array_to_string(list_concat(t[1:i-1], t[i+1:len(t)]), ' ') AS v
+  FROM toks, LATERAL UNNEST(generate_series(1, len(t))) AS u(i)
+),
+indel AS (
+  SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b,
+         'indel' AS match_kind
+  FROM vars a JOIN toks b ON a.v = b.s
+),
+sub AS (
+  SELECT a.id AS id_a, b.id AS id_b, 'substitute' AS match_kind
+  FROM vars a JOIN vars b
+    ON a.v = b.v AND a.pos = b.pos AND a.id < b.id
+  WHERE len(a.t) = len(b.t)
+    AND len(list_filter(range(1, len(a.t)+1),
+                        j -> a.t[j] IS DISTINCT FROM b.t[j])) = 1
+)
+SELECT DISTINCT id_a, id_b, match_kind FROM (
+  SELECT * FROM indel UNION ALL SELECT * FROM sub
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4621,6 +4672,7 @@ QUERIES: dict[str, QueryFn] = {
     "supplier_busy_intervals": supplier_busy_intervals,
     "cosupply_triangles": cosupply_triangles,
     "source_capped_docs": source_capped_docs,
+    "fuzzy_name_pairs": fuzzy_name_pairs,
     # rows-only entries (sketches are engine-private; the k-means fit is
     # an iterative algorithm; exact twins exist above for cross-engine
     # parity) — deliberately absent from ORACLES.
@@ -4744,6 +4796,7 @@ ORACLES: dict[str, str] = {
     "supplier_busy_intervals": _BUSY_INTERVALS_SQL,
     "cosupply_triangles": _TRIANGLES_SQL,
     "source_capped_docs": _SOURCE_CAP_SQL,
+    "fuzzy_name_pairs": _FUZZY_NAME_SQL,
 }
 
 # Driver-window rotation, DETERMINISTIC (round-3 advisory): the
