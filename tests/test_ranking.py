@@ -108,3 +108,56 @@ def test_bm25_empty_query_returns_empty_frame(corpus):
     assert out.count() == 0
     # duplicate-only input collapsing to empty hits the same path
     assert bm25_topk(corpus, ["apple", "apple"], k=1).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse
+# ---------------------------------------------------------------------------
+
+from tmdb_index_spark.operators.ranking import rrf_fuse  # noqa: E402
+
+
+def _leg(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, rank long")
+
+
+def test_rrf_fuse_hand_computed(spark):
+    lex = _leg(spark, [(1, 1), (2, 2)])
+    sem = _leg(spark, [(2, 1), (3, 2)])
+    got = {r.doc_id: r for r in rrf_fuse({"lex": lex, "sem": sem}).collect()}
+    assert got[1].rrf_score == 1.0 / 61
+    assert got[2].rrf_score == 1.0 / 62 + 1.0 / 61
+    assert got[3].rrf_score == 1.0 / 62
+    assert (got[1].lex_rank, got[1].sem_rank) == (1, None)
+    assert (got[2].lex_rank, got[2].sem_rank) == (2, 1)
+    assert (got[3].lex_rank, got[3].sem_rank) == (None, 2)
+
+
+def test_rrf_fuse_three_legs(spark):
+    legs = {
+        "a": _leg(spark, [(7, 1)]),
+        "b": _leg(spark, [(7, 3)]),
+        "c": _leg(spark, [(7, 5)]),
+    }
+    [r] = rrf_fuse(legs, k=10).collect()
+    assert r.rrf_score == 1.0 / 11 + 1.0 / 13 + 1.0 / 15
+    assert (r.a_rank, r.b_rank, r.c_rank) == (1, 3, 5)
+
+
+def test_rrf_fuse_validation(spark):
+    with pytest.raises(ValueError):
+        rrf_fuse({})
+    with pytest.raises(ValueError):
+        rrf_fuse({"a": _leg(spark, [(1, 1)])}, k=-1)
+
+
+def test_hybrid_query_final_topk_never_global_sorts(spark):
+    from tmdb_index_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["hybrid_rrf_search"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -4539,6 +4539,67 @@ SELECT DISTINCT id_a, id_b, match_kind FROM (
 """
 
 
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 and exact-cosine vector
+    top-20 (query = embedding 0) fused by reciprocal-rank fusion
+    (:func:`~tmdb_index_spark.operators.ranking.rrf_fuse`), final
+    top-10 by fused score. The fusion layer moves only the two top-k
+    legs (≤40 rows here, ≤|legs|·k always) — the engine cost stays in
+    the legs, which is why RRF is the hybrid-search standard: no score
+    calibration across incomparable scales, rank-only arithmetic,
+    bit-stable across engines."""
+    from tmdb_index_spark.operators.ranking import bm25_topk, rrf_fuse
+    from tmdb_index_spark.operators.similarity import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, _BM25_TERMS, k=20).select("doc_id", "rank")
+    sem = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse({"lex": lex, "sem": sem})
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", "lex_rank", "sem_rank", "rrf_score")
+    )
+
+
+_HYBRID_RRF_SQL = f"""
+WITH lex AS (
+  SELECT doc_id, rank FROM ({_BM25_SQL})
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sem_scored AS (
+  SELECT c.vec_id AS doc_id, {_COS_SQL} AS cos_sim
+  FROM (SELECT * FROM v WHERE vec_id = 0) q
+  CROSS JOIN v c
+  WHERE c.vec_id <> 0
+),
+sem AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC)
+             ::BIGINT AS rank
+    FROM sem_scored
+  ) WHERE rank <= 20
+),
+tagged AS (
+  SELECT doc_id, 'lex' AS leg, rank FROM lex
+  UNION ALL
+  SELECT doc_id, 'sem' AS leg, rank FROM sem
+),
+fused AS (
+  SELECT doc_id,
+         SUM(1.0 / (60.0 + rank)) AS rrf_score,
+         MAX(CASE WHEN leg = 'lex' THEN rank END) AS lex_rank,
+         MAX(CASE WHEN leg = 'sem' THEN rank END) AS sem_rank
+  FROM tagged GROUP BY doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4673,6 +4734,7 @@ QUERIES: dict[str, QueryFn] = {
     "cosupply_triangles": cosupply_triangles,
     "source_capped_docs": source_capped_docs,
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "hybrid_rrf_search": hybrid_rrf_search,
     # rows-only entries (sketches are engine-private; the k-means fit is
     # an iterative algorithm; exact twins exist above for cross-engine
     # parity) — deliberately absent from ORACLES.
@@ -4797,6 +4859,7 @@ ORACLES: dict[str, str] = {
     "cosupply_triangles": _TRIANGLES_SQL,
     "source_capped_docs": _SOURCE_CAP_SQL,
     "fuzzy_name_pairs": _FUZZY_NAME_SQL,
+    "hybrid_rrf_search": _HYBRID_RRF_SQL,
 }
 
 # Driver-window rotation, DETERMINISTIC (round-3 advisory): the
