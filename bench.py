@@ -95,6 +95,12 @@ EXTENDED_QUERIES = [
     "weighted_sample_per_source",
     "trade_graph_pagerank",
     "source_length_outliers",
+    "user_state_scd2",
+    "supplier_busy_intervals",
+    "cosupply_triangles",
+    "source_capped_docs",
+    "fuzzy_name_pairs",
+    "hybrid_rrf_search",
 ]
 
 

@@ -4415,11 +4415,24 @@ def cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     MapReduce-standard O(m^1.5) algorithm whose wedge fan-out is
     capped by orientation even on power-law hubs. The oracle counts
     the same triangles with the naive u<v<w three-way self-join;
-    orientation changes the join sizes, never the count."""
+    orientation changes the join sizes, never the count.
+
+    Edges require a low-quantity line (l_quantity <= 5): the
+    UNfiltered co-supply graph on uniform TPC-H data is near-COMPLETE
+    (avg degree ~1000 at sf0.1), and a near-complete graph has Th(n^3)
+    triangles no algorithm can count faster than their own number
+    (measured 50 s at sf0.1; the next decade is hopeless by
+    construction, not by plan). The filter keeps qualifying per-order
+    line multiplicity — and so graph density — SF-invariant (~0.4
+    lines/order), so edges grow ~linearly with scale (sf0.01: 1013
+    edges / 1435 triangles; sf0.1: 11.9k / 3696) and the O(m^1.5)
+    bound stays meaningful. Real co-occurrence graphs are sparse for
+    the same reason: bounded basket size."""
     from tmdb_index_spark.operators.graph import triangle_count
 
     li = (
         _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 5)
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
@@ -4436,7 +4449,8 @@ def cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRIANGLES_SQL = """
-WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_quantity <= 5),
 e AS (
   SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
