@@ -368,3 +368,80 @@ def test_dup_span_fraction_within_doc_repeat_not_dup(spark):
     got = {r["doc_id"]: r["dup_spans"] for r in dup_span_fraction(docs, n=3).collect()}
     assert got[1] == 0
     assert got[2] == 0
+
+
+# ------------------------------------------------- segment dedup rebuild
+
+
+def test_segment_dedup_first_occurrence_kept(spark):
+    from tmdb_index_spark.operators.llm_prep import remove_duplicate_segments
+
+    # 2-token segments; doc 1 owns "a b", docs 2/3 repeat it.
+    rows = [
+        (1, "a b c d"),
+        (2, "a b x y"),
+        (3, "a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_segments"], r["kept_segments"], r["text_dedup"])
+        for r in remove_duplicate_segments(df, seg_tokens=2).collect()
+    }
+    assert out[1] == (2, 2, "a b c d")
+    assert out[2] == (2, 1, "x y")
+    assert out[3] == (1, 0, "")  # fully duplicated doc kept, emptied
+
+
+def test_segment_dedup_within_doc_repeats_collapse(spark):
+    from tmdb_index_spark.operators.llm_prep import remove_duplicate_segments
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b")], "doc_id long, text string"
+    )
+    out = remove_duplicate_segments(df, seg_tokens=2).collect()[0]
+    assert (out["n_segments"], out["kept_segments"]) == (3, 1)
+    assert out["text_dedup"] == "a b"
+
+
+def test_segment_dedup_short_tail_segment_is_distinct(spark):
+    from tmdb_index_spark.operators.llm_prep import remove_duplicate_segments
+
+    # "c" (tail, 1 token) differs from segment "c d" elsewhere
+    rows = [(1, "a b c"), (2, "c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["kept_segments"]
+        for r in remove_duplicate_segments(df, seg_tokens=2).collect()
+    }
+    assert out == {1: 2, 2: 1}
+
+
+def test_segment_dedup_blank_docs_dropped(spark):
+    from tmdb_index_spark.operators.llm_prep import remove_duplicate_segments
+
+    rows = [(1, "a b"), (2, "   "), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_duplicate_segments(df, seg_tokens=2).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_segment_dedup_rejects_bad_seg_tokens(spark):
+    from tmdb_index_spark.operators.llm_prep import remove_duplicate_segments
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        remove_duplicate_segments(df, seg_tokens=0)
+
+
+def test_segment_dedup_reassembly_preserves_order(spark):
+    from tmdb_index_spark.operators.llm_prep import remove_duplicate_segments
+
+    # doc 2: middle segment "a b" is the only duplicate; order of the
+    # survivors must be original segment order, not hash order.
+    rows = [(1, "a b"), (2, "z z a b q q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text_dedup"]
+        for r in remove_duplicate_segments(df, seg_tokens=2).collect()
+    }
+    assert out[2] == "z z q q"

@@ -146,3 +146,130 @@ def test_merge_intervals_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "partial" in plan
     assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------- sliding
+
+
+def test_sliding_distinct_trailing_window(spark):
+    from tmdb_index_spark.operators.temporal import sliding_window_distinct
+
+    rows = [
+        (1, _ts(1)),
+        (2, _ts(1)),
+        (1, _ts(2)),   # repeat user inside window: counted once
+        (3, _ts(9)),   # day 9 is > 7 days after day 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r["day"].day: r["n_active"]
+        for r in sliding_window_distinct(df, window_days=7).collect()
+    }
+    # day 1: users {1,2}; day 2: {1,2} (day-1 events still in window);
+    # day 9: only user 3 (days 1-2 fell out of [3, 9]).
+    assert out == {1: 2, 2: 2, 9: 1}
+
+
+def test_sliding_distinct_only_event_days_emitted(spark):
+    from tmdb_index_spark.operators.temporal import sliding_window_distinct
+
+    df = spark.createDataFrame(
+        [(1, _ts(1)), (2, _ts(5))], "user_id long, ts timestamp"
+    )
+    days = sorted(
+        r["day"].day
+        for r in sliding_window_distinct(df, window_days=7).collect()
+    )
+    # days 2-4 have no events of their own: not emitted even though
+    # day-1 activity falls inside their trailing window.
+    assert days == [1, 5]
+
+
+def test_sliding_distinct_window_1_is_per_day_distinct(spark):
+    from tmdb_index_spark.operators.temporal import sliding_window_distinct
+
+    df = spark.createDataFrame(
+        [(1, _ts(1)), (1, _ts(1, 5)), (2, _ts(2))],
+        "user_id long, ts timestamp",
+    )
+    out = {
+        r["day"].day: r["n_active"]
+        for r in sliding_window_distinct(df, window_days=1).collect()
+    }
+    assert out == {1: 1, 2: 1}
+
+
+def test_sliding_distinct_rejects_bad_window(spark):
+    from tmdb_index_spark.operators.temporal import sliding_window_distinct
+
+    df = spark.createDataFrame([(1, _ts(1))], "user_id long, ts timestamp")
+    with pytest.raises(ValueError):
+        sliding_window_distinct(df, window_days=0)
+
+
+# ---------------------------------------------------------------- markov
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from tmdb_index_spark.operators.temporal import transition_matrix
+
+    rows = [
+        (1, _ts(1), 1, "a"),
+        (1, _ts(2), 2, "b"),
+        (1, _ts(3), 3, "a"),
+        (2, _ts(1), 4, "a"),
+        (2, _ts(2), 5, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {
+        (r["prev_event"], r["next_event"]): (r["n_transitions"], r["p"])
+        for r in transition_matrix(df).collect()
+    }
+    # a->b twice, b->a once; P(b|a)=1.0, P(a|b)=1.0
+    assert out == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_transition_matrix_no_cross_user_bigrams(spark):
+    from tmdb_index_spark.operators.temporal import transition_matrix
+
+    rows = [(1, _ts(1), 1, "a"), (2, _ts(2), 2, "b")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    assert transition_matrix(df).count() == 0
+
+
+def test_transition_matrix_tiebreak_is_deterministic(spark):
+    from tmdb_index_spark.operators.temporal import transition_matrix
+
+    # same ts: event_id orders the pair
+    rows = [(1, _ts(1), 2, "b"), (1, _ts(1), 1, "a")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = transition_matrix(df).collect()
+    assert [(r["prev_event"], r["next_event"]) for r in out] == [("a", "b")]
+
+
+def test_transition_matrix_row_probs_sum_to_one(spark):
+    from tmdb_index_spark.operators.temporal import transition_matrix
+
+    rows = [
+        (1, _ts(1), 1, "a"),
+        (1, _ts(2), 2, "b"),
+        (1, _ts(3), 3, "a"),
+        (1, _ts(4), 4, "c"),
+        (1, _ts(5), 5, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    sums = (
+        transition_matrix(df)
+        .groupBy("prev_event")
+        .agg(F.round(F.sum("p"), 4).alias("s"))
+        .collect()
+    )
+    assert all(abs(r["s"] - 1.0) < 1e-9 for r in sums)

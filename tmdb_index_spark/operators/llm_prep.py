@@ -63,6 +63,7 @@ __all__ = [
     "unigram_logprob",
     "chunk_documents",
     "dup_span_fraction",
+    "remove_duplicate_segments",
     "DEFAULT_REDACTIONS",
 ]
 
@@ -444,4 +445,87 @@ def dup_span_fraction(
                 F.col("dup_spans") / F.col("n_spans").cast("double"), 4
             ).alias("dup_frac"),
         )
+    )
+
+
+def remove_duplicate_segments(
+    df: DataFrame,
+    seg_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document exact segment dedup with reassembly (the
+    *removal* counterpart of :func:`dup_span_fraction`'s signal):
+    split each document into consecutive non-overlapping windows of
+    ``seg_tokens`` whitespace tokens, keep only the corpus-wide FIRST
+    occurrence of each distinct segment text (first = smallest
+    ``(doc_id, seg_id)``), and rebuild each document from its kept
+    segments in order. This is the C4/RefinedWeb "drop repeated
+    spans, keep one copy" cleaning step — templated boilerplate
+    (nav bars, license headers) survives exactly once, in the first
+    document that used it.
+
+    Plan shape: one Generate per doc (the same two-step projection as
+    :func:`chunk_documents` so the tokenize tree materializes before
+    the explode), then first-occurrence election as a ``groupBy`` on
+    the 60-bit segment hash taking ``MIN(struct(doc_id, seg_id))`` —
+    partial-aggregated map-side, so the Zipf head of common segments
+    collapses before the shuffle — joined back on the same hash key,
+    then one reassembly ``groupBy`` on the doc. Two narrow shuffles +
+    one hash join, nothing quadratic, no all-pairs. Determinism:
+    segment identity is `portable_hash60` of the segment text, so a
+    DuckDB oracle reproduces the kept set bit-for-bit.
+
+    A document whose every segment is a repeat collapses to
+    ``text_dedup = ''`` but is KEPT in the output (kept_segments=0);
+    documents with no tokens at all produce no segments and are
+    dropped (nothing to deduplicate — mirror of chunk_documents).
+
+    Returns ``(id_col, n_segments, kept_segments, text_dedup)``.
+    """
+    if seg_tokens < 1:
+        raise ValueError("seg_tokens must be >= 1")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    t = F.filter(tokens(txt), lambda x: x != F.lit(""))
+    n = F.size(t)
+    starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), n, F.lit(seg_tokens))
+    )
+    pre = df.select(
+        F.col(id_col), t.alias("__t__"), starts.alias("__starts__")
+    ).select(
+        id_col, "__t__", F.explode("__starts__").alias("__start__")
+    )
+    seg = pre.select(
+        F.col(id_col),
+        ((F.col("__start__") - 1) / seg_tokens).cast("long").alias(
+            "__seg__"
+        ),
+        F.concat_ws(" ", F.slice(F.col("__t__"), F.col("__start__"), seg_tokens)).alias(
+            "__text__"
+        ),
+    ).withColumn("__h__", portable_hash60(F.col("__text__")))
+    first = seg.groupBy("__h__").agg(
+        F.min(F.struct(F.col(id_col), F.col("__seg__"))).alias("__first__")
+    )
+    kept = seg.join(first, "__h__").withColumn(
+        "__kept__",
+        (F.col("__first__")[id_col] == F.col(id_col))
+        & (F.col("__first__")["__seg__"] == F.col("__seg__")),
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("__seg__", "__kept__", "__text__"))
+    )
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.col("__kept__").cast("int")).cast("bigint").alias(
+            "kept_segments"
+        ),
+        F.array_join(
+            F.transform(
+                F.filter(arr, lambda x: x["__kept__"]),
+                lambda x: x["__text__"],
+            ),
+            " ",
+        ).alias("text_dedup"),
     )

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_build", "merge_intervals"]
+__all__ = [
+    "scd2_build",
+    "merge_intervals",
+    "sliding_window_distinct",
+    "transition_matrix",
+]
 
 
 def scd2_build(
@@ -122,3 +127,100 @@ def merge_intervals(
         F.max(end_col).alias("island_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_merged"),
     ).withColumnRenamed("__island__", "island")
+
+
+def sliding_window_distinct(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct count per day: for every calendar day
+    that has at least one event, the number of distinct ``key_col``
+    values seen in the ``window_days`` days ending on it (inclusive) —
+    the classic "7-day active users" metric, which no built-in window
+    frame expresses because COUNT(DISTINCT) over a moving frame is not
+    decomposable.
+
+    Scale shape: the input first collapses to DISTINCT
+    ``(key, day)`` — the only shuffle proportional to the data, and it
+    partial-aggregates map-side — then each surviving pair explodes
+    into the ≤``window_days`` trailing days it contributes to (a
+    bounded, constant-factor Generate, not a join against a calendar),
+    and a second distinct aggregate per contribution day produces the
+    counts. A semi-join against the distinct event days drops
+    contribution days with no events of their own, so the output
+    matches the "days present in the data" contract. Nothing is
+    quadratic; the blow-up factor is exactly ``window_days``.
+
+    Returns ``(day, n_active)`` with ``day`` a date column.
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    day = F.col(ts_col).cast("date")
+    pairs = df.select(
+        F.col(key_col).alias("__k__"), day.alias("__day__")
+    ).distinct()
+    contrib = pairs.select(
+        "__k__",
+        F.explode(
+            F.sequence(
+                F.col("__day__"),
+                F.date_add(F.col("__day__"), window_days - 1),
+            )
+        ).alias("day"),
+    )
+    event_days = pairs.select(F.col("__day__").alias("day")).distinct()
+    return (
+        contrib.join(event_days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct(F.col("__k__")).alias("n_active"))
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    seq_col: str = "user_id",
+    event_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: for every ordered pair of consecutive events within a
+    ``seq_col`` stream, the transition count and the row-normalized
+    probability P(next | prev). The bigram complement of
+    ``user_event_sequences`` (which keeps whole paths) — this is what
+    feeds next-event prediction baselines and funnel-anomaly checks.
+
+    Scale shape: one shuffle on the sequence key, a ``lag`` window
+    inside that partitioning, then a ``groupBy (prev, next)`` whose
+    cardinality is |event vocabulary|² — tiny — so the second shuffle
+    partial-aggregates to almost nothing map-side. The row-sum
+    normalizer reuses the aggregated matrix itself via a window over
+    ``prev`` (vocabulary-sized partitions), never a second scan of the
+    events. ``order_cols`` must make the per-entity order total or
+    ties would make prev/next nondeterministic across engines.
+
+    Returns ``(prev_event, next_event, n_transitions, p)`` with ``p``
+    rounded to 4 for stable cross-engine compares.
+    """
+    w = Window.partitionBy(seq_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    steps = df.select(
+        F.lag(F.col(event_col)).over(w).alias("prev_event"),
+        F.col(event_col).alias("next_event"),
+    ).filter(F.col("prev_event").isNotNull())
+    counts = steps.groupBy("prev_event", "next_event").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    wrow = Window.partitionBy("prev_event")
+    return counts.select(
+        "prev_event",
+        "next_event",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(wrow).cast("double"),
+            4,
+        ).alias("p"),
+    )

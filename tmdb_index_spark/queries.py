@@ -4634,8 +4634,132 @@ def _self_configuring(fn: QueryFn) -> QueryFn:
     wrapped.__doc__ = fn.__doc__
     return wrapped
 
+def dedup_segments_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact segment dedup WITH reassembly (extension:
+    the removal counterpart of `dup_span_quality`'s signal): documents
+    split into 16-token segments, corpus-wide first occurrence of each
+    distinct segment kept (first = smallest (doc_id, seg_id)), docs
+    rebuilt from their surviving segments
+    (:func:`~tmdb_index_spark.operators.llm_prep.remove_duplicate_segments`).
+    Two narrow shuffles (segment-hash election, doc reassembly) — the
+    C4-style "keep one copy of boilerplate" cleaning step."""
+    from tmdb_index_spark.operators.llm_prep import remove_duplicate_segments
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_segments(docs, seg_tokens=16)
+
+
+_SEG_DEDUP_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+           x -> x <> ''
+         ) AS ts
+  FROM documents
+),
+seg AS (
+  SELECT doc_id, ts,
+         unnest(range(1, len(ts) + 1, 16)) AS strt
+  FROM t WHERE len(ts) > 0
+),
+hashed AS (
+  SELECT doc_id,
+         ((strt - 1) // 16)::BIGINT AS seg_id,
+         array_to_string(ts[strt:strt + 15], ' ') AS seg_text,
+         ('0x' || substr(md5(array_to_string(ts[strt:strt + 15], ' ')), 1, 15))::BIGINT AS h
+  FROM seg
+),
+marked AS (
+  SELECT doc_id, seg_id, seg_text,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, seg_id) = 1 AS kept
+  FROM hashed
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_segments,
+       COALESCE(SUM(CASE WHEN kept THEN 1 ELSE 0 END), 0)::BIGINT AS kept_segments,
+       COALESCE(string_agg(seg_text, ' ' ORDER BY seg_id) FILTER (WHERE kept), '') AS text_dedup
+FROM marked
+GROUP BY doc_id
+"""
+
+
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per event day (extension:
+    moving-frame COUNT(DISTINCT), which no built-in window frame
+    expresses —
+    :func:`~tmdb_index_spark.operators.temporal.sliding_window_distinct`).
+    Collapses to distinct (user, day) first, then a bounded 7-way
+    Generate per pair — blow-up is exactly the window length, never a
+    calendar join."""
+    from tmdb_index_spark.operators.temporal import sliding_window_distinct
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    out = sliding_window_distinct(
+        ev, ts_col="ts", key_col="user_id", window_days=7
+    )
+    # timestamp day for cross-engine pandas parity (date_trunc convention)
+    return out.withColumn("day", F.col("day").cast("timestamp"))
+
+
+_SLIDING_DISTINCT_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM pairs)
+SELECT CAST(d.day AS TIMESTAMP) AS day,
+       COUNT(DISTINCT p.user_id)::BIGINT AS n_active
+FROM days d
+JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+"""
+
+
+def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams (extension: sequence mining —
+    :func:`~tmdb_index_spark.operators.temporal.transition_matrix`):
+    count + row-normalized P(next | prev) for consecutive event-type
+    pairs, ordered by (ts, event_id) within user. One keyed shuffle +
+    a vocabulary-sized aggregate."""
+    from tmdb_index_spark.operators.temporal import transition_matrix
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return transition_matrix(
+        ev,
+        seq_col="user_id",
+        event_col="event_type",
+        order_cols=("ts", "event_id"),
+    )
+
+
+_TRANSITION_SQL = """
+WITH steps AS (
+  SELECT LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_event,
+         event_type AS next_event
+  FROM events
+),
+counts AS (
+  SELECT prev_event, next_event, COUNT(*)::BIGINT AS n_transitions
+  FROM steps WHERE prev_event IS NOT NULL
+  GROUP BY prev_event, next_event
+)
+SELECT prev_event, next_event, n_transitions,
+       ROUND(CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY prev_event), 4) AS p
+FROM counts
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "flagship_scan_filter": flagship,
+    "dedup_segments_rebuild": dedup_segments_rebuild,
+    "sliding_distinct_users": sliding_distinct_users,
+    "event_transition_probs": event_transition_probs,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_order_revenue_topk": q3_order_revenue_topk,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -4761,6 +4885,9 @@ QUERIES = {name: _self_configuring(fn) for name, fn in QUERIES.items()}
 
 ORACLES: dict[str, str] = {
     "flagship_scan_filter": _FLAGSHIP_SQL,
+    "dedup_segments_rebuild": _SEG_DEDUP_SQL,
+    "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
+    "event_transition_probs": _TRANSITION_SQL,
     "q1_pricing_summary": _Q1_SQL,
     "q3_order_revenue_topk": _Q3_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
