@@ -445,3 +445,55 @@ def test_segment_dedup_reassembly_preserves_order(spark):
         for r in remove_duplicate_segments(df, seg_tokens=2).collect()
     }
     assert out[2] == "z z q q"
+
+
+# ---------------------------------------------------------------- bpe
+
+
+def test_bpe_pairs_counts_occurrences(spark):
+    from tmdb_index_spark.operators.llm_prep import bpe_adjacent_pairs
+
+    # "abab" -> ab, ba, ab ; "ab" -> ab  => ab:3, ba:1
+    df = spark.createDataFrame(
+        [(1, "abab ab")], "doc_id long, text string"
+    )
+    out = {
+        r["pair"]: r["n_pairs"]
+        for r in bpe_adjacent_pairs(df, top_k=10).collect()
+    }
+    assert out == {"ab": 3, "ba": 1}
+
+
+def test_bpe_pairs_single_char_words_and_blank_docs(spark):
+    from tmdb_index_spark.operators.llm_prep import bpe_adjacent_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "   "), (3, None), (4, "xy")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["pair"]: r["n_pairs"]
+        for r in bpe_adjacent_pairs(df, top_k=10).collect()
+    }
+    assert out == {"xy": 1}
+
+
+def test_bpe_pairs_topk_order_deterministic(spark):
+    from tmdb_index_spark.operators.llm_prep import bpe_adjacent_pairs
+
+    # zz and aa tie on count: lexicographic ascending breaks the tie
+    df = spark.createDataFrame(
+        [(1, "aa zz bb bb")], "doc_id long, text string"
+    )
+    rows = bpe_adjacent_pairs(df, top_k=2).collect()
+    assert [(r["pair"], r["n_pairs"]) for r in rows] == [
+        ("bb", 2), ("aa", 1)
+    ]
+
+
+def test_bpe_pairs_rejects_bad_topk(spark):
+    from tmdb_index_spark.operators.llm_prep import bpe_adjacent_pairs
+
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bpe_adjacent_pairs(df, top_k=0)

@@ -64,6 +64,7 @@ __all__ = [
     "chunk_documents",
     "dup_span_fraction",
     "remove_duplicate_segments",
+    "bpe_adjacent_pairs",
     "DEFAULT_REDACTIONS",
 ]
 
@@ -528,4 +529,53 @@ def remove_duplicate_segments(
             ),
             " ",
         ).alias("text_dedup"),
+    )
+
+
+def bpe_adjacent_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Adjacent character-pair frequencies over whitespace words — one
+    iteration of BPE vocabulary induction (the pair a merge step would
+    fuse is the argmax of exactly this table). Counts are per
+    OCCURRENCE (every word instance contributes all its adjacent
+    pairs), matching the classic Sennrich et al. counting.
+
+    Plan shape: pairs are built per document as one nested
+    ``transform`` over the token array and flattened BEFORE the single
+    explode — no per-word row blow-up, one Generate per doc — then a
+    ``groupBy`` on the pair whose cardinality is bounded by the
+    character-bigram alphabet (tiny), so map-side partial aggregation
+    collapses the token-scale stream to almost nothing before the one
+    shuffle. The final top-k is a ``TakeOrderedAndProject`` under the
+    total order (count desc, pair asc) — deterministic across engines.
+
+    Returns ``(pair, n_pairs)``, the ``top_k`` most frequent.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    t = F.filter(tokens(txt), lambda x: x != F.lit(""))
+    # sequence(1, 0) DESCENDS, so 1-char words need the empty branch
+    pairs = F.flatten(
+        F.transform(
+            t,
+            lambda w: F.when(
+                F.length(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w) - 1),
+                    lambda i: w.substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    return (
+        df.select(pairs.alias("__pairs__"))
+        .select(F.explode("__pairs__").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
+        .limit(top_k)
     )

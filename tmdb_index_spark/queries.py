@@ -4755,9 +4755,83 @@ FROM counts
 """
 
 
+def price_size_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D Pareto frontier / skyline (extension: multi-objective
+    selection —
+    :func:`~tmdb_index_spark.operators.frontier.frontier_2d`): the
+    parts that are Pareto-minimal on (retail price, size) — no other
+    part is cheaper-or-equal AND smaller-or-equal with one strict.
+    Computed as a funnel-free running-min filter over distinct pairs
+    (bucketed cummin + |buckets|-row carry), never the O(N²)
+    NOT EXISTS self-join; the oracle states the same running-min
+    derivation (provably equivalent to the dominance definition — see
+    the operator docstring)."""
+    from tmdb_index_spark.operators.frontier import frontier_2d
+
+    parts = _t(spark, sf_dir, "part").select(
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    return frontier_2d(parts, "price", "size", count_col="n_parts")
+
+
+_FRONTIER_SQL = """
+WITH pairs AS (
+  SELECT CAST(p_retailprice AS DOUBLE) AS price,
+         CAST(p_size AS BIGINT) AS size,
+         COUNT(*)::BIGINT AS n_parts
+  FROM part GROUP BY 1, 2
+),
+m AS (
+  SELECT price, size, n_parts,
+         MIN(size) OVER (
+           ORDER BY price ASC, size ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_min
+  FROM pairs
+)
+SELECT price, size, n_parts
+FROM m WHERE prev_min IS NULL OR prev_min > size
+"""
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE vocabulary-induction iteration (extension: tokenizer
+    training —
+    :func:`~tmdb_index_spark.operators.llm_prep.bpe_adjacent_pairs`):
+    the 20 most frequent adjacent character pairs across all word
+    occurrences. Token-scale work collapses map-side (pair alphabet is
+    tiny) before the single shuffle."""
+    from tmdb_index_spark.operators.llm_prep import bpe_adjacent_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return bpe_adjacent_pairs(docs, top_k=20)
+
+
+_BPE_PAIRS_SQL = """
+WITH words AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+           x -> x <> ''
+         )) AS w
+  FROM documents
+),
+prs AS (
+  SELECT unnest([w[i:i+1] for i in range(1, length(w))]) AS pair
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, COUNT(*)::BIGINT AS n_pairs
+FROM prs GROUP BY pair
+ORDER BY n_pairs DESC, pair ASC
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
+    "price_size_frontier": price_size_frontier,
+    "bpe_pair_counts": bpe_pair_counts,
     "sliding_distinct_users": sliding_distinct_users,
     "event_transition_probs": event_transition_probs,
     "q1_pricing_summary": q1_pricing_summary,
@@ -4886,6 +4960,8 @@ QUERIES = {name: _self_configuring(fn) for name, fn in QUERIES.items()}
 ORACLES: dict[str, str] = {
     "flagship_scan_filter": _FLAGSHIP_SQL,
     "dedup_segments_rebuild": _SEG_DEDUP_SQL,
+    "price_size_frontier": _FRONTIER_SQL,
+    "bpe_pair_counts": _BPE_PAIRS_SQL,
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "event_transition_probs": _TRANSITION_SQL,
     "q1_pricing_summary": _Q1_SQL,
