@@ -231,3 +231,71 @@ def test_cap_per_group_rejects_nonpositive_cap(spark):
 
     with _pytest.raises(ValueError):
         cap_per_group(df, "doc_id", "source", cap=0)
+
+
+# ----------------------------------------------------------- negatives
+
+
+def _dense_docs(spark, n):
+    return spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(n)], "doc_id long, source string"
+    )
+
+
+def test_negative_pairs_shape_and_no_self(spark):
+    from tmdb_index_spark.operators.sampling import negative_pairs
+
+    df = _dense_docs(spark, 20)
+    out = negative_pairs(df, "doc_id", k=3).collect()
+    assert len(out) == 60  # k * N exactly
+    assert all(r["neg_id"] != r["doc_id"] for r in out)
+    assert all(0 <= r["neg_id"] < 20 for r in out)
+
+
+def test_negative_pairs_deterministic_and_seed_sensitive(spark):
+    from tmdb_index_spark.operators.sampling import negative_pairs
+
+    df = _dense_docs(spark, 15)
+    a = sorted(map(tuple, negative_pairs(df, "doc_id", k=2, seed=1).collect()))
+    b = sorted(map(tuple, negative_pairs(df, "doc_id", k=2, seed=1).collect()))
+    c = sorted(map(tuple, negative_pairs(df, "doc_id", k=2, seed=2).collect()))
+    assert a == b
+    assert a != c
+
+
+def test_negative_pairs_partner_attributes_joined(spark):
+    from tmdb_index_spark.operators.sampling import negative_pairs
+
+    df = _dense_docs(spark, 10)
+    out = negative_pairs(df, "doc_id", k=2, keep_cols=("source",)).collect()
+    srcs = {r["doc_id"]: r["source"] for r in df.collect()}
+    assert all(r["neg_source"] == srcs[r["neg_id"]] for r in out)
+
+
+def test_negative_pairs_single_row_corpus_is_empty(spark):
+    from tmdb_index_spark.operators.sampling import negative_pairs
+
+    df = _dense_docs(spark, 1)
+    assert negative_pairs(df, "doc_id", k=3).count() == 0
+
+
+def test_negative_pairs_rejects_bad_k(spark):
+    import pytest
+    from tmdb_index_spark.operators.sampling import negative_pairs
+
+    with pytest.raises(ValueError):
+        negative_pairs(_dense_docs(spark, 5), "doc_id", k=0)
+
+
+def test_negative_pairs_roughly_uniform(spark):
+    from tmdb_index_spark.operators.sampling import negative_pairs
+
+    # 200 anchors x 5 draws = 1000 partner picks over 200 ids:
+    # every id should be picked at least once, none hoard the mass
+    df = _dense_docs(spark, 200)
+    from collections import Counter
+
+    picks = Counter(
+        r["neg_id"] for r in negative_pairs(df, "doc_id", k=5).collect()
+    )
+    assert max(picks.values()) <= 25  # mean 5, generous tail bound

@@ -195,3 +195,73 @@ def test_triangle_count_no_cartesian_in_plan(spark):
     wedge_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin")
     assert wedge_joins >= 4  # degree x2, wedge, closing
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------- bfs
+
+
+def _edges(spark, pairs):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    # symmetric: tests use undirected graphs
+    return df.union(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def test_bfs_chain_levels(spark):
+    from tmdb_index_spark.operators.graph import bfs_levels
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    src = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["hop"] for r in bfs_levels(e, src, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 beyond max_hops: absent
+
+
+def test_bfs_min_hop_wins_on_multiple_paths(spark):
+    from tmdb_index_spark.operators.graph import bfs_levels
+
+    # 1-2-3 and direct 1-3: node 3 is hop 1, not 2
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    src = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["hop"] for r in bfs_levels(e, src, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 1}
+
+
+def test_bfs_multi_source_and_unreachable(spark):
+    from tmdb_index_spark.operators.graph import bfs_levels
+
+    e = _edges(spark, [(1, 2), (10, 11)])
+    src = spark.createDataFrame([(1,), (10,)], "node long")
+    out = {r["node"]: r["hop"] for r in bfs_levels(e, src, max_hops=2).collect()}
+    assert out == {1: 0, 2: 1, 10: 0, 11: 1}
+    # disconnected node 99 never appears
+    assert 99 not in out
+
+
+def test_bfs_source_never_demoted_by_cycle(spark):
+    from tmdb_index_spark.operators.graph import bfs_levels
+
+    # cycle back into the source: hop stays 0
+    e = _edges(spark, [(1, 2), (2, 1)])
+    src = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["hop"] for r in bfs_levels(e, src, max_hops=4).collect()}
+    assert out[1] == 0
+
+
+def test_bfs_zero_hops_is_sources_only(spark):
+    from tmdb_index_spark.operators.graph import bfs_levels
+
+    e = _edges(spark, [(1, 2)])
+    src = spark.createDataFrame([(1,), (1,)], "node long")  # dup source
+    out = bfs_levels(e, src, max_hops=0).collect()
+    assert [(r["node"], r["hop"]) for r in out] == [(1, 0)]
+
+
+def test_bfs_rejects_negative_hops(spark):
+    import pytest
+    from tmdb_index_spark.operators.graph import bfs_levels
+
+    e = _edges(spark, [(1, 2)])
+    src = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError):
+        bfs_levels(e, src, max_hops=-1)

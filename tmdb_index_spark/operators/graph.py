@@ -273,3 +273,57 @@ def pagerank_fixed_point(
             ).alias("rank_ppm"),
         )
     return rank
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Bounded-hop BFS: minimum hop distance (0..``max_hops``) from
+    any source node to every reachable node, as a statically-unrolled
+    frontier-expansion dataflow — the traversal complement of
+    :func:`connected_components` (which answers "same island?" but
+    not "how far?").
+
+    Each round expands only the CURRENT frontier — nodes whose min
+    distance equals the previous hop — through one keyed join against
+    the edge list, then folds discoveries in with a min-aggregate.
+    The BFS invariant (every node at min hop h has a predecessor at
+    min hop h-1) makes frontier-only expansion exact. Per round: one
+    hash join on the node key + one groupBy — both partitioned by
+    node, nothing proportional to path counts (levels are
+    deduplicated before expanding, so dense graphs cost |edges| per
+    round, not |paths|).
+
+    ``max_hops`` is a compile-time unroll like
+    :func:`pagerank_fixed_point`'s iterations: plan size is linear in
+    it, and at 100 TB each additional hop is one more join stage over
+    the same co-partitioned keys. Unreached nodes are absent from the
+    output (callers left-join if they want NULL distances).
+
+    Returns ``(node, hop)`` with ``hop`` the minimum distance.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select(F.col(src).alias("__s__"), F.col(dst).alias("__d__"))
+    dist = sources.select(
+        F.col(node).alias("node"), F.lit(0).cast("int").alias("hop")
+    ).distinct()
+    for h in range(1, max_hops + 1):
+        frontier = dist.filter(F.col("hop") == h - 1).select("node")
+        nxt = (
+            frontier.join(e, frontier.node == e.__s__)
+            .select(F.col("__d__").alias("node"))
+            .distinct()
+            .withColumn("hop", F.lit(h).cast("int"))
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+        )
+    return dist

@@ -26,6 +26,7 @@ __all__ = [
     "mixture_sample",
     "weighted_sample",
     "cap_per_group",
+    "negative_pairs",
 ]
 
 #: Granularity of split fractions (hash buckets).
@@ -231,4 +232,78 @@ def cap_per_group(
         df.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") <= cap)
         .drop("__rn__")
+    )
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str,
+    k: int = 3,
+    seed: int = 0,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor row, ``k`` pseudo-random partner rows drawn uniformly
+    from the OTHER rows — no RNG state, no cross join, the same pairs
+    on every engine and rerun.
+
+    Requires a dense id space: ``id_col`` must hold exactly the
+    integers ``0..N-1`` (what ``align_id_col`` / dense exports
+    provide; validate with ``validate_id`` first if unsure). Partner
+    selection is the classic skip-self trick:
+
+        raw = portable_md5_hash(id, j, seed) mod (N-1)
+        partner = raw + 1 if raw >= id else raw
+
+    which is a bijection onto ``[0, N) \\ {id}`` per draw, so
+    anchors never pair with themselves and the draw is uniform.
+    Distinct draws j may repeat a partner (sampling WITH replacement,
+    as contrastive batches do).
+
+    Plan shape: N comes from a 1-row count aggregate (broadcast, never
+    collected); draws explode a k-length sequence (bounded Generate);
+    the partner's attributes arrive through ONE equi-join on the dense
+    id — hash-partitionable, broadcastable when the corpus side is a
+    dim. Nothing quadratic; output is exactly ``k·N`` rows.
+
+    Returns ``(id_col, neg_rank, neg_id, *keep_cols-of-partner as
+    neg_<col>)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("__n__"))
+    anchors = (
+        df.select(id_col)
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("__n__") >= 2)
+        .select(
+            id_col,
+            "__n__",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_rank"),
+        )
+    )
+    raw = (
+        portable_hash60(
+            F.concat_ws(
+                "|",
+                F.col(id_col).cast("string"),
+                F.col("neg_rank").cast("string"),
+                F.lit(str(seed)),
+            )
+        )
+        % (F.col("__n__") - 1)
+    )
+    pairs = anchors.select(
+        id_col,
+        "neg_rank",
+        F.when(raw >= F.col(id_col), raw + 1).otherwise(raw).alias("neg_id"),
+    )
+    if not keep_cols:
+        return pairs
+    partner = df.select(
+        F.col(id_col).alias("neg_id"),
+        *[F.col(c).alias(f"neg_{c}") for c in keep_cols],
+    )
+    return pairs.join(partner, "neg_id").select(
+        id_col, "neg_rank", "neg_id", *[f"neg_{c}" for c in keep_cols]
     )

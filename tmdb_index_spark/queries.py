@@ -4827,10 +4827,153 @@ LIMIT 20
 """
 
 
+def supplier_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS over the co-supply graph (extension: graph
+    traversal — :func:`~tmdb_index_spark.operators.graph.bfs_levels`):
+    minimum hop distance (<= 3) from nation-0 suppliers to every
+    supplier reachable through shared low-quantity orders. Each hop is
+    one co-partitioned join + min-fold; the oracle unrolls the same
+    three frontier expansions as DISTINCT level sets and takes the
+    min."""
+    from tmdb_index_spark.operators.graph import bfs_levels
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 5)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    sources = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return bfs_levels(edges, sources, max_hops=3)
+
+
+_BFS_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_quantity <= 5),
+e AS (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey <> b.l_suppkey
+),
+d0 AS (SELECT DISTINCT s_suppkey AS node FROM supplier WHERE s_nationkey = 0),
+l1 AS (SELECT DISTINCT e.dst AS node FROM d0 JOIN e ON e.src = d0.node),
+l2 AS (SELECT DISTINCT e.dst AS node FROM l1 JOIN e ON e.src = l1.node),
+l3 AS (SELECT DISTINCT e.dst AS node FROM l2 JOIN e ON e.src = l2.node),
+lv AS (
+  SELECT node, 0 AS hop FROM d0
+  UNION ALL SELECT node, 1 FROM l1
+  UNION ALL SELECT node, 2 FROM l2
+  UNION ALL SELECT node, 3 FROM l3
+)
+SELECT node, MIN(hop)::INT AS hop FROM lv GROUP BY node
+"""
+
+
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair mining for contrastive training
+    (extension:
+    :func:`~tmdb_index_spark.operators.sampling.negative_pairs`): two
+    uniform non-self partners per document via the hash-mod skip-self
+    bijection over the dense doc_id space — no RNG state, no cross
+    join, partner attributes through one dense-id equi-join."""
+    from tmdb_index_spark.operators.sampling import negative_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return negative_pairs(
+        docs, "doc_id", k=2, seed=0, keep_cols=("source",)
+    )
+
+
+_NEGATIVE_PAIRS_SQL = """
+WITH n AS (SELECT COUNT(*)::BIGINT AS nn FROM documents),
+draws AS (
+  SELECT doc_id, j AS neg_rank,
+         ('0x' || substr(md5(doc_id || '|' || j || '|' || '0'), 1, 15))::BIGINT
+           % (nn - 1) AS raw
+  FROM documents, n, (SELECT unnest(generate_series(1, 2)) AS j)
+  WHERE nn >= 2
+),
+p AS (
+  SELECT doc_id, neg_rank,
+         CASE WHEN raw >= doc_id THEN raw + 1 ELSE raw END AS neg_id
+  FROM draws
+)
+SELECT p.doc_id, p.neg_rank, p.neg_id, d.source AS neg_source
+FROM p JOIN documents d ON d.doc_id = p.neg_id
+"""
+
+
+def user_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event value over time (extension: grouped
+    regression —
+    :func:`~tmdb_index_spark.operators.regression.grouped_linear_trend`):
+    slope/intercept of value ~ epoch-day from five decimal-exact
+    sufficient-statistic sums — one partial-aggregated groupBy, exact
+    across engines because no float sum crosses the shuffle."""
+    from tmdb_index_spark.operators.regression import grouped_linear_trend
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("x_day"),
+        "value",
+    )
+    return grouped_linear_trend(ev, "user_id", "x_day", "value")
+
+
+_TREND_SQL = """
+WITH pts AS (
+  SELECT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DECIMAL(18,0)) AS x,
+         CAST(value AS DECIMAL(18,2)) AS y
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         COUNT(*)::BIGINT AS n_points,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts GROUP BY user_id
+),
+fit AS (
+  SELECT user_id, n_points,
+         CASE WHEN CAST(n_points * sxx - sx * sx AS DOUBLE) <> 0.0
+              THEN CAST(n_points * sxy - sx * sy AS DOUBLE)
+                   / CAST(n_points * sxx - sx * sx AS DOUBLE)
+         END AS slope,
+         sx, sy
+  FROM agg
+)
+SELECT user_id, n_points,
+       ROUND(slope, 4) AS slope,
+       ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             / CAST(n_points AS DOUBLE), 4) AS intercept
+FROM fit
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
     "price_size_frontier": price_size_frontier,
+    "supplier_reach_hops": supplier_reach_hops,
+    "contrastive_negatives": contrastive_negatives,
+    "user_value_trends": user_value_trends,
     "bpe_pair_counts": bpe_pair_counts,
     "sliding_distinct_users": sliding_distinct_users,
     "event_transition_probs": event_transition_probs,
@@ -4961,6 +5104,9 @@ ORACLES: dict[str, str] = {
     "flagship_scan_filter": _FLAGSHIP_SQL,
     "dedup_segments_rebuild": _SEG_DEDUP_SQL,
     "price_size_frontier": _FRONTIER_SQL,
+    "supplier_reach_hops": _BFS_SQL,
+    "contrastive_negatives": _NEGATIVE_PAIRS_SQL,
+    "user_value_trends": _TREND_SQL,
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "event_transition_probs": _TRANSITION_SQL,
