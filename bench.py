@@ -101,6 +101,15 @@ EXTENDED_QUERIES = [
     "source_capped_docs",
     "fuzzy_name_pairs",
     "hybrid_rrf_search",
+    # round-6 late additions
+    "dedup_segments_rebuild",
+    "sliding_distinct_users",
+    "event_transition_probs",
+    "price_size_frontier",
+    "bpe_pair_counts",
+    "supplier_reach_hops",
+    "contrastive_negatives",
+    "user_value_trends",
 ]
 
 

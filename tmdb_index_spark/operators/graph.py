@@ -282,6 +282,7 @@ def bfs_levels(
     dst: str = "dst",
     node: str = "node",
     max_hops: int = 3,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Bounded-hop BFS: minimum hop distance (0..``max_hops``) from
     any source node to every reachable node, as a statically-unrolled
@@ -305,25 +306,39 @@ def bfs_levels(
     the same co-partitioned keys. Unreached nodes are absent from the
     output (callers left-join if they want NULL distances).
 
+    ``materialize`` (``None`` | ``'cache'`` | ``'parquet'``) pins the
+    edge frame so an expensive edge derivation (a self-join, a Python
+    stage) computes once instead of once per hop — see
+    `operators/materialize.py`; callers release via ``release_pins``.
+
     Returns ``(node, hop)`` with ``hop`` the minimum distance.
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
     e = edges.select(F.col(src).alias("__s__"), F.col(dst).alias("__d__"))
-    dist = sources.select(
-        F.col(node).alias("node"), F.lit(0).cast("int").alias("hop")
-    ).distinct()
+    if materialize is not None:
+        # one edge materialization feeds all max_hops expansions
+        from tmdb_index_spark.operators.materialize import pin_frame
+
+        e = pin_frame(e, materialize)
+    # Frontier-only recursion: level_h = distinct neighbors of
+    # level_{h-1}, min-folded ONCE at the end. Folding per round
+    # (dist = union(dist, next).groupBy.min) reads each round's frame
+    # twice — filter + union — so lineage doubles per hop; here every
+    # level frame is embedded once in the next level and once in the
+    # final union, keeping the plan linear in max_hops. Expanding a
+    # full level instead of the true min-frontier is exact: extra
+    # expansions only produce larger hops, which the min discards.
+    level = sources.select(F.col(node).alias("node")).distinct()
+    levels = [level.withColumn("hop", F.lit(0).cast("int"))]
     for h in range(1, max_hops + 1):
-        frontier = dist.filter(F.col("hop") == h - 1).select("node")
-        nxt = (
-            frontier.join(e, frontier.node == e.__s__)
+        level = (
+            level.join(e, level.node == e.__s__)
             .select(F.col("__d__").alias("node"))
             .distinct()
-            .withColumn("hop", F.lit(h).cast("int"))
         )
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("node")
-            .agg(F.min("hop").alias("hop"))
-        )
-    return dist
+        levels.append(level.withColumn("hop", F.lit(h).cast("int")))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.groupBy("node").agg(F.min("hop").alias("hop"))

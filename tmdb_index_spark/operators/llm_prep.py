@@ -454,6 +454,8 @@ def remove_duplicate_segments(
     seg_tokens: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: str = "cache",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Cross-document exact segment dedup with reassembly (the
     *removal* counterpart of :func:`dup_span_fraction`'s signal):
@@ -482,8 +484,16 @@ def remove_duplicate_segments(
     documents with no tokens at all produce no segments and are
     dropped (nothing to deduplicate — mirror of chunk_documents).
 
+    The segment frame feeds BOTH sides of the first-occurrence
+    join, so it is pinned (``materialize``: 'cache' default,
+    'parquet' = the bounded-memory 100 TB path — see
+    `operators/materialize.py`) and the tokenize+Generate stage runs
+    once, not twice; callers release with ``release_pins``.
+
     Returns ``(id_col, n_segments, kept_segments, text_dedup)``.
     """
+    from tmdb_index_spark.operators.materialize import pin_frame
+
     if seg_tokens < 1:
         raise ValueError("seg_tokens must be >= 1")
     txt = F.coalesce(F.col(text_col), F.lit(""))
@@ -506,6 +516,7 @@ def remove_duplicate_segments(
             "__text__"
         ),
     ).withColumn("__h__", portable_hash60(F.col("__text__")))
+    seg = pin_frame(seg, materialize, scratch_dir)
     first = seg.groupBy("__h__").agg(
         F.min(F.struct(F.col(id_col), F.col("__seg__"))).alias("__first__")
     )

@@ -4858,7 +4858,7 @@ def supplier_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_nationkey") == 0)
         .select(F.col("s_suppkey").alias("node"))
     )
-    return bfs_levels(edges, sources, max_hops=3)
+    return bfs_levels(edges, sources, max_hops=3, materialize="cache")
 
 
 _BFS_SQL = """
