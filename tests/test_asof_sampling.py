@@ -299,3 +299,65 @@ def test_negative_pairs_roughly_uniform(spark):
         r["neg_id"] for r in negative_pairs(df, "doc_id", k=5).collect()
     )
     assert max(picks.values()) <= 25  # mean 5, generous tail bound
+
+
+# ------------------------------------------------------------- nucleus
+
+
+def test_nucleus_keeps_smallest_covering_prefix(spark):
+    from tmdb_index_spark.operators.sampling import nucleus_filter
+
+    # weights 50, 30, 15, 5: p=0.8 -> 50+30=80 reaches exactly 80%;
+    # the crossing item (30) is kept, nothing after it
+    rows = [("g", "a", 50), ("g", "b", 30), ("g", "c", 15), ("g", "d", 5)]
+    df = spark.createDataFrame(rows, "grp string, item string, w long")
+    out = nucleus_filter(df, "grp", "w", p=0.8, tiebreak_col="item")
+    kept = sorted(r["item"] for r in out.collect())
+    assert kept == ["a", "b"]
+
+
+def test_nucleus_boundary_item_included(spark):
+    from tmdb_index_spark.operators.sampling import nucleus_filter
+
+    # p=0.5 with weights 40, 40, 20: first item covers only 40%,
+    # second crosses 50% -> keep two
+    rows = [("g", "a", 40), ("g", "b", 40), ("g", "c", 20)]
+    df = spark.createDataFrame(rows, "grp string, item string, w long")
+    kept = sorted(
+        r["item"]
+        for r in nucleus_filter(df, "grp", "w", 0.5, "item").collect()
+    )
+    assert kept == ["a", "b"]
+
+
+def test_nucleus_p_one_keeps_everything(spark):
+    from tmdb_index_spark.operators.sampling import nucleus_filter
+
+    rows = [("g", "a", 1), ("g", "b", 1), ("h", "c", 9)]
+    df = spark.createDataFrame(rows, "grp string, item string, w long")
+    assert nucleus_filter(df, "grp", "w", 1.0, "item").count() == 3
+
+
+def test_nucleus_groups_independent_and_share_monotone(spark):
+    from tmdb_index_spark.operators.sampling import nucleus_filter
+
+    rows = [("g", "a", 90), ("g", "b", 10), ("h", "c", 1), ("h", "d", 1)]
+    df = spark.createDataFrame(rows, "grp string, item string, w long")
+    out = {
+        (r["grp"], r["item"]): r["cum_share"]
+        for r in nucleus_filter(df, "grp", "w", 0.9, "item").collect()
+    }
+    assert out[("g", "a")] == 0.9
+    assert ("g", "b") not in out
+    # h: first item covers 0.5 < 0.9 -> second kept too
+    assert out[("h", "c")] == 0.5 and out[("h", "d")] == 1.0
+
+
+def test_nucleus_rejects_bad_p(spark):
+    import pytest
+    from tmdb_index_spark.operators.sampling import nucleus_filter
+
+    df = spark.createDataFrame([("g", "a", 1)], "grp string, item string, w long")
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            nucleus_filter(df, "grp", "w", bad, "item")

@@ -273,3 +273,67 @@ def test_transition_matrix_row_probs_sum_to_one(spark):
         .collect()
     )
     assert all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
+
+
+# ---------------------------------------------------------------- twap
+
+
+def test_twap_locf_weighting(spark):
+    from tmdb_index_spark.operators.temporal import time_weighted_avg
+
+    # value 10 holds 1h, value 20 holds 3h -> twap = (10*1 + 20*3)/4
+    rows = [
+        (1, _ts(1, 0), 1, 10.0),
+        (1, _ts(1, 1), 2, 20.0),
+        (1, _ts(1, 4), 3, 99.0),  # last obs: no weight
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = time_weighted_avg(df, tiebreak_col="event_id").collect()[0]
+    assert out["n_obs"] == 3
+    assert out["twap"] == 17.5
+
+
+def test_twap_single_obs_is_null(spark):
+    from tmdb_index_spark.operators.temporal import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [(1, _ts(1), 1, 5.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    out = time_weighted_avg(df, tiebreak_col="event_id").collect()[0]
+    assert out["twap"] is None and out["n_obs"] == 1
+
+
+def test_twap_differs_from_plain_avg_on_irregular_sampling(spark):
+    from tmdb_index_spark.operators.temporal import time_weighted_avg
+
+    # burst of high values in one second, then a long low period:
+    # plain AVG is pulled to the burst, TWAP is not
+    rows = [
+        (1, _ts(1, 0), 1, 100.0),
+        (1, _ts(1, 0), 2, 100.0),  # same ts: zero-weight for first
+        (1, _ts(1, 1), 3, 0.0),
+        (1, _ts(2, 1), 4, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = time_weighted_avg(df, tiebreak_col="event_id").collect()[0]
+    # weights: 0h(tie), 1h @100, 24h @0 -> 100/25 = 4.0
+    assert out["twap"] == 4.0
+
+
+def test_twap_per_user_independent(spark):
+    from tmdb_index_spark.operators.temporal import time_weighted_avg
+
+    rows = [
+        (1, _ts(1, 0), 1, 10.0), (1, _ts(1, 2), 2, 0.0),
+        (2, _ts(1, 0), 3, 50.0), (2, _ts(1, 1), 4, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {r["user_id"]: r["twap"] for r in time_weighted_avg(df, tiebreak_col="event_id").collect()}
+    assert out == {1: 10.0, 2: 50.0}

@@ -13,7 +13,7 @@ Map-only; no shuffle, no RNG state.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tmdb_index_spark.functions.text import portable_hash60
@@ -27,6 +27,7 @@ __all__ = [
     "weighted_sample",
     "cap_per_group",
     "negative_pairs",
+    "nucleus_filter",
 ]
 
 #: Granularity of split fractions (hash buckets).
@@ -306,4 +307,64 @@ def negative_pairs(
     )
     return pairs.join(partner, "neg_id").select(
         id_col, "neg_rank", "neg_id", *[f"neg_{c}" for c in keep_cols]
+    )
+
+
+def nucleus_filter(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    p: float,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Top-p (nucleus) selection per group: the SMALLEST prefix of
+    items — taken in descending weight order — whose cumulative
+    weight reaches fraction ``p`` of the group total. The
+    corpus-curation cousin of nucleus sampling: "keep the sources
+    covering 90% of tokens", "keep event types covering 99% of
+    volume", a mass-coverage criterion no fixed top-k or threshold
+    expresses.
+
+    An item is kept iff its EXCLUSIVE prefix sum is still below
+    ``p * total`` — so the item that crosses the threshold is
+    included and nothing after it. Order is ``(weight desc,
+    tiebreak asc)``; pass ``tiebreak_col`` whenever weights can tie
+    or the kept set would be engine-dependent. Weights must be
+    non-negative; they are accumulated as DECIMAL(28,6), so prefix
+    sums are exact and the p-comparison is reproducible bit-for-bit
+    (a float cumsum would make the boundary item partition-order
+    dependent).
+
+    Scale shape: one shuffle on the group key; the window and the
+    group-total both run inside that partitioning (the total via an
+    unbounded frame, no second scan or join). Output keeps
+    ``(group_col, item columns, weight, cum_share)`` for the kept
+    rows, ``cum_share`` rounded to 4.
+    """
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    w = F.col(weight_col).cast("decimal(28,6)")
+    order = [F.col(weight_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    win = Window.partitionBy(group_col).orderBy(*order)
+    cum = F.sum(w).over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum(w).over(Window.partitionBy(group_col))
+    out = df.withColumn("__cum__", cum).withColumn("__tot__", total)
+    keep = (F.col("__cum__") - w) < (
+        F.lit(p).cast("decimal(28,6)") * F.col("__tot__")
+    )
+    return (
+        out.filter(keep)
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.col("__cum__").cast("double")
+                / F.col("__tot__").cast("double"),
+                4,
+            ),
+        )
+        .drop("__cum__", "__tot__")
     )

@@ -28,6 +28,7 @@ __all__ = [
     "merge_intervals",
     "sliding_window_distinct",
     "transition_matrix",
+    "time_weighted_avg",
 ]
 
 
@@ -223,4 +224,62 @@ def transition_matrix(
             / F.sum("n_transitions").over(wrow).cast("double"),
             4,
         ).alias("p"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Time-weighted average (TWAP) per entity: the mean of
+    ``value_col`` under last-observation-carried-forward weighting —
+    each observation holds from its timestamp until the next one, so
+    its weight is that holding duration in seconds. The metric a
+    plain AVG silently gets wrong whenever sampling is irregular
+    (bursts of readings overweight the burst).
+
+    The entity's last observation has no holding interval and
+    contributes no weight; entities with a single observation (or all
+    observations at one instant) have zero total weight and report a
+    NULL TWAP — there is no interval to average over.
+
+    Scale shape: one shuffle on the entity key, a ``lead`` window
+    inside it, then a partial-aggregated groupBy on the same key —
+    the second shuffle moves one row per entity. Weights are integer
+    MICROseconds (``unix_micros`` — exact, where floored-seconds
+    arithmetic diverges between engines on sub-second timestamps; the
+    unit cancels in the ratio) and values DECIMAL(18,2), so the
+    weighted sums are exact: no float crosses a shuffle and the
+    result is bit-reproducible on any engine or partitioning. Pass
+    ``tiebreak_col`` if timestamps can tie within an entity.
+
+    Returns ``(key_col, n_obs, twap)``.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dur = (F.lead(us).over(w) - us).cast("decimal(18,0)")
+    val = F.col(value_col).cast("decimal(18,2)")
+    obs = df.select(
+        F.col(key_col),
+        (val * dur).alias("__wv__"),
+        dur.alias("__w__"),
+    )
+    agg = obs.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum("__wv__").alias("__swv__"),
+        F.sum("__w__").alias("__sw__"),
+    )
+    twap = F.when(
+        F.col("__sw__") > 0,
+        F.col("__swv__").cast("double") / F.col("__sw__").cast("double"),
+    )
+    return agg.select(
+        key_col, "n_obs", F.round(twap, round_to).alias("twap")
     )

@@ -4967,6 +4967,140 @@ FROM fit
 """
 
 
+def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (extension: LOCF-weighted
+    mean — :func:`~tmdb_index_spark.operators.temporal.time_weighted_avg`):
+    each event's value holds until the user's next event; weights are
+    exact integer microseconds and values exact decimals, so no float
+    crosses a shuffle."""
+    from tmdb_index_spark.operators.temporal import time_weighted_avg
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    return time_weighted_avg(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        tiebreak_col="event_id",
+    )
+
+
+_TWAP_SQL = """
+WITH obs AS (
+  SELECT user_id,
+         CAST(LEAD(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+              ) - epoch_us(ts) AS DECIMAL(18,0)) AS w,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         COUNT(*)::BIGINT AS n_obs,
+         SUM(v * w) AS swv,
+         SUM(w) AS sw
+  FROM obs GROUP BY user_id
+)
+SELECT user_id, n_obs,
+       ROUND(CASE WHEN sw > 0
+                  THEN CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) END,
+             4) AS twap
+FROM agg
+"""
+
+
+def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout locality audit (extension: multi-dim
+    data-skipping layout —
+    :func:`~tmdb_index_spark.operators.layout.zorder_locality_stats`):
+    orders quantized on (custkey, order day), 8 bits each,
+    interleaved; per top-6-bit Z-range the row count and BOTH
+    dimensions' min/max spans — the tight-rectangle property that
+    makes row-group stats prune multi-column predicates. Pure integer
+    column arithmetic, one groupBy."""
+    from tmdb_index_spark.operators.layout import zorder_locality_stats
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("ckey"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("bigint").alias("oday"),
+    )
+    return zorder_locality_stats(o, ["ckey", "oday"], bits=8, prefix_bits=6)
+
+
+_ZORDER_SQL = """
+WITH src AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ckey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS oday
+  FROM orders
+),
+mm AS (
+  SELECT CAST(MIN(ckey) AS DOUBLE) AS lox, CAST(MAX(ckey) AS DOUBLE) AS hix,
+         CAST(MIN(oday) AS DOUBLE) AS loy, CAST(MAX(oday) AS DOUBLE) AS hiy
+  FROM src
+),
+q AS (
+  SELECT ckey, oday,
+         LEAST(CAST(FLOOR((CAST(ckey AS DOUBLE) - lox) * 256.0 / (hix - lox + 1.0)) AS BIGINT), 255) AS qx,
+         LEAST(CAST(FLOOR((CAST(oday AS DOUBLE) - loy) * 256.0 / (hiy - loy + 1.0)) AS BIGINT), 255) AS qy
+  FROM src, mm
+),
+z AS (
+  SELECT ckey, oday, ((((qx >> 0) & 1) << 0) + (((qy >> 0) & 1) << 1) + (((qx >> 1) & 1) << 2) + (((qy >> 1) & 1) << 3) + (((qx >> 2) & 1) << 4) + (((qy >> 2) & 1) << 5) + (((qx >> 3) & 1) << 6) + (((qy >> 3) & 1) << 7) + (((qx >> 4) & 1) << 8) + (((qy >> 4) & 1) << 9) + (((qx >> 5) & 1) << 10) + (((qy >> 5) & 1) << 11) + (((qx >> 6) & 1) << 12) + (((qy >> 6) & 1) << 13) + (((qx >> 7) & 1) << 14) + (((qy >> 7) & 1) << 15)) AS zval FROM q
+)
+SELECT (zval >> 10) AS z_bucket,
+       COUNT(*)::BIGINT AS n_rows,
+       MIN(ckey) AS ckey_min, MAX(ckey) AS ckey_max,
+       MIN(oday) AS oday_min, MAX(oday) AS oday_max
+FROM z GROUP BY 1
+"""
+
+
+def source_token_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) source selection per language (extension:
+    mass-coverage curation —
+    :func:`~tmdb_index_spark.operators.sampling.nucleus_filter`): the
+    smallest set of sources covering >= 80% of each language's tokens,
+    taken in descending token order. Prefix sums are decimal-exact so
+    the boundary source is engine-independent."""
+    from tmdb_index_spark.operators.sampling import nucleus_filter
+    from tmdb_index_spark.functions.text import token_count
+
+    st = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.sum(token_count(F.col("text"))).cast("bigint").alias(
+                "n_tokens"
+            )
+        )
+    )
+    return nucleus_filter(
+        st, group_col="lang", weight_col="n_tokens", p=0.8,
+        tiebreak_col="source",
+    )
+
+
+_NUCLEUS_SQL = """
+WITH st AS (
+  SELECT lang, source,
+         SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))::BIGINT AS n_tokens
+  FROM documents GROUP BY lang, source
+),
+c AS (
+  SELECT lang, source, n_tokens,
+         SUM(CAST(n_tokens AS DECIMAL(28,6))) OVER (
+           PARTITION BY lang ORDER BY n_tokens DESC, source ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(CAST(n_tokens AS DECIMAL(28,6))) OVER (PARTITION BY lang) AS tot
+  FROM st
+)
+SELECT lang, source, n_tokens,
+       ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS cum_share
+FROM c
+WHERE (cum - n_tokens) < CAST(0.8 AS DECIMAL(28,6)) * tot
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
@@ -4974,6 +5108,9 @@ QUERIES: dict[str, QueryFn] = {
     "supplier_reach_hops": supplier_reach_hops,
     "contrastive_negatives": contrastive_negatives,
     "user_value_trends": user_value_trends,
+    "user_value_twap": user_value_twap,
+    "zorder_locality": zorder_locality,
+    "source_token_nucleus": source_token_nucleus,
     "bpe_pair_counts": bpe_pair_counts,
     "sliding_distinct_users": sliding_distinct_users,
     "event_transition_probs": event_transition_probs,
@@ -5107,6 +5244,9 @@ ORACLES: dict[str, str] = {
     "supplier_reach_hops": _BFS_SQL,
     "contrastive_negatives": _NEGATIVE_PAIRS_SQL,
     "user_value_trends": _TREND_SQL,
+    "user_value_twap": _TWAP_SQL,
+    "zorder_locality": _ZORDER_SQL,
+    "source_token_nucleus": _NUCLEUS_SQL,
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "event_transition_probs": _TRANSITION_SQL,
