@@ -110,6 +110,9 @@ EXTENDED_QUERIES = [
     "supplier_reach_hops",
     "contrastive_negatives",
     "user_value_trends",
+    "user_value_twap",
+    "zorder_locality",
+    "source_token_nucleus",
 ]
 
 
