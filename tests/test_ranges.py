@@ -203,3 +203,76 @@ def test_release_pins_frees_cascade_storage(spark):
     assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
     M.release_pins()
     assert all(not os.path.exists(p) for p in paths)
+
+
+# ---------------------------------------------------------------- prorate
+
+
+def test_prorate_even_split_and_remainder_cents(spark):
+    from datetime import date
+
+    from tmdb_index_spark.operators.ranges import prorate_over_days
+
+    # 10.00 over 3 days: 334, 333, 333 cents (remainder to earliest)
+    rows = [(date(2024, 1, 1), date(2024, 1, 3), 10.00)]
+    df = spark.createDataFrame(rows, "s date, e date, v double")
+    out = {
+        r["day"].isoformat(): r["amount"]
+        for r in prorate_over_days(df, "s", "e", "v").collect()
+    }
+    assert out == {"2024-01-01": 3.34, "2024-01-02": 3.33, "2024-01-03": 3.33}
+
+
+def test_prorate_totals_conserved_to_the_cent(spark):
+    from datetime import date, timedelta
+
+    from tmdb_index_spark.operators.ranges import prorate_over_days
+    from pyspark.sql import functions as F
+
+    rows = [
+        (date(2024, 1, 1) + timedelta(days=i % 5),
+         date(2024, 1, 1) + timedelta(days=i % 5 + i % 7),
+         round(13.7 * (i + 1), 2))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "s date, e date, v double")
+    total_in = round(sum(r[2] for r in rows), 2)
+    total_out = (
+        prorate_over_days(df, "s", "e", "v")
+        .agg(F.round(F.sum("amount"), 2).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert total_out == total_in
+
+
+def test_prorate_single_day_span_and_invalid_spans(spark):
+    from datetime import date
+
+    from tmdb_index_spark.operators.ranges import prorate_over_days
+
+    rows = [
+        (date(2024, 1, 1), date(2024, 1, 1), 5.55),   # 1-day span
+        (date(2024, 1, 5), date(2024, 1, 1), 99.0),   # end < start: drop
+        (None, date(2024, 1, 1), 99.0),               # NULL start: drop
+    ]
+    df = spark.createDataFrame(rows, "s date, e date, v double")
+    out = prorate_over_days(df, "s", "e", "v").collect()
+    assert len(out) == 1
+    assert out[0]["amount"] == 5.55 and out[0]["n_rows"] == 1
+
+
+def test_prorate_overlapping_rows_stack(spark):
+    from datetime import date
+
+    from tmdb_index_spark.operators.ranges import prorate_over_days
+
+    rows = [
+        (date(2024, 1, 1), date(2024, 1, 2), 2.00),
+        (date(2024, 1, 2), date(2024, 1, 3), 4.00),
+    ]
+    df = spark.createDataFrame(rows, "s date, e date, v double")
+    out = {
+        r["day"].isoformat(): (r["n_rows"], r["amount"])
+        for r in prorate_over_days(df, "s", "e", "v").collect()
+    }
+    assert out["2024-01-02"] == (2, 3.00)

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["point_in_interval_join", "cascade_time_rollup"]
+__all__ = ["point_in_interval_join", "cascade_time_rollup", "prorate_over_days"]
 
 
 def point_in_interval_join(
@@ -162,3 +162,63 @@ def cascade_time_rollup(
     day = pin_frame(_roll(hour, "day", "bucket", reagg), materialize, scratch_dir)
     month = _roll(day, "month", "bucket", reagg)
     return {"hour": hour, "day": day, "month": month}
+
+
+def prorate_over_days(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    value_col: str,
+    day_col: str = "day",
+) -> DataFrame:
+    """Allocate each row's value evenly across the calendar days of
+    its [start, end] date span (inclusive) and roll up per day — the
+    warehouse proration that turns per-order amounts into daily
+    run-rates (revenue in transit, active-contract value, burn).
+
+    Exactness: the naive ``value / n_days`` float share makes the
+    daily totals depend on summation order. Instead the value is
+    converted to integer CENTS and allocated like an accountant:
+    every day gets ``cents div n``, and the first ``cents mod n``
+    days get one extra cent — integer arithmetic end-to-end, so the
+    per-day totals are exact, sum back to the originals to the cent,
+    and reproduce bit-for-bit on any engine or partitioning.
+
+    Scale shape: one bounded Generate per row (fan-out = span length
+    in days — bounded by the domain, e.g. ship→receipt ≤ a month) and
+    one partial-aggregated groupBy on the day. Rows with NULL dates
+    or end < start are dropped (no valid span). Values are rounded to
+    cents on entry.
+
+    Returns ``(day_col, n_rows, amount)`` — ``n_rows`` the number of
+    source rows touching the day, ``amount`` the allocated total.
+    """
+    start = F.col(start_col).cast("date")
+    end = F.col(end_col).cast("date")
+    n = F.datediff(end, start) + 1
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
+    base = df.select(
+        start.alias("__s__"),
+        n.alias("__n__"),
+        cents.alias("__c__"),
+    ).filter(F.col("__n__") >= 1)
+    # materialize the per-row scalars BEFORE the Generate (the
+    # explode-sibling lesson), then fan out one row per covered day
+    idx = base.select(
+        "__s__", "__n__", "__c__",
+        F.explode(F.sequence(F.lit(0), F.col("__n__") - 1)).alias("__i__"),
+    )
+    share = (F.col("__c__") / F.col("__n__")).cast("long") + F.when(
+        F.col("__i__") < F.col("__c__") % F.col("__n__"), 1
+    ).otherwise(0)
+    return (
+        idx.select(
+            F.date_add(F.col("__s__"), F.col("__i__")).alias(day_col),
+            share.alias("__share__"),
+        )
+        .groupBy(day_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.sum("__share__") / 100.0).alias("amount"),
+        )
+    )

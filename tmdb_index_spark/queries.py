@@ -5101,6 +5101,165 @@ WHERE (cum - n_tokens) < CAST(0.8 AS DECIMAL(28,6)) * tot
 """
 
 
+def daily_transit_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact interval proration (extension:
+    :func:`~tmdb_index_spark.operators.ranges.prorate_over_days`):
+    each lineitem's extended price allocated across its order→ship
+    days cent-by-cent (div share + remainder cents to earliest days),
+    rolled up to daily open-order value, scoped to lines shipped
+    within 60 days so the Generate fan-out is domain-bounded. One
+    bounded Generate + one partial-aggregated day groupBy; totals are
+    bit-exact on any engine or partitioning."""
+    from tmdb_index_spark.operators.ranges import prorate_over_days
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    spans = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) >= 0)
+        & (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 59)
+    )
+    out = prorate_over_days(
+        spans, "o_orderdate", "l_shipdate", "l_extendedprice"
+    )
+    return out.withColumn("day", F.col("day").cast("timestamp"))
+
+
+_PRORATE_SQL = """
+WITH base AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS s,
+         (CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) + 1) AS n,
+         CAST(ROUND(CAST(l.l_extendedprice AS DOUBLE) * 100, 0) AS BIGINT) AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+        BETWEEN 0 AND 59
+),
+idx AS (
+  SELECT s, n, c, unnest(range(0, n)) AS i FROM base
+),
+sh AS (
+  SELECT CAST(s + CAST(i AS INT) AS TIMESTAMP) AS day,
+         (c // n) + (CASE WHEN i < (c % n) THEN 1 ELSE 0 END) AS share
+  FROM idx
+)
+SELECT day, COUNT(*)::BIGINT AS n_rows, SUM(share) / 100.0 AS amount
+FROM sh GROUP BY day
+"""
+
+
+def orders_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style bucketed table digest (extension: anti-entropy
+    verification —
+    :func:`~tmdb_index_spark.operators.integrity.table_checksum`):
+    canonical row serialization, portable 60-bit md5 row hashes,
+    order-independent XOR fold per orderkey bucket — two tables are
+    replicas iff their 64-row digest frames match, and a mismatched
+    bucket localizes the damage to 1/64 of the data."""
+    from tmdb_index_spark.operators.integrity import table_checksum
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("okey"),
+        F.col("o_custkey").cast("bigint").alias("ckey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    return table_checksum(o, key_col="okey", buckets=64)
+
+
+_CHECKSUM_SQL = """
+WITH c AS (
+  SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 64
+           AS bucket,
+         ('0x' || substr(md5(
+            CAST(o_orderkey AS VARCHAR) || chr(31) ||
+            CAST(o_custkey AS VARCHAR) || chr(31) ||
+            o_orderstatus || chr(31) ||
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || chr(31) ||
+            CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+         ), 1, 15))::BIGINT AS h
+  FROM orders
+)
+SELECT bucket, COUNT(*)::BIGINT AS n_rows, bit_xor(h) AS checksum
+FROM c GROUP BY bucket
+"""
+
+
+def state_value_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 temporal attribution composite (extension:
+    :func:`~tmdb_index_spark.operators.temporal.scd2_build` + validity
+    interval join): every event attributed to the state version in
+    effect at its timestamp ([valid_from, valid_to) semantics), then
+    per state: distinct runs, events, exact total value. The join is
+    an equi-join on user_id with the validity range as residual —
+    co-partitioned, never a BNLJ; history rows per user are bounded
+    by the run count."""
+    from tmdb_index_spark.operators.temporal import scd2_build
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    hist = scd2_build(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_type", tiebreak="event_id",
+    ).select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_type").alias("state"),
+        "valid_from", "valid_to", "version",
+    )
+    j = ev.join(
+        hist,
+        (F.col("user_id") == F.col("h_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return j.groupBy("state").agg(
+        F.count_distinct(F.col("h_user"), F.col("version")).alias("n_runs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+
+
+_STATE_ATTR_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type IS DISTINCT FROM
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM ordered
+),
+versions AS (
+  SELECT user_id, run, MIN(event_type) AS state, MIN(ts) AS valid_from
+  FROM runs GROUP BY 1, 2
+),
+hist AS (
+  SELECT user_id, state, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS version
+  FROM versions
+)
+SELECT h.state,
+       COUNT(DISTINCT (h.user_id, h.version))::BIGINT AS n_runs,
+       COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e
+JOIN hist h
+  ON e.user_id = h.user_id
+ AND e.ts >= h.valid_from
+ AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+GROUP BY h.state
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
@@ -5111,6 +5270,9 @@ QUERIES: dict[str, QueryFn] = {
     "user_value_twap": user_value_twap,
     "zorder_locality": zorder_locality,
     "source_token_nucleus": source_token_nucleus,
+    "daily_transit_allocation": daily_transit_allocation,
+    "orders_checksum": orders_checksum,
+    "state_value_attribution": state_value_attribution,
     "bpe_pair_counts": bpe_pair_counts,
     "sliding_distinct_users": sliding_distinct_users,
     "event_transition_probs": event_transition_probs,
@@ -5247,6 +5409,9 @@ ORACLES: dict[str, str] = {
     "user_value_twap": _TWAP_SQL,
     "zorder_locality": _ZORDER_SQL,
     "source_token_nucleus": _NUCLEUS_SQL,
+    "daily_transit_allocation": _PRORATE_SQL,
+    "orders_checksum": _CHECKSUM_SQL,
+    "state_value_attribution": _STATE_ATTR_SQL,
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "event_transition_probs": _TRANSITION_SQL,
