@@ -113,6 +113,9 @@ EXTENDED_QUERIES = [
     "user_value_twap",
     "zorder_locality",
     "source_token_nucleus",
+    "daily_transit_allocation",
+    "orders_checksum",
+    "state_value_attribution",
 ]
 
 
