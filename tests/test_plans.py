@@ -377,3 +377,69 @@ def test_retention_cohort_no_global_window(spark):
     assert "Window" not in p
     assert "CartesianProduct" not in p
     assert "partial" in p
+
+
+def test_state_attribution_is_copartitioned_equijoin(spark):
+    # SCD2 validity attribution: equi-join on user_id with the range
+    # as a residual — an inequality-only spelling would fall back to
+    # BNLJ and go quadratic per user at scale.
+    p = _plan(spark, "state_value_attribution")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_segment_dedup_generates_once(spark):
+    # The segment frame feeds both sides of the first-occurrence join;
+    # the pin must make both consumers read the cached frame so the
+    # tokenize+explode Generate executes once, not twice.
+    p = _plan(spark, "dedup_segments_rebuild")
+    assert p.count("InMemoryTableScan") >= 2
+    spark.catalog.clearCache()
+
+
+def test_bfs_edge_selfjoin_pinned(spark):
+    # The lineitem self-join computes once (pinned), not once per hop.
+    p = _plan(spark, "supplier_reach_hops")
+    assert "InMemoryTableScan" in p
+    spark.catalog.clearCache()
+
+
+def test_checksum_is_single_scan_partial_agg(spark):
+    # Digesting is map-only hashing + one bucket aggregate: one scan,
+    # one exchange (the bucket groupBy), partial-aggregated.
+    p = _plan(spark, "orders_checksum")
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange") == 1
+    assert "partial_" in p
+
+
+def test_negatives_partner_join_not_cartesian_on_data(spark):
+    # The 1-row COUNT broadcast is the only nested-loop input; the
+    # partner-attribute join itself must be a hash equi-join.
+    p = _plan(spark, "contrastive_negatives")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_trend_single_shuffle(spark):
+    # Five sufficient-statistic sums: one partial-aggregated groupBy,
+    # nothing else — the canonical algebraic-aggregate plan.
+    p = _plan(spark, "user_value_trends")
+    assert p.count("Exchange") == 1
+    assert "partial_" in p
+
+
+def test_twap_window_and_agg_share_partitioning(spark):
+    # lead() window and the final groupBy both key on user_id: the
+    # aggregate must reuse the window's partitioning, so exactly one
+    # exchange appears in the whole plan.
+    p = _plan(spark, "user_value_twap")
+    assert p.count("Exchange") == 1
+
+
+def test_prorate_explode_is_bounded_and_day_agg_partial(spark):
+    # One Generate (the day fan-out), one day-key exchange, partials.
+    p = _plan(spark, "daily_transit_allocation")
+    assert p.count("Generate") == 1
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
