@@ -67,3 +67,41 @@ def test_bucketed_merge_no_index_exchange(spark, tmp_path):
 
     out = merge_into_bucketed(spark, "idx_v1", _batch(spark), "idx_v2", n_buckets=4)
     assert rows(out) == rows(update_or_append(_old(spark), _batch(spark)))
+
+
+# ------------------------------------------------------------ skew report
+
+
+def test_skew_report_identifies_heavy_key(spark):
+    from tmdb_index_spark.operators.skew import skew_report
+
+    rows = [(1,)] * 90 + [(2,)] * 5 + [(3,)] * 5
+    df = spark.createDataFrame(rows, "k long")
+    out = skew_report(df, "k", top_k=2).collect()
+    assert out[0]["k"] == 1 and out[0]["n_rows"] == 90
+    assert out[0]["share"] == 0.9
+    assert out[0]["skew_x"] == 2.7  # 0.9 * 3 keys
+    assert len(out) == 2
+
+
+def test_skew_report_uniform_keys_skew_one(spark):
+    from tmdb_index_spark.operators.skew import skew_report
+
+    rows = [(i % 4,) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long")
+    out = skew_report(df, "k", top_k=10).collect()
+    assert len(out) == 4
+    assert all(r["skew_x"] == 1.0 for r in out)
+    # count ties broken by key ascending
+    assert [r["k"] for r in out] == [0, 1, 2, 3]
+
+
+def test_skew_report_topk_plan_and_validation(spark):
+    import pytest
+    from tmdb_index_spark.operators.skew import skew_report
+
+    df = spark.createDataFrame([(1,)], "k long")
+    plan = skew_report(df, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError):
+        skew_report(df, "k", top_k=0)

@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["two_phase_count_distinct", "salted_agg", "salted_join"]
+__all__ = ["two_phase_count_distinct", "salted_agg", "salted_join", "skew_report"]
 
 
 def two_phase_count_distinct(
@@ -104,3 +104,53 @@ def salted_join(
         "__salt__", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return s.join(d, [*on, "__salt__"], how).drop("__salt__")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Key-skew diagnostic for join/aggregation planning: the
+    ``top_k`` heaviest keys with their row share and their multiple
+    of the uniform share (``skew_x`` = share × n_distinct_keys — 1.0
+    means perfectly uniform, 100 means this key is 100× a fair
+    slice). This is the measurement that decides whether a key needs
+    the salting/two-phase treatments in this module before a 100 TB
+    join is attempted.
+
+    Scale shape: one partial-aggregated groupBy on the key (the same
+    shuffle the join under diagnosis would do); totals and distinct-
+    key counts are 1-row aggregates OVER THE AGGREGATED frame
+    (|keys| rows, not N) broadcast back; the top-k compiles to
+    TakeOrderedAndProject under the total order (count desc, key
+    asc). Nothing is collected.
+
+    Returns ``(key_col, n_rows, share, skew_x)``, heaviest first.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    counts = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    tot = counts.agg(
+        F.sum("n_rows").cast("double").alias("__tot__"),
+        F.count(F.lit(1)).cast("double").alias("__nkeys__"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            key_col,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__tot__"), round_to).alias(
+                "share"
+            ),
+            F.round(
+                F.col("n_rows") * F.col("__nkeys__") / F.col("__tot__"),
+                round_to,
+            ).alias("skew_x"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col(key_col).asc())
+        .limit(top_k)
+    )

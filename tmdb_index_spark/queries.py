@@ -5260,6 +5260,108 @@ GROUP BY h.state
 """
 
 
+def purchase_click_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (extension:
+    :func:`~tmdb_index_spark.operators.drift.histogram_kl`): KL (both
+    directions) and Jensen-Shannon divergence between the value
+    distributions of purchase vs click events on a shared 20-bin
+    grid with add-one smoothing — the train-vs-serve feature-drift
+    check. One data pass; all divergence math runs on the ≤ 2·bins
+    aggregated rows."""
+    from tmdb_index_spark.operators.drift import histogram_kl
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    return histogram_kl(
+        ev, value_col="value", side_col="event_type",
+        side_a="purchase", side_b="click", bins=20,
+    )
+
+
+_DRIFT_SQL = """
+WITH rows_ AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 'a'
+              WHEN event_type = 'click' THEN 'b' END AS side,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+),
+mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM rows_),
+binned AS (
+  SELECT side,
+         LEAST(CAST(FLOOR((v - lo) * 20 / (hi - lo + 1.0)) AS BIGINT), 19) AS b
+  FROM rows_, mm
+),
+wide AS (
+  SELECT b,
+         SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM binned GROUP BY b
+),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM wide),
+per_bin AS (
+  SELECT na, nb,
+         (ca + 1.0) / (na + 20) AS p,
+         (cb + 1.0) / (nb + 20) AS q
+  FROM wide, tot
+),
+agg AS (
+  SELECT na, nb,
+         COUNT(*) AS occ,
+         SUM(p * log2(p / q)) AS sab,
+         SUM(q * log2(q / p)) AS sba,
+         SUM(p / 2 * log2(p / ((p + q) / 2))
+             + q / 2 * log2(q / ((p + q) / 2))) AS sjs
+  FROM per_bin GROUP BY na, nb
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(20 AS BIGINT) AS n_bins,
+       ROUND(sab + (20 - occ) * (1.0 / (na + 20))
+                 * log2((1.0 / (na + 20)) / (1.0 / (nb + 20))), 4) AS kl_ab,
+       ROUND(sba + (20 - occ) * (1.0 / (nb + 20))
+                 * log2((1.0 / (nb + 20)) / (1.0 / (na + 20))), 4) AS kl_ba,
+       ROUND(sjs + (20 - occ) * (
+               (1.0 / (na + 20)) / 2 * log2((1.0 / (na + 20))
+                 / (((1.0 / (na + 20)) + (1.0 / (nb + 20))) / 2))
+             + (1.0 / (nb + 20)) / 2 * log2((1.0 / (nb + 20))
+                 / (((1.0 / (na + 20)) + (1.0 / (nb + 20))) / 2))
+             ), 4) AS jsd
+FROM agg
+"""
+
+
+def orderkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (extension:
+    :func:`~tmdb_index_spark.operators.skew.skew_report`): the ten
+    heaviest lineitem orderkeys with their row share and uniform-share
+    multiple — the measurement that decides whether a key needs the
+    salted/two-phase treatment before a 100 TB join. Aggregate-frame
+    scalars broadcast; top-k compiles to TakeOrderedAndProject."""
+    from tmdb_index_spark.operators.skew import skew_report
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    return skew_report(li, "l_orderkey", top_k=10)
+
+
+_SKEW_REPORT_SQL = """
+WITH counts AS (
+  SELECT l_orderkey, COUNT(*)::BIGINT AS n_rows
+  FROM lineitem GROUP BY l_orderkey
+),
+tot AS (
+  SELECT CAST(SUM(n_rows) AS DOUBLE) AS t,
+         CAST(COUNT(*) AS DOUBLE) AS k
+  FROM counts
+)
+SELECT l_orderkey, n_rows,
+       ROUND(n_rows / t, 6) AS share,
+       ROUND(n_rows * k / t, 6) AS skew_x
+FROM counts, tot
+ORDER BY n_rows DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
@@ -5273,6 +5375,8 @@ QUERIES: dict[str, QueryFn] = {
     "daily_transit_allocation": daily_transit_allocation,
     "orders_checksum": orders_checksum,
     "state_value_attribution": state_value_attribution,
+    "purchase_click_drift": purchase_click_drift,
+    "orderkey_skew_report": orderkey_skew_report,
     "bpe_pair_counts": bpe_pair_counts,
     "sliding_distinct_users": sliding_distinct_users,
     "event_transition_probs": event_transition_probs,
@@ -5412,6 +5516,8 @@ ORACLES: dict[str, str] = {
     "daily_transit_allocation": _PRORATE_SQL,
     "orders_checksum": _CHECKSUM_SQL,
     "state_value_attribution": _STATE_ATTR_SQL,
+    "purchase_click_drift": _DRIFT_SQL,
+    "orderkey_skew_report": _SKEW_REPORT_SQL,
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "event_transition_probs": _TRANSITION_SQL,
