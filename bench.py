@@ -116,6 +116,8 @@ EXTENDED_QUERIES = [
     "daily_transit_allocation",
     "orders_checksum",
     "state_value_attribution",
+    "purchase_click_drift",
+    "orderkey_skew_report",
 ]
 
 
