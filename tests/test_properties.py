@@ -216,3 +216,99 @@ def test_dup_span_fraction_bounds(spark, docs):
             assert r["dup_frac"] is None
         else:
             assert 0.0 <= r["dup_frac"] <= 1.0
+
+
+# --------------------------------------------------------------- nucleus
+
+
+@given(
+    weights=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=1, max_size=8
+    ),
+    p=st.sampled_from([0.25, 0.5, 0.8, 1.0]),
+)
+@_SETTINGS
+def test_nucleus_covers_p_and_is_minimal(spark, weights, p):
+    from tmdb_index_spark.operators.sampling import nucleus_filter
+
+    total = sum(weights)
+    if total == 0:
+        return  # all-zero weights: coverage undefined, nothing to assert
+    data = [("g", f"i{j:02d}", w) for j, w in enumerate(weights)]
+    df = spark.createDataFrame(data, "grp string, item string, w long")
+    kept = nucleus_filter(df, "grp", "w", p, tiebreak_col="item").collect()
+    kept_w = sorted((r["w"] for r in kept), reverse=True)
+    # coverage: the kept set reaches p of the total
+    assert sum(kept_w) >= p * total - 1e-9
+    # minimality: dropping the lightest kept item falls below p
+    if kept_w:
+        assert sum(kept_w[:-1]) < p * total
+
+
+# --------------------------------------------------------------- prorate
+
+
+@given(
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10),   # start day offset
+            st.integers(min_value=0, max_value=10),   # span length - 1
+            st.integers(min_value=1, max_value=99999),  # cents
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_prorate_conserves_cents_exactly(spark, spans):
+    from datetime import date, timedelta
+
+    from pyspark.sql import functions as F
+
+    from tmdb_index_spark.operators.ranges import prorate_over_days
+
+    base = date(2024, 1, 1)
+    data = [
+        (base + timedelta(days=s), base + timedelta(days=s + n), c / 100.0)
+        for s, n, c in spans
+    ]
+    df = spark.createDataFrame(data, "s date, e date, v double")
+    out_cents = (
+        prorate_over_days(df, "s", "e", "v")
+        .agg(F.sum(F.round(F.col("amount") * 100).cast("long")).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert out_cents == sum(c for _, _, c in spans)
+
+
+# --------------------------------------------------------------- frontier
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_SETTINGS
+def test_frontier_is_exactly_the_nondominated_set(spark, pts):
+    from tmdb_index_spark.operators.frontier import frontier_2d
+
+    data = [(float(x), y) for x, y in pts]
+    df = spark.createDataFrame(data, "x double, y long")
+    got = sorted(
+        (r["x"], r["y"]) for r in frontier_2d(df, "x", "y", buckets=3).collect()
+    )
+    pairs = sorted(set(data))
+    want = sorted(
+        p
+        for p in pairs
+        if not any(
+            q[0] <= p[0] and q[1] <= p[1] and q != p for q in pairs
+        )
+    )
+    assert got == want
