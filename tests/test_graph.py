@@ -265,3 +265,59 @@ def test_bfs_rejects_negative_hops(spark):
     src = spark.createDataFrame([(1,)], "node long")
     with pytest.raises(ValueError):
         bfs_levels(e, src, max_hops=-1)
+
+
+# ---------------------------------------------------------------- k-core
+
+
+def test_kcore_cascading_peel(spark):
+    from tmdb_index_spark.operators.graph import k_core
+    from tmdb_index_spark.operators.materialize import release_pins
+
+    # triangle 1-2-3 plus a tail 3-4-5: tail nodes have degree <= 2,
+    # and removing 5 then 4 must not break the triangle (2-core)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {r["node"]: r["degree"] for r in k_core(e, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    release_pins()
+
+
+def test_kcore_pinned_rounds_match_convergence(spark):
+    from tmdb_index_spark.operators.graph import k_core
+    from tmdb_index_spark.operators.materialize import release_pins
+
+    # chain of length 6: 1-core peeling of k=2 eats one end per wave
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "src long, dst long"
+    )
+    conv = sorted(map(tuple, k_core(e, k=2).collect()))
+    pinned = sorted(map(tuple, k_core(e, k=2, rounds=6).collect()))
+    assert conv == pinned == []  # a path has no 2-core
+    release_pins()
+
+
+def test_kcore_whole_graph_survives_when_dense(spark):
+    from tmdb_index_spark.operators.graph import k_core
+    from tmdb_index_spark.operators.materialize import release_pins
+
+    # K4: every node has degree 3 -> 3-core is the whole graph
+    nodes = [1, 2, 3, 4]
+    e = spark.createDataFrame(
+        [(a, b) for a in nodes for b in nodes if a < b], "src long, dst long"
+    )
+    out = {r["node"]: r["degree"] for r in k_core(e, k=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    release_pins()
+
+
+def test_kcore_validation(spark):
+    import pytest
+    from tmdb_index_spark.operators.graph import k_core
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        k_core(e, k=0)
+    with pytest.raises(ValueError):
+        k_core(e, k=2, rounds=-1)

@@ -497,3 +497,55 @@ def test_bpe_pairs_rejects_bad_topk(spark):
     df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bpe_adjacent_pairs(df, top_k=0)
+
+
+# ---------------------------------------------------------------- pmi
+
+
+def test_pmi_hand_computed(spark):
+    import math
+
+    from tmdb_index_spark.operators.llm_prep import token_pmi
+
+    # corpus: "a b" x3 and "a c" x1 -> bigrams: (a,b):3, (a,c):1
+    # tokens: a:4, b:3, c:1 ; n_tok=8, n_pair=4
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["tok_a"], r["tok_b"]): (r["n_pair"], r["pmi"])
+        for r in token_pmi(df, min_count=1, top_k=10).collect()
+    }
+    exp_ab = math.log2((3 / 4) / ((4 / 8) * (3 / 8)))
+    exp_ac = math.log2((1 / 4) / ((4 / 8) * (1 / 8)))
+    assert out[("a", "b")] == (3, round(exp_ab, 4))
+    assert out[("a", "c")] == (1, round(exp_ac, 4))
+
+
+def test_pmi_min_count_suppresses_rare_pairs(spark):
+    from tmdb_index_spark.operators.llm_prep import token_pmi
+
+    df = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "q z")], "doc_id long, text string"
+    )
+    pairs = {
+        (r["tok_a"], r["tok_b"])
+        for r in token_pmi(df, min_count=3, top_k=10).collect()
+    }
+    assert ("q", "z") not in pairs
+    assert ("x", "y") in pairs
+
+
+def test_pmi_validation_and_short_docs(spark):
+    import pytest
+    from tmdb_index_spark.operators.llm_prep import token_pmi
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, None), (3, "  ")], "doc_id long, text string"
+    )
+    assert token_pmi(df, min_count=1).count() == 0  # no bigrams at all
+    with pytest.raises(ValueError):
+        token_pmi(df, min_count=0)
+    with pytest.raises(ValueError):
+        token_pmi(df, top_k=0)

@@ -393,3 +393,37 @@ def test_lsh_topk_pandas_rejects_multiprobe(spark):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     with pytest.raises(ValueError):
         lsh_topk(emb, impl="pandas", multi_probe=True)
+
+
+# ------------------------------------------------------------- centroids
+
+
+def test_label_centroids_known_geometry(spark):
+    from tmdb_index_spark.operators.similarity import label_centroid_cosine
+
+    rows = [
+        ("x", [1.0, 0.0]), ("x", [1.0, 0.0]),
+        ("y", [0.0, 1.0]),
+        ("z", [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    out = {
+        (r["label_a"], r["label_b"]): (r["n_a"], r["n_b"], r["cos_sim"])
+        for r in label_centroid_cosine(df).collect()
+    }
+    assert out[("x", "y")] == (2, 1, 0.0)          # orthogonal
+    assert out[("x", "z")] == (2, 1, 0.7071)       # 45 degrees
+    assert out[("y", "z")] == (1, 1, 0.7071)
+    assert len(out) == 3  # each unordered pair once
+
+
+def test_label_centroids_mean_not_sum(spark):
+    from tmdb_index_spark.operators.similarity import label_centroid_cosine
+
+    # label "big" has 10 copies of the same vector as "small"'s one:
+    # centroids identical -> cosine exactly 1
+    rows = [("big", [3.0, 4.0])] * 10 + [("small", [3.0, 4.0])]
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    out = label_centroid_cosine(df).collect()[0]
+    assert out["cos_sim"] == 1.0
+    assert {out["n_a"], out["n_b"]} == {10, 1}

@@ -342,3 +342,87 @@ def bfs_levels(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out.groupBy("node").agg(F.min("hop").alias("hop"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int | None = None,
+    materialize: str = "cache",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    nodes of degree < ``k`` (degrees recomputed after every deletion
+    wave) until the surviving subgraph — the k-core — is stable. The
+    community-detection / spam-subgraph primitive that a single
+    degree filter gets wrong: removing one wave lowers neighbors'
+    degrees and can cascade.
+
+    Two modes, same per-round dataflow (degree groupBy → alive
+    filter → two semi-joins of the edge list against alive):
+
+    * ``rounds=None`` (production): peel until a round deletes
+      nothing (driver-side emptiness probe per round, like
+      :func:`connected_components`), error after ``max_rounds``.
+    * ``rounds=R`` (pinned): exactly R waves, converged or not —
+      the oracle-parity mode, because an ANSI-SQL oracle can unroll
+      R rounds but cannot express "until stable". Pin R at a value
+      tests show converges on the data (a convergence test asserts
+      rounds=R equals rounds=R+1).
+
+    Every round's shrunken edge list is pinned (``materialize``; see
+    `operators/materialize.py` — release with ``release_pins``):
+    the edge frame feeds BOTH the degree aggregate and the next
+    filter, so unpinned lineage would re-derive it 2^rounds times.
+    Per round the work is one keyed aggregate + two semi-joins, all
+    hash-partitioned on node keys; the peeled graph only shrinks.
+
+    Input edges are canonicalized to symmetric (both directions, no
+    self-loops), so ``degree`` means undirected degree. Returns the
+    k-core members as ``(node, degree)`` — degree WITHIN the core.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds is not None and rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    from tmdb_index_spark.operators.materialize import pin_frame
+
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    e = pin_frame(e, materialize)
+
+    def _peel(ed: DataFrame) -> DataFrame:
+        deg = ed.groupBy("a").agg(F.count(F.lit(1)).alias("__deg__"))
+        alive = deg.filter(F.col("__deg__") >= k).select("a")
+        return (
+            ed.join(alive, "a", "left_semi")
+            .join(alive.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+
+    if rounds is not None:
+        for _ in range(rounds):
+            e = pin_frame(_peel(e), materialize)
+    else:
+        for _ in range(max_rounds):
+            nxt = pin_frame(_peel(e), materialize)
+            # converged when no edge was deleted this wave
+            if nxt.count() == e.count():
+                e = nxt
+                break
+            e = nxt
+        else:
+            raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    return deg.filter(F.col("degree") >= k).select(
+        F.col("a").alias("node"), "degree"
+    )

@@ -65,6 +65,7 @@ __all__ = [
     "dup_span_fraction",
     "remove_duplicate_segments",
     "bpe_adjacent_pairs",
+    "token_pmi",
     "DEFAULT_REDACTIONS",
 ]
 
@@ -590,3 +591,97 @@ def bpe_adjacent_pairs(
         .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
         .limit(top_k)
     )
+
+
+def token_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token bigrams — the
+    collocation / phrase-mining statistic (Church & Hanks 1990; the
+    word2vec-era PPMI matrix builds from exactly these counts):
+
+        pmi(a, b) = log2( p(a,b) / (p(a) · p(b)) )
+
+    with p(a,b) from bigram counts over total bigrams and p(·) from
+    unigram counts over total tokens. High-PMI pairs are phrases
+    ("new york"); ``min_count`` suppresses the classic PMI artifact
+    of rare pairs scoring spuriously high.
+
+    Plan shape: one Generate for bigrams and one for unigrams (both
+    built as per-doc arrays first — the explode-sibling rule), each
+    feeding a partial-aggregated groupBy whose cardinality is the
+    (tiny) vocabulary / seen-bigram set; the two corpus totals are
+    1-row aggregates OVER THE AGGREGATED frames, broadcast back; the
+    unigram probabilities attach through two vocabulary-sized hash
+    joins. Nothing after the token scans is proportional to N. The
+    final top-k is total-ordered (pmi desc, pair asc) — pmi values
+    derive from identical integer counts on every engine, so the
+    order is reproducible.
+
+    Returns ``(tok_a, tok_b, n_pair, pmi)``, top ``top_k`` by PMI.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    t = F.filter(tokens(txt), lambda x: x != F.lit(""))
+    uni = (
+        df.select(t.alias("__t__"))
+        .select(F.explode("__t__").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__cu__"))
+    )
+    n_tok = uni.agg(F.sum("__cu__").cast("double").alias("__ntok__"))
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("tok_a"),
+                F.element_at(t, i + 1).alias("tok_b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<tok_a:string,tok_b:string>>"))
+    pair = (
+        df.select(bigrams.alias("__bg__"))
+        .select(F.explode("__bg__").alias("bg"))
+        .select("bg.tok_a", "bg.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    )
+    n_pair_tot = pair.agg(F.sum("n_pair").cast("double").alias("__npair__"))
+    ua = uni.select(
+        F.col("tok").alias("tok_a"), F.col("__cu__").alias("__ca__")
+    )
+    ub = uni.select(
+        F.col("tok").alias("tok_b"), F.col("__cu__").alias("__cb__")
+    )
+    scored = (
+        pair.filter(F.col("n_pair") >= min_count)
+        .join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(n_pair_tot))
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_pair",
+            F.round(
+                F.log2(
+                    (F.col("n_pair") / F.col("__npair__"))
+                    / (
+                        (F.col("__ca__") / F.col("__ntok__"))
+                        * (F.col("__cb__") / F.col("__ntok__"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
+    ).limit(top_k)

@@ -46,6 +46,7 @@ __all__ = [
     "lsh_knn_join",
     "ivf_assign",
     "ivf_topk",
+    "label_centroid_cosine",
 ]
 
 
@@ -893,4 +894,75 @@ def lsh_knn_join(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def label_centroid_cosine(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the class-separation audit an embedding pipeline runs
+    after training (labels whose centroids sit close are confusable;
+    a centroid near zero means the label's members cancel out).
+
+    Plan shape: centroids come from ``posexplode`` of the vectors
+    into (label, position, value) and ONE partial-aggregated groupBy
+    on that pair — cardinality |labels| × dim, tiny — so no vector
+    ever moves whole through a shuffle and no driver collect happens.
+    The pairwise comparison then runs on the |labels|-row centroid
+    frame (self-join, ``label_a < label_b``) — quadratic only in the
+    label count, which is the point of comparing centroids instead
+    of members.
+
+    Returns ``(label_a, label_b, n_a, n_b, cos_sim)`` rounded to
+    ``decimals``.
+    """
+    pos = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(vec_col)).alias("pos", "val"),
+    )
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.sum("val").alias("__s__"), F.count(F.lit(1)).alias("__n__"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"), (F.col("__s__") / F.col("__n__")).alias("m")
+                    )
+                )
+            ).alias("__cm__"),
+            F.max("__n__").cast("bigint").alias("n_members"),
+        )
+        .select(
+            "label",
+            F.transform(F.col("__cm__"), lambda x: x["m"]).alias("centroid"),
+            "n_members",
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        F.col("centroid").alias("__va__"),
+        F.col("n_members").alias("n_a"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("centroid").alias("__vb__"),
+        F.col("n_members").alias("n_b"),
+    )
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            cosine(F.col("__va__"), F.col("__vb__"), decimals).alias(
+                "cos_sim"
+            ),
+        )
     )

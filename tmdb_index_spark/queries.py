@@ -5362,6 +5362,159 @@ LIMIT 10
 """
 
 
+def cosupply_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peeling (extension: cascading graph
+    filtering — :func:`~tmdb_index_spark.operators.graph.k_core`):
+    six delete-degree<3 waves over the sparse (quantity <= 2)
+    co-supply graph — each wave lowers neighbors' degrees, so the
+    survivor set depends on the full cascade, not one degree filter
+    (62 -> 17 alive suppliers over the 6 waves at sf0.01). Rounds are
+    pinned for oracle parity (SQL can unroll R waves, not "until
+    stable"); the production entry point peels to convergence with
+    the same per-wave dataflow, and the unit test pins
+    pinned==converged on a closed graph."""
+    from tmdb_index_spark.operators.graph import k_core
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 2)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return k_core(edges, k=3, rounds=6, materialize="cache")
+
+
+_KCORE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_quantity <= 2),
+e0 AS (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey <> b.l_suppkey
+),
+a1 AS (SELECT a FROM (SELECT a, COUNT(*) c FROM e0 GROUP BY a) WHERE c >= 3),
+e1 AS (SELECT e0.a, e0.b FROM e0 JOIN a1 x ON e0.a = x.a JOIN a1 y ON e0.b = y.a),
+a2 AS (SELECT a FROM (SELECT a, COUNT(*) c FROM e1 GROUP BY a) WHERE c >= 3),
+e2 AS (SELECT e1.a, e1.b FROM e1 JOIN a2 x ON e1.a = x.a JOIN a2 y ON e1.b = y.a),
+a3 AS (SELECT a FROM (SELECT a, COUNT(*) c FROM e2 GROUP BY a) WHERE c >= 3),
+e3 AS (SELECT e2.a, e2.b FROM e2 JOIN a3 x ON e2.a = x.a JOIN a3 y ON e2.b = y.a),
+a4 AS (SELECT a FROM (SELECT a, COUNT(*) c FROM e3 GROUP BY a) WHERE c >= 3),
+e4 AS (SELECT e3.a, e3.b FROM e3 JOIN a4 x ON e3.a = x.a JOIN a4 y ON e3.b = y.a),
+a5 AS (SELECT a FROM (SELECT a, COUNT(*) c FROM e4 GROUP BY a) WHERE c >= 3),
+e5 AS (SELECT e4.a, e4.b FROM e4 JOIN a5 x ON e4.a = x.a JOIN a5 y ON e4.b = y.a),
+a6 AS (SELECT a FROM (SELECT a, COUNT(*) c FROM e5 GROUP BY a) WHERE c >= 3),
+e6 AS (SELECT e5.a, e5.b FROM e5 JOIN a6 x ON e5.a = x.a JOIN a6 y ON e5.b = y.a)
+SELECT a AS node, COUNT(*)::BIGINT AS degree
+FROM e6 GROUP BY a HAVING COUNT(*) >= 3
+"""
+
+
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram pointwise mutual information (extension:
+    collocation mining / PPMI-matrix counts —
+    :func:`~tmdb_index_spark.operators.llm_prep.token_pmi`): the 20
+    highest-PMI token pairs with at least 5 occurrences. All
+    probability mass derives from integer counts, so PMI is
+    bit-reproducible; vocabulary-sized joins only after the token
+    scans."""
+    from tmdb_index_spark.operators.llm_prep import token_pmi
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return token_pmi(docs, min_count=5, top_k=20)
+
+
+_PMI_SQL = """
+WITH t AS (
+  SELECT list_filter(
+           regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+           x -> x <> ''
+         ) AS ts
+  FROM documents
+),
+uni AS (
+  SELECT unnest(ts) AS tok FROM t
+),
+ucnt AS (SELECT tok, COUNT(*) AS cu FROM uni GROUP BY tok),
+ntok AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n FROM ucnt),
+bg AS (
+  SELECT ts[i] AS tok_a, ts[i + 1] AS tok_b
+  FROM t, unnest(range(1, len(ts))) AS u(i)
+  WHERE len(ts) >= 2
+),
+pcnt AS (
+  SELECT tok_a, tok_b, COUNT(*)::BIGINT AS n_pair
+  FROM bg GROUP BY tok_a, tok_b
+),
+npair AS (SELECT CAST(SUM(n_pair) AS DOUBLE) AS n FROM pcnt),
+scored AS (
+  SELECT p.tok_a, p.tok_b, p.n_pair,
+         ROUND(log2((p.n_pair / npair.n)
+                    / ((ua.cu / ntok.n) * (ub.cu / ntok.n))), 4) AS pmi
+  FROM pcnt p
+  JOIN ucnt ua ON ua.tok = p.tok_a
+  JOIN ucnt ub ON ub.tok = p.tok_b
+  CROSS JOIN npair CROSS JOIN ntok
+  WHERE p.n_pair >= 5
+)
+SELECT tok_a, tok_b, n_pair, pmi
+FROM scored
+ORDER BY pmi DESC, tok_a ASC, tok_b ASC
+LIMIT 20
+"""
+
+
+def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding class-separation audit (extension:
+    :func:`~tmdb_index_spark.operators.similarity.label_centroid_cosine`):
+    pairwise cosine between per-label centroids. Vectors never move
+    whole through a shuffle — centroids come from a posexplode +
+    (label, position) partial aggregate; the pairwise stage touches
+    only the |labels|-row centroid frame."""
+    from tmdb_index_spark.operators.similarity import label_centroid_cosine
+
+    emb = _t(spark, sf_dir, "embeddings").select("label", "embedding")
+    return label_centroid_cosine(emb)
+
+
+_CENTROID_SQL = """
+WITH pos AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+cm AS (
+  SELECT label, pos, SUM(val) / COUNT(*) AS m, COUNT(*) AS n
+  FROM pos GROUP BY label, pos
+),
+cent AS (
+  SELECT label,
+         list(m ORDER BY pos) AS centroid,
+         MAX(n)::BIGINT AS n_members
+  FROM cm GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       a.n_members AS n_a, b.n_members AS n_b,
+       ROUND(
+         list_sum(list_transform(generate_series(1, len(a.centroid)),
+                                 i -> a.centroid[i] * b.centroid[i]))
+         / (sqrt(list_sum(list_transform(a.centroid, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.centroid, x -> x * x)))),
+         4) AS cos_sim
+FROM cent a JOIN cent b ON a.label < b.label
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
@@ -5377,6 +5530,9 @@ QUERIES: dict[str, QueryFn] = {
     "state_value_attribution": state_value_attribution,
     "purchase_click_drift": purchase_click_drift,
     "orderkey_skew_report": orderkey_skew_report,
+    "cosupply_kcore": cosupply_kcore,
+    "collocation_pmi": collocation_pmi,
+    "label_centroid_separation": label_centroid_separation,
     "bpe_pair_counts": bpe_pair_counts,
     "sliding_distinct_users": sliding_distinct_users,
     "event_transition_probs": event_transition_probs,
@@ -5518,6 +5674,9 @@ ORACLES: dict[str, str] = {
     "state_value_attribution": _STATE_ATTR_SQL,
     "purchase_click_drift": _DRIFT_SQL,
     "orderkey_skew_report": _SKEW_REPORT_SQL,
+    "cosupply_kcore": _KCORE_SQL,
+    "collocation_pmi": _PMI_SQL,
+    "label_centroid_separation": _CENTROID_SQL,
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "event_transition_probs": _TRANSITION_SQL,
