@@ -118,6 +118,9 @@ EXTENDED_QUERIES = [
     "state_value_attribution",
     "purchase_click_drift",
     "orderkey_skew_report",
+    "cosupply_kcore",
+    "collocation_pmi",
+    "label_centroid_separation",
 ]
 
 

@@ -350,7 +350,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     rounds: int | None = None,
-    materialize: str = "cache",
+    materialize: str = "parquet",
     max_rounds: int = 50,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly delete
@@ -376,6 +376,13 @@ def k_core(
     `operators/materialize.py` — release with ``release_pins``):
     the edge frame feeds BOTH the degree aggregate and the next
     filter, so unpinned lineage would re-derive it 2^rounds times.
+    The default is ``'parquet'``, NOT ``'cache'``: a cached round
+    keeps the origin plan's Catalyst statistics, and iterated
+    join-size estimates compound multiplicatively per round — the
+    same pathology :func:`connected_components` documents — measured
+    here as 42 s vs 3.7 s for 6 rounds at sf0.1 plus monotonically
+    growing driver heap. The parquet round-trip gives each round a
+    plain file relation with true statistics.
     Per round the work is one keyed aggregate + two semi-joins, all
     hash-partitioned on node keys; the peeled graph only shrinks.
 

@@ -5391,7 +5391,7 @@ def cosupply_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return k_core(edges, k=3, rounds=6, materialize="cache")
+    return k_core(edges, k=3, rounds=6)
 
 
 _KCORE_SQL = """
