@@ -121,6 +121,8 @@ EXTENDED_QUERIES = [
     "cosupply_kcore",
     "collocation_pmi",
     "label_centroid_separation",
+    "revenue_autocorrelation",
+    "source_shingle_overlap",
 ]
 
 

@@ -1,0 +1,123 @@
+"""Series autocorrelation and group shingle-overlap tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tmdb_index_spark.operators.dedup_text import group_shingle_jaccard
+from tmdb_index_spark.operators.regression import series_autocorrelation
+
+
+def _series(spark, ys):
+    return spark.createDataFrame(
+        [(i, float(y)) for i, y in enumerate(ys)], "x long, y double"
+    )
+
+
+def test_autocorr_alternating_series_is_minus_one(spark):
+    out = {
+        r["lag"]: r["autocorr"]
+        for r in series_autocorrelation(
+            _series(spark, [1, -1, 1, -1, 1, -1, 1, -1]), "x", "y", lags=(1, 2)
+        ).collect()
+    }
+    assert out[1] == -1.0  # perfect alternation
+    assert out[2] == 1.0   # period 2
+
+
+def test_autocorr_matches_reference_computation(spark):
+    ys = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    out = {
+        r["lag"]: (r["n_pairs"], r["autocorr"])
+        for r in series_autocorrelation(
+            _series(spark, ys), "x", "y", lags=(1,)
+        ).collect()
+    }
+    cur, prev = ys[1:], ys[:-1]
+    n = len(cur)
+    sx, sy = sum(prev), sum(cur)
+    sxy = sum(a * b for a, b in zip(prev, cur))
+    sxx, syy = sum(a * a for a in prev), sum(b * b for b in cur)
+    ref = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert out[1] == (n, round(ref, 4))
+
+
+def test_autocorr_gap_days_contribute_no_pair(spark):
+    # index 0,1,2,10: lag-1 pairs only (0,1),(1,2) — 10 pairs with 9,
+    # which is absent, so it contributes nothing
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 3.0), (10, 4.0)], "x long, y double"
+    )
+    out = series_autocorrelation(df, "x", "y", lags=(1,)).collect()[0]
+    assert out["n_pairs"] == 2
+
+
+def test_autocorr_degenerate_nulls(spark):
+    # constant series: zero variance -> NULL; single point -> NULL
+    out = series_autocorrelation(
+        _series(spark, [5, 5, 5, 5]), "x", "y", lags=(1,)
+    ).collect()[0]
+    assert out["autocorr"] is None
+    out2 = series_autocorrelation(
+        _series(spark, [1]), "x", "y", lags=(1,)
+    ).collect()
+    assert out2 == [] or out2[0]["autocorr"] is None
+
+
+def test_autocorr_validation(spark):
+    df = _series(spark, [1, 2])
+    with pytest.raises(ValueError):
+        series_autocorrelation(df, "x", "y", lags=())
+    with pytest.raises(ValueError):
+        series_autocorrelation(df, "x", "y", lags=(0,))
+
+
+# ---------------------------------------------------------------- overlap
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "source string, text string")
+
+
+def test_group_overlap_identical_and_disjoint(spark):
+    from tmdb_index_spark.operators.materialize import release_pins
+
+    rows = [
+        ("s1", "a b c d"),          # shingles: abc, bcd
+        ("s2", "a b c d"),          # identical set
+        ("s3", "x y z w"),          # disjoint
+    ]
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in group_shingle_jaccard(_docs(spark, rows), "source").collect()
+    }
+    assert out[("s1", "s2")]["jaccard"] == 1.0
+    assert out[("s1", "s2")]["n_common"] == 2
+    assert ("s1", "s3") not in out  # no shared shingle -> absent
+    release_pins()
+
+
+def test_group_overlap_partial_jaccard(spark):
+    from tmdb_index_spark.operators.materialize import release_pins
+
+    # s1: {abc, bcd}; s2: {bcd, cde} -> inter 1, union 3
+    rows = [("s1", "a b c d"), ("s2", "b c d e")]
+    out = group_shingle_jaccard(_docs(spark, rows), "source").collect()[0]
+    assert (out["n_a"], out["n_b"], out["n_common"]) == (2, 2, 1)
+    assert out["jaccard"] == round(1 / 3, 4)
+    release_pins()
+
+
+def test_group_overlap_dedups_within_group(spark):
+    from tmdb_index_spark.operators.materialize import release_pins
+
+    # same shingle from two docs of one source counts ONCE in the set
+    rows = [("s1", "a b c"), ("s1", "a b c"), ("s2", "a b c")]
+    out = group_shingle_jaccard(_docs(spark, rows), "source").collect()[0]
+    assert (out["n_a"], out["n_b"], out["n_common"]) == (1, 1, 1)
+    assert out["jaccard"] == 1.0
+    release_pins()

@@ -47,6 +47,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash64",
     "simhash_neardup_pairs",
+    "group_shingle_jaccard",
 ]
 
 #: Universal-hash-family modulus for MinHash (Mersenne prime 2^31−1):
@@ -732,3 +733,75 @@ def token_edit1_pairs(
         )
     )
     return indel.unionByName(sub).distinct()
+
+
+def group_shingle_jaccard(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    materialize: str = "cache",
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Set similarity BETWEEN GROUPS: exact Jaccard of each pair of
+    groups' distinct shingle sets — "which sources/domains publish
+    the same text?", the corpus-provenance complement of the per-doc
+    near-dup family above (those ask which DOCS repeat; this asks
+    which COLLECTIONS overlap, e.g. mirror domains before choosing
+    cap weights).
+
+    Plan shape: the shared Arrow shingle stage computes hashes once;
+    a distinct collapses to (group, shingle) — cardinality bounded by
+    \\|groups\\| × \\|shingle vocabulary\\|; the pair search is the
+    inverted-index self-equi-join ON THE SHINGLE HASH, so fan-out per
+    shingle is (groups containing it)² ≤ \\|groups\\|² — bounded by the
+    group count, never by documents. Intersections partial-aggregate
+    map-side; sizes attach via two \\|groups\\|-row broadcast joins;
+    union sizes come from inclusion-exclusion. Group pairs sharing NO
+    shingle are absent (their Jaccard is 0 — emitting the full
+    \\|groups\\|² grid is the caller's cross join to pay for).
+
+    Returns ``(group_a, group_b, n_a, n_b, n_common, jaccard)`` with
+    ``group_a < group_b`` and ``jaccard`` rounded to 4.
+    """
+    sh = _reuse_shingles(
+        _shingle_frame(
+            df.select(F.col(group_col).alias("__g__"), F.col(text_col)),
+            text_col,
+            "__g__",
+            n,
+        ),
+        materialize,
+        scratch_dir,
+    )
+    sets = sh.select(F.col("__id__").alias("g"), "__sh__").distinct()
+    sizes = sets.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a = sets.select(F.col("g").alias("group_a"), "__sh__")
+    b = sets.select(F.col("g").alias("group_b"), "__sh__")
+    inter = (
+        a.join(b, "__sh__")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("g").alias("group_a"), F.col("sz").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("g").alias("group_b"), F.col("sz").alias("n_b")))
+    return (
+        inter.join(sa, "group_a")
+        .join(sb, "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+    )

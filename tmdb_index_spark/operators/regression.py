@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_linear_trend"]
+__all__ = ["grouped_linear_trend", "series_autocorrelation"]
 
 
 def grouped_linear_trend(
@@ -72,4 +72,77 @@ def grouped_linear_trend(
         "n_points",
         F.round(slope, round_to).alias("slope"),
         F.round(intercept, round_to).alias("intercept"),
+    )
+
+
+def series_autocorrelation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    lags: tuple[int, ...] = (1, 7),
+    round_to: int = 4,
+) -> DataFrame:
+    """Lag-k autocorrelation of a regularly-indexed series: Pearson
+    correlation between ``y`` at index ``x`` and ``y`` at index
+    ``x - k``, for each ``k`` in ``lags`` — the seasonality /
+    persistence diagnostic (lag-7 on daily data = weekly cycle).
+    ``x_col`` must be an integer index (day number); gaps are
+    handled by joining on exact index difference, so a missing day
+    contributes no pair rather than a misaligned one.
+
+    Scale shape: the pair construction is a self-equi-join on
+    ``x - k`` per lag — on series data this frame is already the
+    OUTPUT of an upstream rollup (|days|, not |events|), so the
+    joins are trivially small; correlation reduces to the five
+    DECIMAL-exact sufficient sums per lag (one partial-aggregated
+    groupBy over the union of lag-tagged pairs), same exactness
+    argument as :func:`grouped_linear_trend`.
+
+    Returns ``(lag, n_pairs, autocorr)``; NULL autocorr where a lag
+    has < 2 pairs or zero variance on either side.
+    """
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError(f"lags must be positive integers, got {lags}")
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("decimal(18,2)")
+    base = df.select(x.alias("__x__"), y.alias("__y__"))
+    tagged = None
+    for k in lags:
+        cur = base.select(
+            F.lit(k).cast("bigint").alias("lag"),
+            F.col("__x__"),
+            F.col("__y__").alias("__cur__"),
+        )
+        prev = base.select(
+            (F.col("__x__") + k).alias("__x__"),
+            F.col("__y__").alias("__prev__"),
+        )
+        pairs = cur.join(prev, "__x__")
+        tagged = pairs if tagged is None else tagged.unionByName(pairs)
+    agg = tagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("__cur__").alias("__sy__"),
+        F.sum("__prev__").alias("__sx__"),
+        F.sum(F.col("__cur__") * F.col("__prev__")).alias("__sxy__"),
+        F.sum(F.col("__cur__") * F.col("__cur__")).alias("__syy__"),
+        F.sum(F.col("__prev__") * F.col("__prev__")).alias("__sxx__"),
+    )
+    # Sums are decimal-exact; the FINAL combination runs in double on
+    # both engines — n·Σxy would exceed DECIMAL(38) typing rules in
+    # DuckDB/Spark (silent rescale on one side, error on the other),
+    # while double arithmetic on bit-equal inputs is identical.
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("__sx__").cast("double"), F.col("__sy__").cast("double")
+    sxy = F.col("__sxy__").cast("double")
+    sxx = F.col("__sxx__").cast("double")
+    syy = F.col("__syy__").cast("double")
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (F.col("n_pairs") >= 2) & (vx > 0.0) & (vy > 0.0),
+        cov / F.sqrt(vx * vy),
+    )
+    return agg.select(
+        "lag", "n_pairs", F.round(corr, round_to).alias("autocorr")
     )

@@ -5515,6 +5515,107 @@ FROM cent a JOIN cent b ON a.label < b.label
 """
 
 
+def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/lag-7 autocorrelation of daily event revenue (extension:
+    time-series diagnostics —
+    :func:`~tmdb_index_spark.operators.regression.series_autocorrelation`):
+    the weekly-seasonality check. The heavy pass is the daily rollup;
+    lag pairs join on exact day difference over the \|days\|-row
+    series, and correlation reduces to decimal-exact sufficient sums
+    combined in double identically on both engines."""
+    from tmdb_index_spark.operators.regression import series_autocorrelation
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("x_day")
+        )
+        .agg(F.sum(_dec("value")).cast("decimal(18,2)").alias("revenue"))
+    )
+    return series_autocorrelation(daily, "x_day", "revenue", lags=(1, 7))
+
+
+_AUTOCORR_SQL = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT l.lag, cur.y AS yc, prev.y AS yp
+  FROM (SELECT unnest([1, 7]) AS lag) l
+  CROSS JOIN daily cur
+  JOIN daily prev ON prev.x = cur.x - l.lag
+),
+agg AS (
+  SELECT lag,
+         COUNT(*)::BIGINT AS n_pairs,
+         CAST(SUM(yc) AS DOUBLE) AS sy,
+         CAST(SUM(yp) AS DOUBLE) AS sx,
+         CAST(SUM(yc * yp) AS DOUBLE) AS sxy,
+         CAST(SUM(yc * yc) AS DOUBLE) AS syy,
+         CAST(SUM(yp * yp) AS DOUBLE) AS sxx
+  FROM p GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       ROUND(CASE WHEN n_pairs >= 2
+                   AND (n_pairs * sxx - sx * sx) > 0
+                   AND (n_pairs * syy - sy * sy) > 0
+             THEN (n_pairs * sxy - sx * sy)
+                  / sqrt((n_pairs * sxx - sx * sx)
+                         * (n_pairs * syy - sy * sy)) END,
+             4) AS autocorr
+FROM agg
+"""
+
+
+def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-level set similarity (extension: corpus provenance —
+    :func:`~tmdb_index_spark.operators.dedup_text.group_shingle_jaccard`):
+    exact Jaccard between each pair of SOURCES' distinct 3-gram
+    shingle sets — mirror-domain detection before choosing cap
+    weights. Shingle hashes computed once by the shared Arrow stage;
+    the pair search is the inverted-index equi-join on the hash, so
+    fan-out per shingle is bounded by the source count squared."""
+    from tmdb_index_spark.operators.dedup_text import group_shingle_jaccard
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return group_shingle_jaccard(docs, group_col="source", n=3)
+
+
+_SOURCE_OVERLAP_SQL = """
+WITH toks AS (
+  SELECT source,
+         list_filter(
+           regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+           x -> x <> ''
+         ) AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source AS g,
+         ('0x' || substr(md5(array_to_string(ts[i:i+2], ' ')), 1, 15))::BIGINT AS h
+  FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+  WHERE len(ts) >= 3
+),
+sizes AS (SELECT g, COUNT(*)::BIGINT AS sz FROM sh GROUP BY g),
+inter AS (
+  SELECT a.g AS group_a, b.g AS group_b, COUNT(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b ON a.h = b.h AND a.g < b.g
+  GROUP BY a.g, b.g
+)
+SELECT i.group_a, i.group_b,
+       sa.sz AS n_a, sb.sz AS n_b, i.n_common,
+       ROUND(i.n_common / CAST(sa.sz + sb.sz - i.n_common AS DOUBLE), 4)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.g = i.group_a
+JOIN sizes sb ON sb.g = i.group_b
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
@@ -5533,6 +5634,8 @@ QUERIES: dict[str, QueryFn] = {
     "cosupply_kcore": cosupply_kcore,
     "collocation_pmi": collocation_pmi,
     "label_centroid_separation": label_centroid_separation,
+    "revenue_autocorrelation": revenue_autocorrelation,
+    "source_shingle_overlap": source_shingle_overlap,
     "bpe_pair_counts": bpe_pair_counts,
     "sliding_distinct_users": sliding_distinct_users,
     "event_transition_probs": event_transition_probs,
@@ -5677,6 +5780,8 @@ ORACLES: dict[str, str] = {
     "cosupply_kcore": _KCORE_SQL,
     "collocation_pmi": _PMI_SQL,
     "label_centroid_separation": _CENTROID_SQL,
+    "revenue_autocorrelation": _AUTOCORR_SQL,
+    "source_shingle_overlap": _SOURCE_OVERLAP_SQL,
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "event_transition_probs": _TRANSITION_SQL,
