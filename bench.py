@@ -123,6 +123,9 @@ EXTENDED_QUERIES = [
     "label_centroid_separation",
     "revenue_autocorrelation",
     "source_shingle_overlap",
+    "benford_price_check",
+    "conversion_latency_quantiles",
+    "user_value_drawdown",
 ]
 
 

@@ -121,3 +121,52 @@ def test_group_overlap_dedups_within_group(spark):
     assert (out["n_a"], out["n_b"], out["n_common"]) == (1, 1, 1)
     assert out["jaccard"] == 1.0
     release_pins()
+
+
+# -------------------------------------------------------------- drawdown
+
+
+def test_drawdown_known_path(spark):
+    from datetime import datetime
+
+    from tmdb_index_spark.queries import QUERIES  # noqa: F401  (style)
+    from pyspark.sql import Window, functions as F
+
+    # cumulative path: 10, 5, 12, 3, 8 -> peak-to-trough 12 - 3 = 9
+    deltas = [10.0, -5.0, 7.0, -9.0, 5.0]
+    rows = [
+        (1, datetime(2024, 1, 1, h), h, d) for h, d in enumerate(deltas)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+    dd = (
+        df.select("user_id", (F.max(cum).over(w) - cum).alias("dd"))
+        .groupBy("user_id")
+        .agg(F.max("dd").cast("double").alias("max_drawdown"))
+        .collect()[0]
+    )
+    assert dd["max_drawdown"] == 9.0
+
+
+def test_benford_query_terms_consistent(spark):
+    from tmdb_index_spark.queries import QUERIES
+
+    rows = QUERIES["benford_price_check"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    # observed probabilities sum to 1 over the emitted digits
+    assert abs(sum(r["observed_p"] for r in rows) - 1.0) < 0.01
+    # Benford expectation is the exact closed form
+    import math
+
+    for r in rows:
+        assert r["benford_p"] == round(math.log10(1 + 1 / r["digit"]), 4)
+        assert r["chi2_term"] >= 0.0

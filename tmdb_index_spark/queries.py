@@ -5616,6 +5616,146 @@ JOIN sizes sb ON sb.g = i.group_b
 """
 
 
+def benford_price_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance check (extension: data-quality
+    forensics): the observed leading-digit distribution of order
+    totals vs Benford's log10(1 + 1/d) expectation, with per-digit
+    chi-square contributions — the classic fabricated-numbers
+    screen. Map-only digit extraction + a 9-row aggregate; every
+    statistic derives from integer counts so the output is
+    bit-reproducible."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    ).filter(F.col("digit").between(1, 9))
+    counts = o.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    tot = counts.agg(F.sum("n_orders").cast("double").alias("__tot__"))
+    expected = F.log10(1 + 1 / F.col("digit").cast("double"))
+    observed = F.col("n_orders") / F.col("__tot__")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(observed, 4).alias("observed_p"),
+            F.round(expected, 4).alias("benford_p"),
+            F.round(
+                F.pow(observed - expected, 2) / expected * F.col("__tot__"),
+                4,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders
+),
+counts AS (
+  SELECT digit, COUNT(*)::BIGINT AS n_orders
+  FROM d WHERE digit BETWEEN 1 AND 9 GROUP BY digit
+),
+tot AS (SELECT CAST(SUM(n_orders) AS DOUBLE) AS t FROM counts)
+SELECT digit, n_orders,
+       ROUND(n_orders / t, 4) AS observed_p,
+       ROUND(log10(1 + 1.0 / digit), 4) AS benford_p,
+       ROUND(pow(n_orders / t - log10(1 + 1.0 / digit), 2)
+             / log10(1 + 1.0 / digit) * t, 4) AS chi2_term
+FROM counts, tot
+"""
+
+
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase latency distribution (extension: funnel
+    timing): exact interpolated p50/p90 of the attribution delay in
+    seconds, per-pair latencies from the same event-time interval
+    join as `click_purchase_attribution` (the batch twin of streaming
+    ``attribute_outcomes``). Latency math on integer epoch
+    microseconds, quantiles on the small attributed-pairs frame."""
+    from tmdb_index_spark.streaming.windowed import attribute_outcomes
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    pairs = attribute_outcomes(clicks, purchases, within="30 minutes")
+    lat = pairs.select(
+        (
+            (
+                F.unix_micros(F.col("outcome_ts").cast("timestamp"))
+                - F.unix_micros(F.col("action_ts").cast("timestamp"))
+            )
+            / 1_000_000.0
+        ).alias("latency_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.percentile(F.col("latency_s"), F.lit(0.5)), 4).alias("p50_s"),
+        F.round(F.percentile(F.col("latency_s"), F.lit(0.9)), 4).alias("p90_s"),
+    )
+
+
+_CONVERSION_LATENCY_SQL = """
+WITH pairs AS (
+  SELECT (epoch_us(o.ts) - epoch_us(a.ts)) / 1000000.0 AS latency_s
+  FROM events a JOIN events o ON a.user_id = o.user_id
+  WHERE a.event_type = 'click' AND o.event_type = 'purchase'
+    AND o.ts >= a.ts AND o.ts <= a.ts + INTERVAL 30 MINUTE
+)
+SELECT COUNT(*)::BIGINT AS n_pairs,
+       ROUND(quantile_cont(latency_s, 0.5), 4) AS p50_s,
+       ROUND(quantile_cont(latency_s, 0.9), 4) AS p90_s
+FROM pairs
+"""
+
+
+def user_value_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's cumulative event value
+    (extension: running-extremum analytics): the largest peak-to-
+    current drop of the running total, ordered by (ts, event_id).
+    One shuffle on the user key; the cumulative sum, running max,
+    and drawdown max all run inside that partitioning — decimal
+    arithmetic end-to-end, so the result is exact."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", _dec("value").alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum("v").over(w)
+    run_max = F.max(cum).over(w)
+    stepped = ev.select(
+        "user_id", (run_max - cum).alias("__dd__")
+    )
+    return stepped.groupBy("user_id").agg(
+        F.max("__dd__").cast("double").alias("max_drawdown")
+    )
+
+
+_DRAWDOWN_SQL = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         SUM(CAST(value AS DECIMAL(18,2))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM events
+),
+m AS (
+  SELECT user_id,
+         MAX(cum) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cum AS dd
+  FROM c
+)
+SELECT user_id, CAST(MAX(dd) AS DOUBLE) AS max_drawdown
+FROM m GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
@@ -5636,6 +5776,9 @@ QUERIES: dict[str, QueryFn] = {
     "label_centroid_separation": label_centroid_separation,
     "revenue_autocorrelation": revenue_autocorrelation,
     "source_shingle_overlap": source_shingle_overlap,
+    "benford_price_check": benford_price_check,
+    "conversion_latency_quantiles": conversion_latency_quantiles,
+    "user_value_drawdown": user_value_drawdown,
     "bpe_pair_counts": bpe_pair_counts,
     "sliding_distinct_users": sliding_distinct_users,
     "event_transition_probs": event_transition_probs,
@@ -5782,6 +5925,9 @@ ORACLES: dict[str, str] = {
     "label_centroid_separation": _CENTROID_SQL,
     "revenue_autocorrelation": _AUTOCORR_SQL,
     "source_shingle_overlap": _SOURCE_OVERLAP_SQL,
+    "benford_price_check": _BENFORD_SQL,
+    "conversion_latency_quantiles": _CONVERSION_LATENCY_SQL,
+    "user_value_drawdown": _DRAWDOWN_SQL,
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "event_transition_probs": _TRANSITION_SQL,
