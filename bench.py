@@ -126,6 +126,8 @@ EXTENDED_QUERIES = [
     "benford_price_check",
     "conversion_latency_quantiles",
     "user_value_drawdown",
+    "part_pair_lift",
+    "frequent_event_trigrams",
 ]
 
 

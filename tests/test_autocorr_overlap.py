@@ -170,3 +170,32 @@ def test_benford_query_terms_consistent(spark):
     for r in rows:
         assert r["benford_p"] == round(math.log10(1 + 1 / r["digit"]), 4)
         assert r["chi2_term"] >= 0.0
+
+
+# ---------------------------------------------------- basket / trigrams
+
+
+def test_part_pair_lift_math(spark):
+    import duckdb
+
+    from tmdb_index_spark.queries import ORACLES, QUERIES
+
+    # cross-engine spot check on the tiny fixture SF — the lift math
+    # is already oracle-gated; here assert shape + ranking invariants
+    out = QUERIES["part_pair_lift"](spark, "/root/testdata/sf0.001").collect()
+    assert len(out) <= 20
+    counts = [r["n_orders_both"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r["part_a"] < r["part_b"] for r in out)
+    assert all(r["lift"] > 0 for r in out)
+
+
+def test_event_trigrams_ordering_and_scope(spark):
+    from tmdb_index_spark.queries import QUERIES
+
+    out = QUERIES["frequent_event_trigrams"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert 0 < len(out) <= 15
+    counts = [r["n_paths"] for r in out]
+    assert counts == sorted(counts, reverse=True)

@@ -5756,6 +5756,143 @@ FROM m GROUP BY user_id
 """
 
 
+def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (extension: co-occurrence
+    lift): the 20 strongest part pairs ordered together, with support
+    and lift = P(a,b) / (P(a)·P(b)) over order baskets. The pair
+    candidates come from the orderkey self-join of DISTINCT
+    (order, part) rows, so fan-out per order is bounded by its basket
+    size squared (TPC-H: ≤ 7 lines), never all part pairs; lift
+    derives from integer counts, so the ranking is engine-exact.
+    Scoped to small-quantity lines to keep baskets sparse and the
+    pair set discriminating."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 10)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("__n__")
+    )
+    part_cnt = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("__cp__")
+    )
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders_both"))
+    )
+    ca = part_cnt.select(
+        F.col("l_partkey").alias("part_a"), F.col("__cp__").alias("__ca__")
+    )
+    cb = part_cnt.select(
+        F.col("l_partkey").alias("part_b"), F.col("__cp__").alias("__cb__")
+    )
+    scored = (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders_both",
+            F.round(
+                (F.col("n_orders_both") / F.col("__n__"))
+                / (
+                    (F.col("__ca__") / F.col("__n__"))
+                    * (F.col("__cb__") / F.col("__n__"))
+                ),
+                4,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("n_orders_both").desc(),
+        F.col("part_a").asc(),
+        F.col("part_b").asc(),
+    ).limit(20)
+
+
+_PART_LIFT_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity <= 10
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_ord FROM li),
+pc AS (SELECT l_partkey, COUNT(*) AS cp FROM li GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*)::BIGINT AS n_orders_both
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT p.part_a, p.part_b, p.n_orders_both,
+       ROUND((p.n_orders_both / n.n_ord)
+             / ((ca.cp / n.n_ord) * (cb.cp / n.n_ord)), 4) AS lift
+FROM pairs p
+JOIN pc ca ON ca.l_partkey = p.part_a
+JOIN pc cb ON cb.l_partkey = p.part_b
+CROSS JOIN n
+ORDER BY p.n_orders_both DESC, p.part_a ASC, p.part_b ASC
+LIMIT 20
+"""
+
+
+def frequent_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent behavioral subpaths (extension: sequence n-gram
+    mining): the 15 most common consecutive event-type trigrams
+    across user streams, ordered by (ts, event_id) within user —
+    the path-level complement of `event_transition_probs` (bigram
+    transitions). One shuffle on the user key; lag windows share
+    that partitioning; the trigram aggregate is vocabulary³-bounded
+    so it collapses map-side."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    tri = ev.select(
+        F.lag("event_type", 2).over(w).alias("e1"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.col("event_type").alias("e3"),
+    ).filter(F.col("e1").isNotNull())
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+        .orderBy(
+            F.col("n_paths").desc(),
+            F.col("e1").asc(),
+            F.col("e2").asc(),
+            F.col("e3").asc(),
+        )
+        .limit(15)
+    )
+
+
+_EVENT_TRIGRAM_SQL = """
+WITH tri AS (
+  SELECT LAG(event_type, 2) OVER w AS e1,
+         LAG(event_type, 1) OVER w AS e2,
+         event_type AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, COUNT(*)::BIGINT AS n_paths
+FROM tri WHERE e1 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n_paths DESC, e1 ASC, e2 ASC, e3 ASC
+LIMIT 15
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
@@ -5779,6 +5916,8 @@ QUERIES: dict[str, QueryFn] = {
     "benford_price_check": benford_price_check,
     "conversion_latency_quantiles": conversion_latency_quantiles,
     "user_value_drawdown": user_value_drawdown,
+    "part_pair_lift": part_pair_lift,
+    "frequent_event_trigrams": frequent_event_trigrams,
     "bpe_pair_counts": bpe_pair_counts,
     "sliding_distinct_users": sliding_distinct_users,
     "event_transition_probs": event_transition_probs,
@@ -5928,6 +6067,8 @@ ORACLES: dict[str, str] = {
     "benford_price_check": _BENFORD_SQL,
     "conversion_latency_quantiles": _CONVERSION_LATENCY_SQL,
     "user_value_drawdown": _DRAWDOWN_SQL,
+    "part_pair_lift": _PART_LIFT_SQL,
+    "frequent_event_trigrams": _EVENT_TRIGRAM_SQL,
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "event_transition_probs": _TRANSITION_SQL,
