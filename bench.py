@@ -128,6 +128,7 @@ EXTENDED_QUERIES = [
     "user_value_drawdown",
     "part_pair_lift",
     "frequent_event_trigrams",
+    "supplier_path_costs",
 ]
 
 

@@ -321,3 +321,56 @@ def test_kcore_validation(spark):
         k_core(e, k=0)
     with pytest.raises(ValueError):
         k_core(e, k=2, rounds=-1)
+
+
+# ---------------------------------------------------------------- sssp
+
+
+def test_sssp_cheaper_longer_path_wins(spark):
+    from tmdb_index_spark.operators.graph import sssp_bounded
+    from tmdb_index_spark.operators.materialize import release_pins
+
+    # 1->3 direct costs 10; 1->2->3 costs 2+3=5: BFS would say hop 1,
+    # SSSP must pick the longer-but-cheaper path
+    e = spark.createDataFrame(
+        [(1, 3, 10), (1, 2, 2), (2, 3, 3)], "src long, dst long, weight long"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["dist"] for r in sssp_bounded(e, src, max_hops=3).collect()}
+    assert out == {1: 0, 2: 2, 3: 5}
+    release_pins()
+
+
+def test_sssp_hop_bound_limits_relaxation(spark):
+    from tmdb_index_spark.operators.graph import sssp_bounded
+    from tmdb_index_spark.operators.materialize import release_pins
+
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1)], "src long, dst long, weight long"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["dist"] for r in sssp_bounded(e, src, max_hops=2).collect()}
+    assert out == {1: 0, 2: 1, 3: 2}  # node 4 needs 3 hops: absent
+
+
+def test_sssp_multi_source_min_and_source_zero(spark):
+    from tmdb_index_spark.operators.graph import sssp_bounded
+    from tmdb_index_spark.operators.materialize import release_pins
+
+    e = spark.createDataFrame(
+        [(1, 5, 9), (2, 5, 4)], "src long, dst long, weight long"
+    )
+    src = spark.createDataFrame([(1,), (2,)], "node long")
+    out = {r["node"]: r["dist"] for r in sssp_bounded(e, src, max_hops=1).collect()}
+    assert out == {1: 0, 2: 0, 5: 4}
+    release_pins()
+
+
+def test_sssp_validation(spark):
+    import pytest
+    from tmdb_index_spark.operators.graph import sssp_bounded
+
+    e = spark.createDataFrame([(1, 2, 1)], "src long, dst long, weight long")
+    src = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError):
+        sssp_bounded(e, src, max_hops=-1)

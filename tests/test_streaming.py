@@ -451,3 +451,67 @@ def test_neardup_stream_rejects_bad_bands(spark):
     df = spark.createDataFrame(DOCS_B1, DOC_SCHEMA)
     with pytest.raises(ValueError):
         neardup_detect_stream(df, num_hashes=16, bands=5)
+
+
+# ------------------------------------------------------- transitions
+
+
+def test_running_transitions_stream_batch_parity(spark, tmp_path):
+    from collections import Counter
+
+    from tmdb_index_spark.operators.temporal import transition_matrix
+    from tmdb_index_spark.streaming.stateful import running_transitions
+
+    src = str(tmp_path / "tr_ev")
+    ckpt = str(tmp_path / "tr_ckpt")
+
+    batch1 = [
+        (0, datetime(2024, 1, 1, 0, 0), 1, "click", 0.0),
+        (1, datetime(2024, 1, 1, 0, 1), 1, "view", 0.0),
+        (2, datetime(2024, 1, 1, 0, 0), 2, "click", 0.0),
+    ]
+    # batch 2 continues user 1 (view -> purchase spans the boundary)
+    batch2 = [
+        (3, datetime(2024, 1, 1, 0, 2), 1, "purchase", 0.0),
+        (4, datetime(2024, 1, 1, 0, 3), 2, "click", 0.0),
+    ]
+
+    deltas: list = []
+
+    def drain():
+        def collect(batch_df, batch_id):
+            deltas.extend(batch_df.collect())
+
+        q = (
+            running_transitions(
+                spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+            )
+            .writeStream.foreachBatch(collect)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(batch1, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    spark.createDataFrame(batch2, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    streamed = Counter()
+    for r in deltas:
+        streamed[(r["prev_event"], r["next_event"])] += r["n"]
+
+    all_events = spark.createDataFrame(batch1 + batch2, EVENT_SCHEMA)
+    batch = {
+        (r["prev_event"], r["next_event"]): r["n_transitions"]
+        for r in transition_matrix(all_events).collect()
+    }
+    assert dict(streamed) == batch
+    # the boundary-spanning transition was counted exactly once
+    assert streamed[("view", "purchase")] == 1

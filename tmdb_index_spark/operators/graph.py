@@ -433,3 +433,70 @@ def k_core(
     return deg.filter(F.col("degree") >= k).select(
         F.col("a").alias("node"), "degree"
     )
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    node: str = "node",
+    max_hops: int = 3,
+    materialize: str = "parquet",
+) -> DataFrame:
+    """Bounded-hop single-source(-set) shortest paths: the minimum
+    path WEIGHT from any source to each node over paths of at most
+    ``max_hops`` edges — Bellman-Ford relaxation unrolled into a
+    static dataflow, the weighted sibling of :func:`bfs_levels`
+    (which counts hops; this sums costs — edge weights must be
+    non-negative integers so min-fold arithmetic is exact on every
+    engine).
+
+    Unlike BFS, a settled node can still improve when a longer-hop
+    but cheaper path arrives, so frontier-only expansion is unsound;
+    each round relaxes the FULL distance frame through the edge list
+    and min-folds with the previous distances:
+
+        dist_h(v) = min( dist_{h-1}(v),
+                         min over edges (u,v): dist_{h-1}(u) + w(u,v) )
+
+    Per round: one join keyed on the node + one min groupBy. The
+    distance frame appears twice per round (relax + fold), so each
+    round is pinned — parquet by default for the same
+    compounding-statistics reason as :func:`k_core` (see SCALE.md).
+
+    Returns ``(node, dist)`` for nodes reachable within
+    ``max_hops`` hops; sources have dist 0.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    from tmdb_index_spark.operators.materialize import pin_frame
+
+    e = edges.select(
+        F.col(src).alias("__s__"),
+        F.col(dst).alias("__d__"),
+        F.col(weight).cast("long").alias("__w__"),
+    )
+    e = pin_frame(e, materialize)
+    dist = pin_frame(
+        sources.select(
+            F.col(node).alias("node"), F.lit(0).cast("long").alias("dist")
+        ).distinct(),
+        materialize,
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(e, dist.node == e.__s__)
+            .select(
+                F.col("__d__").alias("node"),
+                (F.col("dist") + F.col("__w__")).alias("dist"),
+            )
+        )
+        dist = pin_frame(
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist")),
+            materialize,
+        )
+    return dist

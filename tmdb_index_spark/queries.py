@@ -5893,6 +5893,85 @@ LIMIT 15
 """
 
 
+def supplier_path_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop weighted shortest paths (extension: min-plus
+    relaxation — :func:`~tmdb_index_spark.operators.graph.sssp_bounded`):
+    cheapest <= 3-hop path cost from nation-0 suppliers over the
+    co-supply graph, edge weight = the minimum combined quantity of a
+    shared low-quantity order (integer, so the min-fold is exact).
+    Bellman-Ford rounds unrolled — a settled node can still improve
+    via a longer-but-cheaper path, which hop-counting BFS cannot
+    express; each round is one keyed join + min groupBy over
+    parquet-pinned frames."""
+    from tmdb_index_spark.operators.graph import sssp_bounded
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 5)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.min("l_quantity").cast("long").alias("q"))
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+            (F.col("a.q") + F.col("b.q")).alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("weight"))
+    )
+    sources = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return sssp_bounded(edges, sources, max_hops=3)
+
+
+_SSSP_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, CAST(MIN(l_quantity) AS BIGINT) AS q
+  FROM lineitem WHERE l_quantity <= 5
+  GROUP BY l_orderkey, l_suppkey
+),
+e AS (
+  SELECT a.l_suppkey AS s, b.l_suppkey AS d, MIN(a.q + b.q) AS w
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey <> b.l_suppkey
+  GROUP BY a.l_suppkey, b.l_suppkey
+),
+d0 AS (
+  SELECT DISTINCT s_suppkey AS node, CAST(0 AS BIGINT) AS dist
+  FROM supplier WHERE s_nationkey = 0
+),
+d1 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d0
+    UNION ALL
+    SELECT e.d AS node, d0.dist + e.w AS dist FROM d0 JOIN e ON e.s = d0.node
+  ) GROUP BY node
+),
+d2 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d1
+    UNION ALL
+    SELECT e.d AS node, d1.dist + e.w AS dist FROM d1 JOIN e ON e.s = d1.node
+  ) GROUP BY node
+),
+d3 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d2
+    UNION ALL
+    SELECT e.d AS node, d2.dist + e.w AS dist FROM d2 JOIN e ON e.s = d2.node
+  ) GROUP BY node
+)
+SELECT node, dist FROM d3
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
@@ -5918,6 +5997,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_value_drawdown": user_value_drawdown,
     "part_pair_lift": part_pair_lift,
     "frequent_event_trigrams": frequent_event_trigrams,
+    "supplier_path_costs": supplier_path_costs,
     "bpe_pair_counts": bpe_pair_counts,
     "sliding_distinct_users": sliding_distinct_users,
     "event_transition_probs": event_transition_probs,
@@ -6069,6 +6149,7 @@ ORACLES: dict[str, str] = {
     "user_value_drawdown": _DRAWDOWN_SQL,
     "part_pair_lift": _PART_LIFT_SQL,
     "frequent_event_trigrams": _EVENT_TRIGRAM_SQL,
+    "supplier_path_costs": _SSSP_SQL,
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "event_transition_probs": _TRANSITION_SQL,

@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_user_totals", "USER_TOTALS_SCHEMA"]
+__all__ = [
+    "running_user_totals",
+    "USER_TOTALS_SCHEMA",
+    "running_transitions",
+    "TRANSITIONS_SCHEMA",
+]
 
 USER_TOTALS_SCHEMA = T.StructType(
     [
@@ -74,5 +79,71 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputStructType=USER_TOTALS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+TRANSITIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("prev_event", T.StringType()),
+        T.StructField("next_event", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+_LAST_EVENT_SCHEMA = T.StructType(
+    [T.StructField("last_event", T.StringType())]
+)
+
+
+def _transitions_update(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    last = state.get[0] if state.exists else None
+    rows = pd.concat(list(pdfs))
+    rows = rows.sort_values(["ts", "event_id"])
+    counts: dict[tuple[str, str], int] = {}
+    prev = last
+    for et in rows["event_type"]:
+        if prev is not None:
+            counts[(prev, et)] = counts.get((prev, et), 0) + 1
+        prev = et
+    state.update((prev,))
+    if counts:
+        yield pd.DataFrame(
+            [
+                {"prev_event": a, "next_event": b, "n": c}
+                for (a, b), c in counts.items()
+            ]
+        )
+
+
+def running_transitions(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch
+    :func:`~tmdb_index_spark.operators.temporal.transition_matrix`:
+    per micro-batch, the DELTA of (prev → next) event-type transition
+    counts per user, with the user's last event carried in the state
+    store so transitions spanning micro-batch boundaries are counted
+    exactly once. Summing the emitted deltas over a drained stream
+    equals the batch transition counts — the parity property
+    `tests/test_streaming.py` pins.
+
+    Ordering contract: rows are ordered by (ts, event_id) WITHIN each
+    micro-batch; across batches the operator assumes per-key
+    in-order delivery (true for replayed logs / file sources). For
+    out-of-order live streams, put a watermark + sort-within-batch
+    stage in front, or transitions at batch boundaries may invert.
+
+    State per key is one string (the last event type) — the minimal
+    footprint for this semantics; the grouping shuffle co-locates
+    state with data, like every `applyInPandasWithState` operator.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _transitions_update,
+        outputStructType=TRANSITIONS_SCHEMA,
+        stateStructType=_LAST_EVENT_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
