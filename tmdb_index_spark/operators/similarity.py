@@ -517,8 +517,15 @@ def ivf_index_topk(
     the same cells → 3.2× time, because mean cell size — and the
     within-cell quadratic work per cell — grows linearly with N).
     Balanced-cell IVF cost is ``N²/cells + N·cells·d``; minimizing over
-    ``cells`` gives the classic ``cells ≈ √N`` rule, which keeps BOTH
-    terms — and therefore query time — linear in N. This wrapper:
+    ``cells`` gives the classic ``cells ≈ √N`` rule — the OPTIMAL flat
+    IVF, but note both terms are then Θ(N^1.5), not linear: the round-6
+    100× sweep measured 131× wall time at 100× data (SCALE.md "The
+    IVF-flat ceiling"). No cell count escapes this — flat IVF is the
+    recall-oriented mid-scale option; the occupancy-constant
+    :func:`lsh_index_topk` (1.7× at 100× in the same sweep) is the
+    100 TB ANN path, and beyond flat IVF real systems move to
+    hierarchical assignment (two-level IVF / graph indexes), out of
+    scope here. This wrapper:
 
     * defaults ``cells = round(√N)`` from ``n_estimate`` (pass it when
       the caller already knows the corpus size — e.g. a catalog row
