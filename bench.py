@@ -129,6 +129,8 @@ EXTENDED_QUERIES = [
     "part_pair_lift",
     "frequent_event_trigrams",
     "supplier_path_costs",
+    "audience_overlap",
+    "revenue_changepoints",
 ]
 
 

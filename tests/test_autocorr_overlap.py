@@ -199,3 +199,63 @@ def test_event_trigrams_ordering_and_scope(spark):
     assert 0 < len(out) <= 15
     counts = [r["n_paths"] for r in out]
     assert counts == sorted(counts, reverse=True)
+
+
+# ------------------------------------------------------- set overlap
+
+
+def test_group_set_jaccard_known_sets(spark):
+    from tmdb_index_spark.operators.dedup import group_set_jaccard
+
+    rows = [
+        ("a", 1), ("a", 2), ("a", 2),  # dup row: set semantics
+        ("b", 2), ("b", 3),
+        ("c", 9),
+    ]
+    df = spark.createDataFrame(rows, "g string, u long")
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in group_set_jaccard(df, "g", "u").collect()
+    }
+    ab = out[("a", "b")]
+    assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (2, 2, 1)
+    assert ab["jaccard"] == round(1 / 3, 4)
+    assert ("a", "c") not in out  # disjoint pairs absent
+
+
+# ----------------------------------------------------------- cusum
+
+
+def test_cusum_level_shift_detected_at_shift(spark):
+    from tmdb_index_spark.operators.regression import cusum_changepoint
+
+    # mean shifts at x=5: 0,0,0,0,0 then 10,10,10,10,10
+    rows = [("g", x, 0.0 if x < 5 else 10.0) for x in range(10)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    out = cusum_changepoint(df, "g", "x", "y").collect()[0]
+    # scaled stat peaks at the last pre-shift point (x=4):
+    # |n*cum - t*total| = |10*0 - 5*50| = 250 -> /n = 25
+    assert out["cp_x"] == 4
+    assert out["cusum_max"] == 25.0
+    assert out["n_points"] == 10
+
+
+def test_cusum_stable_series_scores_zero(spark):
+    from tmdb_index_spark.operators.regression import cusum_changepoint
+
+    rows = [("g", x, 7.0) for x in range(8)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    out = cusum_changepoint(df, "g", "x", "y").collect()[0]
+    assert out["cusum_max"] == 0.0
+    assert out["cp_x"] == 0  # all-zero ties resolve to the earliest x
+
+
+def test_cusum_groups_independent(spark):
+    from tmdb_index_spark.operators.regression import cusum_changepoint
+
+    rows = [("g", x, 0.0 if x < 2 else 4.0) for x in range(4)]
+    rows += [("h", x, 1.0) for x in range(3)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    out = {r["g"]: r for r in cusum_changepoint(df, "g", "x", "y").collect()}
+    assert out["g"]["cusum_max"] > 0
+    assert out["h"]["cusum_max"] == 0.0

@@ -20,7 +20,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dedup_keep_last", "dedup_keep_first", "duplicate_ids"]
+__all__ = ["dedup_keep_last", "dedup_keep_first", "duplicate_ids", "group_set_jaccard"]
 
 
 def _dedup(
@@ -66,4 +66,66 @@ def duplicate_ids(df: DataFrame, key: str = "id") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__n__"))
         .filter(F.col("__n__") > 1)
         .select(key)
+    )
+
+
+def group_set_jaccard(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Pairwise overlap between groups' DISTINCT item sets —
+    audience overlap ("how many purchase users also click?"),
+    cohort containment, catalog intersection. The generic form of
+    `dedup_text.group_shingle_jaccard` (which feeds shingle hashes
+    into exactly this shape).
+
+    Scale shape: one distinct collapse to (group, item) — the only
+    shuffle proportional to the data, partial-aggregated — then the
+    inverted self-equi-join ON THE ITEM, so fan-out per item is
+    (groups containing it)² ≤ |groups|², bounded by the group count,
+    never by rows. Sizes attach via |groups|-row broadcast joins.
+    Pairs sharing no item are absent (their overlap is 0).
+
+    Returns ``(group_a, group_b, n_a, n_b, n_common, jaccard)`` with
+    ``group_a < group_b``.
+    """
+    sets = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("__i__")
+    ).distinct()
+    sizes = sets.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    a = sets.select(F.col("g").alias("group_a"), "__i__")
+    b = sets.select(F.col("g").alias("group_b"), "__i__")
+    inter = (
+        a.join(b, "__i__")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = F.broadcast(
+        sizes.select(F.col("g").alias("group_a"), F.col("sz").alias("n_a"))
+    )
+    sb = F.broadcast(
+        sizes.select(F.col("g").alias("group_b"), F.col("sz").alias("n_b"))
+    )
+    return (
+        inter.join(sa, "group_a")
+        .join(sb, "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                round_to,
+            ).alias("jaccard"),
+        )
     )

@@ -26,10 +26,10 @@ scale should pre-round to the precision they mean.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_linear_trend", "series_autocorrelation"]
+__all__ = ["grouped_linear_trend", "series_autocorrelation", "cusum_changepoint"]
 
 
 def grouped_linear_trend(
@@ -145,4 +145,75 @@ def series_autocorrelation(
     )
     return agg.select(
         "lag", "n_pairs", F.round(corr, round_to).alias("autocorr")
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """CUSUM change-point score per group: the maximum absolute
+    cumulative deviation of ``y`` from its group mean, walked in
+    ``x`` order, plus the ``x`` where it peaks — the classic
+    level-shift detector (a series with a mean shift accumulates
+    deviation up to the shift point; a stable series hovers near 0).
+
+    Exactness without a mean division: the running statistic is kept
+    SCALED — ``s'_t = n·cumsum(y)[t] − t·total(y)`` equals
+    ``n · cumsum(y − ȳ)[t]`` in exact decimal arithmetic (no
+    intermediate division, so no engine-specific decimal rounding);
+    the score divides by ``n`` only at the very end, in double. The
+    peak position is made deterministic by maximizing the struct
+    ``(|s'|, −x)`` — ties resolve to the earliest ``x`` identically
+    on every engine.
+
+    Scale shape: one shuffle on the group key; the group total rides
+    an unbounded window inside that partitioning (no second scan) and
+    the cumulative sum an ordered window in the same partitioning —
+    one Exchange total. Returns
+    ``(group_col, n_points, cp_x, cusum_max)``.
+    """
+    y = F.col(y_col).cast("decimal(18,2)")
+    x = F.col(x_col).cast("long")
+    wall = Window.partitionBy(group_col)
+    word = (
+        Window.partitionBy(group_col)
+        .orderBy(x.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(wall)
+    tot = F.sum(y).over(wall).cast("decimal(18,2)")
+    t = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(x.asc())
+    )
+    cum = F.sum(y).over(word).cast("decimal(18,2)")
+    # DECIMAL(18,0) × DECIMAL(18,2) → DECIMAL(37,2): inside the 38-digit
+    # cap on BOTH engines, so no silent rescale/overflow divergence
+    s = n.cast("decimal(18,0)") * cum - t.cast("decimal(18,0)") * tot
+    stepped = df.select(
+        F.col(group_col),
+        x.alias("__x__"),
+        n.alias("__n__"),
+        F.abs(s).alias("__abs__"),
+    )
+    best = F.max(F.struct(F.col("__abs__"), (-F.col("__x__")).alias("__nx__")))
+    return (
+        stepped.groupBy(group_col)
+        .agg(
+            F.max("__n__").cast("bigint").alias("n_points"),
+            best.alias("__best__"),
+        )
+        .select(
+            group_col,
+            "n_points",
+            (-F.col("__best__.__nx__")).cast("bigint").alias("cp_x"),
+            F.round(
+                F.col("__best__.__abs__").cast("double")
+                / F.col("n_points").cast("double"),
+                round_to,
+            ).alias("cusum_max"),
+        )
     )

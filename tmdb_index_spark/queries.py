@@ -5972,6 +5972,99 @@ SELECT node, dist FROM d3
 """
 
 
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types (extension:
+    cohort set algebra —
+    :func:`~tmdb_index_spark.operators.dedup.group_set_jaccard`):
+    exact Jaccard between each pair of event types' distinct user
+    sets. One distinct collapse + the inverted self-join on the user
+    id — fan-out per user bounded by the event-type vocabulary
+    squared."""
+    from tmdb_index_spark.operators.dedup import group_set_jaccard
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    return group_set_jaccard(ev, group_col="event_type", item_col="user_id")
+
+
+_AUDIENCE_SQL = """
+WITH sets AS (
+  SELECT DISTINCT event_type AS g, user_id AS i FROM events
+),
+sizes AS (SELECT g, COUNT(*)::BIGINT AS sz FROM sets GROUP BY g),
+inter AS (
+  SELECT a.g AS group_a, b.g AS group_b, COUNT(*)::BIGINT AS n_common
+  FROM sets a JOIN sets b ON a.i = b.i
+  WHERE a.g < b.g
+  GROUP BY a.g, b.g
+)
+SELECT i.group_a, i.group_b, sa.sz AS n_a, sb.sz AS n_b, i.n_common,
+       ROUND(i.n_common / CAST(sa.sz + sb.sz - i.n_common AS DOUBLE), 4)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.g = i.group_a
+JOIN sizes sb ON sb.g = i.group_b
+"""
+
+
+def revenue_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection per event type (extension:
+    change-point scoring —
+    :func:`~tmdb_index_spark.operators.regression.cusum_changepoint`):
+    the maximum absolute cumulative deviation of daily value totals
+    from each type's mean, and the day where it peaks. The running
+    statistic is the division-free scaled form n·cumsum − t·total in
+    exact decimals, so peak day and score are engine-exact."""
+    from tmdb_index_spark.operators.regression import cusum_changepoint
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("x_day"),
+        )
+        .agg(F.sum(_dec("value")).cast("decimal(18,2)").alias("daily_value"))
+    )
+    return cusum_changepoint(daily, "event_type", "x_day", "daily_value")
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+  FROM events GROUP BY 1, 2
+),
+walked AS (
+  SELECT event_type, x,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         ABS(
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS DECIMAL(18,0))
+             * CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DECIMAL(18,2))
+           - CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x)
+                  AS DECIMAL(18,0))
+             * CAST(SUM(y) OVER (PARTITION BY event_type)
+                    AS DECIMAL(18,2))
+         ) AS s_abs
+  FROM daily
+),
+ranked AS (
+  SELECT event_type, x, n, s_abs,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY s_abs DESC, x ASC) AS rk
+  FROM walked
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_points,
+       CAST(x AS BIGINT) AS cp_x,
+       ROUND(CAST(s_abs AS DOUBLE) / CAST(n AS DOUBLE), 4) AS cusum_max
+FROM ranked WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
@@ -5998,6 +6091,8 @@ QUERIES: dict[str, QueryFn] = {
     "part_pair_lift": part_pair_lift,
     "frequent_event_trigrams": frequent_event_trigrams,
     "supplier_path_costs": supplier_path_costs,
+    "audience_overlap": audience_overlap,
+    "revenue_changepoints": revenue_changepoints,
     "bpe_pair_counts": bpe_pair_counts,
     "sliding_distinct_users": sliding_distinct_users,
     "event_transition_probs": event_transition_probs,
@@ -6150,6 +6245,8 @@ ORACLES: dict[str, str] = {
     "part_pair_lift": _PART_LIFT_SQL,
     "frequent_event_trigrams": _EVENT_TRIGRAM_SQL,
     "supplier_path_costs": _SSSP_SQL,
+    "audience_overlap": _AUDIENCE_SQL,
+    "revenue_changepoints": _CUSUM_SQL,
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "event_transition_probs": _TRANSITION_SQL,
