@@ -131,6 +131,8 @@ EXTENDED_QUERIES = [
     "supplier_path_costs",
     "audience_overlap",
     "revenue_changepoints",
+    "weighted_median_price",
+    "daily_value_anomalies",
 ]
 
 

@@ -259,3 +259,99 @@ def test_cusum_groups_independent(spark):
     out = {r["g"]: r for r in cusum_changepoint(df, "g", "x", "y").collect()}
     assert out["g"]["cusum_max"] > 0
     assert out["h"]["cusum_max"] == 0.0
+
+
+# --------------------------------------------------- weighted percentile
+
+
+def test_weighted_percentile_basic_median(spark):
+    from tmdb_index_spark.operators.aggregates import weighted_percentile
+
+    # values 1..4 with weights 1,1,1,7: half the mass (5) is reached
+    # only at value 4
+    rows = [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 1), ("g", 4.0, 7)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    out = weighted_percentile(df, "g", "v", "w", p=0.5).collect()[0]
+    assert out["wp"] == 4.0
+    assert out["n_rows"] == 4 and out["total_weight"] == 10.0
+
+
+def test_weighted_percentile_equal_weights_is_lower_median(spark):
+    from tmdb_index_spark.operators.aggregates import weighted_percentile
+
+    rows = [("g", float(v), 1) for v in (10, 20, 30, 40)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    out = weighted_percentile(df, "g", "v", "w", p=0.5).collect()[0]
+    assert out["wp"] == 20.0  # cum 2/4 reaches 0.5 at the 2nd value
+
+
+def test_weighted_percentile_p1_is_max_and_validation(spark):
+    import pytest
+    from tmdb_index_spark.operators.aggregates import weighted_percentile
+
+    rows = [("g", 1.0, 1), ("g", 9.0, 1)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    assert weighted_percentile(df, "g", "v", "w", p=1.0).collect()[0]["wp"] == 9.0
+    with pytest.raises(ValueError):
+        weighted_percentile(df, "g", "v", "w", p=0.0)
+
+
+def test_weighted_percentile_null_rows_ignored(spark):
+    from tmdb_index_spark.operators.aggregates import weighted_percentile
+
+    rows = [("g", 5.0, 2), ("g", None, 99), ("g", 7.0, None)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    out = weighted_percentile(df, "g", "v", "w").collect()[0]
+    assert out["wp"] == 5.0 and out["n_rows"] == 1
+
+
+# ----------------------------------------------------- expanding zscore
+
+
+def test_expanding_z_flags_spike_only(spark):
+    from tmdb_index_spark.operators.temporal import expanding_zscore_anomalies
+
+    ys = [10.0, 11.0, 9.0, 10.0, 10.5, 9.5, 50.0, 10.0]
+    rows = [("g", x, y) for x, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    out = expanding_zscore_anomalies(
+        df, "g", "x", "y", z_threshold=3.0, min_history=5
+    ).collect()
+    assert [(r["x"], r["y"]) for r in out] == [(6, 50.0)]
+    assert out[0]["n_prior"] == 6
+    assert out[0]["z"] > 3.0
+
+
+def test_expanding_z_never_uses_future_or_self(spark):
+    from tmdb_index_spark.operators.temporal import expanding_zscore_anomalies
+
+    # the spike at the END: prior history is calm, so it flags; a
+    # leaky (centered/full-window) stat would dilute its own baseline
+    ys = [5.0, 5.2, 4.8, 5.1, 4.9, 5.0, 100.0]
+    rows = [("g", x, y) for x, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    out = expanding_zscore_anomalies(
+        df, "g", "x", "y", z_threshold=3.0, min_history=5
+    ).collect()
+    assert [r["x"] for r in out] == [6]
+
+
+def test_expanding_z_constant_history_skipped(spark):
+    from tmdb_index_spark.operators.temporal import expanding_zscore_anomalies
+
+    ys = [5.0] * 6 + [99.0]
+    rows = [("g", x, y) for x, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    # zero-variance history: the spike is NOT flagged (z undefined)
+    assert expanding_zscore_anomalies(
+        df, "g", "x", "y", min_history=5
+    ).count() == 0
+
+
+def test_expanding_z_validation(spark):
+    import pytest
+    from tmdb_index_spark.operators.temporal import expanding_zscore_anomalies
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "g string, x long, y double")
+    with pytest.raises(ValueError):
+        expanding_zscore_anomalies(df, "g", "x", "y", min_history=1)

@@ -29,6 +29,7 @@ __all__ = [
     "sliding_window_distinct",
     "transition_matrix",
     "time_weighted_avg",
+    "expanding_zscore_anomalies",
 ]
 
 
@@ -282,4 +283,72 @@ def time_weighted_avg(
     )
     return agg.select(
         key_col, "n_obs", F.round(twap, round_to).alias("twap")
+    )
+
+
+def expanding_zscore_anomalies(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    z_threshold: float = 3.0,
+    min_history: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Online-style anomaly flags over a batch series: for each point,
+    the z-score of ``y`` against the EXPANDING window of strictly
+    earlier points (never itself or the future — the leak-free
+    framing a deployed monitor would have seen), flagging
+    ``|z| > z_threshold`` once at least ``min_history`` prior points
+    exist.
+
+    The expanding mean/std derive from three exact decimal prefix
+    sums (count, Σy, Σy²) in one ordered window per group — variance
+    via the sum-of-squares identity n·Σy² − (Σy)², combined in
+    double at the end (same engine-parity argument as
+    `regression.grouped_linear_trend`). One shuffle on the group
+    key; everything runs inside that partitioning.
+
+    Returns the anomalous rows only:
+    ``(group_col, x_col, y, n_prior, z)`` with ``z`` rounded.
+    """
+    if min_history < 2:
+        raise ValueError(f"min_history must be >= 2, got {min_history}")
+    y = F.col(y_col).cast("decimal(18,2)")
+    word = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(x_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = F.count(F.lit(1)).over(word)
+    sy = F.sum(y).over(word).cast("decimal(18,2)")
+    syy = F.sum(y * y).over(word).cast("decimal(38,4)")
+    stepped = df.select(
+        F.col(group_col),
+        F.col(x_col),
+        y.alias("__y__"),
+        n.alias("__n__"),
+        sy.alias("__sy__"),
+        syy.alias("__syy__"),
+    )
+    nd = F.col("__n__").cast("double")
+    syd = F.col("__sy__").cast("double")
+    syyd = F.col("__syy__").cast("double")
+    var_num = nd * syyd - syd * syd  # = n² · variance
+    mean = syd / nd
+    std = F.sqrt(var_num) / nd
+    z = (F.col("__y__").cast("double") - mean) / std
+    return (
+        stepped.filter(
+            (F.col("__n__") >= min_history) & (var_num > 0.0)
+        )
+        .withColumn("__z__", z)
+        .filter(F.abs(F.col("__z__")) > z_threshold)
+        .select(
+            group_col,
+            x_col,
+            F.col("__y__").cast("double").alias("y"),
+            F.col("__n__").cast("bigint").alias("n_prior"),
+            F.round("__z__", round_to).alias("z"),
+        )
     )

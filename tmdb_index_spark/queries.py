@@ -6065,6 +6065,112 @@ FROM ranked WHERE rk = 1
 """
 
 
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag
+    (extension: weighted aggregation —
+    :func:`~tmdb_index_spark.operators.aggregates.weighted_percentile`):
+    the value where cumulative QUANTITY reaches half the flag's
+    total — a shape F.percentile cannot express without row
+    replication. One Exchange; decimal cumulative weights make the
+    boundary row engine-exact."""
+    from tmdb_index_spark.operators.aggregates import weighted_percentile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        "l_quantity",
+    )
+    return weighted_percentile(
+        li, group_col="l_returnflag", value_col="price",
+        weight_col="l_quantity", p=0.5,
+    )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH rows_ AS (
+  SELECT l_returnflag AS g,
+         CAST(l_extendedprice AS DOUBLE) AS v,
+         CAST(l_quantity AS DECIMAL(18,2)) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+stepped AS (
+  SELECT g, v,
+         COUNT(*) OVER (PARTITION BY g) AS n,
+         SUM(w) OVER (PARTITION BY g) AS tot,
+         SUM(w) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM rows_
+)
+SELECT g AS l_returnflag,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(MAX(tot) AS DOUBLE) AS total_weight,
+       MIN(v) AS wp
+FROM stepped
+WHERE cum >= CAST(0.5 AS DECIMAL(10,6)) * tot
+GROUP BY g
+"""
+
+
+def daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free expanding-window anomaly detection (extension:
+    online-style monitoring —
+    :func:`~tmdb_index_spark.operators.temporal.expanding_zscore_anomalies`):
+    daily value totals per event type z-scored against STRICTLY
+    earlier days only (what a deployed monitor would have known),
+    flagged at |z| > 2 after 5 days of history. Exact decimal prefix
+    sums; one group-keyed window."""
+    from tmdb_index_spark.operators.temporal import expanding_zscore_anomalies
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("x_day"),
+        )
+        .agg(F.sum(_dec("value")).cast("decimal(18,2)").alias("daily_value"))
+    )
+    return expanding_zscore_anomalies(
+        daily, "event_type", "x_day", "daily_value",
+        z_threshold=2.0, min_history=5,
+    )
+
+
+_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x_day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+  FROM events GROUP BY 1, 2
+),
+stepped AS (
+  SELECT event_type, x_day, y,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(y) OVER w AS DECIMAL(18,2)) AS sy,
+         CAST(SUM(y * y) OVER w AS DECIMAL(38,4)) AS syy
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY x_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, x_day,
+       CAST(y AS DOUBLE) AS y,
+       CAST(n AS BIGINT) AS n_prior,
+       ROUND((CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n)
+             / (sqrt(n * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / n),
+             4) AS z
+FROM stepped
+WHERE n >= 5
+  AND (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+  AND ABS((CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n)
+          / (sqrt(n * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / n)) > 2.0
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
@@ -6093,6 +6199,8 @@ QUERIES: dict[str, QueryFn] = {
     "supplier_path_costs": supplier_path_costs,
     "audience_overlap": audience_overlap,
     "revenue_changepoints": revenue_changepoints,
+    "weighted_median_price": weighted_median_price,
+    "daily_value_anomalies": daily_value_anomalies,
     "bpe_pair_counts": bpe_pair_counts,
     "sliding_distinct_users": sliding_distinct_users,
     "event_transition_probs": event_transition_probs,
@@ -6247,6 +6355,8 @@ ORACLES: dict[str, str] = {
     "supplier_path_costs": _SSSP_SQL,
     "audience_overlap": _AUDIENCE_SQL,
     "revenue_changepoints": _CUSUM_SQL,
+    "weighted_median_price": _WEIGHTED_MEDIAN_SQL,
+    "daily_value_anomalies": _ANOMALY_SQL,
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "event_transition_probs": _TRANSITION_SQL,
