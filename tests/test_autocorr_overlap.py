@@ -1,4 +1,7 @@
-"""Series autocorrelation and group shingle-overlap tests."""
+"""Round-6 analytics-operator tests: series autocorrelation, group
+set/shingle overlap, market-basket lift, event trigrams, drawdown,
+Benford forensics, CUSUM change-points, weighted percentiles, and
+expanding z-score anomalies."""
 
 from __future__ import annotations
 
