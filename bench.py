@@ -133,6 +133,8 @@ EXTENDED_QUERIES = [
     "revenue_changepoints",
     "weighted_median_price",
     "daily_value_anomalies",
+    "user_heartbeat_gaps",
+    "k_anonymity_audit",
 ]
 
 

@@ -337,3 +337,41 @@ def test_twap_per_user_independent(spark):
     )
     out = {r["user_id"]: r["twap"] for r in time_weighted_avg(df, tiebreak_col="event_id").collect()}
     assert out == {1: 10.0, 2: 50.0}
+
+
+# ---------------------------------------------------------------- gaps
+
+
+def test_missing_periods_reports_holes_only(spark):
+    from tmdb_index_spark.operators.temporal import missing_periods
+
+    rows = [("a", 1), ("a", 2), ("a", 5), ("b", 10)]
+    df = spark.createDataFrame(rows, "g string, i long")
+    out = sorted(
+        (r["g"], r["missing_idx"])
+        for r in missing_periods(df, "g", "i").collect()
+    )
+    assert out == [("a", 3), ("a", 4)]  # b has no span, no holes
+
+
+def test_missing_periods_duplicates_and_bounds_not_missing(spark):
+    from tmdb_index_spark.operators.temporal import missing_periods
+
+    rows = [("a", 1), ("a", 1), ("a", 3)]
+    df = spark.createDataFrame(rows, "g string, i long")
+    out = [r["missing_idx"] for r in missing_periods(df, "g", "i").collect()]
+    assert out == [2]
+
+
+def test_missing_periods_span_cap(spark):
+    from tmdb_index_spark.operators.temporal import missing_periods
+
+    rows = [("a", 0), ("a", 1_000)]
+    df = spark.createDataFrame(rows, "g string, i long")
+    out = missing_periods(df, "g", "i", max_span=10).collect()
+    assert all(r["span_truncated"] for r in out)
+    assert len(out) == 10  # indices 1..10 scanned, rest beyond cap
+    import pytest
+
+    with pytest.raises(ValueError):
+        missing_periods(df, "g", "i", max_span=0)

@@ -30,6 +30,7 @@ __all__ = [
     "transition_matrix",
     "time_weighted_avg",
     "expanding_zscore_anomalies",
+    "missing_periods",
 ]
 
 
@@ -350,5 +351,56 @@ def expanding_zscore_anomalies(
             F.col("__y__").cast("double").alias("y"),
             F.col("__n__").cast("bigint").alias("n_prior"),
             F.round("__z__", round_to).alias("z"),
+        )
+    )
+
+
+def missing_periods(
+    df: DataFrame,
+    group_col: str,
+    idx_col: str,
+    max_span: int = 100_000,
+) -> DataFrame:
+    """Gap detection over a regular integer index (heartbeat
+    monitoring): for each group, the index values MISSING between its
+    first and last observation — silent days of a feed, dropped
+    partitions of a backfill, dead sensors. The complement of
+    `gap_fill_locf` (which fills gaps; this reports them).
+
+    Scale shape: collapse to distinct (group, idx) — the only
+    data-proportional shuffle — then each group's [min, max] span (a
+    group-sized aggregate) explodes into its full index range and
+    anti-joins the observed values; fan-out is the SPAN length, not
+    the row count, and ``max_span`` guards against a pathological
+    group (one sensor with a 30-year hole) exploding the plan — such
+    groups are reported with ``span_truncated = true`` and scanned
+    only up to the cap.
+
+    Returns ``(group_col, missing_idx, span_truncated)`` — one row
+    per missing index value.
+    """
+    if max_span < 1:
+        raise ValueError(f"max_span must be >= 1, got {max_span}")
+    obs = df.select(
+        F.col(group_col), F.col(idx_col).cast("long").alias("__i__")
+    ).distinct()
+    span = obs.groupBy(group_col).agg(
+        F.min("__i__").alias("__lo__"), F.max("__i__").alias("__hi__")
+    )
+    trunc = (F.col("__hi__") - F.col("__lo__")) > max_span
+    hi_eff = F.when(
+        trunc, F.col("__lo__") + max_span
+    ).otherwise(F.col("__hi__"))
+    grid = span.select(
+        group_col,
+        trunc.alias("span_truncated"),
+        F.explode(F.sequence(F.col("__lo__"), hi_eff)).alias("__i__"),
+    )
+    return (
+        grid.join(obs, [group_col, "__i__"], "left_anti")
+        .select(
+            group_col,
+            F.col("__i__").alias("missing_idx"),
+            "span_truncated",
         )
     )

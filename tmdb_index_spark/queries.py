@@ -6171,6 +6171,90 @@ WHERE n >= 5
 """
 
 
+def user_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat gap detection (extension: feed monitoring —
+    :func:`~tmdb_index_spark.operators.temporal.missing_periods`):
+    for each of the first 30 users, the days with NO events between
+    their first and last activity — the silent-feed report. Fan-out
+    is span length, never row count; the user scope keeps the gap
+    list discriminating (every user has idle days)."""
+    from tmdb_index_spark.operators.temporal import missing_periods
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") < 30)
+        .select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("day_idx"),
+        )
+    )
+    return missing_periods(ev, "user_id", "day_idx")
+
+
+_HEARTBEAT_SQL = """
+WITH obs AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS i
+  FROM events WHERE user_id < 30
+),
+span AS (
+  SELECT user_id, MIN(i) AS lo, MAX(i) AS hi FROM obs GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, (hi - lo) > 100000 AS span_truncated,
+         unnest(range(lo, (CASE WHEN (hi - lo) > 100000
+                                THEN lo + 100000 ELSE hi END) + 1)) AS i
+  FROM span
+)
+SELECT g.user_id, g.i AS missing_idx, g.span_truncated
+FROM grid g
+LEFT JOIN obs o ON o.user_id = g.user_id AND o.i = g.i
+WHERE o.user_id IS NULL
+"""
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (extension: privacy
+    governance): customer equivalence classes under
+    (nation, market segment) whose size is below k=8 — the groups a
+    release would have to suppress or generalize. One
+    partial-aggregated groupBy; the violating-share scalar rides a
+    1-row broadcast."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    )
+    groups = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    total = cust.agg(F.count(F.lit(1)).cast("double").alias("__t__"))
+    return (
+        groups.filter(F.col("n_rows") < 8)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__t__"), 6).alias(
+                "suppressed_share"
+            ),
+        )
+    )
+
+
+_K_ANON_SQL = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*)::BIGINT AS n_rows
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tot FROM customer)
+SELECT c_nationkey, c_mktsegment, n_rows,
+       ROUND(n_rows / tot, 6) AS suppressed_share
+FROM g, t WHERE n_rows < 8
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
@@ -6201,6 +6285,8 @@ QUERIES: dict[str, QueryFn] = {
     "revenue_changepoints": revenue_changepoints,
     "weighted_median_price": weighted_median_price,
     "daily_value_anomalies": daily_value_anomalies,
+    "user_heartbeat_gaps": user_heartbeat_gaps,
+    "k_anonymity_audit": k_anonymity_audit,
     "bpe_pair_counts": bpe_pair_counts,
     "sliding_distinct_users": sliding_distinct_users,
     "event_transition_probs": event_transition_probs,
@@ -6357,6 +6443,8 @@ ORACLES: dict[str, str] = {
     "revenue_changepoints": _CUSUM_SQL,
     "weighted_median_price": _WEIGHTED_MEDIAN_SQL,
     "daily_value_anomalies": _ANOMALY_SQL,
+    "user_heartbeat_gaps": _HEARTBEAT_SQL,
+    "k_anonymity_audit": _K_ANON_SQL,
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "event_transition_probs": _TRANSITION_SQL,
