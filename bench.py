@@ -135,6 +135,8 @@ EXTENDED_QUERIES = [
     "daily_value_anomalies",
     "user_heartbeat_gaps",
     "k_anonymity_audit",
+    "cohort_ltv_curves",
+    "user_stickiness",
 ]
 
 

@@ -6255,6 +6255,136 @@ FROM g, t WHERE n_rows < 8
 """
 
 
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves (extension: growth analytics —
+    the value complement of `weekly_retention_cohorts`): per
+    first-seen-week cohort and weeks-since-acquisition age, the
+    per-cohort cumulative value and cumulative value per acquired
+    user. Decimal-exact sums; the cumulative window runs over the
+    tiny (cohort × age) aggregate, never the fact."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7
+        ).cast("bigint").alias("week"),
+        _dec("value").alias("v"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    cells = (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("age_weeks"),
+        )
+        .agg(F.sum("v").cast("decimal(18,2)").alias("__wv__"))
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy(F.col("age_weeks").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn(
+            "cum_value", F.sum("__wv__").over(wcum).cast("double")
+        )
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "cohort_users",
+            F.round("cum_value", 2).alias("cum_value"),
+            F.round(
+                F.col("cum_value") / F.col("cohort_users").cast("double"), 4
+            ).alias("ltv_per_user"),
+        )
+    )
+
+
+_LTV_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(FLOOR((CAST(ts AS DATE) - DATE '2024-01-01') / 7.0) AS BIGINT)
+           AS week,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+),
+first_ AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*)::BIGINT AS cohort_users
+  FROM first_ GROUP BY cohort_week
+),
+cells AS (
+  SELECT f.cohort_week, e.week - f.cohort_week AS age_weeks,
+         CAST(SUM(e.v) AS DECIMAL(18,2)) AS wv
+  FROM ev e JOIN first_ f ON e.user_id = f.user_id
+  GROUP BY f.cohort_week, e.week - f.cohort_week
+),
+walked AS (
+  SELECT cohort_week, age_weeks,
+         CAST(SUM(wv) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS cum_value
+  FROM cells
+)
+SELECT w.cohort_week, w.age_weeks, s.cohort_users,
+       ROUND(w.cum_value, 2) AS cum_value,
+       ROUND(w.cum_value / s.cohort_users, 4) AS ltv_per_user
+FROM walked w JOIN sizes s ON s.cohort_week = w.cohort_week
+"""
+
+
+def user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day (extension: composed from two
+    :func:`~tmdb_index_spark.operators.temporal.sliding_window_distinct`
+    passes — daily actives over 30-day actives). The distinct
+    (user, day) collapse is shared work; ratios round to 4."""
+    from tmdb_index_spark.operators.temporal import sliding_window_distinct
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    dau = sliding_window_distinct(
+        ev, ts_col="ts", key_col="user_id", window_days=1
+    ).select(F.col("day"), F.col("n_active").alias("dau"))
+    mau = sliding_window_distinct(
+        ev, ts_col="ts", key_col="user_id", window_days=30
+    ).select(F.col("day"), F.col("n_active").alias("mau"))
+    return (
+        dau.join(mau, "day")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau").cast("double"), 4).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+_STICKINESS_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM pairs),
+dau AS (
+  SELECT d.day, COUNT(DISTINCT p.user_id)::BIGINT AS dau
+  FROM days d JOIN pairs p ON p.day = d.day GROUP BY d.day
+),
+mau AS (
+  SELECT d.day, COUNT(DISTINCT p.user_id)::BIGINT AS mau
+  FROM days d JOIN pairs p ON p.day BETWEEN d.day - 29 AND d.day
+  GROUP BY d.day
+)
+SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, mau.mau,
+       ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 4) AS stickiness
+FROM dau JOIN mau ON mau.day = dau.day
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
@@ -6287,6 +6417,8 @@ QUERIES: dict[str, QueryFn] = {
     "daily_value_anomalies": daily_value_anomalies,
     "user_heartbeat_gaps": user_heartbeat_gaps,
     "k_anonymity_audit": k_anonymity_audit,
+    "cohort_ltv_curves": cohort_ltv_curves,
+    "user_stickiness": user_stickiness,
     "bpe_pair_counts": bpe_pair_counts,
     "sliding_distinct_users": sliding_distinct_users,
     "event_transition_probs": event_transition_probs,
@@ -6445,6 +6577,8 @@ ORACLES: dict[str, str] = {
     "daily_value_anomalies": _ANOMALY_SQL,
     "user_heartbeat_gaps": _HEARTBEAT_SQL,
     "k_anonymity_audit": _K_ANON_SQL,
+    "cohort_ltv_curves": _LTV_SQL,
+    "user_stickiness": _STICKINESS_SQL,
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "event_transition_probs": _TRANSITION_SQL,
