@@ -137,6 +137,8 @@ EXTENDED_QUERIES = [
     "k_anonymity_audit",
     "cohort_ltv_curves",
     "user_stickiness",
+    "nation_spend_gini",
+    "user_behavior_entropy",
 ]
 
 

@@ -6385,6 +6385,123 @@ FROM dau JOIN mau ON mau.day = dau.day
 """
 
 
+def nation_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini inequality coefficient of customer spend per nation
+    (extension: concentration metrics): from the sorted-rank identity
+    G = Σ(2i − n − 1)·x_i / (n·Σx). The ordered window runs over
+    PER-CUSTOMER aggregates (dimension-bounded, never the fact table
+    — the few-huge-groups window hazard documented for
+    weighted_percentile does not arise on dim-sized groups); sums are
+    decimal-exact, the final ratio double. Ties in spend get
+    arbitrary ranks but the SUM over a tie block is order-invariant,
+    so the coefficient is engine-exact."""
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum(_dec("o_totalprice")).cast("decimal(18,2)").alias("x"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("x").asc(), F.col("c_custkey").asc()
+    )
+    ranked = spend.select(
+        "c_nationkey",
+        "x",
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("x").cast("double").alias("__sx__"),
+        F.sum(
+            (2 * F.col("i") - 1).cast("decimal(18,0)") * F.col("x")
+        ).cast("double").alias("__sw__"),
+    )
+    n = F.col("n_customers").cast("double")
+    gini = (F.col("__sw__") - (n + 1) * F.col("__sx__")) / (
+        n * F.col("__sx__")
+    )
+    return agg.select(
+        "c_nationkey",
+        "n_customers",
+        F.round(F.col("__sx__"), 2).alias("total_spend"),
+        F.round(gini, 4).alias("gini"),
+    )
+
+
+_GINI_SQL = """
+WITH spend AS (
+  SELECT c.c_nationkey, c.c_custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, c.c_custkey
+),
+ranked AS (
+  SELECT c_nationkey, x,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY x ASC, c_custkey ASC) AS i
+  FROM spend
+),
+agg AS (
+  SELECT c_nationkey,
+         COUNT(*)::BIGINT AS n_customers,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(2 * i - 1 AS DECIMAL(18,0)) * x) AS DOUBLE) AS sw
+  FROM ranked GROUP BY c_nationkey
+)
+SELECT c_nationkey, n_customers,
+       ROUND(sx, 2) AS total_spend,
+       ROUND((sw - (n_customers + 1) * sx) / (n_customers * sx), 4) AS gini
+FROM agg
+"""
+
+
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix (extension:
+    information metrics): H = −Σ p·log2 p over the user's type
+    distribution — 0 bits = single-behavior users, log2(|types|) =
+    perfectly mixed. Two partial-aggregated groupBys (user×type, then
+    user); probabilities from integer counts so H is
+    engine-reproducible."""
+    counts = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    wall = Window.partitionBy("user_id")
+    p_ = F.col("__c__") / F.sum("__c__").over(wall)
+    return (
+        counts.select(
+            "user_id",
+            F.sum("__c__").over(wall).cast("bigint").alias("n_events"),
+            (-p_ * F.log2(p_)).alias("__h__"),
+        )
+        .groupBy("user_id", "n_events")
+        .agg(F.round(F.sum("__h__"), 4).alias("entropy_bits"))
+        .select("user_id", "n_events", "entropy_bits")
+    )
+
+
+_ENTROPY_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+tot AS (
+  SELECT user_id, SUM(c) AS n FROM counts GROUP BY user_id
+)
+SELECT c.user_id,
+       CAST(t.n AS BIGINT) AS n_events,
+       ROUND(SUM(-(c.c / CAST(t.n AS DOUBLE))
+                 * log2(c.c / CAST(t.n AS DOUBLE))), 4) AS entropy_bits
+FROM counts c JOIN tot t ON t.user_id = c.user_id
+GROUP BY c.user_id, t.n
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
@@ -6419,6 +6536,8 @@ QUERIES: dict[str, QueryFn] = {
     "k_anonymity_audit": k_anonymity_audit,
     "cohort_ltv_curves": cohort_ltv_curves,
     "user_stickiness": user_stickiness,
+    "nation_spend_gini": nation_spend_gini,
+    "user_behavior_entropy": user_behavior_entropy,
     "bpe_pair_counts": bpe_pair_counts,
     "sliding_distinct_users": sliding_distinct_users,
     "event_transition_probs": event_transition_probs,
@@ -6579,6 +6698,8 @@ ORACLES: dict[str, str] = {
     "k_anonymity_audit": _K_ANON_SQL,
     "cohort_ltv_curves": _LTV_SQL,
     "user_stickiness": _STICKINESS_SQL,
+    "nation_spend_gini": _GINI_SQL,
+    "user_behavior_entropy": _ENTROPY_SQL,
     "bpe_pair_counts": _BPE_PAIRS_SQL,
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "event_transition_probs": _TRANSITION_SQL,
