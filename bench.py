@@ -139,6 +139,9 @@ EXTENDED_QUERIES = [
     "user_stickiness",
     "nation_spend_gini",
     "user_behavior_entropy",
+    "variant_conversion_ztest",
+    "metric_correlation_matrix",
+    "bloom_prefilter_revenue",
 ]
 
 

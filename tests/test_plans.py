@@ -443,3 +443,32 @@ def test_prorate_explode_is_bounded_and_day_agg_partial(spark):
     assert p.count("Generate") == 1
     assert "partial_" in p
     assert "CartesianProduct" not in p
+
+
+def test_corr_matrix_one_scan_one_row_exchange(spark):
+    # Every sufficient statistic (n, 4 sums, 10 cross-products) comes
+    # from ONE lineitem scan as a partial aggregate; the only exchange
+    # moves a single row; the 6-pair unpivot is a driver-free Generate.
+    p = _plan(spark, "metric_correlation_matrix")
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange") == 1
+    assert "partial_" in p
+
+
+def test_ztest_two_partial_aggs_no_join(spark):
+    # events → per-user conditional counts → single-row rollup: two
+    # aggregates, no join anywhere, everything partial-aggregated.
+    p = _plan(spark, "variant_conversion_ztest")
+    assert "Join" not in p
+    assert "partial_" in p
+
+
+def test_bloom_prefilter_broadcast_residual_only(spark):
+    # The fact side must see only the broadcast residual join (exact
+    # flags) — never a SortMergeJoin — and the bloom test itself adds
+    # no exchange: one fact scan, one dim scan (+ its reuse for the
+    # bitmap build), single-row final agg.
+    p = _plan(spark, "bloom_prefilter_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("Scan parquet [l_partkey") == 1

@@ -6502,7 +6502,338 @@ GROUP BY c.user_id, t.n
 """
 
 
+def variant_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic A/B split (extension:
+    experimentation / hypothesis testing). Variant = ``user_id % 2``
+    (the hash-bucket assignment every experimentation platform uses,
+    kept modulo-simple so the DuckDB oracle reproduces it); conversion
+    = the user logged more ``purchase`` than ``error`` events — a
+    per-user Bernoulli built purely from INTEGER counts, so p-hats and
+    the pooled z statistic are engine-exact (no float aggregation
+    anywhere before the final closed-form arithmetic). Plan: one
+    events scan → per-user conditional-count aggregate (partial
+    map-side combine) → single-row conditional rollup; nothing
+    shuffles more than |users| rows and the z arithmetic is
+    driver-free column math on one row."""
+    per_user = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("__np__"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("__ne__"),
+        )
+        .select(
+            F.pmod(F.col("user_id"), F.lit(2)).alias("__grp__"),
+            (F.col("__np__") > F.col("__ne__"))
+            .cast("int")
+            .alias("__conv__"),
+        )
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("__grp__") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_control"),
+        F.sum(F.when(F.col("__grp__") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_treatment"),
+        F.sum(F.when(F.col("__grp__") == 0, F.col("__conv__")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_control"),
+        F.sum(F.when(F.col("__grp__") == 1, F.col("__conv__")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_treatment"),
+    )
+    n0 = F.col("n_control").cast("double")
+    n1 = F.col("n_treatment").cast("double")
+    p0 = F.col("conv_control").cast("double") / n0
+    p1 = F.col("conv_treatment").cast("double") / n1
+    pp = (F.col("conv_control") + F.col("conv_treatment")).cast(
+        "double"
+    ) / (F.col("n_control") + F.col("n_treatment")).cast("double")
+    z = (p1 - p0) / F.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1))
+    return agg.select(
+        "n_control",
+        "n_treatment",
+        "conv_control",
+        "conv_treatment",
+        F.round(p0, 4).alias("rate_control"),
+        F.round(p1, 4).alias("rate_treatment"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > 1.959964).alias("significant_95"),
+    )
+
+
+_ZTEST_SQL = """
+WITH per_user AS (
+  SELECT user_id % 2 AS grp,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 > SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_control,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_treatment,
+         CAST(SUM(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_control,
+         CAST(SUM(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_treatment
+  FROM per_user
+)
+SELECT n_control, n_treatment, conv_control, conv_treatment,
+       ROUND(CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE), 4)
+         AS rate_control,
+       ROUND(CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE), 4)
+         AS rate_treatment,
+       ROUND((CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE)
+              - CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE))
+             / sqrt((CAST(conv_control + conv_treatment AS DOUBLE)
+                     / CAST(n_control + n_treatment AS DOUBLE))
+                    * (1 - CAST(conv_control + conv_treatment AS DOUBLE)
+                           / CAST(n_control + n_treatment AS DOUBLE))
+                    * (1 / CAST(n_control AS DOUBLE)
+                       + 1 / CAST(n_treatment AS DOUBLE))), 4) AS z_score,
+       abs((CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE)
+            - CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE))
+           / sqrt((CAST(conv_control + conv_treatment AS DOUBLE)
+                   / CAST(n_control + n_treatment AS DOUBLE))
+                  * (1 - CAST(conv_control + conv_treatment AS DOUBLE)
+                         / CAST(n_control + n_treatment AS DOUBLE))
+                  * (1 / CAST(n_control AS DOUBLE)
+                     + 1 / CAST(n_treatment AS DOUBLE)))) > 1.959964
+         AS significant_95
+FROM agg
+"""
+
+
+_CORR_METRICS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def metric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the four lineitem measures
+    (extension: multivariate statistics): ONE scan computes every
+    sufficient statistic — n, Σx per metric, Σx·y per unordered pair —
+    as a single-row partial aggregate (map-side combine; the only
+    exchange moves one row), then the 6 correlations come from the
+    closed form n·Σxy − Σx·Σy over √((n·Σxx − Σx²)(n·Σyy − Σy²)) and
+    unpivot via ``stack``. All sums are DECIMAL-exact (measures have
+    ≤2 decimals, so products are exact in DECIMAL(37,4)); both engines
+    then apply the identical double-precision closed form, making the
+    rounded output bit-reproducible. At 100 TB this is the
+    textbook one-pass pattern: no per-pair rescans, no shuffle wider
+    than one row."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for c in _CORR_METRICS:
+        aggs.append(F.sum(_dec(c)).alias(f"s_{c}"))
+    for i, a in enumerate(_CORR_METRICS):
+        for b in _CORR_METRICS[i:]:
+            aggs.append(F.sum(_dec(a) * _dec(b)).alias(f"sp_{a}_{b}"))
+    stats = li.agg(*aggs)
+
+    n = F.col("n").cast("double")
+
+    def _corr(a: str, b: str) -> F.Column:
+        num = n * F.col(f"sp_{a}_{b}").cast("double") - F.col(
+            f"s_{a}"
+        ).cast("double") * F.col(f"s_{b}").cast("double")
+        da = n * F.col(f"sp_{a}_{a}").cast("double") - F.col(
+            f"s_{a}"
+        ).cast("double") * F.col(f"s_{a}").cast("double")
+        db = n * F.col(f"sp_{b}_{b}").cast("double") - F.col(
+            f"s_{b}"
+        ).cast("double") * F.col(f"s_{b}").cast("double")
+        return F.round(num / F.sqrt(da * db), 4)
+
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_METRICS)
+        for b in _CORR_METRICS[i + 1 :]
+    ]
+    stack_args: list[F.Column] = []
+    for a, b in pairs:
+        stack_args.extend(
+            [
+                F.lit(a.replace("l_", "")),
+                F.lit(b.replace("l_", "")),
+                _corr(a, b),
+            ]
+        )
+    return stats.select(
+        F.stack(
+            F.lit(len(pairs)), *stack_args
+        ).alias("metric_a", "metric_b", "corr")
+    )
+
+
+def _corr_sql() -> str:
+    sums = ",\n         ".join(
+        [f"SUM(CAST({c} AS DECIMAL(18,2))) AS s_{c}" for c in _CORR_METRICS]
+        + [
+            f"SUM(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2)))"
+            f" AS sp_{a}_{b}"
+            for i, a in enumerate(_CORR_METRICS)
+            for b in _CORR_METRICS[i:]
+        ]
+    )
+    rows = []
+    for i, a in enumerate(_CORR_METRICS):
+        for b in _CORR_METRICS[i + 1 :]:
+            nd = "CAST(n AS DOUBLE)"
+            num = (
+                f"{nd} * CAST(sp_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE)"
+            )
+            da = (
+                f"{nd} * CAST(sp_{a}_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE)"
+            )
+            db = (
+                f"{nd} * CAST(sp_{b}_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)"
+            )
+            rows.append(
+                f"SELECT '{a[2:]}' AS metric_a, '{b[2:]}' AS metric_b,\n"
+                f"       ROUND(({num}) / sqrt(({da}) * ({db})), 4) AS corr\n"
+                f"FROM stats"
+            )
+    return (
+        "WITH stats AS (\n"
+        "  SELECT CAST(COUNT(*) AS BIGINT) AS n,\n"
+        f"         {sums}\n"
+        "  FROM lineitem\n"
+        ")\n" + "\nUNION ALL\n".join(rows)
+    )
+
+
+_CORR_MATRIX_SQL = _corr_sql()
+
+
+def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction
+    (:mod:`tmdb_index_spark.operators.bloom`; extension: scale
+    infrastructure): revenue from lineitems of one part brand, where
+    the fact scan first tests a CONSTANT-SIZE bitmap built from the
+    dim keys (m = 2^ceil(log2(16·n)) bits, k = 3 portable md5 hashes)
+    instead of joining — the pattern that at 100 TB discards ~all
+    non-matching fact rows map-side before any shuffle. The query
+    reports the bloom pass count, the exact match count (residual
+    broadcast join — bloom guarantees no false negatives), the false
+    positive count/rate, and the exact matched revenue; the DuckDB
+    oracle reproduces the bitmap semantics as set membership over the
+    same md5 positions, so the probabilistic structure itself is
+    value-checked, not just the final revenue."""
+    from tmdb_index_spark.operators.bloom import (
+        auto_m_bits,
+        build_bloom,
+        with_bloom_flag,
+    )
+
+    dim = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select("p_partkey")
+        .distinct()
+    )
+    n_keys = dim.count()  # dim-side scalar (bitmap sizing), never fact-side
+    m_bits = auto_m_bits(n_keys, bits_per_key=16)
+    bitmap = build_bloom(dim, "p_partkey", m_bits, k_hashes=3)
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    joined = li.join(
+        F.broadcast(dim.withColumn("__hit__", F.lit(1))),
+        li.l_partkey == dim.p_partkey,
+        "left",
+    )
+    flagged = with_bloom_flag(
+        joined, "l_partkey", bitmap, m_bits, k_hashes=3
+    )
+    exact = F.col("__hit__").isNotNull()
+    return flagged.agg(
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_pass"),
+        F.sum(F.when(exact, 1).otherwise(0)).cast("bigint").alias("n_exact"),
+        F.sum(F.when(F.col("bloom_pass") & ~exact, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.round(
+            F.sum(F.when(F.col("bloom_pass") & ~exact, 1).otherwise(0))
+            .cast("double")
+            / F.nullif(
+                F.sum(F.when(~exact, 1).otherwise(0)).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("fp_rate"),
+        F.round(
+            F.sum(F.when(exact, _dec("l_extendedprice"))).cast("double"), 2
+        ).alias("matched_revenue"),
+    )
+
+
+_BLOOM_SQL = """
+WITH dimkeys AS (
+  SELECT DISTINCT p_partkey FROM part WHERE p_brand = 'Brand#11'
+),
+m AS (
+  SELECT CAST(POWER(2, GREATEST(4, CEIL(LOG2(16 * COUNT(*))))) AS BIGINT)
+           AS m
+  FROM dimkeys
+),
+pos AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || s.suffix), 1, 15))
+           ::BIGINT % m.m AS p
+  FROM dimkeys, m, (VALUES (''), ('#1'), ('#2')) AS s(suffix)
+),
+fact AS (
+  SELECT l_partkey, l_extendedprice,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+           ::BIGINT % (SELECT m FROM m) AS p0,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || '#1'), 1, 15))
+           ::BIGINT % (SELECT m FROM m) AS p1,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || '#2'), 1, 15))
+           ::BIGINT % (SELECT m FROM m) AS p2
+  FROM lineitem
+),
+flags AS (
+  SELECT l_partkey, l_extendedprice,
+         (p0 IN (SELECT p FROM pos)
+          AND p1 IN (SELECT p FROM pos)
+          AND p2 IN (SELECT p FROM pos)) AS bloom_pass,
+         l_partkey IN (SELECT p_partkey FROM dimkeys) AS exact_match
+  FROM fact
+)
+SELECT CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pass,
+       CAST(SUM(CASE WHEN exact_match THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT exact_match THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       ROUND(CAST(SUM(CASE WHEN bloom_pass AND NOT exact_match
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(CAST(SUM(CASE WHEN NOT exact_match THEN 1 ELSE 0 END)
+                           AS DOUBLE), 0), 6) AS fp_rate,
+       ROUND(CAST(SUM(CASE WHEN exact_match
+                           THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      END) AS DOUBLE), 2) AS matched_revenue
+FROM flags
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "variant_conversion_ztest": variant_conversion_ztest,
+    "metric_correlation_matrix": metric_correlation_matrix,
+    "bloom_prefilter_revenue": bloom_prefilter_revenue,
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
     "price_size_frontier": price_size_frontier,
@@ -6665,6 +6996,9 @@ QUERIES: dict[str, QueryFn] = {
 QUERIES = {name: _self_configuring(fn) for name, fn in QUERIES.items()}
 
 ORACLES: dict[str, str] = {
+    "variant_conversion_ztest": _ZTEST_SQL,
+    "metric_correlation_matrix": _CORR_MATRIX_SQL,
+    "bloom_prefilter_revenue": _BLOOM_SQL,
     "flagship_scan_filter": _FLAGSHIP_SQL,
     "dedup_segments_rebuild": _SEG_DEDUP_SQL,
     "price_size_frontier": _FRONTIER_SQL,
