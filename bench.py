@@ -142,6 +142,8 @@ EXTENDED_QUERIES = [
     "variant_conversion_ztest",
     "metric_correlation_matrix",
     "bloom_prefilter_revenue",
+    "bigram_perplexity",
+    "ewma_daily_value",
 ]
 
 

@@ -549,3 +549,47 @@ def test_pmi_validation_and_short_docs(spark):
         token_pmi(df, min_count=0)
     with pytest.raises(ValueError):
         token_pmi(df, top_k=0)
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_logprob_known_values(spark):
+    from tmdb_index_spark.operators.llm_prep import bigram_logprob
+
+    # corpus bigrams: (a,b) x1, (a,c) x1  →  P(b|a) = P(c|a) = 1/2
+    df = _df(spark, [(1, "a b"), (2, "a c")])
+    got = rows(bigram_logprob(df), order_by="doc_id")
+    assert got == [
+        {"doc_id": 1, "n_bigrams": 1, "mean_neg_log2p": 1.0},
+        {"doc_id": 2, "n_bigrams": 1, "mean_neg_log2p": 1.0},
+    ]
+
+
+def test_bigram_logprob_deterministic_transitions_score_zero(spark):
+    from tmdb_index_spark.operators.llm_prep import bigram_logprob
+
+    # every first token has exactly one successor → all P = 1 → 0 bits
+    df = _df(spark, [(1, "a b c"), (2, "a b")])
+    got = rows(bigram_logprob(df), order_by="doc_id")
+    assert [r["mean_neg_log2p"] for r in got] == [0.0, 0.0]
+
+
+def test_bigram_logprob_short_and_blank_docs_dropped(spark):
+    from tmdb_index_spark.operators.llm_prep import bigram_logprob
+
+    df = _df(spark, [(1, "solo"), (2, ""), (3, None), (4, "a b")])
+    got = rows(bigram_logprob(df), order_by="doc_id")
+    assert [r["doc_id"] for r in got] == [4]
+
+
+def test_bigram_templates_below_free_text(spark):
+    from tmdb_index_spark.operators.llm_prep import bigram_logprob
+
+    template = [(i, "name : value end") for i in range(1, 6)]
+    free = [(10, "name end value :"), (11, ": value name end")]
+    df = _df(spark, template + free)
+    got = {r["doc_id"]: r["mean_neg_log2p"] for r in rows(bigram_logprob(df))}
+    assert max(got[i] for i in range(1, 6)) < min(got[10], got[11])

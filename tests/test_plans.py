@@ -472,3 +472,23 @@ def test_bloom_prefilter_broadcast_residual_only(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert p.count("Scan parquet [l_partkey") == 1
+
+
+def test_ewma_bounded_generate_no_range_join(spark):
+    # The EWMA recursion is rewritten as a bounded explode (≤14-way, on
+    # the |days|-sized aggregate) + equi-join: one Generate, hash join
+    # only — never a BroadcastNestedLoop/cartesian range join.
+    p = _plan(spark, "ewma_daily_value")
+    assert p.count("Generate") == 1
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "partial_" in p
+
+
+def test_bigram_perplexity_vocab_joins_partial_aggs(spark):
+    # Bigram counts and first-token totals are vocabulary-sized hash
+    # joins; everything partial-aggregated; no cartesian anywhere.
+    p = _plan(spark, "bigram_perplexity")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_" in p

@@ -332,6 +332,74 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int = 4,
+) -> DataFrame:
+    """Conditional bigram cross-entropy per document — the next step up
+    from :func:`unigram_logprob`'s bag-of-words scoring: mean
+    −log2 P(wᵢ | wᵢ₋₁) with P(b|a) = c(a,b) / c(a,·) estimated from the
+    corpus's own adjacent-bigram counts (MLE is total: scoring the
+    corpus against itself means every scored bigram was counted, so no
+    smoothing is needed and the statistic is exact from integer
+    counts). Low values = formulaic word-to-word transitions
+    (boilerplate, templates); high = unpredictable text.
+
+    Plan shape at 100 TB: ONE bigram Generate (``zip_with`` of the
+    token array with its tail — the explode-sibling-safe, linear form;
+    see :func:`token_pmi`'s measured note on why not
+    element_at-in-lambda), a bigram-vocabulary groupBy (Zipf head
+    absorbed by partial aggregation), the first-token totals
+    re-aggregated from the ALREADY-AGGREGATED bigram counts (never a
+    second corpus pass), and two vocabulary-keyed hash joins back to
+    the exploded bigrams. Nothing after the token scan is wider than
+    the corpus bigram stream.
+
+    Returns ``(id_col, n_bigrams, mean_neg_log2p)``; documents with
+    fewer than two tokens have no bigrams and are dropped.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    t = F.filter(tokens(txt), lambda x: x != F.lit(""))
+    n1 = F.greatest(F.size(t) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(t, 1, n1),
+        F.slice(t, 2, n1),
+        lambda a, b: F.struct(a.alias("ta"), b.alias("tb")),
+    )
+    bg = (
+        widen_small_scan(df)
+        .select(id_col, F.explode(bigrams).alias("__bg__"))
+        .select(
+            id_col,
+            F.col("__bg__.ta").alias("__ta__"),
+            F.col("__bg__.tb").alias("__tb__"),
+        )
+    )
+    pc = bg.groupBy("__ta__", "__tb__").agg(
+        F.count(F.lit(1)).cast("long").alias("__cab__")
+    )
+    fc = pc.groupBy("__ta__").agg(F.sum("__cab__").alias("__ca__"))
+    scored = (
+        bg.join(pc, ["__ta__", "__tb__"])
+        .join(fc, "__ta__")
+        .select(
+            id_col,
+            (
+                -F.log2(
+                    F.col("__cab__").cast("double")
+                    / F.col("__ca__").cast("double")
+                )
+            ).alias("__nlp__"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("__nlp__"), decimals).alias("mean_neg_log2p"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,

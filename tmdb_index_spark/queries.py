@@ -6830,10 +6830,113 @@ FROM flags
 """
 
 
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram cross-entropy per document (extension:
+    language-model quality scoring —
+    :func:`~tmdb_index_spark.operators.llm_prep.bigram_logprob`): mean
+    −log2 P(wᵢ|wᵢ₋₁) from the corpus's own adjacent-bigram counts.
+    Complements `unigram_surprisal` (bag-of-words) with transition
+    predictability: templates score near 0 bits. One zip_with bigram
+    Generate + vocabulary-keyed aggregations/joins only."""
+    from tmdb_index_spark.operators.llm_prep import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+_BIGRAM_PPL_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+           x -> x <> ''
+         ) AS ts
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ts[i] AS ta, ts[i + 1] AS tb
+  FROM t, UNNEST(range(1, len(ts))) AS u(i)
+  WHERE len(ts) >= 2
+),
+pc AS (SELECT ta, tb, COUNT(*)::BIGINT AS cab FROM bg GROUP BY ta, tb),
+fc AS (SELECT ta, SUM(cab) AS ca FROM pc GROUP BY ta)
+SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       ROUND(AVG(-log2(CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE))), 4)
+         AS mean_neg_log2p
+FROM bg JOIN pc USING (ta, tb) JOIN fc USING (ta)
+GROUP BY doc_id
+"""
+
+
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average of daily event
+    value (extension: exponential smoothing / short-horizon forecast):
+    ewma_d = Σₖ₌₀¹³ 0.7ᵏ·x_{d−k} / Σ 0.7ᵏ over the trailing 14 days
+    that EXIST (the weight mass renormalizes over observed days, so
+    series starts and gaps are handled without imputation). The
+    recursion is rewritten as a BOUNDED fan-out: each day explodes
+    into the ≤14 future days it contributes to (one Generate on the
+    |days|-sized aggregate, never the events table), then an equi-join
+    groupBy — no non-equi range join, no window with
+    position-dependent weights, nothing proportional to |events| after
+    the daily rollup. Weights 0.7ᵏ for integer k are identical doubles
+    in any engine; daily sums are decimal-exact first."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum(_dec("value")).cast("double").alias("day_value"))
+    )
+    contrib = daily.select(
+        F.col("day").alias("__src__"),
+        F.col("day_value").alias("__v__"),
+        F.explode(F.sequence(F.lit(0), F.lit(13))).alias("__k__"),
+    ).select(
+        F.timestamp_add("DAY", F.col("__k__"), F.col("__src__")).alias(
+            "day"
+        ),
+        F.col("__v__"),
+        F.pow(F.lit(0.7), F.col("__k__")).alias("__w__"),
+    )
+    sm = contrib.groupBy("day").agg(
+        F.sum(F.col("__v__") * F.col("__w__")).alias("__num__"),
+        F.sum("__w__").alias("__den__"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    )
+    return daily.join(sm, "day").select(
+        "day",
+        F.round(F.col("day_value"), 2).alias("actual"),
+        F.round(F.col("__num__") / F.col("__den__"), 4).alias("ewma_14d"),
+        "n_terms",
+    )
+
+
+_EWMA_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1
+),
+contrib AS (
+  SELECT d.day + u.k * INTERVAL 1 DAY AS day, d.day_value,
+         POWER(0.7, u.k) AS w
+  FROM daily d, UNNEST(range(0, 14)) AS u(k)
+),
+sm AS (
+  SELECT day, SUM(day_value * w) AS num, SUM(w) AS den,
+         COUNT(*)::BIGINT AS n_terms
+  FROM contrib GROUP BY day
+)
+SELECT d.day, ROUND(d.day_value, 2) AS actual,
+       ROUND(s.num / s.den, 4) AS ewma_14d, s.n_terms
+FROM daily d JOIN sm s ON s.day = d.day
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "variant_conversion_ztest": variant_conversion_ztest,
     "metric_correlation_matrix": metric_correlation_matrix,
     "bloom_prefilter_revenue": bloom_prefilter_revenue,
+    "bigram_perplexity": bigram_perplexity,
+    "ewma_daily_value": ewma_daily_value,
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
     "price_size_frontier": price_size_frontier,
@@ -6999,6 +7102,8 @@ ORACLES: dict[str, str] = {
     "variant_conversion_ztest": _ZTEST_SQL,
     "metric_correlation_matrix": _CORR_MATRIX_SQL,
     "bloom_prefilter_revenue": _BLOOM_SQL,
+    "bigram_perplexity": _BIGRAM_PPL_SQL,
+    "ewma_daily_value": _EWMA_SQL,
     "flagship_scan_filter": _FLAGSHIP_SQL,
     "dedup_segments_rebuild": _SEG_DEDUP_SQL,
     "price_size_frontier": _FRONTIER_SQL,
