@@ -144,6 +144,8 @@ EXTENDED_QUERIES = [
     "bloom_prefilter_revenue",
     "bigram_perplexity",
     "ewma_daily_value",
+    "clamped_running_balance",
+    "click_purchase_leadlag",
 ]
 
 

@@ -492,3 +492,22 @@ def test_bigram_perplexity_vocab_joins_partial_aggs(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial_" in p
+
+
+def test_clamped_balance_single_user_exchange(spark):
+    # The Lindley-recursion rewrite stacks three windows (cumsum,
+    # prefix-min, last-row pick) on ONE user_id hash partitioning:
+    # exactly one Exchange in the whole plan, re-sorts are local.
+    p = _plan(spark, "clamped_running_balance")
+    assert p.count("Exchange") == 1
+    assert "applyInPandas" not in p and "FlatMapGroupsInPandas" not in p
+
+
+def test_leadlag_bounded_generate_equi_join(spark):
+    # Lag alignment is a bounded 15-way explode on the |days| rollup +
+    # an equi-join; never a nested-loop range join.
+    p = _plan(spark, "click_purchase_leadlag")
+    assert p.count("Generate") == 1
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "partial_" in p

@@ -312,3 +312,29 @@ def test_frontier_is_exactly_the_nondominated_set(spark, pts):
         )
     )
     assert got == want
+
+
+def test_clamped_balance_identity_matches_direct_recursion(spark):
+    """The reflection closed form b_n = S_n − min(0, min_k S_k) used by
+    clamped_running_balance must equal the literal sequential recursion
+    b_i = max(0, b_{i-1} + d_i) replayed row by row."""
+    import pandas as pd
+
+    from tmdb_index_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["clamped_running_balance"](spark, sf).collect()
+    }
+
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    credit = {"view", "click", "signup"}
+    for uid, g in ev.groupby("user_id"):
+        b = 0.0
+        for _, row in g.iterrows():
+            d = round(float(row["value"]), 2)
+            b = max(0.0, b + (d if row["event_type"] in credit else -d))
+        assert abs(got[uid]["final_balance"] - b) < 1e-6, uid
+        assert got[uid]["n_events"] == len(g)

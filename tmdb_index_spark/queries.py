@@ -6931,12 +6931,204 @@ FROM daily d JOIN sm s ON s.day = d.day
 """
 
 
+def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-overdraft running balance per user (extension: non-associative
+    scan made window-expressible): bᵢ = max(0, bᵢ₋₁ + dᵢ) looks like a
+    sequential per-key recursion — the class of operator that usually
+    forces applyInPandas — but the Lindley recursion has the exact
+    reflection closed form  bₙ = Sₙ − min(0, min_{k≤n} Sₖ)  over plain
+    prefix sums, so it compiles to TWO stacked windows in ONE
+    user-keyed sort (cumsum, then prefix-min of the cumsum): one
+    Exchange, no Python, no iteration. Deltas: view/click/signup
+    credit ``value``, purchase/error debit it; every sum is
+    DECIMAL-exact, so final/clamped amounts are engine-exact. Output
+    per user: final balance, net flow, and the cumulative amount
+    truncated by the zero floor (their difference)."""
+    ev = _events(spark, sf_dir)
+    delta = F.when(
+        F.col("event_type").isin("view", "click", "signup"),
+        _dec("value"),
+    ).otherwise(-_dec("value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(delta).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__s__"),
+    )
+    run = run.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "__s__",
+        F.least(
+            F.lit(0).cast("decimal(18,2)"),
+            F.min("__s__").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).alias("__low__"),
+    )
+    last = run.select(
+        "user_id",
+        "__s__",
+        "__low__",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        ).alias("__rn__"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias(
+            "__n__"
+        ),
+    ).filter(F.col("__rn__") == 1)
+    return last.select(
+        "user_id",
+        F.col("__n__").cast("bigint").alias("n_events"),
+        F.col("__s__").cast("double").alias("net_flow"),
+        (F.col("__s__") - F.col("__low__")).cast("double").alias(
+            "final_balance"
+        ),
+        (F.lit(0).cast("decimal(18,2)") - F.col("__low__"))
+        .cast("double")
+        .alias("clamped_amount"),
+    )
+
+
+_CLAMPED_BALANCE_SQL = """
+WITH run AS (
+  SELECT user_id, ts, event_id,
+         SUM(CASE WHEN event_type IN ('view', 'click', 'signup')
+                  THEN CAST(value AS DECIMAL(18,2))
+                  ELSE -CAST(value AS DECIMAL(18,2)) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM events
+),
+low AS (
+  SELECT user_id, ts, event_id, s,
+         LEAST(CAST(0 AS DECIMAL(38,2)),
+               MIN(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)) AS lw,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM run
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(s AS DOUBLE) AS net_flow,
+       CAST(CAST(s AS DECIMAL(28,2)) - CAST(lw AS DECIMAL(28,2)) AS DOUBLE)
+         AS final_balance,
+       CAST(CAST(0 AS DECIMAL(28,2)) - CAST(lw AS DECIMAL(28,2)) AS DOUBLE)
+         AS clamped_amount
+FROM low WHERE rn = 1
+"""
+
+
+def click_purchase_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between two daily series (extension:
+    temporal causality screening): Pearson r of (clicks on day d,
+    purchase value on day d+lag) for every lag in −7..+7 — the
+    does-engagement-precede-spend diagnostic; `revenue_autocorrelation`
+    is the self-series special case. The lag alignment is a BOUNDED
+    15-way explode on the |days|-sized rollup followed by an equi-join
+    (never a non-equi range join); per-lag correlations come from
+    sufficient statistics that are integer/DECIMAL-exact, so r is
+    engine-reproducible. Output: one row per lag with the overlap
+    length and r."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).cast("long").alias("clicks"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", _dec("value")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        ).alias("pval"),
+    )
+    x = daily.select(
+        F.col("day").alias("__xd__"),
+        F.col("clicks").alias("__x__"),
+        F.explode(F.sequence(F.lit(-7), F.lit(7))).alias("lag"),
+    ).select(
+        "lag",
+        "__x__",
+        F.timestamp_add("DAY", F.col("lag"), F.col("__xd__")).alias("day"),
+    )
+    pairs = x.join(
+        daily.select("day", F.col("pval").alias("__y__")), "day"
+    )
+    stats = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("__x__").cast("double").alias("__sx__"),
+        F.sum("__y__").cast("double").alias("__sy__"),
+        F.sum(F.col("__x__") * F.col("__x__")).cast("double").alias("__sxx__"),
+        F.sum(F.col("__y__") * F.col("__y__")).cast("double").alias("__syy__"),
+        F.sum(
+            F.col("__x__").cast("decimal(18,0)") * F.col("__y__")
+        ).cast("double").alias("__sxy__"),
+    )
+    n = F.col("n_days").cast("double")
+    num = n * F.col("__sxy__") - F.col("__sx__") * F.col("__sy__")
+    den = F.sqrt(
+        (n * F.col("__sxx__") - F.col("__sx__") * F.col("__sx__"))
+        * (n * F.col("__syy__") - F.col("__sy__") * F.col("__sy__"))
+    )
+    return stats.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_days",
+        F.round(num / den, 4).alias("xcorr"),
+    )
+
+
+_LEADLAG_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS clicks,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS pval
+  FROM events GROUP BY 1
+),
+x AS (
+  SELECT u.lag, d.clicks AS xv,
+         d.day + u.lag * INTERVAL 1 DAY AS day
+  FROM daily d, UNNEST(range(-7, 8)) AS u(lag)
+),
+pairs AS (
+  SELECT x.lag, x.xv, y.pval AS yv
+  FROM x JOIN daily y ON y.day = x.day
+),
+stats AS (
+  SELECT lag, COUNT(*)::BIGINT AS n_days,
+         CAST(SUM(xv) AS DOUBLE) AS sx,
+         CAST(SUM(yv) AS DOUBLE) AS sy,
+         CAST(SUM(xv * xv) AS DOUBLE) AS sxx,
+         CAST(SUM(yv * yv) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(xv AS DECIMAL(18,0)) * yv) AS DOUBLE) AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_days,
+       ROUND((CAST(n_days AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n_days AS DOUBLE) * syy - sy * sy)), 4)
+         AS xcorr
+FROM stats
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "variant_conversion_ztest": variant_conversion_ztest,
     "metric_correlation_matrix": metric_correlation_matrix,
     "bloom_prefilter_revenue": bloom_prefilter_revenue,
     "bigram_perplexity": bigram_perplexity,
     "ewma_daily_value": ewma_daily_value,
+    "clamped_running_balance": clamped_running_balance,
+    "click_purchase_leadlag": click_purchase_leadlag,
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
     "price_size_frontier": price_size_frontier,
@@ -7104,6 +7296,8 @@ ORACLES: dict[str, str] = {
     "bloom_prefilter_revenue": _BLOOM_SQL,
     "bigram_perplexity": _BIGRAM_PPL_SQL,
     "ewma_daily_value": _EWMA_SQL,
+    "clamped_running_balance": _CLAMPED_BALANCE_SQL,
+    "click_purchase_leadlag": _LEADLAG_SQL,
     "flagship_scan_filter": _FLAGSHIP_SQL,
     "dedup_segments_rebuild": _SEG_DEDUP_SQL,
     "price_size_frontier": _FRONTIER_SQL,
