@@ -146,6 +146,8 @@ EXTENDED_QUERIES = [
     "ewma_daily_value",
     "clamped_running_balance",
     "click_purchase_leadlag",
+    "fd_discovery_lineitem",
+    "dow_seasonality",
 ]
 
 

@@ -148,3 +148,45 @@ def test_dq_clean_table_reports_zero(spark):
         ).collect()
     }
     assert set(out.values()) == {0}
+
+
+# ---------------------------------------------------------------------------
+# fd_profile (functional-dependency discovery)
+# ---------------------------------------------------------------------------
+
+
+def test_fd_profile_holding_and_violated(spark):
+    from tmdb_index_spark.operators.checks import fd_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (1, "a", 11),  # x->y holds for x=1
+            (2, "b", 12),
+            (2, "c", 13),  # x->y violated for x=2 (2 rows)
+        ],
+        "x int, y string, z int",
+    )
+    got = {
+        r["candidate"]: r
+        for r in fd_profile(df, [("x", "y"), ("z", "y")]).collect()
+    }
+    xy = got["x->y"]
+    assert xy["n_groups"] == 2
+    assert xy["n_violating_groups"] == 1
+    assert xy["n_violating_rows"] == 2
+    assert xy["violation_rate"] == 0.5
+    # z is unique per row → z->y trivially holds
+    zy = got["z->y"]
+    assert zy["n_violating_groups"] == 0
+    assert zy["violation_rate"] == 0.0
+
+
+def test_fd_profile_requires_candidates(spark):
+    import pytest as _pytest
+
+    from tmdb_index_spark.operators.checks import fd_profile
+
+    df = spark.createDataFrame([(1, 2)], "x int, y int")
+    with _pytest.raises(ValueError):
+        fd_profile(df, [])

@@ -511,3 +511,20 @@ def test_leadlag_bounded_generate_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "partial_" in p
+
+
+def test_fd_discovery_partial_aggs_no_join(spark):
+    # Each candidate is two stacked partial-aggregated groupBys over a
+    # shared lineitem scan; the union adds no joins.
+    p = _plan(spark, "fd_discovery_lineitem")
+    assert "partial_" in p
+    assert "Join" not in p
+
+
+def test_dow_seasonality_single_row_broadcast(spark):
+    # The overall mean attaches as a 1-row broadcast; per-dow agg is
+    # partial; no sort-merge machinery on a 7-row frame.
+    p = _plan(spark, "dow_seasonality")
+    assert "partial_" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p

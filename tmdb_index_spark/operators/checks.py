@@ -92,3 +92,66 @@ def run_checks(checks: list[DataFrame]) -> DataFrame:
     if not checks:
         raise ValueError("run_checks needs at least one check")
     return reduce(DataFrame.unionByName, checks)
+
+
+def fd_profile(
+    df: DataFrame,
+    candidates: list[tuple[str, str]],
+) -> DataFrame:
+    """Functional-dependency DISCOVERY — the complement of the
+    declarative checks above: instead of asserting a known constraint,
+    measure how close each candidate ``lhs → rhs`` dependency is to
+    holding, the profiling signal schema-inference and data-contract
+    tools are built on (e.g. Papenbrock & Naumann's FD-discovery
+    framing, SIGMOD 2016 — here restricted to given candidates, which
+    is the scalable production form).
+
+    For each candidate: the number of distinct ``lhs`` groups, how
+    many of those groups see more than one ``rhs`` value (violating
+    groups), the violating ROW count, and the violation rate. An FD
+    that holds exactly has 0 violating groups; near-FDs (rate under a
+    few percent) are usually dirty data, not false rules.
+
+    Plan: one ``(lhs, rhs)`` pair-count aggregate per candidate (two
+    partial-aggregated groupBys — the pair collapse, then the group
+    rollup), unioned; each candidate's work is bounded by its distinct
+    pair count, never the row count, and candidates share the source
+    scan under common-subexpression reuse."""
+    if not candidates:
+        raise ValueError("fd_profile needs at least one (lhs, rhs) candidate")
+    outs = []
+    for lhs, rhs in candidates:
+        pairs = (
+            df.groupBy(lhs, rhs)
+            .agg(F.count(F.lit(1)).alias("__rows__"))
+            .groupBy(lhs)
+            .agg(
+                F.count(F.lit(1)).alias("__nrhs__"),
+                F.sum("__rows__").alias("__grows__"),
+            )
+        )
+        outs.append(
+            pairs.agg(
+                F.lit(f"{lhs}->{rhs}").alias("candidate"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum(F.when(F.col("__nrhs__") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating_groups"),
+                F.sum(
+                    F.when(F.col("__nrhs__") > 1, F.col("__grows__")).otherwise(
+                        0
+                    )
+                )
+                .cast("bigint")
+                .alias("n_violating_rows"),
+                F.round(
+                    F.sum(
+                        F.when(F.col("__nrhs__") > 1, F.col("__grows__"))
+                        .otherwise(0)
+                    ).cast("double")
+                    / F.sum("__grows__").cast("double"),
+                    6,
+                ).alias("violation_rate"),
+            )
+        )
+    return reduce(DataFrame.unionByName, outs)

@@ -7121,6 +7121,129 @@ FROM stats
 """
 
 
+_FD_CANDIDATES = [
+    ("l_orderkey", "l_returnflag"),
+    ("l_orderkey", "l_shipdate"),
+    ("l_partkey", "l_suppkey"),
+    ("l_suppkey", "l_partkey"),
+]
+
+
+def fd_discovery_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery
+    (:func:`~tmdb_index_spark.operators.checks.fd_profile`; extension:
+    data-contract profiling): measure how close each candidate
+    ``lhs → rhs`` dependency comes to holding on lineitem — distinct
+    groups, violating groups/rows, violation rate. The discovery
+    complement of `dq_summary`'s declarative checks: contracts you
+    MIGHT be able to assert, found from data. Two stacked
+    partial-aggregated groupBys per candidate; work bounded by
+    distinct pair counts, never row count."""
+    from tmdb_index_spark.operators.checks import fd_profile
+
+    return fd_profile(_t(spark, sf_dir, "lineitem"), _FD_CANDIDATES)
+
+
+def _fd_sql() -> str:
+    blocks = []
+    for lhs, rhs in _FD_CANDIDATES:
+        blocks.append(
+            f"""SELECT '{lhs}->{rhs}' AS candidate,
+       COUNT(*)::BIGINT AS n_groups,
+       CAST(SUM(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(SUM(CASE WHEN nrhs > 1 THEN grows ELSE 0 END) AS BIGINT)
+         AS n_violating_rows,
+       ROUND(CAST(SUM(CASE WHEN nrhs > 1 THEN grows ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(grows) AS DOUBLE), 6) AS violation_rate
+FROM (
+  SELECT {lhs}, COUNT(*) AS nrhs, SUM(rows_) AS grows
+  FROM (
+    SELECT {lhs}, {rhs}, COUNT(*) AS rows_
+    FROM lineitem GROUP BY {lhs}, {rhs}
+  ) GROUP BY {lhs}
+)"""
+        )
+    return "\nUNION ALL\n".join(blocks)
+
+
+_FD_SQL = _fd_sql()
+
+
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of daily event value
+    (extension: seasonality analysis): per-weekday mean daily value
+    and the seasonal index (weekday mean over overall mean — the
+    multiplicative seasonal factor of classical decomposition). The
+    weekday is derived as ``datediff(day, 1970-01-01) % 7`` (epoch day
+    zero was a Thursday) — pure integer arithmetic identical in any
+    engine, sidestepping the engines' incompatible dayofweek
+    numbering. Two tiny aggregates over the |days| rollup; the
+    overall mean broadcasts as one row."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum(_dec("value")).alias("__v__"))
+    )
+    labels = F.array(
+        *[F.lit(d) for d in ["Thu", "Fri", "Sat", "Sun", "Mon", "Tue", "Wed"]]
+    )
+    per_dow = daily.select(
+        F.pmod(
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")),
+            F.lit(7),
+        ).alias("dow_idx"),
+        "__v__",
+    ).groupBy("dow_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (F.sum("__v__").cast("double") / F.count(F.lit(1))).alias(
+            "__dm__"
+        ),
+    )
+    overall = daily.agg(
+        (F.sum("__v__").cast("double") / F.count(F.lit(1))).alias("__om__")
+    )
+    return (
+        per_dow.crossJoin(F.broadcast(overall))
+        .select(
+            F.col("dow_idx").cast("bigint").alias("dow_idx"),
+            F.element_at(labels, F.col("dow_idx").cast("int") + 1).alias(
+                "weekday"
+            ),
+            "n_days",
+            F.round(F.col("__dm__"), 2).alias("mean_daily_value"),
+            F.round(F.col("__dm__") / F.col("__om__"), 4).alias(
+                "seasonal_index"
+            ),
+        )
+    )
+
+
+_DOW_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         SUM(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1
+),
+per_dow AS (
+  SELECT datediff('day', TIMESTAMP '1970-01-01', day) % 7 AS dow_idx,
+         COUNT(*)::BIGINT AS n_days,
+         CAST(SUM(v) AS DOUBLE) / COUNT(*) AS dm
+  FROM daily GROUP BY 1
+),
+overall AS (
+  SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) AS om FROM daily
+)
+SELECT CAST(dow_idx AS BIGINT) AS dow_idx,
+       (['Thu', 'Fri', 'Sat', 'Sun', 'Mon', 'Tue', 'Wed'])[dow_idx + 1]
+         AS weekday,
+       n_days,
+       ROUND(dm, 2) AS mean_daily_value,
+       ROUND(dm / om, 4) AS seasonal_index
+FROM per_dow, overall
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "variant_conversion_ztest": variant_conversion_ztest,
     "metric_correlation_matrix": metric_correlation_matrix,
@@ -7129,6 +7252,8 @@ QUERIES: dict[str, QueryFn] = {
     "ewma_daily_value": ewma_daily_value,
     "clamped_running_balance": clamped_running_balance,
     "click_purchase_leadlag": click_purchase_leadlag,
+    "fd_discovery_lineitem": fd_discovery_lineitem,
+    "dow_seasonality": dow_seasonality,
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
     "price_size_frontier": price_size_frontier,
@@ -7298,6 +7423,8 @@ ORACLES: dict[str, str] = {
     "ewma_daily_value": _EWMA_SQL,
     "clamped_running_balance": _CLAMPED_BALANCE_SQL,
     "click_purchase_leadlag": _LEADLAG_SQL,
+    "fd_discovery_lineitem": _FD_SQL,
+    "dow_seasonality": _DOW_SQL,
     "flagship_scan_filter": _FLAGSHIP_SQL,
     "dedup_segments_rebuild": _SEG_DEDUP_SQL,
     "price_size_frontier": _FRONTIER_SQL,
