@@ -148,6 +148,8 @@ EXTENDED_QUERIES = [
     "click_purchase_leadlag",
     "fd_discovery_lineitem",
     "dow_seasonality",
+    "signup_conversion_survival",
+    "dedup_canonical_map",
 ]
 
 

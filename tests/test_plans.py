@@ -528,3 +528,16 @@ def test_dow_seasonality_single_row_broadcast(spark):
     assert "partial_" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_survival_windows_on_aggregate_only(spark):
+    # KM windows order the |distinct times| aggregate; the only
+    # nested-loop inputs are the 1-row max-ts / total broadcasts.
+    p = _plan(spark, "signup_conversion_survival")
+    assert "CartesianProduct" not in p
+    assert "partial_" in p
+
+
+def test_canonical_map_hash_joins_no_cartesian(spark):
+    p = _plan(spark, "dedup_canonical_map")
+    assert "CartesianProduct" not in p

@@ -338,3 +338,26 @@ def test_clamped_balance_identity_matches_direct_recursion(spark):
             b = max(0.0, b + (d if row["event_type"] in credit else -d))
         assert abs(got[uid]["final_balance"] - b) < 1e-6, uid
         assert got[uid]["n_events"] == len(g)
+
+
+def test_survival_curve_is_coherent(spark):
+    """KM invariants: at-risk counts never increase over time, survival
+    is nonincreasing in (0, 1], and at-risk never exceeds the user
+    count."""
+    from tmdb_index_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows_ = (
+        QUERIES["signup_conversion_survival"](spark, sf)
+        .orderBy("t_hours")
+        .collect()
+    )
+    assert rows_, "expected at least one conversion event"
+    n_users = 15  # sf0.001 events table has 15 users
+    at_risk = [r["n_at_risk"] for r in rows_]
+    surv = [r["survival"] for r in rows_]
+    assert all(a <= n_users for a in at_risk)
+    assert all(a >= b for a, b in zip(at_risk, at_risk[1:]))
+    assert all(0 < s <= 1 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert all(r["n_converted"] <= r["n_at_risk"] for r in rows_)

@@ -7244,6 +7244,219 @@ FROM per_dow, overall
 """
 
 
+def signup_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup→high-value-purchase
+    conversion (extension: survival analysis with right censoring):
+    time-to-event = hours from first signup to first purchase with
+    value > 150; users who never convert are CENSORED at the dataset
+    horizon — the estimator S(t) = Π(1 − dᵤ/nᵤ) uses their at-risk
+    time without counting them as conversions, which a naive
+    conversion-rate query gets wrong. All timestamps reduce to integer
+    epoch-second floors and integer hour division, so event times,
+    at-risk counts, and hazards are engine-exact; the only float is
+    the log-sum product form of S(t), cumulated over the |distinct
+    times| aggregate (a few hundred rows — the ordered window never
+    touches the events table). Output: one row per conversion time
+    with at-risk count, conversions, hazard, and survival."""
+    ev = _events(spark, sf_dir)
+    su = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("__s__")
+    ).filter(F.col("__s__").isNotNull())
+    conv = (
+        ev.join(su, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") > 150)
+            & (F.col("ts") >= F.col("__s__"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__p__"))
+    )
+    gmax = ev.agg(F.max("ts").alias("__g__"))
+    obs = (
+        su.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.expr(
+                "CAST((unix_timestamp(coalesce(__p__, __g__))"
+                " - unix_timestamp(__s__)) DIV 3600 AS BIGINT)"
+            ).alias("t_hours"),
+            F.when(F.col("__p__").isNotNull(), 1).otherwise(0).alias(
+                "__ev__"
+            ),
+        )
+    )
+    tot = obs.agg(F.count(F.lit(1)).alias("__n__"))
+    bytime = (
+        obs.groupBy("t_hours")
+        .agg(
+            F.count(F.lit(1)).alias("__call__"),
+            F.sum("__ev__").alias("__d__"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    w = Window.orderBy("t_hours").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risked = bytime.select(
+        "t_hours",
+        "__d__",
+        (
+            F.col("__n__")
+            - F.sum("__call__").over(w)
+            + F.col("__call__")
+        ).alias("__nr__"),
+    )
+    term = F.when(
+        F.col("__d__") > 0,
+        F.log(
+            1
+            - F.col("__d__").cast("double") / F.col("__nr__").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    curved = risked.select(
+        "t_hours",
+        "__d__",
+        "__nr__",
+        F.exp(F.sum(term).over(w)).alias("__surv__"),
+    )
+    return curved.filter(F.col("__d__") > 0).select(
+        "t_hours",
+        F.col("__nr__").cast("bigint").alias("n_at_risk"),
+        F.col("__d__").cast("bigint").alias("n_converted"),
+        F.round(
+            F.col("__d__").cast("double") / F.col("__nr__").cast("double"),
+            6,
+        ).alias("hazard"),
+        F.round(F.col("__surv__"), 4).alias("survival"),
+    )
+
+
+_SURVIVAL_SQL = """
+WITH su AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s
+  FROM events GROUP BY user_id
+  HAVING MIN(CASE WHEN event_type = 'signup' THEN ts END) IS NOT NULL
+),
+conv AS (
+  SELECT e.user_id, MIN(e.ts) AS p
+  FROM events e JOIN su ON su.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.value > 150 AND e.ts >= su.s
+  GROUP BY e.user_id
+),
+g AS (SELECT MAX(ts) AS gm FROM events),
+obs AS (
+  SELECT (CAST(floor(epoch(COALESCE(c.p, g.gm))) AS BIGINT)
+          - CAST(floor(epoch(su.s)) AS BIGINT)) // 3600 AS t_hours,
+         CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM su LEFT JOIN conv c ON c.user_id = su.user_id CROSS JOIN g
+),
+tot AS (SELECT COUNT(*) AS n FROM obs),
+bytime AS (
+  SELECT t_hours, COUNT(*) AS c_all, SUM(ev) AS d
+  FROM obs GROUP BY t_hours
+),
+risked AS (
+  SELECT t_hours, d,
+         tot.n - SUM(c_all) OVER (ORDER BY t_hours
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) + c_all AS nr
+  FROM bytime, tot
+),
+curved AS (
+  SELECT t_hours, d, nr,
+         exp(SUM(CASE WHEN d > 0
+                      THEN ln(1 - CAST(d AS DOUBLE) / CAST(nr AS DOUBLE))
+                      ELSE 0.0 END)
+             OVER (ORDER BY t_hours
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS surv
+  FROM risked
+)
+SELECT t_hours, CAST(nr AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_converted,
+       ROUND(CAST(d AS DOUBLE) / CAST(nr AS DOUBLE), 6) AS hazard,
+       ROUND(surv, 4) AS survival
+FROM curved WHERE d > 0
+"""
+
+
+def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization — the APPLY step of deduplication
+    (extension: corpus rewrite): for every SimHash near-dup component
+    (`dedup_groups`'s connected components), elect the canonical
+    representative (longest document, doc_id tiebreak) and emit the
+    doc→canonical mapping the rewrite pass joins against. Composition
+    reuse: pigeonhole-blocked pair search → pointer-jump components →
+    one component-keyed window; the mapping is |clustered docs| rows,
+    never the corpus."""
+    from tmdb_index_spark.operators.dedup_text import simhash_neardup_pairs
+    from tmdb_index_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_neardup_pairs(docs, max_hamming=2)
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    sized = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = sized.select(
+        "doc_id",
+        "component",
+        F.row_number().over(w).alias("__rn__"),
+    )
+    canon = ranked.filter(F.col("__rn__") == 1).select(
+        "component", F.col("doc_id").alias("canonical_id")
+    )
+    return (
+        ranked.join(canon, "component")
+        .select(
+            "doc_id",
+            F.col("component").cast("bigint").alias("component"),
+            F.col("canonical_id").cast("bigint").alias("canonical_id"),
+            (F.col("doc_id") == F.col("canonical_id")).alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
+_CANONICAL_SQL = f"""
+WITH RECURSIVE pairs AS ({_SIMHASH_NEARDUP_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+),
+ranked AS (
+  SELECT c.doc_id, c.component,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+),
+canon AS (
+  SELECT component, doc_id AS canonical_id FROM ranked WHERE rn = 1
+)
+SELECT r.doc_id, CAST(r.component AS BIGINT) AS component,
+       CAST(c.canonical_id AS BIGINT) AS canonical_id,
+       r.doc_id = c.canonical_id AS is_canonical
+FROM ranked r JOIN canon c ON c.component = r.component
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "variant_conversion_ztest": variant_conversion_ztest,
     "metric_correlation_matrix": metric_correlation_matrix,
@@ -7254,6 +7467,8 @@ QUERIES: dict[str, QueryFn] = {
     "click_purchase_leadlag": click_purchase_leadlag,
     "fd_discovery_lineitem": fd_discovery_lineitem,
     "dow_seasonality": dow_seasonality,
+    "signup_conversion_survival": signup_conversion_survival,
+    "dedup_canonical_map": dedup_canonical_map,
     "flagship_scan_filter": flagship,
     "dedup_segments_rebuild": dedup_segments_rebuild,
     "price_size_frontier": price_size_frontier,
@@ -7425,6 +7640,8 @@ ORACLES: dict[str, str] = {
     "click_purchase_leadlag": _LEADLAG_SQL,
     "fd_discovery_lineitem": _FD_SQL,
     "dow_seasonality": _DOW_SQL,
+    "signup_conversion_survival": _SURVIVAL_SQL,
+    "dedup_canonical_map": _CANONICAL_SQL,
     "flagship_scan_filter": _FLAGSHIP_SQL,
     "dedup_segments_rebuild": _SEG_DEDUP_SQL,
     "price_size_frontier": _FRONTIER_SQL,
