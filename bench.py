@@ -150,6 +150,8 @@ EXTENDED_QUERIES = [
     "dow_seasonality",
     "signup_conversion_survival",
     "dedup_canonical_map",
+    "robust_trend_daily",
+    "orders_reconciliation",
 ]
 
 

@@ -541,3 +541,18 @@ def test_survival_windows_on_aggregate_only(spark):
 def test_canonical_map_hash_joins_no_cartesian(spark):
     p = _plan(spark, "dedup_canonical_map")
     assert "CartesianProduct" not in p
+
+
+def test_robust_trend_pairs_only_on_days_rollup(spark):
+    # The pairwise self-join is the documented bounded quadratic on the
+    # |days| AGGREGATE: the orders scan feeds one partial-agg groupBy
+    # first; the non-equi join touches only aggregated rows.
+    p = _plan(spark, "robust_trend_daily")
+    assert "partial_" in p
+    assert p.count("Scan parquet") <= 2  # daily rollup reused per side
+
+
+def test_reconciliation_single_fact_agg_hash_join(spark):
+    p = _plan(spark, "orders_reconciliation")
+    assert "partial_" in p
+    assert "CartesianProduct" not in p

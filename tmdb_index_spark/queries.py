@@ -7457,7 +7457,145 @@ FROM ranked r JOIN canon c ON c.component = r.component
 """
 
 
+def robust_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric trend estimation on daily revenue (extension:
+    robust regression — the outlier-immune complement of
+    `user_value_trends`' OLS): Theil-Sen slope (median of all pairwise
+    slopes) and the Mann-Kendall S / τ trend test (sign counts —
+    pure integers). The deliberate pairwise self-join runs on the
+    |days|-SIZED ROLLUP, never the fact table: |days| grows with the
+    calendar, not data volume — ten years is 3650 rows ≈ 6.6M pairs,
+    trivial at any SF (the same bounded-quadratic-on-aggregate
+    argument as the exact ANN baselines). Slopes are
+    decimal-difference over integer day-gap doubles; both engines sort
+    identical doubles, so the interpolated median matches exactly."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(F.sum(_dec("o_totalprice")).alias("__v__"))
+    )
+    a = daily.select(
+        F.col("day").alias("__da__"), F.col("__v__").alias("__va__")
+    )
+    b = daily.select(
+        F.col("day").alias("__db__"), F.col("__v__").alias("__vb__")
+    )
+    pairs = a.join(b, F.col("__da__") < F.col("__db__")).select(
+        (
+            (F.col("__vb__") - F.col("__va__")).cast("double")
+            / F.datediff(F.col("__db__"), F.col("__da__")).cast("double")
+        ).alias("__slope__"),
+        F.signum(
+            (F.col("__vb__") - F.col("__va__")).cast("double")
+        ).cast("int").alias("__sgn__"),
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.expr("percentile(__slope__, 0.5)"), 4).alias(
+            "theil_sen_slope"
+        ),
+        F.sum("__sgn__").cast("bigint").alias("mk_s"),
+        F.round(
+            F.sum("__sgn__").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("mk_tau"),
+    )
+
+
+_ROBUST_TREND_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT CAST(b.v - a.v AS DOUBLE)
+           / CAST(datediff('day', a.day, b.day) AS DOUBLE) AS slope,
+         CAST(sign(CAST(b.v - a.v AS DOUBLE)) AS INTEGER) AS sgn
+  FROM daily a JOIN daily b ON a.day < b.day
+)
+SELECT COUNT(*)::BIGINT AS n_pairs,
+       ROUND(quantile_cont(slope, 0.5), 4) AS theil_sen_slope,
+       CAST(SUM(sgn) AS BIGINT) AS mk_s,
+       ROUND(CAST(SUM(sgn) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+         AS mk_tau
+FROM pairs
+"""
+
+
+def orders_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit (extension: financial-close
+    style consistency checking — distinct from `fd_discovery`'s
+    intra-table rules and `orders_checksum`'s table digests): compare
+    each order's header total against the DECIMAL-exact sum of its
+    line extended prices and report how many orders disagree beyond a
+    cent, plus the delta distribution. One fact-side aggregate
+    co-partitioned on the join key, a header hash join, and a
+    single-row rollup; every amount stays decimal until the final
+    output cast."""
+    lines = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("__lsum__"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", _dec("o_totalprice").alias("__tot__")
+    )
+    joined = orders.join(
+        lines, orders.o_orderkey == lines.l_orderkey, "left"
+    ).select(
+        F.coalesce(
+            F.col("__lsum__"), F.lit(0).cast("decimal(18,2)")
+        ).alias("__lsum__"),
+        "__tot__",
+    )
+    delta = (
+        F.col("__tot__").cast("decimal(28,2)")
+        - F.col("__lsum__").cast("decimal(28,2)")
+    )
+    mism = F.abs(delta) > 0.01
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(mism, 1).otherwise(0)).cast("bigint").alias(
+            "n_mismatched"
+        ),
+        F.round(
+            F.sum(F.when(mism, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mismatch_rate"),
+        F.max(F.abs(delta)).cast("double").alias("max_abs_delta"),
+        F.sum(delta).cast("double").alias("net_delta"),
+    )
+
+
+_RECONCILE_SQL = """
+WITH lines AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS lsum
+  FROM lineitem GROUP BY l_orderkey
+),
+joined AS (
+  SELECT CAST(o.o_totalprice AS DECIMAL(28,2))
+           - CAST(COALESCE(l.lsum, 0) AS DECIMAL(28,2)) AS delta
+  FROM orders o LEFT JOIN lines l ON l.l_orderkey = o.o_orderkey
+)
+SELECT COUNT(*)::BIGINT AS n_orders,
+       CAST(SUM(CASE WHEN ABS(delta) > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatched,
+       ROUND(CAST(SUM(CASE WHEN ABS(delta) > 0.01 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mismatch_rate,
+       CAST(MAX(ABS(delta)) AS DOUBLE) AS max_abs_delta,
+       CAST(SUM(delta) AS DOUBLE) AS net_delta
+FROM joined
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
+    "robust_trend_daily": robust_trend_daily,
+    "orders_reconciliation": orders_reconciliation,
     "variant_conversion_ztest": variant_conversion_ztest,
     "metric_correlation_matrix": metric_correlation_matrix,
     "bloom_prefilter_revenue": bloom_prefilter_revenue,
@@ -7631,6 +7769,8 @@ QUERIES: dict[str, QueryFn] = {
 QUERIES = {name: _self_configuring(fn) for name, fn in QUERIES.items()}
 
 ORACLES: dict[str, str] = {
+    "robust_trend_daily": _ROBUST_TREND_SQL,
+    "orders_reconciliation": _RECONCILE_SQL,
     "variant_conversion_ztest": _ZTEST_SQL,
     "metric_correlation_matrix": _CORR_MATRIX_SQL,
     "bloom_prefilter_revenue": _BLOOM_SQL,
