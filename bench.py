@@ -152,6 +152,8 @@ EXTENDED_QUERIES = [
     "dedup_canonical_map",
     "robust_trend_daily",
     "orders_reconciliation",
+    "user_rfm_segments",
+    "activity_powerlaw_fit",
 ]
 
 

@@ -556,3 +556,18 @@ def test_reconciliation_single_fact_agg_hash_join(spark):
     p = _plan(spark, "orders_reconciliation")
     assert "partial_" in p
     assert "CartesianProduct" not in p
+
+
+def test_rfm_windows_on_user_aggregate(spark):
+    # The three ntile windows order the |users| rollup, not events; no
+    # cartesian beyond the 1-row max-day broadcast.
+    p = _plan(spark, "user_rfm_segments")
+    assert "CartesianProduct" not in p
+    assert "partial_" in p
+
+
+def test_powerlaw_two_aggs_one_row_broadcast(spark):
+    p = _plan(spark, "activity_powerlaw_fit")
+    assert "CartesianProduct" not in p
+    assert "partial_" in p
+    assert "SortMergeJoin" not in p

@@ -7593,9 +7593,157 @@ FROM joined
 """
 
 
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (extension: behavioral scoring — the
+    classic recency/frequency/monetary quintile model): per user, days
+    since last purchase, purchase count, and decimal-exact purchase
+    value, each scored into quintiles (5 = best) and concatenated into
+    the familiar segment label. Every ``ntile`` orders with a user_id
+    tiebreak — ntile on ties is otherwise ORDER-DEPENDENT and would
+    break cross-engine reproducibility. The three global ntile windows
+    run over the |users| AGGREGATE (users fit one partition by
+    construction of the rollup; at larger populations the same scores
+    come from percent_rank over a user-salted two-pass, which
+    `value_ntile_quartiles` documents)."""
+    ev = _events(spark, sf_dir)
+    gmax = ev.agg(
+        F.date_trunc("day", F.max("ts")).alias("__g__")
+    )
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.date_trunc("day", F.max("ts")).alias("__last__"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(_dec("value")).alias("__m__"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "user_id",
+            F.datediff(F.col("__g__"), F.col("__last__"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            F.col("__m__").cast("double").alias("monetary"),
+        )
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.col("recency_days").desc(), F.col("user_id").asc())
+    )
+    f_ = F.ntile(5).over(
+        Window.orderBy(F.col("frequency").asc(), F.col("user_id").asc())
+    )
+    m = F.ntile(5).over(
+        Window.orderBy(F.col("monetary").asc(), F.col("user_id").asc())
+    )
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        r.cast("bigint").alias("r_score"),
+        f_.cast("bigint").alias("f_score"),
+        m.cast("bigint").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "-",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+_RFM_SQL = """
+WITH g AS (SELECT date_trunc('day', MAX(ts)) AS gm FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST(datediff('day', date_trunc('day', MAX(ts)), g.gm) AS BIGINT)
+           AS recency_days,
+         COUNT(*)::BIGINT AS frequency,
+         SUM(CAST(value AS DECIMAL(18,2))) AS m
+  FROM events, g
+  WHERE event_type = 'purchase'
+  GROUP BY user_id, g.gm
+)
+SELECT user_id, recency_days, frequency,
+       ROUND(CAST(m AS DOUBLE), 2) AS monetary,
+       CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id ASC)
+            AS BIGINT) AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY frequency ASC, user_id ASC)
+            AS BIGINT) AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY CAST(m AS DOUBLE) ASC, user_id ASC)
+            AS BIGINT) AS m_score,
+       CONCAT_WS('-',
+         CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id ASC)
+              AS VARCHAR),
+         CAST(NTILE(5) OVER (ORDER BY frequency ASC, user_id ASC)
+              AS VARCHAR),
+         CAST(NTILE(5) OVER (ORDER BY CAST(m AS DOUBLE) ASC, user_id ASC)
+              AS VARCHAR)) AS segment
+FROM per_user
+"""
+
+
+def activity_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent MLE for the user-activity distribution
+    (extension: heavy-tail diagnostics — Clauset/Shalizi/Newman's
+    α̂ = 1 + n / Σ ln(xᵢ/xmin) continuous-MLE form): fits how heavy
+    the per-user event-count tail is; α near 2 = extreme concentration
+    (relevant to skew planning: the same statistic predicts hot-key
+    behavior). Two aggregates over the |users| rollup; xmin broadcast
+    as one row; ln terms are doubles over exact integer counts,
+    rounded."""
+    counts = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__x__"))
+    )
+    xmin = counts.agg(F.min("__x__").alias("__xmin__"))
+    return (
+        counts.crossJoin(F.broadcast(xmin))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("__x__").cast("bigint").alias("xmin"),
+            F.max("__x__").cast("bigint").alias("xmax"),
+            F.round(
+                1
+                + F.count(F.lit(1)).cast("double")
+                / F.sum(
+                    F.log(
+                        F.col("__x__").cast("double")
+                        / F.col("__xmin__").cast("double")
+                    )
+                ),
+                4,
+            ).alias("alpha_mle"),
+        )
+    )
+
+
+_POWERLAW_SQL = """
+WITH counts AS (
+  SELECT user_id, COUNT(*)::BIGINT AS x FROM events GROUP BY user_id
+),
+xm AS (SELECT MIN(x) AS xmin FROM counts)
+SELECT COUNT(*)::BIGINT AS n_users,
+       CAST(MIN(x) AS BIGINT) AS xmin,
+       CAST(MAX(x) AS BIGINT) AS xmax,
+       ROUND(1 + CAST(COUNT(*) AS DOUBLE)
+                 / SUM(ln(CAST(x AS DOUBLE) / CAST(xm.xmin AS DOUBLE))),
+             4) AS alpha_mle
+FROM counts, xm
+GROUP BY xm.xmin
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "robust_trend_daily": robust_trend_daily,
     "orders_reconciliation": orders_reconciliation,
+    "user_rfm_segments": user_rfm_segments,
+    "activity_powerlaw_fit": activity_powerlaw_fit,
     "variant_conversion_ztest": variant_conversion_ztest,
     "metric_correlation_matrix": metric_correlation_matrix,
     "bloom_prefilter_revenue": bloom_prefilter_revenue,
@@ -7771,6 +7919,8 @@ QUERIES = {name: _self_configuring(fn) for name, fn in QUERIES.items()}
 ORACLES: dict[str, str] = {
     "robust_trend_daily": _ROBUST_TREND_SQL,
     "orders_reconciliation": _RECONCILE_SQL,
+    "user_rfm_segments": _RFM_SQL,
+    "activity_powerlaw_fit": _POWERLAW_SQL,
     "variant_conversion_ztest": _ZTEST_SQL,
     "metric_correlation_matrix": _CORR_MATRIX_SQL,
     "bloom_prefilter_revenue": _BLOOM_SQL,

@@ -77,6 +77,20 @@ def main() -> int:
             "mixture_token_sample",
             "embedding_knn_join",
             "crossmodal_image_neardups",
+            # round-6 late batches
+            "variant_conversion_ztest",
+            "metric_correlation_matrix",
+            "bloom_prefilter_revenue",
+            "bigram_perplexity",
+            "ewma_daily_value",
+            "clamped_running_balance",
+            "click_purchase_leadlag",
+            "fd_discovery_lineitem",
+            "dow_seasonality",
+            "signup_conversion_survival",
+            "dedup_canonical_map",
+            "robust_trend_daily",
+            "orders_reconciliation",
         ]
 
     report: dict[str, dict[str, float]] = {}
