@@ -154,6 +154,8 @@ EXTENDED_QUERIES = [
     "orders_reconciliation",
     "user_rfm_segments",
     "activity_powerlaw_fit",
+    "conversion_gains_table",
+    "ab_power_analysis",
 ]
 
 

@@ -571,3 +571,17 @@ def test_powerlaw_two_aggs_one_row_broadcast(spark):
     assert "CartesianProduct" not in p
     assert "partial_" in p
     assert "SortMergeJoin" not in p
+
+
+def test_gains_table_windows_on_rollups_only(spark):
+    # ntile runs on the |users| collapse; the cumulative capture window
+    # orders the 10-row decile frame; only 1-row broadcasts cross-join.
+    p = _plan(spark, "conversion_gains_table")
+    assert "CartesianProduct" not in p
+    assert "partial_" in p
+
+
+def test_power_analysis_bounded_effect_explode(spark):
+    p = _plan(spark, "ab_power_analysis")
+    assert p.count("Generate") == 1
+    assert "CartesianProduct" not in p

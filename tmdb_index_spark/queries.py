@@ -7739,11 +7739,206 @@ GROUP BY xm.xmin
 """
 
 
+def conversion_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table (extension: model evaluation — the
+    ranking-quality report every propensity model ships with): score
+    users by click count (a deliberately simple observable 'model'),
+    outcome = made a purchase over 150, then per score-decile report
+    conversion rate, cumulative share of all conversions captured, and
+    lift over the base rate. Deciles use ``ntile(10)`` with a user_id
+    tiebreak (order-dependent otherwise); everything after the
+    per-user collapse runs on the |users| rollup and the 10-row decile
+    frame — the cumulative window orders 10 rows."""
+    ev = _events(spark, sf_dir)
+    users = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).cast("bigint").alias("__score__"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("__conv__"),
+    )
+    decile = F.ntile(10).over(
+        Window.orderBy(F.col("__score__").desc(), F.col("user_id").asc())
+    )
+    by_decile = (
+        users.select(decile.alias("decile"), "__score__", "__conv__")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("__conv__").cast("bigint").alias("n_converted"),
+        )
+    )
+    tot = by_decile.agg(
+        F.sum("n_converted").alias("__tc__"),
+        F.sum("n_users").alias("__tu__"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        by_decile.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_users",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double")
+                / F.col("n_users").cast("double"),
+                4,
+            ).alias("conv_rate"),
+            F.round(
+                F.sum("n_converted").over(wcum).cast("double")
+                / F.col("__tc__").cast("double"),
+                4,
+            ).alias("cum_capture"),
+            F.round(
+                (
+                    F.col("n_converted").cast("double")
+                    / F.col("n_users").cast("double")
+                )
+                / (
+                    F.col("__tc__").cast("double")
+                    / F.col("__tu__").cast("double")
+                ),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+_GAINS_SQL = """
+WITH users AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS score,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+by_decile AS (
+  SELECT decile, COUNT(*)::BIGINT AS n_users,
+         CAST(SUM(conv) AS BIGINT) AS n_converted
+  FROM (
+    SELECT NTILE(10) OVER (ORDER BY score DESC, user_id ASC) AS decile,
+           conv
+    FROM users
+  ) GROUP BY decile
+),
+tot AS (
+  SELECT SUM(n_converted) AS tc, SUM(n_users) AS tu FROM by_decile
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_users, n_converted,
+       ROUND(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE), 4)
+         AS conv_rate,
+       ROUND(CAST(SUM(n_converted) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / CAST(tot.tc AS DOUBLE), 4) AS cum_capture,
+       ROUND((CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE))
+             / (CAST(tot.tc AS DOUBLE) / CAST(tot.tu AS DOUBLE)), 4)
+         AS lift
+FROM by_decile, tot
+"""
+
+
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size / power analysis (extension: experiment design —
+    the planning complement of `variant_conversion_ztest`): from the
+    OBSERVED base conversion rate, the users needed per variant to
+    detect relative effects of 5/10/20% at α=0.05 (two-sided) and 80%
+    power, via the standard two-proportion formula
+    n = (z_α√(2p̄q̄) + z_β√(p₀q₀+p₁q₁))² / (p₁−p₀)². One per-user
+    aggregate + one single-row rollup produce p₀; the three effect
+    rows come from a bounded literal explode. Every engine computes
+    the identical closed form on identical doubles, rounded."""
+    ev = _events(spark, sf_dir)
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 150),
+                    1,
+                ).otherwise(0)
+            ).alias("__conv__")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            (
+                F.sum("__conv__").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("__p0__"),
+        )
+    )
+    effects = base.select(
+        "n_users",
+        "__p0__",
+        F.explode(
+            F.array(F.lit(0.05), F.lit(0.10), F.lit(0.20))
+        ).alias("rel_effect"),
+    )
+    p0 = F.col("__p0__")
+    p1 = p0 * (1 + F.col("rel_effect"))
+    pbar = (p0 + p1) / 2
+    za = F.lit(1.959964)  # two-sided alpha = 0.05
+    zb = F.lit(0.841621)  # power = 0.80
+    a = za * F.sqrt(2 * pbar * (1 - pbar)) + zb * F.sqrt(
+        p0 * (1 - p0) + p1 * (1 - p1)
+    )
+    n = (a * a) / ((p1 - p0) * (p1 - p0))
+    return effects.select(
+        "n_users",
+        F.round(p0, 4).alias("base_rate"),
+        F.round(F.col("rel_effect"), 2).alias("rel_effect"),
+        F.round(p1, 4).alias("target_rate"),
+        F.ceil(n).cast("bigint").alias("n_per_variant"),
+    )
+
+
+_POWER_SQL = """
+WITH base AS (
+  SELECT COUNT(*)::BIGINT AS n_users,
+         CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p0
+  FROM (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                    THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+  )
+),
+eff AS (
+  SELECT base.n_users, base.p0, e.rel_effect,
+         base.p0 * (1 + e.rel_effect) AS p1
+  FROM base, (VALUES (0.05), (0.10), (0.20)) AS e(rel_effect)
+),
+parts AS (
+  SELECT n_users, p0, rel_effect, p1,
+         1.959964 * sqrt(2 * ((p0 + p1) / 2) * (1 - (p0 + p1) / 2))
+         + 0.841621 * sqrt(p0 * (1 - p0) + p1 * (1 - p1)) AS a
+  FROM eff
+)
+SELECT n_users,
+       ROUND(p0, 4) AS base_rate,
+       ROUND(rel_effect, 2) AS rel_effect,
+       ROUND(p1, 4) AS target_rate,
+       CAST(CEIL((a * a) / ((p1 - p0) * (p1 - p0))) AS BIGINT)
+         AS n_per_variant
+FROM parts
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "robust_trend_daily": robust_trend_daily,
     "orders_reconciliation": orders_reconciliation,
     "user_rfm_segments": user_rfm_segments,
     "activity_powerlaw_fit": activity_powerlaw_fit,
+    "conversion_gains_table": conversion_gains_table,
+    "ab_power_analysis": ab_power_analysis,
     "variant_conversion_ztest": variant_conversion_ztest,
     "metric_correlation_matrix": metric_correlation_matrix,
     "bloom_prefilter_revenue": bloom_prefilter_revenue,
@@ -7921,6 +8116,8 @@ ORACLES: dict[str, str] = {
     "orders_reconciliation": _RECONCILE_SQL,
     "user_rfm_segments": _RFM_SQL,
     "activity_powerlaw_fit": _POWERLAW_SQL,
+    "conversion_gains_table": _GAINS_SQL,
+    "ab_power_analysis": _POWER_SQL,
     "variant_conversion_ztest": _ZTEST_SQL,
     "metric_correlation_matrix": _CORR_MATRIX_SQL,
     "bloom_prefilter_revenue": _BLOOM_SQL,
