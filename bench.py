@@ -156,6 +156,8 @@ EXTENDED_QUERIES = [
     "activity_powerlaw_fit",
     "conversion_gains_table",
     "ab_power_analysis",
+    "lang_confusion_matrix",
+    "purchase_burstiness",
 ]
 
 

@@ -585,3 +585,19 @@ def test_power_analysis_bounded_effect_explode(spark):
     p = _plan(spark, "ab_power_analysis")
     assert p.count("Generate") == 1
     assert "CartesianProduct" not in p
+
+
+def test_lang_confusion_bounded_matrix(spark):
+    # Predictor runs once; the matrix groupBy is |langs|²-bounded with
+    # a label-keyed window on the aggregate only.
+    p = _plan(spark, "lang_confusion_matrix")
+    assert "CartesianProduct" not in p
+    assert "partial_" in p
+
+
+def test_burstiness_one_user_exchange(spark):
+    # lag window and the stats groupBy share the user_id partitioning:
+    # one Exchange total.
+    p = _plan(spark, "purchase_burstiness")
+    assert p.count("Exchange") == 1
+    assert "partial_" in p

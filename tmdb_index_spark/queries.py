@@ -7932,6 +7932,126 @@ FROM parts
 """
 
 
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier confusion matrix (extension: classification
+    evaluation — the categorical complement of
+    `conversion_gains_table`'s ranking report): `lang_id_predict`'s
+    marker-lexicon predictions crossed against the declared ``lang``
+    label, with per-cell recall (share of the true class). Composition
+    reuse: the predictor runs once; the matrix is a |langs|²-bounded
+    groupBy plus one label-keyed window on the aggregate."""
+    pred = lang_id_predict(spark, sf_dir).select("doc_id", "pred_lang")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_true")
+    )
+    cm = (
+        pred.join(docs, "doc_id")
+        .groupBy("lang_true", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    wl = Window.partitionBy("lang_true")
+    return cm.select(
+        "lang_true",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(wl).cast("double"),
+            4,
+        ).alias("recall_share"),
+    )
+
+
+_LANG_CONFUSION_SQL = f"""
+WITH pred AS ({_LANG_ID_SQL}),
+cm AS (
+  SELECT d.lang AS lang_true, p.pred_lang, COUNT(*)::BIGINT AS n_docs
+  FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+  GROUP BY d.lang, p.pred_lang
+)
+SELECT lang_true, pred_lang, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / CAST(SUM(n_docs) OVER (PARTITION BY lang_true) AS DOUBLE),
+             4) AS recall_share
+FROM cm
+"""
+
+
+def purchase_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal burstiness per user (extension: Goh-Barabási
+    burstiness index B = (σ−μ)/(σ+μ) of inter-event gaps): B → −1 for
+    clockwork regularity, 0 for Poisson, → 1 for extreme bursts —
+    the signature separating bot-like from human-like activity that
+    plain min/avg gap stats (`user_event_gaps`) cannot express. Gaps
+    are exact integer microseconds; μ and σ² derive from integer
+    sum / sum-of-squares (decimal-exact; σ² via the one-pass identity
+    E[x²]−E[x]²), so B is engine-reproducible. One user-keyed window
+    + one groupBy — a single Exchange."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_ltz = F.col("ts").cast("timestamp")
+    gap = F.unix_micros(ts_ltz) - F.unix_micros(F.lag(ts_ltz).over(w))
+    g = ev.select("user_id", gap.alias("__gap__")).filter(
+        F.col("__gap__").isNotNull()
+    )
+    stats = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("__gap__").cast("decimal(38,0)").alias("__s__"),
+        F.sum(
+            F.col("__gap__").cast("decimal(19,0)")
+            * F.col("__gap__").cast("decimal(19,0)")
+        ).alias("__ss__"),
+    ).filter(F.col("n_gaps") >= 2)
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("__s__").cast("double") / n
+    var = F.col("__ss__").cast("double") / n - mu * mu
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return stats.select(
+        "user_id",
+        "n_gaps",
+        F.round(mu / 1e6, 2).alias("mean_gap_s"),
+        F.round(sigma / 1e6, 2).alias("std_gap_s"),
+        F.round((sigma - mu) / (sigma + mu), 4).alias("burstiness"),
+    )
+
+
+_BURSTINESS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT)
+           - LAG(CAST(epoch_us(ts) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events WHERE event_type = 'purchase'
+),
+stats AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_gaps,
+         CAST(SUM(gap) AS DECIMAL(38,0)) AS s,
+         SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))) AS ss
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+  HAVING COUNT(*) >= 2
+)
+SELECT user_id, n_gaps,
+       ROUND((CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) / 1e6, 2)
+         AS mean_gap_s,
+       ROUND(sqrt(GREATEST(CAST(ss AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                           - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                             * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+                           0.0)) / 1e6, 2) AS std_gap_s,
+       ROUND((sqrt(GREATEST(CAST(ss AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                            - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                              * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+                            0.0))
+              - CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+             / (sqrt(GREATEST(CAST(ss AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                              - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                                * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+                              0.0))
+                + CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 4)
+         AS burstiness
+FROM stats
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "robust_trend_daily": robust_trend_daily,
     "orders_reconciliation": orders_reconciliation,
@@ -7939,6 +8059,8 @@ QUERIES: dict[str, QueryFn] = {
     "activity_powerlaw_fit": activity_powerlaw_fit,
     "conversion_gains_table": conversion_gains_table,
     "ab_power_analysis": ab_power_analysis,
+    "lang_confusion_matrix": lang_confusion_matrix,
+    "purchase_burstiness": purchase_burstiness,
     "variant_conversion_ztest": variant_conversion_ztest,
     "metric_correlation_matrix": metric_correlation_matrix,
     "bloom_prefilter_revenue": bloom_prefilter_revenue,
@@ -8118,6 +8240,8 @@ ORACLES: dict[str, str] = {
     "activity_powerlaw_fit": _POWERLAW_SQL,
     "conversion_gains_table": _GAINS_SQL,
     "ab_power_analysis": _POWER_SQL,
+    "lang_confusion_matrix": _LANG_CONFUSION_SQL,
+    "purchase_burstiness": _BURSTINESS_SQL,
     "variant_conversion_ztest": _ZTEST_SQL,
     "metric_correlation_matrix": _CORR_MATRIX_SQL,
     "bloom_prefilter_revenue": _BLOOM_SQL,
