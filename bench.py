@@ -158,6 +158,8 @@ EXTENDED_QUERIES = [
     "ab_power_analysis",
     "lang_confusion_matrix",
     "purchase_burstiness",
+    "copurchase_item_cf",
+    "search_ndcg",
 ]
 
 

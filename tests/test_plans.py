@@ -601,3 +601,20 @@ def test_burstiness_one_user_exchange(spark):
     p = _plan(spark, "purchase_burstiness")
     assert p.count("Exchange") == 1
     assert "partial_" in p
+
+
+def test_item_cf_basket_bounded_no_cartesian(spark):
+    # Neighbor candidates come from the orderkey equi-self-join (basket
+    # fan-out), never an all-pairs product; top-k is one window on the
+    # aggregated pair list.
+    p = _plan(spark, "copurchase_item_cf")
+    assert "CartesianProduct" not in p
+    assert "partial_" in p
+
+
+def test_ndcg_ideal_uses_takeordered(spark):
+    # The corpus-ideal top-10 must compile to TakeOrderedAndProject —
+    # per-partition top-k, no global sort of the relevance frame.
+    p = _plan(spark, "search_ndcg")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p

@@ -8052,6 +8052,193 @@ FROM stats
 """
 
 
+def copurchase_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative filtering (extension: recommender
+    retrieval — the cosine-normalized sibling of `part_pair_lift`'s
+    association mining): for every part, the top-3 co-purchased
+    neighbors by cosine similarity cooc/√(cₐ·c_b) over order baskets.
+    Candidates from the basket self-join (fan-out ≤ basket², never
+    all-pairs); similarity rounded BEFORE ranking with a part_b
+    tiebreak so the neighbor lists are engine-exact; per-item top-k is
+    one window over the aggregated pair list."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 10)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    part_cnt = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("__cp__")
+    )
+    half = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    pairs = half.unionByName(
+        half.select(
+            F.col("part_b").alias("part_a"),
+            F.col("part_a").alias("part_b"),
+            "n_both",
+        )
+    )
+    ca = part_cnt.select(
+        F.col("l_partkey").alias("part_a"), F.col("__cp__").alias("__ca__")
+    )
+    cb = part_cnt.select(
+        F.col("l_partkey").alias("part_b"), F.col("__cp__").alias("__cb__")
+    )
+    scored = (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / F.sqrt(
+                    F.col("__ca__").cast("double")
+                    * F.col("__cb__").cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("part_a").orderBy(
+        F.col("cosine").desc(), F.col("part_b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+_ITEM_CF_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey
+  FROM lineitem WHERE l_quantity <= 10
+),
+part_cnt AS (
+  SELECT l_partkey, COUNT(*) AS cp FROM li GROUP BY l_partkey
+),
+half AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*)::BIGINT AS n_both
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+pairs AS (
+  SELECT part_a, part_b, n_both FROM half
+  UNION ALL
+  SELECT part_b AS part_a, part_a AS part_b, n_both FROM half
+),
+scored AS (
+  SELECT p.part_a, p.part_b, p.n_both,
+         ROUND(CAST(p.n_both AS DOUBLE)
+               / sqrt(CAST(ca.cp AS DOUBLE) * CAST(cb.cp AS DOUBLE)),
+               6) AS cosine
+  FROM pairs p
+  JOIN part_cnt ca ON ca.l_partkey = p.part_a
+  JOIN part_cnt cb ON cb.l_partkey = p.part_b
+)
+SELECT part_a, part_b, n_both, cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY part_a
+                               ORDER BY cosine DESC, part_b ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking (extension: ranking-quality
+    metrics — completes the evaluation trio: gains table for
+    propensity, confusion matrix for classification, NDCG for
+    retrieval): graded relevance = raw query-term frequency in the
+    document; DCG over the BM25 top-10, IDCG over the corpus-ideal
+    top-10 (sort+limit compiles to TakeOrderedAndProject — no global
+    sort materializes). Both engines mirror the BM25 expression tree
+    term for term, so ranks — and therefore the 10-term DCG sums —
+    agree after rounding."""
+    from tmdb_index_spark.operators.ranking import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    terms_arr = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    rel_expr = F.size(
+        F.filter(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+            ),
+            lambda x: F.array_contains(terms_arr, x),
+        )
+    ).cast("bigint")
+    relevance = docs.select("doc_id", rel_expr.alias("__rel__"))
+    ranked = bm25_topk(docs, _BM25_TERMS, k=10).join(relevance, "doc_id")
+    dcg = ranked.agg(
+        F.sum(
+            F.col("__rel__").cast("double")
+            / F.log2(F.col("rank").cast("double") + 1)
+        ).alias("__dcg__")
+    )
+    iw = Window.orderBy(F.col("__rel__").desc(), F.col("doc_id").asc())
+    idcg = (
+        relevance.orderBy(F.col("__rel__").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("__rel__", F.row_number().over(iw).alias("__i__"))
+        .agg(
+            F.sum(
+                F.col("__rel__").cast("double")
+                / F.log2(F.col("__i__").cast("double") + 1)
+            ).alias("__idcg__")
+        )
+    )
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        F.round(F.col("__dcg__"), 4).alias("dcg_at_10"),
+        F.round(F.col("__idcg__"), 4).alias("idcg_at_10"),
+        F.round(F.col("__dcg__") / F.col("__idcg__"), 4).alias(
+            "ndcg_at_10"
+        ),
+    )
+
+
+_NDCG_SQL = f"""
+WITH bm AS ({_BM25_SQL}),
+rel AS (
+  SELECT doc_id,
+         CAST(len(list_filter(
+           regexp_extract_all(lower(text), '[a-z0-9]+'),
+           x -> list_contains(['hash', 'join', 'dup'], x)
+         )) AS BIGINT) AS rel
+  FROM documents
+),
+dcg AS (
+  SELECT SUM(CAST(rel AS DOUBLE) / log2(CAST(rank AS DOUBLE) + 1)) AS dcg
+  FROM bm JOIN rel USING (doc_id) WHERE rank <= 10
+),
+ideal AS (
+  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id ASC) AS i
+  FROM rel ORDER BY rel DESC, doc_id ASC LIMIT 10
+),
+idcg AS (
+  SELECT SUM(CAST(rel AS DOUBLE) / log2(CAST(i AS DOUBLE) + 1)) AS idcg
+  FROM ideal
+)
+SELECT ROUND(dcg, 4) AS dcg_at_10,
+       ROUND(idcg, 4) AS idcg_at_10,
+       ROUND(dcg / idcg, 4) AS ndcg_at_10
+FROM dcg, idcg
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "robust_trend_daily": robust_trend_daily,
     "orders_reconciliation": orders_reconciliation,
@@ -8061,6 +8248,8 @@ QUERIES: dict[str, QueryFn] = {
     "ab_power_analysis": ab_power_analysis,
     "lang_confusion_matrix": lang_confusion_matrix,
     "purchase_burstiness": purchase_burstiness,
+    "copurchase_item_cf": copurchase_item_cf,
+    "search_ndcg": search_ndcg,
     "variant_conversion_ztest": variant_conversion_ztest,
     "metric_correlation_matrix": metric_correlation_matrix,
     "bloom_prefilter_revenue": bloom_prefilter_revenue,
@@ -8242,6 +8431,8 @@ ORACLES: dict[str, str] = {
     "ab_power_analysis": _POWER_SQL,
     "lang_confusion_matrix": _LANG_CONFUSION_SQL,
     "purchase_burstiness": _BURSTINESS_SQL,
+    "copurchase_item_cf": _ITEM_CF_SQL,
+    "search_ndcg": _NDCG_SQL,
     "variant_conversion_ztest": _ZTEST_SQL,
     "metric_correlation_matrix": _CORR_MATRIX_SQL,
     "bloom_prefilter_revenue": _BLOOM_SQL,
