@@ -160,6 +160,8 @@ EXTENDED_QUERIES = [
     "purchase_burstiness",
     "copurchase_item_cf",
     "search_ndcg",
+    "forecast_accuracy",
+    "doc_readability",
 ]
 
 

@@ -618,3 +618,17 @@ def test_ndcg_ideal_uses_takeordered(spark):
     p = _plan(spark, "search_ndcg")
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_forecast_accuracy_bounded_generate(spark):
+    p = _plan(spark, "forecast_accuracy")
+    assert p.count("Generate") == 1
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_readability_map_only(spark):
+    # Pure column expressions: one scan, no exchange, no join.
+    p = _plan(spark, "doc_readability")
+    assert "Exchange" not in p
+    assert "Join" not in p

@@ -8239,6 +8239,160 @@ FROM dcg, idcg
 """
 
 
+def forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest metrics (extension: forecast evaluation — the
+    scoring side of `ewma_daily_value`): the one-day-ahead EWMA
+    forecast (weights over days d−14..d−1, renormalized over observed
+    days) scored against the actual with MAE, RMSE, sMAPE, and MASE
+    (error scaled by the naive previous-day forecast — the
+    scale-free statistic that makes models comparable across series).
+    Same bounded-explode alignment as the EWMA query (k shifted to
+    1..14 so the forecast never sees its own day); every window/join
+    runs on the |days| rollup."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum(_dec("value")).cast("double").alias("__v__"))
+    )
+    contrib = daily.select(
+        F.col("day").alias("__src__"),
+        F.col("__v__").alias("__sv__"),
+        F.explode(F.sequence(F.lit(1), F.lit(14))).alias("__k__"),
+    ).select(
+        F.timestamp_add("DAY", F.col("__k__"), F.col("__src__")).alias(
+            "day"
+        ),
+        "__sv__",
+        F.pow(F.lit(0.7), F.col("__k__") - 1).alias("__w__"),
+    )
+    fc = contrib.groupBy("day").agg(
+        (F.sum(F.col("__sv__") * F.col("__w__")) / F.sum("__w__")).alias(
+            "__fc__"
+        )
+    )
+    wlag = Window.orderBy("day")
+    scored = (
+        daily.join(fc, "day")
+        .select(
+            "day",
+            "__v__",
+            "__fc__",
+            F.lag("__v__").over(wlag).alias("__prev__"),
+        )
+        .filter(F.col("__prev__").isNotNull())
+    )
+    err = F.abs(F.col("__v__") - F.col("__fc__"))
+    naive = F.abs(F.col("__v__") - F.col("__prev__"))
+    smape_term = (
+        2
+        * err
+        / (F.abs(F.col("__v__")) + F.abs(F.col("__fc__")))
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.avg(err), 2).alias("mae"),
+        F.round(F.sqrt(F.avg(err * err)), 2).alias("rmse"),
+        F.round(F.avg(smape_term), 4).alias("smape"),
+        F.round(F.avg(err) / F.avg(naive), 4).alias("mase"),
+    )
+
+
+_FORECAST_ACC_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events GROUP BY 1
+),
+contrib AS (
+  SELECT d.day + u.k * INTERVAL 1 DAY AS day, d.v AS sv,
+         POWER(0.7, u.k - 1) AS w
+  FROM daily d, UNNEST(range(1, 15)) AS u(k)
+),
+fc AS (
+  SELECT day, SUM(sv * w) / SUM(w) AS f FROM contrib GROUP BY day
+),
+scored AS (
+  SELECT d.day, d.v, fc.f,
+         LAG(d.v) OVER (ORDER BY d.day) AS prev
+  FROM daily d JOIN fc ON fc.day = d.day
+)
+SELECT COUNT(*)::BIGINT AS n_days,
+       ROUND(AVG(ABS(v - f)), 2) AS mae,
+       ROUND(sqrt(AVG(ABS(v - f) * ABS(v - f))), 2) AS rmse,
+       ROUND(AVG(2 * ABS(v - f) / (ABS(v) + ABS(f))), 4) AS smape,
+       ROUND(AVG(ABS(v - f)) / AVG(ABS(v - prev)), 4) AS mase
+FROM scored WHERE prev IS NOT NULL
+"""
+
+
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring (extension: readability metrics for
+    corpus quality filtering): 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words), with sentences counted as terminal-
+    punctuation runs (floored at 1) and syllables approximated as
+    vowel-group runs — the standard regex approximation; every count
+    is an integer from the same regex semantics in both engines, so
+    the score reproduces exactly. Pure column expressions, map-only,
+    whole-stage codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    words = F.size(
+        F.regexp_extract_all(F.lower(txt), F.lit("[a-z0-9]+"), F.lit(0))
+    )
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(txt, F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1),
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(txt), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    # Exact-rational form: ×1000 clears the constants' decimals, so the
+    # whole score is ONE integer-ratio double division — bit-identical
+    # in any engine, emitted UNROUNDED (the exact ratio frequently
+    # lands on .xx5 midpoints where Spark rounds the shortest decimal
+    # repr and other engines round the binary value — the one place
+    # the catalog's round-then-compare convention is unsafe).
+    wl = words.cast("long")
+    sl = sentences.cast("long")
+    yl = syllables.cast("long")
+    num = (
+        F.lit(206835).cast("long") * sl * wl
+        - F.lit(1015).cast("long") * wl * wl
+        - F.lit(84600).cast("long") * sl * yl
+    )
+    den = F.lit(1000).cast("long") * sl * wl
+    return docs.filter(words > 0).select(
+        "doc_id",
+        words.cast("bigint").alias("n_words"),
+        sentences.cast("bigint").alias("n_sentences"),
+        syllables.cast("bigint").alias("n_syllables"),
+        (num.cast("double") / den.cast("double")).alias("flesch_score"),
+    )
+
+
+_READABILITY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))
+           AS words,
+         GREATEST(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1)
+           AS sentences,
+         len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+'))
+           AS syllables
+  FROM documents
+)
+SELECT doc_id,
+       CAST(words AS BIGINT) AS n_words,
+       CAST(sentences AS BIGINT) AS n_sentences,
+       CAST(syllables AS BIGINT) AS n_syllables,
+       CAST(206835 * sentences * words
+            - 1015 * words * words
+            - 84600 * sentences * syllables AS DOUBLE)
+         / CAST(1000 * sentences * words AS DOUBLE) AS flesch_score
+FROM t WHERE words > 0
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "robust_trend_daily": robust_trend_daily,
     "orders_reconciliation": orders_reconciliation,
@@ -8250,6 +8404,8 @@ QUERIES: dict[str, QueryFn] = {
     "purchase_burstiness": purchase_burstiness,
     "copurchase_item_cf": copurchase_item_cf,
     "search_ndcg": search_ndcg,
+    "forecast_accuracy": forecast_accuracy,
+    "doc_readability": doc_readability,
     "variant_conversion_ztest": variant_conversion_ztest,
     "metric_correlation_matrix": metric_correlation_matrix,
     "bloom_prefilter_revenue": bloom_prefilter_revenue,
@@ -8433,6 +8589,8 @@ ORACLES: dict[str, str] = {
     "purchase_burstiness": _BURSTINESS_SQL,
     "copurchase_item_cf": _ITEM_CF_SQL,
     "search_ndcg": _NDCG_SQL,
+    "forecast_accuracy": _FORECAST_ACC_SQL,
+    "doc_readability": _READABILITY_SQL,
     "variant_conversion_ztest": _ZTEST_SQL,
     "metric_correlation_matrix": _CORR_MATRIX_SQL,
     "bloom_prefilter_revenue": _BLOOM_SQL,
