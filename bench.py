@@ -162,6 +162,7 @@ EXTENDED_QUERIES = [
     "search_ndcg",
     "forecast_accuracy",
     "doc_readability",
+    "purchase_value_ks_test",
 ]
 
 

@@ -632,3 +632,11 @@ def test_readability_map_only(spark):
     p = _plan(spark, "doc_readability")
     assert "Exchange" not in p
     assert "Join" not in p
+
+
+def test_ks_cdf_window_on_distinct_values(spark):
+    # The step-CDF window orders the |distinct values| aggregate, never
+    # the purchase rows; only 1-row totals cross-join.
+    p = _plan(spark, "purchase_value_ks_test")
+    assert "CartesianProduct" not in p
+    assert "partial_" in p

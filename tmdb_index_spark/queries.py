@@ -8393,6 +8393,105 @@ FROM t WHERE words > 0
 """
 
 
+def purchase_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (extension: distribution
+    comparison — the nonparametric sibling of `purchase_click_drift`'s
+    binned PSI): D = max |F_weekday(v) − F_weekend(v)| between
+    purchase-value distributions, weekday vs weekend from the portable
+    epoch-mod-7 day index. Values collapse to (value, group) COUNTS
+    first, so the one ordered window that builds both step-CDFs runs
+    over |distinct cent values| rows — never the fact table — and
+    every CDF step is an exact integer ratio; D is engine-exact.
+    Significance at α=0.05 via the asymptotic threshold
+    1.358·√((n₁+n₂)/(n₁·n₂))."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    dow = F.pmod(
+        F.datediff(
+            F.to_date(F.col("ts")), F.lit("1970-01-01").cast("date")
+        ),
+        F.lit(7),
+    )
+    # epoch day 0 = Thursday → indices 2 (Sat) and 3 (Sun) are weekend
+    grp = F.when(dow.isin(2, 3), F.lit("weekend")).otherwise(
+        F.lit("weekday")
+    )
+    vals = (
+        ev.select(_dec("value").alias("__v__"), grp.alias("__g__"))
+        .groupBy("__v__", "__g__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    per_val = vals.groupBy("__v__").agg(
+        F.sum(F.when(F.col("__g__") == "weekday", F.col("__c__")).otherwise(0)).alias("__ca__"),
+        F.sum(F.when(F.col("__g__") == "weekend", F.col("__c__")).otherwise(0)).alias("__cb__"),
+    )
+    tot = per_val.agg(
+        F.sum("__ca__").alias("__na__"), F.sum("__cb__").alias("__nb__")
+    )
+    w = Window.orderBy("__v__").rowsBetween(Window.unboundedPreceding, 0)
+    stepped = per_val.crossJoin(F.broadcast(tot)).select(
+        "__na__",
+        "__nb__",
+        F.abs(
+            F.sum("__ca__").over(w).cast("double")
+            / F.col("__na__").cast("double")
+            - F.sum("__cb__").over(w).cast("double")
+            / F.col("__nb__").cast("double")
+        ).alias("__d__"),
+    )
+    n1 = F.col("__na__").cast("double")
+    n2 = F.col("__nb__").cast("double")
+    crit = 1.358 * F.sqrt((n1 + n2) / (n1 * n2))
+    return (
+        stepped.groupBy("__na__", "__nb__")
+        .agg(F.max("__d__").alias("__ks__"))
+        .select(
+            F.col("__na__").cast("bigint").alias("n_weekday"),
+            F.col("__nb__").cast("bigint").alias("n_weekend"),
+            F.round(F.col("__ks__"), 6).alias("ks_statistic"),
+            F.round(crit, 6).alias("critical_05"),
+            (F.col("__ks__") > crit).alias("distributions_differ"),
+        )
+    )
+
+
+_KS_SQL = """
+WITH p AS (
+  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+         CASE WHEN datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                   IN (2, 3)
+              THEN 'weekend' ELSE 'weekday' END AS g
+  FROM events WHERE event_type = 'purchase'
+),
+per_val AS (
+  SELECT v,
+         SUM(CASE WHEN g = 'weekday' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN g = 'weekend' THEN 1 ELSE 0 END) AS cb
+  FROM p GROUP BY v
+),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per_val),
+stepped AS (
+  SELECT tot.na, tot.nb,
+         ABS(CAST(SUM(ca) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / CAST(tot.na AS DOUBLE)
+             - CAST(SUM(cb) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / CAST(tot.nb AS DOUBLE)) AS d
+  FROM per_val, tot
+)
+SELECT CAST(na AS BIGINT) AS n_weekday,
+       CAST(nb AS BIGINT) AS n_weekend,
+       ROUND(MAX(d), 6) AS ks_statistic,
+       ROUND(1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                          / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+         AS critical_05,
+       MAX(d) > 1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+         AS distributions_differ
+FROM stepped GROUP BY na, nb
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "robust_trend_daily": robust_trend_daily,
     "orders_reconciliation": orders_reconciliation,
@@ -8406,6 +8505,7 @@ QUERIES: dict[str, QueryFn] = {
     "search_ndcg": search_ndcg,
     "forecast_accuracy": forecast_accuracy,
     "doc_readability": doc_readability,
+    "purchase_value_ks_test": purchase_value_ks_test,
     "variant_conversion_ztest": variant_conversion_ztest,
     "metric_correlation_matrix": metric_correlation_matrix,
     "bloom_prefilter_revenue": bloom_prefilter_revenue,
@@ -8591,6 +8691,7 @@ ORACLES: dict[str, str] = {
     "search_ndcg": _NDCG_SQL,
     "forecast_accuracy": _FORECAST_ACC_SQL,
     "doc_readability": _READABILITY_SQL,
+    "purchase_value_ks_test": _KS_SQL,
     "variant_conversion_ztest": _ZTEST_SQL,
     "metric_correlation_matrix": _CORR_MATRIX_SQL,
     "bloom_prefilter_revenue": _BLOOM_SQL,
