@@ -163,6 +163,7 @@ EXTENDED_QUERIES = [
     "forecast_accuracy",
     "doc_readability",
     "purchase_value_ks_test",
+    "column_dependence_mi",
 ]
 
 

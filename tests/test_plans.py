@@ -640,3 +640,11 @@ def test_ks_cdf_window_on_distinct_values(spark):
     p = _plan(spark, "purchase_value_ks_test")
     assert "CartesianProduct" not in p
     assert "partial_" in p
+
+
+def test_mi_marginals_from_joint_no_rescan(spark):
+    # Marginals and entropies re-aggregate the |cells| joint; each pair
+    # scans its table once; only 1-row totals broadcast.
+    p = _plan(spark, "column_dependence_mi")
+    assert "CartesianProduct" not in p
+    assert "partial_" in p

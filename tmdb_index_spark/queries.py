@@ -8492,6 +8492,133 @@ FROM stepped GROUP BY na, nb
 """
 
 
+def column_dependence_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical column-dependence audit via mutual information
+    (extension: the probabilistic complement of `fd_discovery`'s exact
+    rules — MI catches SOFT dependence FDs miss entirely): I(X;Y) and
+    the normalized coefficient U = I/min(H(X),H(Y)) for candidate
+    column pairs, all from integer cell counts (joint groupBy;
+    marginals and entropies re-aggregated from the |cells| joint, one
+    scan per pair). U = 1 ⇔ one column determines the other; 0 ⇔
+    independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    out = []
+    for df, x, y in [
+        (li, "l_returnflag", "l_linestatus"),
+        (od, "o_orderstatus", "o_orderpriority"),
+    ]:
+        joint = df.groupBy(x, y).agg(F.count(F.lit(1)).alias("__c__"))
+        mx = joint.groupBy(x).agg(F.sum("__c__").alias("__cx__"))
+        my = joint.groupBy(y).agg(F.sum("__c__").alias("__cy__"))
+        tot = joint.agg(F.sum("__c__").alias("__n__"))
+        n = F.col("__n__").cast("double")
+        p = F.col("__c__").cast("double") / n
+        px = F.col("__cx__").cast("double") / n
+        py = F.col("__cy__").cast("double") / n
+        hx = mx.crossJoin(F.broadcast(tot)).agg(
+            F.sum(
+                -(F.col("__cx__").cast("double") / n)
+                * F.log2(F.col("__cx__").cast("double") / n)
+            ).alias("__hx__")
+        )
+        hy = my.crossJoin(F.broadcast(tot)).agg(
+            F.sum(
+                -(F.col("__cy__").cast("double") / n)
+                * F.log2(F.col("__cy__").cast("double") / n)
+            ).alias("__hy__")
+        )
+        mi = (
+            joint.join(mx, x)
+            .join(my, y)
+            .crossJoin(F.broadcast(tot))
+            .agg(
+                F.sum(p * F.log2(p / (px * py))).alias("__mi__"),
+                F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            )
+        )
+        out.append(
+            mi.crossJoin(F.broadcast(hx))
+            .crossJoin(F.broadcast(hy))
+            .select(
+                F.lit(f"{x}|{y}").alias("pair"),
+                "n_cells",
+                F.round(F.col("__mi__"), 4).alias("mi_bits"),
+                F.round(
+                    F.col("__mi__")
+                    / F.least(F.col("__hx__"), F.col("__hy__")),
+                    4,
+                ).alias("uncertainty_coef"),
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(DataFrame.unionByName, out)
+
+
+_MI_COLDEP_SQL = """
+WITH j1 AS (
+  SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+t1 AS (SELECT SUM(c) AS n FROM j1),
+mx1 AS (SELECT x, SUM(c) AS cx FROM j1 GROUP BY x),
+my1 AS (SELECT y, SUM(c) AS cy FROM j1 GROUP BY y),
+h1 AS (
+  SELECT
+    (SELECT SUM(-(CAST(cx AS DOUBLE) / CAST(t1.n AS DOUBLE))
+                * log2(CAST(cx AS DOUBLE) / CAST(t1.n AS DOUBLE)))
+     FROM mx1, t1) AS hx,
+    (SELECT SUM(-(CAST(cy AS DOUBLE) / CAST(t1.n AS DOUBLE))
+                * log2(CAST(cy AS DOUBLE) / CAST(t1.n AS DOUBLE)))
+     FROM my1, t1) AS hy
+),
+mi1 AS (
+  SELECT SUM((CAST(c AS DOUBLE) / CAST(t1.n AS DOUBLE))
+             * log2((CAST(c AS DOUBLE) / CAST(t1.n AS DOUBLE))
+                    / ((CAST(cx AS DOUBLE) / CAST(t1.n AS DOUBLE))
+                       * (CAST(cy AS DOUBLE) / CAST(t1.n AS DOUBLE)))))
+           AS mi,
+         COUNT(*)::BIGINT AS n_cells
+  FROM j1 JOIN mx1 USING (x) JOIN my1 USING (y), t1
+),
+j2 AS (
+  SELECT o_orderstatus AS x, o_orderpriority AS y, COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+t2 AS (SELECT SUM(c) AS n FROM j2),
+mx2 AS (SELECT x, SUM(c) AS cx FROM j2 GROUP BY x),
+my2 AS (SELECT y, SUM(c) AS cy FROM j2 GROUP BY y),
+h2 AS (
+  SELECT
+    (SELECT SUM(-(CAST(cx AS DOUBLE) / CAST(t2.n AS DOUBLE))
+                * log2(CAST(cx AS DOUBLE) / CAST(t2.n AS DOUBLE)))
+     FROM mx2, t2) AS hx,
+    (SELECT SUM(-(CAST(cy AS DOUBLE) / CAST(t2.n AS DOUBLE))
+                * log2(CAST(cy AS DOUBLE) / CAST(t2.n AS DOUBLE)))
+     FROM my2, t2) AS hy
+),
+mi2 AS (
+  SELECT SUM((CAST(c AS DOUBLE) / CAST(t2.n AS DOUBLE))
+             * log2((CAST(c AS DOUBLE) / CAST(t2.n AS DOUBLE))
+                    / ((CAST(cx AS DOUBLE) / CAST(t2.n AS DOUBLE))
+                       * (CAST(cy AS DOUBLE) / CAST(t2.n AS DOUBLE)))))
+           AS mi,
+         COUNT(*)::BIGINT AS n_cells
+  FROM j2 JOIN mx2 USING (x) JOIN my2 USING (y), t2
+)
+SELECT 'l_returnflag|l_linestatus' AS pair, n_cells,
+       ROUND(mi, 4) AS mi_bits,
+       ROUND(mi / LEAST(hx, hy), 4) AS uncertainty_coef
+FROM mi1, h1
+UNION ALL
+SELECT 'o_orderstatus|o_orderpriority' AS pair, n_cells,
+       ROUND(mi, 4) AS mi_bits,
+       ROUND(mi / LEAST(hx, hy), 4) AS uncertainty_coef
+FROM mi2, h2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "robust_trend_daily": robust_trend_daily,
     "orders_reconciliation": orders_reconciliation,
@@ -8506,6 +8633,7 @@ QUERIES: dict[str, QueryFn] = {
     "forecast_accuracy": forecast_accuracy,
     "doc_readability": doc_readability,
     "purchase_value_ks_test": purchase_value_ks_test,
+    "column_dependence_mi": column_dependence_mi,
     "variant_conversion_ztest": variant_conversion_ztest,
     "metric_correlation_matrix": metric_correlation_matrix,
     "bloom_prefilter_revenue": bloom_prefilter_revenue,
@@ -8692,6 +8820,7 @@ ORACLES: dict[str, str] = {
     "forecast_accuracy": _FORECAST_ACC_SQL,
     "doc_readability": _READABILITY_SQL,
     "purchase_value_ks_test": _KS_SQL,
+    "column_dependence_mi": _MI_COLDEP_SQL,
     "variant_conversion_ztest": _ZTEST_SQL,
     "metric_correlation_matrix": _CORR_MATRIX_SQL,
     "bloom_prefilter_revenue": _BLOOM_SQL,
