@@ -164,6 +164,7 @@ EXTENDED_QUERIES = [
     "doc_readability",
     "purchase_value_ks_test",
     "column_dependence_mi",
+    "purchase_did_estimate",
 ]
 
 

@@ -648,3 +648,12 @@ def test_mi_marginals_from_joint_no_rescan(spark):
     p = _plan(spark, "column_dependence_mi")
     assert "CartesianProduct" not in p
     assert "partial_" in p
+
+
+def test_did_single_scan_four_cell_agg(spark):
+    # One purchase scan → 4-cell conditional aggregate; the day-range
+    # broadcast is the only nested-loop input.
+    p = _plan(spark, "purchase_did_estimate")
+    assert "CartesianProduct" not in p
+    assert "partial_" in p
+    assert p.count("Scan parquet") <= 2  # events scan + day-range reuse

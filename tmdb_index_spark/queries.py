@@ -8619,6 +8619,105 @@ FROM mi2, h2
 """
 
 
+def purchase_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate (extension: causal
+    inference — the panel-data complement of the A/B z-test): mean
+    purchase value per (variant, period) cell, with treatment =
+    ``user_id % 2`` and the period split at the integer midpoint of
+    the observed day range (epoch-day arithmetic — engine-exact), and
+    DiD = (treat_post − treat_pre) − (ctrl_post − ctrl_pre). Cell
+    means are DECIMAL sums over integer counts, so the estimate is
+    reproducible to the last double bit. One scan → 4-cell
+    conditional aggregate; the day range broadcasts as one row."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    epoch_day = F.datediff(
+        F.to_date(F.col("ts")), F.lit("1970-01-01").cast("date")
+    )
+    days = ev.agg(
+        F.min(epoch_day).alias("__d0__"), F.max(epoch_day).alias("__d1__")
+    )
+    cells = (
+        ev.select(
+            F.pmod(F.col("user_id"), F.lit(2)).alias("__treat__"),
+            epoch_day.alias("__d__"),
+            _dec("value").alias("__v__"),
+        )
+        .crossJoin(F.broadcast(days))
+        .select(
+            "__treat__",
+            (
+                F.col("__d__")
+                >= (F.col("__d0__") + F.col("__d1__") + 1) / 2
+            ).cast("int").alias("__post__"),
+            "__v__",
+        )
+        .groupBy("__treat__", "__post__")
+        .agg(
+            F.count(F.lit(1)).alias("__n__"),
+            F.sum("__v__").alias("__s__"),
+        )
+    )
+    m = {}
+    agg_exprs = []
+    for t in (0, 1):
+        for p_ in (0, 1):
+            name = f"__m{t}{p_}__"
+            m[(t, p_)] = F.col(name)
+            agg_exprs.append(
+                F.max(
+                    F.when(
+                        (F.col("__treat__") == t) & (F.col("__post__") == p_),
+                        F.col("__s__").cast("double")
+                        / F.col("__n__").cast("double"),
+                    )
+                ).alias(name)
+            )
+    one = cells.agg(*agg_exprs)
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    return one.select(
+        F.round(m[(0, 0)], 4).alias("ctrl_pre"),
+        F.round(m[(0, 1)], 4).alias("ctrl_post"),
+        F.round(m[(1, 0)], 4).alias("treat_pre"),
+        F.round(m[(1, 1)], 4).alias("treat_post"),
+        F.round(did, 4).alias("did_estimate"),
+    )
+
+
+_DID_SQL = """
+WITH p AS (
+  SELECT user_id % 2 AS treat,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+days AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM p),
+cells AS (
+  SELECT treat,
+         CAST(d >= (days.d0 + days.d1 + 1) / 2 AS INTEGER) AS post,
+         COUNT(*) AS n, SUM(v) AS s
+  FROM p, days GROUP BY 1, 2
+),
+one AS (
+  SELECT
+    MAX(CASE WHEN treat = 0 AND post = 0
+             THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS m00,
+    MAX(CASE WHEN treat = 0 AND post = 1
+             THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS m01,
+    MAX(CASE WHEN treat = 1 AND post = 0
+             THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS m10,
+    MAX(CASE WHEN treat = 1 AND post = 1
+             THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS m11
+  FROM cells
+)
+SELECT ROUND(m00, 4) AS ctrl_pre,
+       ROUND(m01, 4) AS ctrl_post,
+       ROUND(m10, 4) AS treat_pre,
+       ROUND(m11, 4) AS treat_post,
+       ROUND((m11 - m10) - (m01 - m00), 4) AS did_estimate
+FROM one
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "robust_trend_daily": robust_trend_daily,
     "orders_reconciliation": orders_reconciliation,
@@ -8634,6 +8733,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_readability": doc_readability,
     "purchase_value_ks_test": purchase_value_ks_test,
     "column_dependence_mi": column_dependence_mi,
+    "purchase_did_estimate": purchase_did_estimate,
     "variant_conversion_ztest": variant_conversion_ztest,
     "metric_correlation_matrix": metric_correlation_matrix,
     "bloom_prefilter_revenue": bloom_prefilter_revenue,
@@ -8821,6 +8921,7 @@ ORACLES: dict[str, str] = {
     "doc_readability": _READABILITY_SQL,
     "purchase_value_ks_test": _KS_SQL,
     "column_dependence_mi": _MI_COLDEP_SQL,
+    "purchase_did_estimate": _DID_SQL,
     "variant_conversion_ztest": _ZTEST_SQL,
     "metric_correlation_matrix": _CORR_MATRIX_SQL,
     "bloom_prefilter_revenue": _BLOOM_SQL,
