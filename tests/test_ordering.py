@@ -5,9 +5,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from tmdb_index_spark.operators.ordering import (
     deterministic_shuffle,
     global_row_positions,
+    grouped_ntile,
+    grouped_prefix_sum,
+    grouped_rank,
 )
 
 
@@ -66,4 +71,105 @@ def test_data_path_window_is_bucket_partitioned(spark):
     assert "hashpartitioning(__bkt__" in plan
     # the full-row window sorts by (__bkt__-partition, key) — a GLOBAL
     # rangepartitioning sort of the data would mean the funnel is back
+    assert "rangepartitioning" not in plan.lower()
+
+
+# ---- grouped_rank / grouped_ntile / grouped_prefix_sum ----------------
+
+
+def _mixed_df(spark):
+    # 3 groups of uneven size, keys with ties, negatives, decimals
+    rows_ = []
+    vals = [50.0, -3.5, 17.0, 1000.0, 0.0, 17.0, 999.0, -100.25, 42.0]
+    for g in ("a", "b", "c"):
+        for i, v in enumerate(vals[: {"a": 9, "b": 7, "c": 4}[g]]):
+            rows_.append((g, i, v))
+    return spark.createDataFrame(rows_, "g string, id long, v double")
+
+
+def test_grouped_rank_matches_naive_window(spark):
+    df = _mixed_df(spark)
+    naive = df.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+        ).cast("long"),
+    )
+    got = grouped_rank(df, "v", tiebreak=["id"], partition_cols=["g"], buckets=3)
+    assert sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, naive.collect()), key=lambda t: (t[0], t[1])
+    )
+
+
+def test_grouped_rank_descending_global(spark):
+    df = _mixed_df(spark).filter(F.col("g") == "a")
+    naive = df.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("v"), F.asc("id"))).cast("long"),
+    )
+    got = grouped_rank(df, "v", tiebreak=["id"], ascending=False, buckets=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_grouped_ntile_matches_naive_all_tile_counts(spark):
+    df = _mixed_df(spark)
+    for k in (1, 2, 5, 13):  # 13 > smallest group size exercises q=0
+        naive = df.withColumn(
+            "tile",
+            F.ntile(k).over(
+                Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+            ).cast("long"),
+        )
+        got = grouped_ntile(
+            df, k, "v", tiebreak=["id"], partition_cols=["g"], buckets=3
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, naive.collect())
+        ), f"ntile({k}) mismatch"
+
+
+def test_grouped_ntile_global_descending(spark):
+    df = _mixed_df(spark)
+    naive = df.withColumn(
+        "tile",
+        F.ntile(4).over(Window.orderBy(F.desc("v"), F.asc("id"))).cast("long"),
+    )
+    got = grouped_ntile(df, 4, "v", tiebreak=["id"], ascending=False, buckets=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_grouped_prefix_sum_matches_naive(spark):
+    # unique keys per group (the documented contract)
+    rows_ = [
+        (g, float(k), k * 2, k * k)
+        for g in ("x", "y")
+        for k in ([1, 3, 7, 8, 20, -4] if g == "x" else [5, 6, 100])
+    ]
+    df = spark.createDataFrame(rows_, "g string, k double, a long, b long")
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.asc("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = df.withColumn("ca", F.sum("a").over(w)).withColumn(
+        "cb", F.sum("b").over(w)
+    )
+    got = grouped_prefix_sum(
+        df, "k", {"ca": "a", "cb": "b"}, partition_cols=["g"], buckets=2
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_grouped_rank_no_data_scale_funnel(spark):
+    # The data-path window must partition by (group, bucket); the only
+    # permissible SinglePartition subtrees are the bounded min/max and
+    # (group, bucket)-offset frames.
+    df = _mixed_df(spark)
+    plan = (
+        grouped_rank(df, "v", tiebreak=["id"], partition_cols=["g"], buckets=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(g" in plan and "__bkt__" in plan
     assert "rangepartitioning" not in plan.lower()

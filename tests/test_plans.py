@@ -657,3 +657,54 @@ def test_did_single_scan_four_cell_agg(spark):
     assert "CartesianProduct" not in p
     assert "partial_" in p
     assert p.count("Scan parquet") <= 2  # events scan + day-range reuse
+
+
+# ---- round-7 de-funneled rank/ntile queries ---------------------------
+
+
+def _row_number_specs(p: str) -> list[str]:
+    """The partition-spec head of every row_number windowspec in the
+    plan — the data-path windows a grouped_rank/grouped_ntile rewrite
+    must keep partitioned on the quantized bucket."""
+    return re.findall(r"row_number\(\) windowspecdefinition\(([^)]{0,120})", p)
+
+
+def test_rfm_ntiles_bucket_partitioned_no_global_ntile(spark):
+    # Pre-rewrite weak plan: three ntile(5) OVER (ORDER BY ...) — the
+    # |users| rollup through one task, three times. Now every
+    # row_number window must partition on __bkt__ and no ntile window
+    # function may remain anywhere.
+    p = _plan(spark, "user_rfm_segments")
+    assert "ntile(" not in p
+    specs = _row_number_specs(p)
+    assert len(specs) >= 3
+    assert all("__bkt__" in s for s in specs)
+
+
+def test_gains_decile_bucket_partitioned(spark):
+    # ntile(10) over |users| → grouped_ntile; the only unpartitioned
+    # ordered window left is the 10-row decile cumulative capture.
+    p = _plan(spark, "conversion_gains_table")
+    assert "ntile(" not in p
+    specs = _row_number_specs(p)
+    assert len(specs) >= 1
+    assert all("__bkt__" in s for s in specs)
+
+
+def test_gini_rank_not_nation_funneled(spark):
+    # Pre-rewrite weak plan: row_number partitioned by nation only —
+    # 25 tasks each sorting |customers|/25 rows. The rank window must
+    # now partition on (nation, __bkt__).
+    p = _plan(spark, "nation_spend_gini")
+    specs = _row_number_specs(p)
+    assert len(specs) >= 1
+    assert all("__bkt__" in s for s in specs)
+
+
+def test_ks_cdf_windows_bucket_partitioned(spark):
+    # The step-CDF running sums must ride the bucketed prefix-sum: the
+    # data-path cumulative windows partition on __bkt__; only the
+    # bounded (bucket-count) offset window stays unpartitioned.
+    p = _plan(spark, "purchase_value_ks_test")
+    assert "hashpartitioning(__bkt__" in p
+    assert "ntile(" not in p

@@ -37,7 +37,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_row_positions", "deterministic_shuffle"]
+__all__ = [
+    "global_row_positions",
+    "deterministic_shuffle",
+    "grouped_rank",
+    "grouped_ntile",
+    "grouped_prefix_sum",
+]
 
 
 def global_row_positions(
@@ -89,6 +95,222 @@ def global_row_positions(
         )
         .drop("__bkt__", "__off__", "__lo__", "__hi__")
     )
+
+
+def _tag_buckets(
+    df: DataFrame,
+    key_col: str,
+    partition_cols: list[str],
+    buckets: int,
+    ascending: bool,
+) -> DataFrame:
+    """Tag each row with ``__key__`` (the sign-adjusted double sort key)
+    and ``__bkt__`` (a monotone equal-width quantization of that key
+    into ``buckets`` bins per partition group). Equal keys always land
+    in equal buckets, and bucket-major order IS key order within a
+    group, so any downstream per-bucket window plus a bounded
+    per-(group, bucket) offset frame reproduces the exact global
+    per-group order — with no single-partition Exchange over data.
+
+    The per-group min/max frame has |groups| rows and is broadcast;
+    with no ``partition_cols`` it is the 1-row scalar crossJoin.
+    """
+    key = F.col(key_col).cast("double")
+    if not ascending:
+        key = -key
+    keyed = df.withColumn("__key__", key)
+    if partition_cols:
+        mm = keyed.groupBy(*partition_cols).agg(
+            F.min("__key__").alias("__lo__"),
+            F.max("__key__").alias("__hi__"),
+        )
+        tagged = keyed.join(F.broadcast(mm), partition_cols)
+    else:
+        mm = keyed.agg(
+            F.min("__key__").alias("__lo__"),
+            F.max("__key__").alias("__hi__"),
+        )
+        tagged = keyed.crossJoin(F.broadcast(mm))
+    bucket = F.least(
+        F.floor(
+            (F.col("__key__") - F.col("__lo__"))
+            * buckets
+            / (F.col("__hi__") - F.col("__lo__") + 1.0)
+        ),
+        F.lit(buckets - 1),
+    ).cast("long")
+    return tagged.withColumn("__bkt__", bucket).drop("__lo__", "__hi__")
+
+
+def grouped_rank(
+    df: DataFrame,
+    key_col: str,
+    tiebreak: list[str] | None = None,
+    partition_cols: list[str] | None = None,
+    rank_col: str = "rank",
+    n_col: str | None = None,
+    ascending: bool = True,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Exact 1-based ``row_number`` rank of each row under
+    ``(key_col, *tiebreak)`` within each ``partition_cols`` group —
+    WITHOUT the single-partition (or few-huge-groups) WindowExec the
+    naive ``row_number().over(Window...orderBy(...))`` spelling
+    compiles to.
+
+    The naive form funnels every group through one task; with no
+    partition columns that is the whole frame, and with dim-bounded
+    partition columns (25 nations over per-customer rollups) each task
+    still sorts a DATA-PROPORTIONAL slice. Here the sort key is
+    quantized into ``buckets`` monotone bins (:func:`_tag_buckets`),
+    per-(group, bucket) counts become exclusive running offsets — a
+    window over the |groups|·|buckets| BOUNDED frame — and the
+    expensive ordered window partitions by (group, bucket), fully
+    parallel. Identical output to the naive window for any total order.
+
+    ``key_col`` must be numeric and non-null; ``(key_col, *tiebreak)``
+    should be a total order within each group (ties get
+    arbitrary-but-disjoint ranks, as with ``row_number``). ``n_col``
+    optionally emits the group size alongside (needed by
+    :func:`grouped_ntile`'s tile rule). Balance caveat as
+    :func:`global_row_positions`: bucket sizes mirror the key
+    distribution, positions stay correct regardless.
+    """
+    tb = tiebreak or []
+    pc = list(partition_cols or [])
+    b = buckets or df.sparkSession.sparkContext.defaultParallelism
+    tagged = _tag_buckets(df, key_col, pc, b, ascending)
+    counts = tagged.groupBy(*pc, "__bkt__").agg(
+        F.count(F.lit(1)).alias("__cnt__")
+    )
+    # exclusive prefix over the bounded (group, bucket) frame
+    woff = (
+        Window.partitionBy(*pc)
+        .orderBy("__bkt__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy(*pc) if pc else Window.partitionBy(F.lit(1))
+    offsets = counts.select(
+        *pc,
+        "__bkt__",
+        F.coalesce(F.sum("__cnt__").over(woff), F.lit(0)).alias("__off__"),
+        F.sum("__cnt__").over(wtot).cast("long").alias("__n__"),
+    )
+    # order within the bucket by the ORIGINAL key (exact type compare —
+    # the double cast is only for bucketing, where monotone-with-
+    # possible-collisions is enough; e.g. wide decimals that collide in
+    # double still rank exactly here)
+    okey = F.col(key_col).asc() if ascending else F.col(key_col).desc()
+    w = Window.partitionBy(*pc, "__bkt__").orderBy(
+        okey, *[F.col(c).asc() for c in tb]
+    )
+    out = tagged.join(F.broadcast(offsets), [*pc, "__bkt__"]).withColumn(
+        rank_col, (F.row_number().over(w) + F.col("__off__")).cast("long")
+    )
+    keep = [*df.columns, rank_col] + ([n_col] if n_col else [])
+    if n_col:
+        out = out.withColumn(n_col, F.col("__n__"))
+    return out.select(*keep)
+
+
+def grouped_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    key_col: str,
+    tiebreak: list[str] | None = None,
+    partition_cols: list[str] | None = None,
+    tile_col: str = "tile",
+    ascending: bool = True,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(n_tiles)`` over ``(key_col, *tiebreak)`` per
+    ``partition_cols`` group, computed from :func:`grouped_rank`'s
+    funnel-free exact ranks plus the closed-form SQL tile rule (with
+    N rows, q = N div n, r = N mod n: the first r tiles take q+1 rows,
+    the rest q) — bit-identical to the window form, no
+    single-partition sort anywhere. Same key/tiebreak requirements as
+    :func:`grouped_rank`.
+    """
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
+    ranked = grouped_rank(
+        df,
+        key_col,
+        tiebreak=tiebreak,
+        partition_cols=partition_cols,
+        rank_col="__rk__",
+        n_col="__gn__",
+        ascending=ascending,
+        buckets=buckets,
+    )
+    k = int(n_tiles)
+    # 0-based position p; head = r*(q+1) rows live in the oversized
+    # tiles; GREATEST guards q=0 (N < k: everyone is in the head).
+    tile = F.expr(
+        f"CASE WHEN (__rk__ - 1) < (__gn__ % {k}) * ((__gn__ DIV {k}) + 1) "
+        f"THEN (__rk__ - 1) DIV ((__gn__ DIV {k}) + 1) + 1 "
+        f"ELSE (__gn__ % {k}) "
+        f"  + ((__rk__ - 1) - (__gn__ % {k}) * ((__gn__ DIV {k}) + 1)) "
+        f"    DIV GREATEST(__gn__ DIV {k}, 1) + 1 END"
+    ).cast("long")
+    return ranked.withColumn(tile_col, tile).select(*df.columns, tile_col)
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    key_col: str,
+    sum_cols: dict[str, str],
+    partition_cols: list[str] | None = None,
+    ascending: bool = True,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Inclusive running sums ordered by ``key_col`` within each
+    ``partition_cols`` group — the CDF/step-function primitive —
+    without the single-partition ordered window the naive
+    ``sum(x).over(Window.orderBy(key))`` compiles to.
+
+    ``sum_cols`` maps output column → input column. ``key_col`` must
+    be numeric, non-null, and UNIQUE within each group (collapse to
+    per-key aggregates first — the step-CDF use always has); with
+    duplicate keys the within-tie accumulation order would be
+    arbitrary. Shape: per-(group, bucket) partial sums → exclusive
+    bucket offsets over the bounded (group, bucket) frame → per-bucket
+    inclusive window + offset. Sum dtypes follow Spark's ``sum``
+    widening of the inputs.
+    """
+    pc = list(partition_cols or [])
+    b = buckets or df.sparkSession.sparkContext.defaultParallelism
+    tagged = _tag_buckets(df, key_col, pc, b, ascending)
+    bsums = tagged.groupBy(*pc, "__bkt__").agg(
+        *[F.sum(src).alias(f"__bs_{out}__") for out, src in sum_cols.items()]
+    )
+    woff = (
+        Window.partitionBy(*pc)
+        .orderBy("__bkt__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bsums.select(
+        *pc,
+        "__bkt__",
+        *[
+            F.coalesce(F.sum(f"__bs_{out}__").over(woff), F.lit(0)).alias(
+                f"__off_{out}__"
+            )
+            for out in sum_cols
+        ],
+    )
+    okey = F.col(key_col).asc() if ascending else F.col(key_col).desc()
+    win = (
+        Window.partitionBy(*pc, "__bkt__")
+        .orderBy(okey)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = tagged.join(F.broadcast(offsets), [*pc, "__bkt__"])
+    for name, src in sum_cols.items():
+        out = out.withColumn(
+            name, F.sum(src).over(win) + F.col(f"__off_{name}__")
+        )
+    return out.select(*df.columns, *sum_cols.keys())
 
 
 def deterministic_shuffle(

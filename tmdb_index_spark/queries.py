@@ -6388,13 +6388,19 @@ FROM dau JOIN mau ON mau.day = dau.day
 def nation_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini inequality coefficient of customer spend per nation
     (extension: concentration metrics): from the sorted-rank identity
-    G = Σ(2i − n − 1)·x_i / (n·Σx). The ordered window runs over
-    PER-CUSTOMER aggregates (dimension-bounded, never the fact table
-    — the few-huge-groups window hazard documented for
-    weighted_percentile does not arise on dim-sized groups); sums are
-    decimal-exact, the final ratio double. Ties in spend get
-    arbitrary ranks but the SUM over a tie block is order-invariant,
-    so the coefficient is engine-exact."""
+    G = Σ(2i − n − 1)·x_i / (n·Σx). The rank i runs over PER-CUSTOMER
+    aggregates partitioned by nation — the few-huge-groups hazard: the
+    group COUNT is dim-bounded but each group's SIZE is
+    |customers|/|nations|, data-proportional, so a naive
+    ``row_number`` window would sort a data-sized slice in one task.
+    :func:`grouped_rank` (operators/ordering.py) computes the same
+    exact per-nation ranks with the bucketed prefix-sum pattern — no
+    data-proportional single-task sort. Sums are decimal-exact, the
+    final ratio double. Ties in spend get arbitrary ranks but the SUM
+    over a tie block is order-invariant, so the coefficient is
+    engine-exact."""
+    from tmdb_index_spark.operators.ordering import grouped_rank
+
     spend = (
         _t(spark, sf_dir, "orders")
         .join(
@@ -6404,14 +6410,10 @@ def nation_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey", "c_custkey")
         .agg(F.sum(_dec("o_totalprice")).cast("decimal(18,2)").alias("x"))
     )
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.col("x").asc(), F.col("c_custkey").asc()
-    )
-    ranked = spend.select(
-        "c_nationkey",
-        "x",
-        F.row_number().over(w).cast("long").alias("i"),
-    )
+    ranked = grouped_rank(
+        spend, "x", tiebreak=["c_custkey"], partition_cols=["c_nationkey"],
+        rank_col="i",
+    ).select("c_nationkey", "x", "i")
     agg = ranked.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("x").cast("double").alias("__sx__"),
@@ -7600,11 +7602,12 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     value, each scored into quintiles (5 = best) and concatenated into
     the familiar segment label. Every ``ntile`` orders with a user_id
     tiebreak — ntile on ties is otherwise ORDER-DEPENDENT and would
-    break cross-engine reproducibility. The three global ntile windows
-    run over the |users| AGGREGATE (users fit one partition by
-    construction of the rollup; at larger populations the same scores
-    come from percent_rank over a user-salted two-pass, which
-    `value_ntile_quartiles` documents)."""
+    break cross-engine reproducibility. The |users| rollup is
+    DATA-PROPORTIONAL, so the three quintile scores come from
+    :func:`grouped_ntile` (operators/ordering.py) — bucketed exact
+    ranks plus the closed-form tile rule, bit-identical to the naive
+    ``ntile(5) OVER (ORDER BY ...)`` the oracle runs, with no
+    single-partition WindowExec anywhere on the data path."""
     ev = _events(spark, sf_dir)
     gmax = ev.agg(
         F.date_trunc("day", F.max("ts")).alias("__g__")
@@ -7627,23 +7630,26 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__m__").cast("double").alias("monetary"),
         )
     )
-    r = F.ntile(5).over(
-        Window.orderBy(F.col("recency_days").desc(), F.col("user_id").asc())
-    )
-    f_ = F.ntile(5).over(
-        Window.orderBy(F.col("frequency").asc(), F.col("user_id").asc())
-    )
-    m = F.ntile(5).over(
-        Window.orderBy(F.col("monetary").asc(), F.col("user_id").asc())
-    )
-    scored = per_user.select(
+    from tmdb_index_spark.operators.ordering import grouped_ntile
+
+    scored = per_user
+    for tile_col, key, asc in (
+        ("r_score", "recency_days", False),
+        ("f_score", "frequency", True),
+        ("m_score", "monetary", True),
+    ):
+        scored = grouped_ntile(
+            scored, 5, key, tiebreak=["user_id"], tile_col=tile_col,
+            ascending=asc,
+        )
+    scored = scored.select(
         "user_id",
         "recency_days",
         "frequency",
         F.round("monetary", 2).alias("monetary"),
-        r.cast("bigint").alias("r_score"),
-        f_.cast("bigint").alias("f_score"),
-        m.cast("bigint").alias("m_score"),
+        F.col("r_score").cast("bigint").alias("r_score"),
+        F.col("f_score").cast("bigint").alias("f_score"),
+        F.col("m_score").cast("bigint").alias("m_score"),
     )
     return scored.withColumn(
         "segment",
@@ -7746,9 +7752,12 @@ def conversion_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     outcome = made a purchase over 150, then per score-decile report
     conversion rate, cumulative share of all conversions captured, and
     lift over the base rate. Deciles use ``ntile(10)`` with a user_id
-    tiebreak (order-dependent otherwise); everything after the
-    per-user collapse runs on the |users| rollup and the 10-row decile
-    frame — the cumulative window orders 10 rows."""
+    tiebreak (order-dependent otherwise), computed by
+    :func:`grouped_ntile`'s bucketed funnel-free rewrite — the |users|
+    rollup is data-proportional, so the naive global ntile window
+    would be a single-partition sort. The one remaining ordered
+    window (cumulative capture) runs over the 10-row decile frame,
+    bounded by construction."""
     ev = _events(spark, sf_dir)
     users = ev.groupBy("user_id").agg(
         F.sum(
@@ -7762,11 +7771,14 @@ def conversion_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("__conv__"),
     )
-    decile = F.ntile(10).over(
-        Window.orderBy(F.col("__score__").desc(), F.col("user_id").asc())
-    )
+    from tmdb_index_spark.operators.ordering import grouped_ntile
+
     by_decile = (
-        users.select(decile.alias("decile"), "__score__", "__conv__")
+        grouped_ntile(
+            users, 10, "__score__", tiebreak=["user_id"],
+            tile_col="decile", ascending=False,
+        )
+        .select("decile", "__score__", "__conv__")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_users"),
@@ -8399,9 +8411,11 @@ def purchase_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned PSI): D = max |F_weekday(v) − F_weekend(v)| between
     purchase-value distributions, weekday vs weekend from the portable
     epoch-mod-7 day index. Values collapse to (value, group) COUNTS
-    first, so the one ordered window that builds both step-CDFs runs
-    over |distinct cent values| rows — never the fact table — and
-    every CDF step is an exact integer ratio; D is engine-exact.
+    first, and both step-CDFs come from :func:`grouped_prefix_sum`'s
+    bucketed running sums — |distinct cent values| grows with data
+    for continuous values, so the naive global ordered window would
+    be a single-partition sort over a data-proportional frame. Every
+    CDF step is an exact integer ratio; D is engine-exact.
     Significance at α=0.05 via the asymptotic threshold
     1.358·√((n₁+n₂)/(n₁·n₂))."""
     ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
@@ -8427,14 +8441,18 @@ def purchase_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per_val.agg(
         F.sum("__ca__").alias("__na__"), F.sum("__cb__").alias("__nb__")
     )
-    w = Window.orderBy("__v__").rowsBetween(Window.unboundedPreceding, 0)
-    stepped = per_val.crossJoin(F.broadcast(tot)).select(
+    from tmdb_index_spark.operators.ordering import grouped_prefix_sum
+
+    cdf = grouped_prefix_sum(
+        per_val, "__v__", {"__cca__": "__ca__", "__ccb__": "__cb__"}
+    )
+    stepped = cdf.crossJoin(F.broadcast(tot)).select(
         "__na__",
         "__nb__",
         F.abs(
-            F.sum("__ca__").over(w).cast("double")
+            F.col("__cca__").cast("double")
             / F.col("__na__").cast("double")
-            - F.sum("__cb__").over(w).cast("double")
+            - F.col("__ccb__").cast("double")
             / F.col("__nb__").cast("double")
         ).alias("__d__"),
     )
