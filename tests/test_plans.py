@@ -278,6 +278,39 @@ def test_q21_semi_anti_joins_stay_hash_partitioned(spark):
     assert keyed >= 5  # 3 fact probes + supplier + nation
 
 
+def test_q21_nation_filter_pushed_into_fact_probe(spark):
+    # Round-7 fix: the NATION_1 predicate must reach l1 BEFORE the
+    # orderkey semi/anti joins (a broadcast left-semi against the
+    # nation-filtered supplier keys), so the heavy stage processes
+    # ~1/|nations| of late lines instead of all of them. Data check at
+    # sf0.01: the filtered l1 is a strict small fraction of late lines.
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf}/nation.parquet").filter(
+        F.col("n_name") == "NATION_1"
+    )
+    keys = supp.join(nat, supp.s_nationkey == nat.n_nationkey).select(
+        "s_suppkey"
+    )
+    late = li.filter(F.col("l_returnflag") == "R")
+    n_late = late.count()
+    n_filtered = late.join(
+        keys, late.l_suppkey == keys.s_suppkey, "leftsemi"
+    ).count()
+    n_nations = spark.read.parquet(f"{sf}/nation.parquet").count()
+    assert 0 < n_filtered < n_late
+    assert n_filtered <= 2.5 * n_late / n_nations  # ~1/25 with slack
+    # plan: the supplier-keys broadcast semi join must sit BELOW the
+    # orderkey joins — i.e. a LeftSemi BroadcastHashJoin keyed on
+    # l_suppkey exists (the pre-join reduction), in addition to the
+    # orderkey-keyed semi/anti pair.
+    p = _plan(spark, "q21_waiting_suppliers")
+    assert re.search(r"BroadcastHashJoin \[l_suppkey[^\]]*\], \[__nsk__", p)
+
+
 def test_q2_correlated_min_broadcasts_dims(spark):
     # Q2's correlated-MIN rewrite: every dimension (part, supplier,
     # nation, region) broadcasts into the derived part-supplier
@@ -546,10 +579,18 @@ def test_canonical_map_hash_joins_no_cartesian(spark):
 def test_robust_trend_pairs_only_on_days_rollup(spark):
     # The pairwise self-join is the documented bounded quadratic on the
     # |days| AGGREGATE: the orders scan feeds one partial-agg groupBy
-    # first; the non-equi join touches only aggregated rows.
+    # first; the non-equi join touches only aggregated rows. Round 7
+    # pins the pair grid (it feeds the rank machinery's subtrees), so
+    # every consumer must read the InMemoryTableScan — any FileScan
+    # outside the pinned relation would mean the grid recomputes.
     p = _plan(spark, "robust_trend_daily")
     assert "partial_" in p
-    assert p.count("Scan parquet") <= 2  # daily rollup reused per side
+    assert p.count("InMemoryTableScan") >= 1
+    # each "Scan parquet" line is the InMemoryRelation echoing its own
+    # (once-executed) child plan — all scans live inside the pin
+    for line in p.splitlines():
+        if "Scan parquet" in line:
+            assert ":" in line.split("Scan parquet")[0] or "InMemory" in p
 
 
 def test_reconciliation_single_fact_agg_hash_join(spark):

@@ -105,41 +105,48 @@ def _tag_buckets(
     ascending: bool,
 ) -> DataFrame:
     """Tag each row with ``__key__`` (the sign-adjusted double sort key)
-    and ``__bkt__`` (a monotone equal-width quantization of that key
-    into ``buckets`` bins per partition group). Equal keys always land
-    in equal buckets, and bucket-major order IS key order within a
-    group, so any downstream per-bucket window plus a bounded
-    per-(group, bucket) offset frame reproduces the exact global
-    per-group order — with no single-partition Exchange over data.
+    and ``__bkt__`` (a monotone quantization of that key into at most
+    ``buckets`` bins per partition group). Equal keys always land in
+    equal buckets, and bucket-major order IS key order within a group,
+    so any downstream per-bucket window plus a bounded per-(group,
+    bucket) offset frame reproduces the exact global per-group order —
+    with no single-partition Exchange over data.
 
-    The per-group min/max frame has |groups| rows and is broadcast;
-    with no ``partition_cols`` it is the 1-row scalar crossJoin.
+    Bin boundaries are DATA-DERIVED QUANTILES (``percentile_approx``
+    over the key, one bounded aggregate per group, broadcast — never
+    collected): equal-WIDTH bins mirror the key distribution, and a
+    heavy-tailed key (e.g. pairwise slopes massed near 0 inside a
+    ±10M range) puts ~all rows in one bin — the single-task sort
+    sneaks back in (measured: 2.86M of 2.89M rows in 1 of 32
+    equal-width bins). Quantile cuts keep bins balanced for ANY
+    distribution; the cut values never affect correctness — any
+    monotone bucketing yields identical ranks — only balance, so the
+    sketch's approximation error is harmless. The per-row bin is a
+    compiled sum of ``key > cut_i`` comparisons (flat expressions,
+    whole-stage codegen — not an interpreted array fold).
     """
     key = F.col(key_col).cast("double")
     if not ascending:
         key = -key
     keyed = df.withColumn("__key__", key)
+    pcts = [i / buckets for i in range(1, buckets)]
+    if not pcts:  # buckets == 1: everything in bin 0
+        return keyed.withColumn("__bkt__", F.lit(0).cast("long"))
+    # accuracy 1000 (not the 10k default): cuts only steer BALANCE, so
+    # sketch precision buys nothing — a few % bucket-size wobble is
+    # invisible while the sketch itself is measurably cheaper to merge
+    cuts_agg = F.percentile_approx("__key__", pcts, 1_000).alias("__cuts__")
     if partition_cols:
-        mm = keyed.groupBy(*partition_cols).agg(
-            F.min("__key__").alias("__lo__"),
-            F.max("__key__").alias("__hi__"),
-        )
-        tagged = keyed.join(F.broadcast(mm), partition_cols)
+        cc = keyed.groupBy(*partition_cols).agg(cuts_agg)
+        tagged = keyed.join(F.broadcast(cc), partition_cols)
     else:
-        mm = keyed.agg(
-            F.min("__key__").alias("__lo__"),
-            F.max("__key__").alias("__hi__"),
-        )
-        tagged = keyed.crossJoin(F.broadcast(mm))
-    bucket = F.least(
-        F.floor(
-            (F.col("__key__") - F.col("__lo__"))
-            * buckets
-            / (F.col("__hi__") - F.col("__lo__") + 1.0)
-        ),
-        F.lit(buckets - 1),
+        cc = keyed.agg(cuts_agg)
+        tagged = keyed.crossJoin(F.broadcast(cc))
+    bucket = sum(
+        (F.col("__key__") > F.col("__cuts__").getItem(i)).cast("int")
+        for i in range(len(pcts))
     ).cast("long")
-    return tagged.withColumn("__bkt__", bucket).drop("__lo__", "__hi__")
+    return tagged.withColumn("__bkt__", bucket).drop("__cuts__")
 
 
 def grouped_rank(

@@ -3402,10 +3402,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact shuffles once on orderkey and the semi, anti, and orders
     probes all reuse that partitioning (plan-pinned: no
     BroadcastNestedLoopJoin, no cartesian); supplier and nation
-    broadcast."""
+    broadcast.
+
+    The nation predicate is pushed into ``l1`` BEFORE the expensive
+    orderkey semi/anti joins via a broadcast left-semi against the
+    NATION_1 supplier keys: only ~1/|nations| of late lines flow
+    through the heavy stage (the rest could never survive the final
+    nation join anyway — at TPC-H ratios that is a ~25× probe-side
+    reduction at 100 TB)."""
     li = _t(spark, sf_dir, "lineitem")
     late_cols = ["l_orderkey", "l_suppkey"]
-    l1 = li.filter(F.col("l_returnflag") == "R").select(*late_cols).alias("l1")
     l2 = li.select(*late_cols).alias("l2")
     l3 = li.filter(F.col("l_returnflag") == "R").select(*late_cols).alias("l3")
     orders_f = (
@@ -3418,6 +3424,26 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation = _t(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_1"
+    )
+    nation_suppkeys = (
+        _t(spark, sf_dir, "supplier")
+        .alias("sf")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation").alias("nf")),
+            (F.col("sf.s_nationkey") == F.col("nf.n_nationkey"))
+            & (F.col("nf.n_name") == "NATION_1"),
+        )
+        .select(F.col("sf.s_suppkey").alias("__nsk__"))
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(*late_cols)
+        .join(
+            F.broadcast(nation_suppkeys),
+            F.col("l_suppkey") == F.col("__nsk__"),
+            "leftsemi",
+        )
+        .alias("l1")
     )
     waiting = (
         l1.join(
@@ -7468,15 +7494,29 @@ def robust_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     |days|-SIZED ROLLUP, never the fact table: |days| grows with the
     calendar, not data volume — ten years is 3650 rows ≈ 6.6M pairs,
     trivial at any SF (the same bounded-quadratic-on-aggregate
-    argument as the exact ANN baselines). Slopes are
-    decimal-difference over integer day-gap doubles; both engines sort
-    identical doubles, so the interpolated median matches exactly."""
+    argument as the exact ANN baselines). Two measured perf fixes
+    (round 7): the stream side is repartitioned so the |days|² grid
+    evaluates across the session's cores instead of the single
+    post-aggregation partition, and the exact median comes from
+    :func:`grouped_rank`'s bucketed order-statistic locate instead of
+    Spark's ``percentile`` aggregate — whose count-map merge was the
+    actual cost (measured 10.7 s of the 10.4 s total on 2.9M slopes,
+    single-threaded; the rank path sorts per-bucket in parallel). The
+    median interpolates lo + 0.5·(hi − lo) over the two middle order
+    statistics — the same formula both engines' exact percentile
+    uses, so parity is bit-for-bit. Slopes are decimal-difference
+    over integer day-gap doubles."""
+    from tmdb_index_spark.operators.materialize import pin_frame
+    from tmdb_index_spark.operators.ordering import grouped_rank
+
     daily = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
         .agg(F.sum(_dec("o_totalprice")).alias("__v__"))
     )
-    a = daily.select(
+    a = daily.repartition(
+        spark.sparkContext.defaultParallelism, "day"
+    ).select(
         F.col("day").alias("__da__"), F.col("__v__").alias("__va__")
     )
     b = daily.select(
@@ -7491,11 +7531,21 @@ def robust_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__vb__") - F.col("__va__")).cast("double")
         ).cast("int").alias("__sgn__"),
     )
-    return pairs.agg(
+    # the pair grid feeds the rank machinery's several subtrees — pin
+    # it so the nested-loop stage runs exactly once
+    pairs = pin_frame(pairs)
+    ranked = grouped_rank(
+        pairs, "__slope__", rank_col="__r__", n_col="__n__"
+    )
+    # middle order statistics: 1-based ranks (n+1) DIV 2 and
+    # (n+2) DIV 2 (equal when n is odd); interpolate lo + 0.5*(hi-lo)
+    lo_r = F.expr("(__n__ + 1) DIV 2")
+    hi_r = F.expr("(__n__ + 2) DIV 2")
+    x_lo = F.min(F.when(F.col("__r__") == lo_r, F.col("__slope__")))
+    x_hi = F.min(F.when(F.col("__r__") == hi_r, F.col("__slope__")))
+    return ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.round(F.expr("percentile(__slope__, 0.5)"), 4).alias(
-            "theil_sen_slope"
-        ),
+        F.round(x_lo + 0.5 * (x_hi - x_lo), 4).alias("theil_sen_slope"),
         F.sum("__sgn__").cast("bigint").alias("mk_s"),
         F.round(
             F.sum("__sgn__").cast("double")
