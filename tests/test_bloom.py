@@ -108,3 +108,34 @@ def test_fp_rate_bounded_at_default_sizing(spark, dim_and_fact):
         F.sum(F.when(F.col("__hit__").isNull(), 1).otherwise(0)).alias("neg"),
     ).collect()[0]
     assert row["fp"] / max(row["neg"], 1) < 0.05
+
+
+def test_realistic_bitmap_size_plan_stays_small(spark):
+    """ADVICE round-6 regression: at production sizing (2^20 bits =
+    16,384 words here; 2^24 at a 1M-key dim) a per-word expression tree
+    blew up plan build/serialization. The single-literal bitmap must
+    keep the executed plan text bounded and evaluate correctly."""
+    import time
+
+    m = 1 << 20  # 2^20 bits -> 16,384 64-bit words
+    bitmap = [0] * (m // 64)
+    # set the exact bits for key "42" so the flag is true
+    from tmdb_index_spark.functions.text import portable_hash60
+
+    probe = spark.range(1).select(
+        *[
+            F.pmod(portable_hash60(F.lit("42"), seed), F.lit(m)).alias(f"p{seed}")
+            for seed in range(3)
+        ]
+    ).collect()[0]
+    for seed in range(3):
+        pos = probe[f"p{seed}"]
+        bitmap[pos // 64] |= 1 << (pos % 64)
+    df = spark.createDataFrame([(42,), (43,)], "k long")
+    t0 = time.time()
+    out = with_bloom_flag(df, "k", bitmap, m, k_hashes=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert time.time() - t0 < 30  # per-word trees took unboundedly long
+    got = {r["k"]: r["bloom_pass"] for r in out.collect()}
+    assert got[42] is True
+    assert got[43] is False  # all-zero words elsewhere: no stray bits

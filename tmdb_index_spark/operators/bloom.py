@@ -93,12 +93,21 @@ def with_bloom_flag(
 ) -> DataFrame:
     """Map-only ``might_contain``: add ``flag_col`` = true iff ALL k
     hash positions of ``key_col`` are set in ``bitmap``. Pure column
-    expressions against a constant-folded literal array — no join, no
-    shuffle, whole-stage codegen keeps it JVM-side."""
+    expressions against a SINGLE literal array — no join, no shuffle,
+    whole-stage codegen keeps it JVM-side.
+
+    The bitmap must be one ``Literal`` of ``ArrayType`` (``F.lit`` on
+    the whole list), NOT ``F.array(*[F.lit(w) ...])``: the latter is
+    one expression node per 64-bit word, and at the docstring's
+    advertised sizing (1M-key dim × 16 bits/key → 2^24 bits → 262,144
+    words) a per-word expression tree blows up Catalyst analysis,
+    codegen, and per-task plan serialization — the "constant-size
+    broadcast" claim only holds when the bitmap is a single constant
+    (regression-tested at 2^20 bits in ``test_bloom.py``)."""
     key = F.col(key_col).cast("string")
     out = df.withColumn(
         "__bwords__",
-        F.array(*[F.lit(int(w)).cast("long") for w in bitmap]),
+        F.lit([int(w) for w in bitmap]).cast("array<bigint>"),
     )
     tests = []
     for seed, pos in enumerate(_positions(key, m_bits, k_hashes)):

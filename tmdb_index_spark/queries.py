@@ -1775,7 +1775,7 @@ WITH tf AS (
 ), corpus AS (
   SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT / COUNT(*) AS avgdl FROM dl
 ), q AS (
-  SELECT * FROM tf WHERE term IN ('hash', 'join', 'dup')
+  SELECT * FROM tf WHERE term IN ({", ".join(repr(t) for t in _BM25_TERMS)})
 ), dfreq AS (
   SELECT term, COUNT(*)::BIGINT AS df FROM q GROUP BY term
 ), part AS (
@@ -7580,16 +7580,27 @@ def orders_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table reconciliation audit (extension: financial-close
     style consistency checking — distinct from `fd_discovery`'s
     intra-table rules and `orders_checksum`'s table digests): compare
-    each order's header total against the DECIMAL-exact sum of its
-    line extended prices and report how many orders disagree beyond a
-    cent, plus the delta distribution. One fact-side aggregate
-    co-partitioned on the join key, a header hash join, and a
-    single-row rollup; every amount stays decimal until the final
+    each order's header total against the DECIMAL-exact net line total
+    Σ extendedprice·(1−discount)·(1+tax) — the TPC-H definition of
+    ``o_totalprice``, so on conformant data a clean close reports ~0
+    mismatches — and report how many orders disagree beyond a cent,
+    plus the delta distribution. NOTE on the synthetic fixtures: the
+    test generator draws ``o_totalprice`` independently of lineitem
+    (verified: header totals do not equal ANY line aggregate), so
+    there the audit correctly reports ~100% mismatch — that is the
+    fixture's property, not a query bug (ADVICE r6). One fact-side
+    aggregate co-partitioned on the join key, a header hash join, and
+    a single-row rollup; every amount stays decimal until the final
     output cast."""
+    net = (
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+        * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    )
     lines = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_extendedprice")).alias("__lsum__"))
+        .agg(F.sum(net).cast("decimal(28,6)").alias("__lsum__"))
     )
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", _dec("o_totalprice").alias("__tot__")
@@ -7598,13 +7609,13 @@ def orders_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         lines, orders.o_orderkey == lines.l_orderkey, "left"
     ).select(
         F.coalesce(
-            F.col("__lsum__"), F.lit(0).cast("decimal(18,2)")
+            F.col("__lsum__"), F.lit(0).cast("decimal(28,6)")
         ).alias("__lsum__"),
         "__tot__",
     )
     delta = (
-        F.col("__tot__").cast("decimal(28,2)")
-        - F.col("__lsum__").cast("decimal(28,2)")
+        F.col("__tot__").cast("decimal(30,6)")
+        - F.col("__lsum__").cast("decimal(30,6)")
     )
     mism = F.abs(delta) > 0.01
     return joined.agg(
@@ -7625,12 +7636,15 @@ def orders_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RECONCILE_SQL = """
 WITH lines AS (
   SELECT l_orderkey,
-         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS lsum
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                  * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(28,6))
+           AS lsum
   FROM lineitem GROUP BY l_orderkey
 ),
 joined AS (
-  SELECT CAST(o.o_totalprice AS DECIMAL(28,2))
-           - CAST(COALESCE(l.lsum, 0) AS DECIMAL(28,2)) AS delta
+  SELECT CAST(o.o_totalprice AS DECIMAL(30,6))
+           - CAST(COALESCE(l.lsum, 0) AS DECIMAL(30,6)) AS delta
   FROM orders o LEFT JOIN lines l ON l.l_orderkey = o.o_orderkey
 )
 SELECT COUNT(*)::BIGINT AS n_orders,
@@ -7751,7 +7765,11 @@ def activity_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (relevant to skew planning: the same statistic predicts hot-key
     behavior). Two aggregates over the |users| rollup; xmin broadcast
     as one row; ln terms are doubles over exact integer counts,
-    rounded."""
+    rounded. Degenerate data (every user at the same count) makes
+    Σ ln(x/xmin) = 0 — Spark's non-ANSI divide yields NULL there
+    while DuckDB's IEEE double division yields Infinity, so the
+    denominator is NULLIF-guarded on BOTH sides: alpha_mle is a
+    deterministic NULL sentinel on degenerate data (ADVICE r6)."""
     counts = (
         _events(spark, sf_dir)
         .groupBy("user_id")
@@ -7767,11 +7785,14 @@ def activity_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 1
                 + F.count(F.lit(1)).cast("double")
-                / F.sum(
-                    F.log(
-                        F.col("__x__").cast("double")
-                        / F.col("__xmin__").cast("double")
-                    )
+                / F.nullif(
+                    F.sum(
+                        F.log(
+                            F.col("__x__").cast("double")
+                            / F.col("__xmin__").cast("double")
+                        )
+                    ),
+                    F.lit(0.0),
                 ),
                 4,
             ).alias("alpha_mle"),
@@ -7788,7 +7809,8 @@ SELECT COUNT(*)::BIGINT AS n_users,
        CAST(MIN(x) AS BIGINT) AS xmin,
        CAST(MAX(x) AS BIGINT) AS xmax,
        ROUND(1 + CAST(COUNT(*) AS DOUBLE)
-                 / SUM(ln(CAST(x AS DOUBLE) / CAST(xm.xmin AS DOUBLE))),
+                 / NULLIF(SUM(ln(CAST(x AS DOUBLE) / CAST(xm.xmin AS DOUBLE))),
+                          0.0),
              4) AS alpha_mle
 FROM counts, xm
 GROUP BY xm.xmin
@@ -8278,7 +8300,7 @@ rel AS (
   SELECT doc_id,
          CAST(len(list_filter(
            regexp_extract_all(lower(text), '[a-z0-9]+'),
-           x -> list_contains(['hash', 'join', 'dup'], x)
+           x -> list_contains([{", ".join(repr(t) for t in _BM25_TERMS)}], x)
          )) AS BIGINT) AS rel
   FROM documents
 ),

@@ -60,38 +60,14 @@ def main() -> int:
     if os.environ.get("SPARK_GRAFT_STRESS_SET") == "full":
         stress_set = list(QUERIES)
     else:
-        stress_set = BENCH_QUERIES + [
-            "pack_sequences_stats",
-            "decontam_ngram_hits",
-            "repetition_quality",
-            "pii_redaction",
-            # round-6 additions
-            "q21_waiting_suppliers",
-            "q2_min_cost_supplier",
-            "q9_product_type_profit",
-            "q11_important_parts",
-            "q12_shipmode_priority",
-            "q16_supplier_relationship",
-            "q20_promotion_suppliers",
-            "dup_span_quality",
-            "mixture_token_sample",
-            "embedding_knn_join",
-            "crossmodal_image_neardups",
-            # round-6 late batches
-            "variant_conversion_ztest",
-            "metric_correlation_matrix",
-            "bloom_prefilter_revenue",
-            "bigram_perplexity",
-            "ewma_daily_value",
-            "clamped_running_balance",
-            "click_purchase_leadlag",
-            "fd_discovery_lineitem",
-            "dow_seasonality",
-            "signup_conversion_survival",
-            "dedup_canonical_map",
-            "robust_trend_daily",
-            "orders_reconciliation",
-        ]
+        # Derived from bench's own lists (ADVICE r6: a hand-maintained
+        # subset silently omitted half the round-6 additions, so
+        # routine stress runs stopped regression-checking the scale
+        # rows SCALE.md publishes) — headline + every extended-bench
+        # query, deduplicated in order.
+        from bench import EXTENDED_QUERIES
+
+        stress_set = list(dict.fromkeys(BENCH_QUERIES + EXTENDED_QUERIES))
 
     report: dict[str, dict[str, float]] = {}
     for name in stress_set:
