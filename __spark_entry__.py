@@ -13,7 +13,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from tmdb_index_spark.queries import ORACLES, QUERIES, flagship
+from tmdb_index_spark.queries import (
+    ORACLES,
+    QUERIES,
+    dynamic_oracles,
+    flagship,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,5 +32,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalent for each query."""
-    return dict(ORACLES)
+    """DuckDB-runnable ANSI SQL equivalent for each query. Includes the
+    dynamic oracles (fitted-centroid literals computed from the sf0.01
+    tables the driver compares against); a builder that cannot read its
+    table simply leaves that query rows-only."""
+    return {**dict(ORACLES), **dynamic_oracles()}

@@ -165,6 +165,8 @@ EXTENDED_QUERIES = [
     "purchase_value_ks_test",
     "column_dependence_mi",
     "purchase_did_estimate",
+    # round-7 additions
+    "embedding_ivf2_topk",
 ]
 
 

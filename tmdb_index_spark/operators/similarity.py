@@ -46,6 +46,13 @@ __all__ = [
     "lsh_knn_join",
     "ivf_assign",
     "ivf_topk",
+    "ivf_index_topk",
+    "fit_centroids",
+    "fit_kmeans_array",
+    "fit_two_level_centroids",
+    "two_level_from_sample",
+    "two_level_ivf_assign",
+    "ivf2_index_topk",
     "label_centroid_cosine",
 ]
 
@@ -458,23 +465,53 @@ def fit_centroids(
     rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(max_sample).collect()
     )
-    X = np.array([list(r[1]) for r in rows], dtype="float64")
-    n = len(X)
-    if n == 0:
+    import numpy as _np
+
+    X = _np.array([list(r[1]) for r in rows], dtype="float64")
+    if len(X) == 0:
         raise ValueError("fit_centroids needs a non-empty corpus")
+    return fit_kmeans_array(X, k, iters=iters, seed=seed)
+
+
+def fit_kmeans_array(
+    X, k: int, iters: int = 10, seed: int = 13
+) -> list[tuple[int, list[float]]]:
+    """The deterministic numpy k-means core of :func:`fit_centroids`,
+    exposed on a raw ``(n, d)`` float64 array so an external oracle
+    builder (DuckDB reading the same parquet sample) can reproduce the
+    EXACT fitted centroids without a SparkSession — the fit is a pure
+    function of (sample bytes, k, iters, seed). Also reused by the
+    two-level index to quantize the fine-centroid set itself."""
+    import numpy as np
+
+    n = len(X)
     k = min(k, n)
     rng = np.random.RandomState(seed)
-    # k-means++ init
+    # k-means++ init with an INCREMENTAL running min: recomputing the
+    # min over all centers each step is O(n·d·k²) — infeasible at the
+    # two-level index's fine-cell counts (thousands). The running min
+    # is elementwise-identical arithmetic, so the RNG draw sequence
+    # (and therefore the fit) is unchanged.
     centers = [X[rng.randint(n)]]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
     for _ in range(1, k):
-        d2 = np.min(
-            [((X - c) ** 2).sum(axis=1) for c in centers], axis=0
-        )
         probs = d2 / d2.sum() if d2.sum() > 0 else None
-        centers.append(X[rng.choice(n, p=probs)])
+        c = X[rng.choice(n, p=probs)]
+        centers.append(c)
+        d2 = np.minimum(d2, ((X - c) ** 2).sum(axis=1))
     C = np.stack(centers)
+    # Lloyd assignment via the expanded-norm matmul, row-chunked so the
+    # (n, k) distance block stays bounded; the O(n·k·d) broadcast
+    # tensor of the naive form is ~66 GB at (10k sample, 13k cells).
+    x2 = (X * X).sum(axis=1)[:, None]
+    chunk = max(1, int(2e7 // max(k, 1)))
     for _ in range(iters):
-        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        c2 = (C * C).sum(axis=1)[None, :]
+        assign = np.empty(n, dtype="int64")
+        for s in range(0, n, chunk):
+            blk = slice(s, min(s + chunk, n))
+            d2b = x2[blk] - 2.0 * (X[blk] @ C.T) + c2
+            assign[blk] = d2b.argmin(axis=1)
         for j in range(k):
             members = X[assign == j]
             if len(members):
@@ -559,6 +596,216 @@ def ivf_index_topk(
         nprobe=nprobe,
         assign_impl=assign_impl,
     )
+
+
+def fit_two_level_centroids(
+    df: DataFrame,
+    cells: int,
+    coarse: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 13,
+) -> tuple[
+    list[tuple[int, list[float]]],
+    list[tuple[int, list[float]]],
+    dict[int, int],
+]:
+    """Hierarchical quantizer fit for :func:`ivf2_index_topk`.
+
+    Fine centroids come from the same bounded-sample deterministic
+    k-means as flat IVF (:func:`fit_centroids`); the COARSE quantizer
+    is then fit ON THE FINE CENTROIDS themselves (:func:`
+    fit_kmeans_array` over the ``cells × d`` matrix — a tiny second
+    fit), and each fine cell is assigned to its nearest coarse cell
+    (lower-id tie-break). Returns ``(coarse_centroids,
+    fine_centroids, fine_to_coarse)``. Everything is a pure function
+    of (sample, parameters, seed), so index rebuilds reproduce
+    identical structure."""
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(max_sample).collect()
+    )
+    X = np.array([list(r[1]) for r in rows], dtype="float64")
+    if len(X) == 0:
+        raise ValueError("fit_two_level_centroids needs a non-empty corpus")
+    return two_level_from_sample(X, cells, coarse, iters=iters, seed=seed)
+
+
+def two_level_from_sample(
+    X, cells: int, coarse: int, iters: int = 10, seed: int = 13
+) -> tuple[
+    list[tuple[int, list[float]]],
+    list[tuple[int, list[float]]],
+    dict[int, int],
+]:
+    """Sample-array core of :func:`fit_two_level_centroids`, exposed so
+    the oracle builder can reproduce the identical index structure from
+    the same parquet sample without a SparkSession."""
+    import numpy as np
+
+    fine = fit_kmeans_array(X, cells, iters=iters, seed=seed)
+    Cf = np.array([v for _, v in fine], dtype="float64")
+    coarse_list = fit_kmeans_array(
+        Cf, min(coarse, len(fine)), iters=iters, seed=seed
+    )
+    Cc = np.array([v for _, v in coarse_list], dtype="float64")
+    d2 = ((Cf[:, None, :] - Cc[None, :, :]) ** 2).sum(axis=2)
+    f2c = d2.argmin(axis=1)  # first-min = lower coarse id on ties
+    fine_to_coarse = {
+        int(fid): int(coarse_list[f2c[i]][0])
+        for i, (fid, _) in enumerate(fine)
+    }
+    return coarse_list, fine, fine_to_coarse
+
+
+def two_level_ivf_assign(
+    df: DataFrame,
+    coarse_centroids: list[tuple[int, list[float]]],
+    fine_centroids: list[tuple[int, list[float]]],
+    fine_to_coarse: dict[int, int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_coarse: int = 1,
+) -> DataFrame:
+    """Two-stage cell assignment — the hierarchical fix for flat IVF's
+    measured Θ(N^1.5) ceiling (SCALE.md "The IVF-flat ceiling"). Flat
+    assignment scans every fine centroid per vector (N·cells·d); here
+    each vector first finds its ``probe_coarse`` nearest COARSE cells
+    (N·|coarse|·d), then scans only those cells' fine members
+    (≈ N·probe_coarse·cells/|coarse|·d). With |coarse| = √cells both
+    stages are N·√cells·d. Map-only (one mapInPandas, centroid
+    matrices broadcast in the closure); the trade is recall at coarse
+    boundaries — a vector whose true nearest fine centroid lives in an
+    unprobed coarse cell mis-assigns; ``probe_coarse`` is the lever.
+
+    Determinism: BLAS distances with numpy first-minimum argmin and
+    members sorted by fine id — exact ties break to the lower fine
+    cell, matching :func:`ivf_assign`'s rule. With ``probe_coarse >=
+    |coarse|`` the assignment is EXHAUSTIVE over fine cells and equals
+    flat :func:`ivf_assign` up to distance-computation ULPs
+    (tested in ``test_similarity.py``)."""
+    import pandas as pd
+
+    if not coarse_centroids or not fine_centroids:
+        raise ValueError("two_level_ivf_assign requires fitted centroids")
+    coarse_sorted = sorted(coarse_centroids, key=lambda cv: int(cv[0]))
+    coarse_ids = [int(c) for c, _ in coarse_sorted]
+    Cc_rows = [[float(x) for x in v] for _, v in coarse_sorted]
+    # per coarse cell: member fine ids (ascending) + their vectors
+    members: dict[int, list[tuple[int, list[float]]]] = {c: [] for c in coarse_ids}
+    for fid, fvec in sorted(fine_centroids, key=lambda cv: int(cv[0])):
+        members[fine_to_coarse[int(fid)]].append(
+            (int(fid), [float(x) for x in fvec])
+        )
+    w = max(1, min(int(probe_coarse), len(coarse_ids)))
+    dtypes = dict(df.dtypes)
+    out_schema = (
+        f"`{id_col}` {dtypes[id_col]}, `{vec_col}` {dtypes[vec_col]}, cell long"
+    )
+
+    def run(batches):
+        import numpy as np
+
+        Cc = np.array(Cc_rows, dtype="float64")
+        cc2 = (Cc * Cc).sum(axis=1)
+        cid_arr = np.array(coarse_ids, dtype="int64")
+        mem = {}
+        for pos, c in enumerate(coarse_ids):
+            if members[c]:
+                mids = np.array([m for m, _ in members[c]], dtype="int64")
+                M = np.array([v for _, v in members[c]], dtype="float64")
+                mem[pos] = (mids, M, (M * M).sum(axis=1))
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pdf.assign(cell=pd.Series([], dtype="int64"))
+                continue
+            X = np.array([list(v) for v in pdf[vec_col]], dtype="float64")
+            x2 = (X * X).sum(axis=1)
+            Dc = x2[:, None] - 2.0 * (X @ Cc.T) + cc2[None, :]
+            # per row: positions of the w nearest coarse cells (ties →
+            # lower position = lower coarse id, via stable argsort)
+            probe = np.argsort(Dc, axis=1, kind="stable")[:, :w]
+            best_d = np.full(n, np.inf)
+            best_cell = np.full(n, np.iinfo(np.int64).max, dtype="int64")
+            for pos in range(len(coarse_ids)):
+                if pos not in mem:
+                    continue
+                rows = np.nonzero((probe == pos).any(axis=1))[0]
+                if len(rows) == 0:
+                    continue
+                mids, M, m2 = mem[pos]
+                D = x2[rows, None] - 2.0 * (X[rows] @ M.T) + m2[None, :]
+                j = D.argmin(axis=1)  # first-min = lower fine id
+                dmin = D[np.arange(len(rows)), j]
+                cand = mids[j]
+                upd = (dmin < best_d[rows]) | (
+                    (dmin == best_d[rows]) & (cand < best_cell[rows])
+                )
+                ridx = rows[upd]
+                best_d[ridx] = dmin[upd]
+                best_cell[ridx] = cand[upd]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cell": best_cell,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(run, out_schema)
+
+
+def ivf2_index_topk(
+    corpus: DataFrame,
+    k: int = 3,
+    cells: int | None = None,
+    coarse: int | None = None,
+    n_estimate: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_coarse: int = 1,
+    max_sample: int = 10_000,
+    seed: int = 13,
+) -> DataFrame:
+    """Two-level (hierarchical) IVF top-``k`` — the recall-oriented ANN
+    index that survives where flat IVF's measured Θ(N^1.5) does not.
+
+    Flat IVF's total work, assignment N·cells·d + in-cell scoring
+    N²/cells, is minimized at cells=√N and is then Θ(N^1.5) in BOTH
+    terms — the round-6 100× sweep measured 131.6× wall at 100× data
+    and no cell count escapes it (SCALE.md). Two-level assignment
+    breaks the assignment term: with ``cells = N^(2/3)`` (the new
+    balance point) and ``coarse = √cells = N^(1/3)``, assignment costs
+    N·(N^(1/3) + cells/coarse = N^(1/3))·d and scoring N²/cells =
+    N^(4/3) — total **Θ(N^(4/3))**: 100× data → ~460× work instead of
+    1000×, and the measured wall ratio drops accordingly (SCALE.md
+    round-7 sweep). The LSH index (occupancy-constant, 1.7× at 100×)
+    remains the throughput ANN path; this is the recall-oriented
+    alternative when learned cells matter.
+
+    Smaller fine cells (N^(1/3) members vs flat's √N) mean fewer
+    candidates per query — recover recall with ``probe_coarse`` (probe
+    width at the coarse level) or a caller-fixed larger ``cells``.
+    ``cells`` is capped at ``max_sample`` (the fit sample bounds how
+    many distinguishable cells a driver-side fit supports; production
+    beyond that scales ``max_sample`` or fits distributed)."""
+    n = n_estimate if n_estimate is not None else corpus.count()
+    if cells is None:
+        cells = max(1, min(round(n ** (2.0 / 3.0)), max_sample))
+    if coarse is None:
+        coarse = max(1, round(cells ** 0.5))
+    cc, fine, f2c = fit_two_level_centroids(
+        corpus, cells, coarse, id_col, vec_col,
+        max_sample=max_sample, seed=seed,
+    )
+    assigned = two_level_ivf_assign(
+        corpus, cc, fine, f2c, id_col, vec_col, probe_coarse=probe_coarse
+    )
+    return _within_group_topk_pandas(assigned, "cell", k, id_col, vec_col)
 
 
 def ivf_probe_assign(

@@ -1338,17 +1338,193 @@ def embedding_ivf_tuned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`~tmdb_index_spark.operators.similarity.ivf_index_topk`)
     with ``cells = round(sqrt(N))`` (keeps both the within-cell
     quadratic and the assignment cost linear in N) and centroids fit
-    by deterministic sampled k-means. Rows-only correctness entry by
-    design: the k-means fit is an iterative driver-side algorithm
-    (seeded k-means++ + Lloyd iterations over a bounded sample) that
-    ANSI SQL cannot express — the exact-centroid twins above carry the
-    cross-engine value check for the assign+search operator itself,
-    and ``tests/test_similarity.py`` pins this wrapper's determinism
-    and its recall against the brute-force baseline (extension:
+    by deterministic sampled k-means. The k-means fit is an iterative
+    driver-side algorithm ANSI SQL cannot RUN — but given a fixed
+    sample and seed it is a pure function, so the ORACLE re-runs the
+    identical numpy fit (:func:`fit_kmeans_array` on the same
+    ORDER BY vec_id LIMIT sample read straight from parquet) and
+    embeds the fitted centroids as SQL literals
+    (:func:`_fitted_ivf_oracle_sql`, registered via
+    :data:`DYNAMIC_ORACLES`) — closing the round-6 ``no_oracle`` gap
+    with a full value row. ULP caveat: Spark assigns via one BLAS
+    matmul, the SQL via a sequential fold — a flip needs two cells
+    within ~1 ULP of a vector, which random embeddings don't produce;
+    the cos scores themselves compare after ROUND(...,4) (extension:
     similarity-search scale path)."""
     from tmdb_index_spark.operators.similarity import ivf_index_topk
 
     return ivf_index_topk(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+def _fitted_ivf_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Value-row oracle for ``embedding_ivf_tuned_topk``: reproduce the
+    deterministic centroid fit OUTSIDE Spark (duckdb parquet read of
+    the same first-``max_sample``-by-id sample + the shared
+    :func:`fit_kmeans_array` numpy core, same seed), then emit plain
+    SQL with the fitted centroids as literals — assignment is argmin
+    over a literal centroid table with the (dist, cell) tie-break the
+    operator uses. Returns None when the table is unreadable (the
+    driver then records the rows-only fallback)."""
+    try:
+        import duckdb
+        import numpy as np
+
+        from tmdb_index_spark.operators.similarity import fit_kmeans_array
+
+        con = duckdb.connect()
+        path = f"{sf_dir}/embeddings.parquet"
+        n = con.sql(f"SELECT COUNT(*) FROM '{path}'").fetchone()[0]
+        if not n:
+            return None
+        sample = con.sql(
+            f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT 10000"
+        ).fetchall()
+        X = np.array([list(r[0]) for r in sample], dtype="float64")
+        cells = max(1, round(n ** 0.5))
+        cents = fit_kmeans_array(X, cells)
+    except Exception:  # noqa: BLE001 — missing table → rows-only row
+        return None
+    dim = X.shape[1]
+    values = ",\n    ".join(
+        "({}, [{}])".format(
+            cid, ", ".join(repr(float(x)) for x in vec)
+        )
+        for cid, vec in cents
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT * FROM (VALUES
+    {values}
+) AS t(cell, cv)),
+d AS (
+  SELECT vec_id, v, cell,
+         list_sum(list_transform(generate_series(1, {dim}),
+           i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS dist
+  FROM v CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist ASC, cell ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
+  FROM assigned q JOIN assigned c ON q.cell = c.cell
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def embedding_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (hierarchical) IVF top-3 — the round-7 answer to flat
+    IVF's measured Θ(N^1.5) ceiling (SCALE.md): coarse-quantized
+    assignment makes total work Θ(N^(4/3)) with ``cells = N^(2/3)``,
+    ``coarse = √cells``, here with ``probe_coarse=2`` for boundary
+    recall. The oracle reproduces the identical two-stage fit
+    (:func:`_fitted_ivf2_oracle_sql` via the shared numpy core on the
+    same parquet sample) and expresses the two-stage argmin over
+    literal centroid tables — a full value row despite the iterative
+    fit (extension: similarity-search scale path)."""
+    from tmdb_index_spark.operators.similarity import ivf2_index_topk
+
+    return ivf2_index_topk(
+        _t(spark, sf_dir, "embeddings"), k=3, probe_coarse=2
+    )
+
+
+def _fitted_ivf2_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Value-row oracle for ``embedding_ivf2_topk``: rerun the
+    deterministic two-level fit from the same parquet sample, embed
+    coarse + fine centroid tables (with fine→coarse membership) as
+    literals, and express the two-stage assignment — each vector's 2
+    nearest coarse cells by (dist, ccell), then argmin (dist, cell)
+    over the probed cells' fine members — in plain SQL."""
+    probe_coarse = 2
+    try:
+        import duckdb
+        import numpy as np
+
+        from tmdb_index_spark.operators.similarity import (
+            two_level_from_sample,
+        )
+
+        con = duckdb.connect()
+        path = f"{sf_dir}/embeddings.parquet"
+        n = con.sql(f"SELECT COUNT(*) FROM '{path}'").fetchone()[0]
+        if not n:
+            return None
+        sample = con.sql(
+            f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT 10000"
+        ).fetchall()
+        X = np.array([list(r[0]) for r in sample], dtype="float64")
+        cells = max(1, min(round(n ** (2.0 / 3.0)), 10_000))
+        coarse = max(1, round(cells ** 0.5))
+        cc, fine, f2c = two_level_from_sample(X, cells, coarse)
+    except Exception:  # noqa: BLE001
+        return None
+    dim = X.shape[1]
+    cvals = ",\n    ".join(
+        "({}, [{}])".format(cid, ", ".join(repr(float(x)) for x in vec))
+        for cid, vec in cc
+    )
+    fvals = ",\n    ".join(
+        "({}, {}, [{}])".format(
+            fid, f2c[int(fid)], ", ".join(repr(float(x)) for x in vec)
+        )
+        for fid, vec in fine
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ccent AS (SELECT * FROM (VALUES
+    {cvals}
+) AS t(ccell, ccv)),
+fcent AS (SELECT * FROM (VALUES
+    {fvals}
+) AS t(cell, ccell, cv)),
+dc AS (
+  SELECT vec_id, v, ccell,
+         list_sum(list_transform(generate_series(1, {dim}),
+           i -> (v[i] - ccv[i]) * (v[i] - ccv[i]))) AS cdist
+  FROM v CROSS JOIN ccent
+),
+probed AS (
+  SELECT vec_id, v, ccell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist ASC, ccell ASC) AS pr
+    FROM dc
+  ) WHERE pr <= {probe_coarse}
+),
+df_ AS (
+  SELECT p.vec_id, p.v, f.cell,
+         list_sum(list_transform(generate_series(1, {dim}),
+           i -> (p.v[i] - f.cv[i]) * (p.v[i] - f.cv[i]))) AS dist
+  FROM probed p JOIN fcent f ON f.ccell = p.ccell
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist ASC, cell ASC) AS rn
+    FROM df_
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
+  FROM assigned q JOIN assigned c ON q.cell = c.cell
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
 
 
 def embedding_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8992,6 +9168,7 @@ QUERIES: dict[str, QueryFn] = {
     "approx_distinct_users_daily": approx_distinct_users_daily,
     "approx_value_quantiles": approx_value_quantiles,
     "embedding_ivf_tuned_topk": embedding_ivf_tuned_topk,
+    "embedding_ivf2_topk": embedding_ivf2_topk,
 }
 
 QUERIES = {name: _self_configuring(fn) for name, fn in QUERIES.items()}
@@ -9229,3 +9406,27 @@ def _rotated(registry: dict) -> dict:
 
 QUERIES = _rotated(QUERIES)
 ORACLES = _rotated(ORACLES)
+
+#: Oracles whose SQL embeds DATA-DERIVED literals (fitted centroids):
+#: built lazily per sf_dir because the literal values are a function of
+#: the table contents — the driver compares at sf0.01, so that is the
+#: default. Each builder returns the SQL string or None (→ the query
+#: falls back to a rows-only row, exactly the pre-round-7 behavior).
+DYNAMIC_ORACLE_BUILDERS: dict[str, Callable[[str], str | None]] = {
+    "embedding_ivf_tuned_topk": _fitted_ivf_oracle_sql,
+    "embedding_ivf2_topk": _fitted_ivf2_oracle_sql,
+}
+
+
+def dynamic_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """Materialize every dynamic oracle for ``sf_dir``; builders that
+    fail (unreadable table) are skipped rather than raising."""
+    out: dict[str, str] = {}
+    for name, build in DYNAMIC_ORACLE_BUILDERS.items():
+        try:
+            sql = build(sf_dir)
+        except Exception:  # noqa: BLE001
+            sql = None
+        if sql:
+            out[name] = sql
+    return out

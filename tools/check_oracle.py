@@ -32,9 +32,10 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    from tmdb_index_spark.queries import ORACLES, QUERIES
+    from tmdb_index_spark.queries import ORACLES, QUERIES, dynamic_oracles
     from tmdb_index_spark.session import get_spark
 
+    ORACLES = {**dict(ORACLES), **dynamic_oracles(sf_dir)}
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
