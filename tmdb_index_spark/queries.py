@@ -2784,21 +2784,43 @@ def value_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     many events sit in the top decile by rank and the bottom decile by
     cumulative distribution, with the top decile's entry value. Both
     functions are pure functions of the ordered multiset, so the
-    engines cannot diverge on ties."""
+    engines cannot diverge on ties.
+
+    A window ``PARTITION BY event_type`` over raw events is the
+    few-huge-groups funnel (|types| serial tasks of N/|types| rows —
+    the round-7 window lint's first real catch). percent_rank and
+    cume_dist cannot be group-limited (they need the whole multiset),
+    but both are closed forms over per-(type, value) COUNTS:
+    rank(v) = count(<v)+1, cume_dist(v) = count(<=v)/n — so the query
+    collapses to counts first and rides
+    :func:`grouped_prefix_sum`'s bucketed running sums; the per-type
+    totals broadcast from a 5-row aggregate. Identical integer inputs
+    → identical doubles on both engines."""
+    from tmdb_index_spark.operators.ordering import grouped_prefix_sum
+
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("value")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
+    counts = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    cum = grouped_prefix_sum(
+        counts, "value", {"__cum__": "__c__"}, partition_cols=["event_type"]
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("__c__").alias("__n__")
+    )
+    n = F.col("__n__").cast("double")
+    rank = (F.col("__cum__") - F.col("__c__") + 1).cast("double")
+    pr = (rank - 1) / (n - 1)
+    cd = F.col("__cum__").cast("double") / n
+    ranked = cum.join(F.broadcast(totals), "event_type").select(
+        "event_type", "value", "__c__", pr.alias("pr"), cd.alias("cd")
     )
     return ranked.groupBy("event_type").agg(
-        F.sum(F.when(F.col("pr") >= 0.9, 1).otherwise(0))
+        F.sum(F.when(F.col("pr") >= 0.9, F.col("__c__")).otherwise(0))
         .cast("long")
         .alias("n_top_decile"),
         F.min(F.when(F.col("pr") >= 0.9, F.col("value"))).alias("top_entry_value"),
-        F.sum(F.when(F.col("cd") <= 0.1, 1).otherwise(0))
+        F.sum(F.when(F.col("cd") <= 0.1, F.col("__c__")).otherwise(0))
         .cast("long")
         .alias("n_bottom_decile"),
     )

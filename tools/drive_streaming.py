@@ -1,0 +1,179 @@
+"""Scripted end-to-end drive of the streaming surface (round-7 VERDICT
+stretch #8): the two round-6 streaming additions exercised only by
+pytest get a driveable outside-the-suite check against the REAL fixture
+tables, with self-verifying assertions.
+
+1. ``running_transitions`` — drain the sf0.001 events table as a
+   multi-micro-batch file stream (one parquet file per trigger) and
+   assert the summed per-batch deltas equal the batch
+   ``transition_matrix`` on the same rows (cross-boundary transitions
+   counted exactly once).
+2. ``neardup_detect_stream`` — drain the sf0.001 documents table the
+   same way and re-verify every emitted detection post-hoc: the pair
+   really collides in the reported band and its signature agreement
+   really clears the threshold (recomputed in pandas from the same
+   md5 signature function).
+
+Usage:
+    PYTHONPATH=/root/repo python tools/drive_streaming.py [sf_dir]
+
+Exit 0 + "STREAM DRIVE OK" = both assertions held.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+from collections import Counter
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    scratch = tempfile.mkdtemp(prefix="stream_drive_")
+
+    from pyspark.sql import functions as F
+
+    from tmdb_index_spark.operators.temporal import transition_matrix
+    from tmdb_index_spark.session import get_spark
+    from tmdb_index_spark.streaming.neardup import neardup_detect_stream
+    from tmdb_index_spark.streaming.stateful import running_transitions
+
+    spark = get_spark("stream-drive")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- 1. running_transitions parity over the real events table ----
+    # The operator's documented contract is per-key IN-ORDER delivery
+    # across micro-batches (replayed-log semantics), so the drive slices
+    # the table into 4 TIME-ordered tranches and drains after each
+    # append — the same redelivery shape the test suite uses, here over
+    # the full fixture table.
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_schema = events.schema
+    src = f"{scratch}/events"
+    # quartile cuts as epoch seconds (approxQuantile rejects
+    # TimestampNTZ); converted back to naive datetimes for the filters
+    import datetime as _dt
+
+    cuts = [
+        _dt.datetime.fromtimestamp(c, tz=_dt.timezone.utc).replace(
+            tzinfo=None
+        )
+        for c in events.agg(
+            F.expr(
+                "percentile(unix_micros(cast(ts as timestamp)) / 1e6, "
+                "array(0.25, 0.5, 0.75))"
+            )
+        ).collect()[0][0]
+    ]
+
+    deltas: list = []
+
+    def collect(batch_df, _bid):
+        deltas.extend(batch_df.collect())
+
+    def drain():
+        q = (
+            running_transitions(
+                spark.readStream.schema(ev_schema).parquet(src)
+            )
+            .writeStream.foreachBatch(collect)
+            .outputMode("append")
+            .option("checkpointLocation", f"{scratch}/ckpt_tr")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    lo = None
+    for hi in [*cuts, None]:
+        sl = events
+        if lo is not None:
+            sl = sl.filter(F.col("ts") > F.lit(lo))
+        if hi is not None:
+            sl = sl.filter(F.col("ts") <= F.lit(hi))
+        sl.coalesce(1).write.mode("append").parquet(src)
+        drain()
+        lo = hi
+
+    streamed = Counter()
+    for r in deltas:
+        streamed[(r["prev_event"], r["next_event"])] += r["n"]
+    batch = {
+        (r["prev_event"], r["next_event"]): r["n_transitions"]
+        for r in transition_matrix(events).collect()
+    }
+    assert dict(streamed) == batch, (
+        f"stream/batch transition mismatch: "
+        f"{dict(streamed)} != {batch}"
+    )
+    print(
+        f"running_transitions: {sum(batch.values())} transitions, "
+        f"{len(deltas)} streamed delta rows over 4 time-ordered "
+        f"micro-batches — parity OK"
+    )
+
+    # ---- 2. neardup_detect_stream detections re-verified post-hoc ----
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dsrc = f"{scratch}/docs"
+    docs.repartition(3).write.mode("overwrite").parquet(dsrc)
+
+    hits: list = []
+
+    def collect_hits(batch_df, _bid):
+        hits.extend(batch_df.collect())
+
+    q2 = (
+        neardup_detect_stream(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(dsrc)
+        )
+        .writeStream.foreachBatch(collect_hits)
+        .outputMode("update")
+        .option("checkpointLocation", f"{scratch}/ckpt_nd")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert hits, "expected near-dup detections on the documents fixture"
+
+    # recompute signatures in pandas with the library's own mapper and
+    # verify each detection's band collision + agreement threshold
+    import pandas as pd
+
+    from tmdb_index_spark.streaming.neardup import _sig_mapper
+
+    pdf = docs.toPandas()
+    sigs_out = pd.concat(
+        list(_sig_mapper("text", "doc_id", 3, 16)(iter([pdf])))
+    )
+    sig_by_id = {
+        int(r.doc_id): list(r.sig) for r in sigs_out.itertuples()
+    }
+    r = 16 // 4
+    bad = 0
+    for h in hits:
+        a, b = sig_by_id[h["doc_id"]], sig_by_id[h["matched_id"]]
+        band = h["band"]
+        if a[band * r:(band + 1) * r] != b[band * r:(band + 1) * r]:
+            bad += 1
+            continue
+        agree = sum(x == y for x, y in zip(a, b)) / 16
+        if agree < 0.5 or abs(agree - h["sig_sim"]) > 1e-9:
+            bad += 1
+    assert bad == 0, f"{bad}/{len(hits)} detections failed re-verification"
+    print(
+        f"neardup_detect_stream: {len(hits)} detections over 3 "
+        f"micro-batches, all band collisions + agreements re-verified OK"
+    )
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    print("STREAM DRIVE OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
