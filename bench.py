@@ -167,6 +167,11 @@ EXTENDED_QUERIES = [
     "purchase_did_estimate",
     # round-7 additions
     "embedding_ivf2_topk",
+    "order_anova_by_priority",
+    "event_dow_chisq",
+    "purchase_mannwhitney",
+    "lang_token_fertility",
+    "dedup_yield_curve",
 ]
 
 

@@ -9006,6 +9006,351 @@ FROM one
 """
 
 
+def order_anova_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (extension: the k-group generalization of
+    `variant_conversion_ztest`'s two-group comparison): does mean
+    order value differ across the 5 order priorities? F = (SSB/(k−1))
+    / (SSW/(n−k)) from per-group sufficient statistics only — count,
+    decimal-exact sum, decimal-exact sum of squares — so the fact
+    table is one partial-aggregated groupBy; every between/within
+    term is double arithmetic over identical decimal inputs on both
+    engines. Also reports η² (effect size)."""
+    g = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n__"),
+            F.sum(_dec("o_totalprice")).alias("__s__"),
+            F.sum(
+                (_dec("o_totalprice") * _dec("o_totalprice")).cast(
+                    "decimal(38,4)"
+                )
+            ).alias("__ss__"),
+        )
+    )
+    n = F.col("__n__").cast("double")
+    s = F.col("__s__").cast("double")
+    agg = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("__n__").cast("bigint").alias("n_total"),
+        F.sum(s * s / n).alias("__sb__"),
+        F.sum("__s__").cast("double").alias("__S__"),
+        F.sum("__ss__").cast("double").alias("__SS__"),
+    )
+    N = F.col("n_total").cast("double")
+    k = F.col("k_groups").cast("double")
+    ssb = F.col("__sb__") - F.col("__S__") * F.col("__S__") / N
+    ssw = F.col("__SS__") - F.col("__sb__")
+    f_stat = (ssb / (k - 1)) / (ssw / (N - k))
+    return agg.select(
+        "k_groups",
+        "n_total",
+        F.round(f_stat, 4).alias("f_stat"),
+        (F.col("k_groups") - 1).cast("bigint").alias("df_between"),
+        (F.col("n_total") - F.col("k_groups")).cast("bigint").alias("df_within"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_squared"),
+    )
+
+
+_ANOVA_SQL = """
+WITH g AS (
+  SELECT o_orderpriority,
+         COUNT(*)::BIGINT AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss
+  FROM orders GROUP BY o_orderpriority
+),
+a AS (
+  SELECT COUNT(*)::BIGINT AS k_groups,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS sb,
+         CAST(SUM(s) AS DOUBLE) AS S,
+         CAST(SUM(ss) AS DOUBLE) AS SS
+  FROM g
+)
+SELECT k_groups, n_total,
+       ROUND(((sb - S * S / n_total) / (k_groups - 1))
+             / ((SS - sb) / (n_total - k_groups)), 4) AS f_stat,
+       CAST(k_groups - 1 AS BIGINT) AS df_between,
+       CAST(n_total - k_groups AS BIGINT) AS df_within,
+       ROUND((sb - S * S / n_total)
+             / ((sb - S * S / n_total) + (SS - sb)), 6) AS eta_squared
+FROM a
+"""
+
+
+def event_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and
+    day-of-week (extension: the FREQUENCY-table complement of
+    `column_dependence_mi`'s information-theoretic dependence — χ²
+    gives the classical significance test where MI gives the effect
+    size): X² = Σ (o−e)²/e over the |types|×7 contingency table, with
+    expected counts from the marginals. The fact table collapses to
+    integer cell counts in one groupBy; marginals re-aggregate the
+    bounded cell frame (the `column_dependence_mi` pattern); all
+    doubles derive from identical integers."""
+    ev = _events(spark, sf_dir)
+    dow = F.pmod(
+        F.datediff(
+            F.to_date(F.col("ts")), F.lit("1970-01-01").cast("date")
+        ),
+        F.lit(7),
+    )
+    cells = ev.groupBy(
+        F.col("event_type").alias("__t__"), dow.alias("__d__")
+    ).agg(F.count(F.lit(1)).alias("__o__"))
+    rt = cells.groupBy("__t__").agg(F.sum("__o__").alias("__rt__"))
+    ct = cells.groupBy("__d__").agg(F.sum("__o__").alias("__ct__"))
+    tot = cells.agg(F.sum("__o__").alias("__n__"))
+    e = (
+        F.col("__rt__").cast("double")
+        * F.col("__ct__").cast("double")
+        / F.col("__n__").cast("double")
+    )
+    contrib = (F.col("__o__").cast("double") - e) * (
+        F.col("__o__").cast("double") - e
+    ) / e
+    joined = (
+        cells.join(F.broadcast(rt), "__t__")
+        .join(F.broadcast(ct), "__d__")
+        .crossJoin(F.broadcast(tot))
+    )
+    ntypes = F.countDistinct("__t__")
+    ndows = F.countDistinct("__d__")
+    return joined.agg(
+        F.max("__n__").cast("bigint").alias("n_events"),
+        F.round(F.sum(contrib), 4).alias("chi2"),
+        ((ntypes - 1) * (ndows - 1)).cast("bigint").alias("df"),
+    )
+
+
+_CHISQ_SQL = """
+WITH cells AS (
+  SELECT event_type AS t,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS d,
+         COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT t, SUM(o) AS rtot FROM cells GROUP BY t),
+ct AS (SELECT d, SUM(o) AS ctot FROM cells GROUP BY d),
+tot AS (SELECT SUM(o) AS n FROM cells)
+SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+       ROUND(SUM((CAST(o AS DOUBLE) - CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(o AS DOUBLE) - CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE))), 4) AS chi2,
+       CAST((COUNT(DISTINCT t) - 1) * (COUNT(DISTINCT d) - 1) AS BIGINT) AS df
+FROM cells JOIN rt USING (t) JOIN ct USING (d) CROSS JOIN tot
+"""
+
+
+def purchase_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test, weekday vs weekend purchase
+    values (extension: the nonparametric two-sample location test —
+    rank-based where `purchase_value_ks_test` is CDF-based, so the
+    pair covers both classical alternatives). Values collapse to
+    per-value group counts; tied ranks take the standard midrank,
+    computed from :func:`grouped_prefix_sum`'s funnel-free running
+    sums — midranks are multiples of 0.5, so R₁ (and U) accumulate
+    EXACTLY in doubles and the tie-corrected z is identical on both
+    engines."""
+    from tmdb_index_spark.operators.ordering import grouped_prefix_sum
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    dow = F.pmod(
+        F.datediff(
+            F.to_date(F.col("ts")), F.lit("1970-01-01").cast("date")
+        ),
+        F.lit(7),
+    )
+    grp = F.when(dow.isin(2, 3), F.lit("weekend")).otherwise(
+        F.lit("weekday")
+    )
+    per_val = (
+        ev.select(_dec("value").alias("__v__"), grp.alias("__g__"))
+        .groupBy("__v__")
+        .agg(
+            F.sum(
+                F.when(F.col("__g__") == "weekday", 1).otherwise(0)
+            ).alias("__ca__"),
+            F.count(F.lit(1)).alias("__c__"),
+        )
+    )
+    cum = grouped_prefix_sum(per_val, "__v__", {"__cum__": "__c__"})
+    midrank = F.col("__cum__").cast("double") - (
+        F.col("__c__").cast("double") - 1
+    ) / 2
+    agg = cum.agg(
+        F.sum("__ca__").cast("bigint").alias("n_weekday"),
+        (F.sum("__c__") - F.sum("__ca__")).cast("bigint").alias("n_weekend"),
+        F.sum(midrank * F.col("__ca__").cast("double")).alias("__r1__"),
+        F.sum(
+            F.col("__c__").cast("double")
+            * F.col("__c__").cast("double")
+            * F.col("__c__").cast("double")
+            - F.col("__c__").cast("double")
+        ).alias("__tie__"),
+    )
+    n1 = F.col("n_weekday").cast("double")
+    n2 = F.col("n_weekend").cast("double")
+    nn = n1 + n2
+    u = F.col("__r1__") - n1 * (n1 + 1) / 2
+    var = n1 * n2 / 12 * ((nn + 1) - F.col("__tie__") / (nn * (nn - 1)))
+    z = (u - n1 * n2 / 2) / F.sqrt(var)
+    return agg.select(
+        "n_weekday",
+        "n_weekend",
+        F.round(u, 1).alias("u_stat"),
+        F.round(z, 4).alias("z_score"),
+    )
+
+
+_MANNWHITNEY_SQL = """
+WITH p AS (
+  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+         CASE WHEN datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                   IN (2, 3)
+              THEN 'weekend' ELSE 'weekday' END AS g
+  FROM events WHERE event_type = 'purchase'
+),
+per_val AS (
+  SELECT v,
+         SUM(CASE WHEN g = 'weekday' THEN 1 ELSE 0 END) AS ca,
+         COUNT(*) AS c
+  FROM p GROUP BY v
+),
+cum AS (
+  SELECT ca, c,
+         SUM(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM per_val
+),
+a AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_weekday,
+         CAST(SUM(c) - SUM(ca) AS BIGINT) AS n_weekend,
+         SUM((CAST(cm AS DOUBLE) - (CAST(c AS DOUBLE) - 1) / 2)
+             * CAST(ca AS DOUBLE)) AS r1,
+         SUM(CAST(c AS DOUBLE) * CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+             - CAST(c AS DOUBLE)) AS tie
+  FROM cum
+)
+SELECT n_weekday, n_weekend,
+       ROUND(r1 - CAST(n_weekday AS DOUBLE) * (n_weekday + 1) / 2, 1)
+         AS u_stat,
+       ROUND((r1 - CAST(n_weekday AS DOUBLE) * (n_weekday + 1) / 2
+              - CAST(n_weekday AS DOUBLE) * n_weekend / 2)
+             / sqrt(CAST(n_weekday AS DOUBLE) * n_weekend / 12
+                    * ((n_weekday + n_weekend + 1)
+                       - tie / (CAST(n_weekday + n_weekend AS DOUBLE)
+                                * (n_weekday + n_weekend - 1)))), 4)
+         AS z_score
+FROM a
+"""
+
+
+def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language (extension: the
+    multilingual-corpus diagnostic every tokenizer report carries —
+    tokens per 100 characters and bytes per token tell you which
+    languages a whitespace-ish tokenizer over- or under-segments):
+    integer sums of token counts, characters, and octet lengths per
+    language, ratios taken once at the end. Map-only feature
+    extraction + one bounded groupBy; all ratios derive from exact
+    integer sums."""
+    from tmdb_index_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    feats = d.select(
+        "lang",
+        token_count("text").alias("__tok__"),
+        F.length("text").cast("bigint").alias("__chars__"),
+        F.octet_length("text").cast("bigint").alias("__bytes__"),
+    )
+    g = feats.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__tok__").cast("bigint").alias("n_tokens"),
+        F.sum("__chars__").cast("bigint").alias("__nc__"),
+        F.sum("__bytes__").cast("bigint").alias("__nb__"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.col("__nc__").cast("double")
+            * 100,
+            4,
+        ).alias("tokens_per_100_chars"),
+        F.round(
+            F.col("__nb__").cast("double") / F.col("n_tokens").cast("double"),
+            4,
+        ).alias("bytes_per_token"),
+    )
+
+
+_FERTILITY_SQL = """
+WITH feats AS (
+  SELECT lang,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS tok,
+         length(text)::BIGINT AS chars,
+         octet_length(encode(text))::BIGINT AS bytes
+  FROM documents
+)
+SELECT lang,
+       COUNT(*)::BIGINT AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(tok) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE) * 100, 4)
+         AS tokens_per_100_chars,
+       ROUND(CAST(SUM(bytes) AS DOUBLE) / CAST(SUM(tok) AS DOUBLE), 4)
+         AS bytes_per_token
+FROM feats GROUP BY lang
+"""
+
+
+def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield report (extension: the acceptance artifact of a
+    dedup run — for each near-dup CLUSTER SIZE, how many clusters
+    exist and how many documents canonicalization removes): a
+    cluster-size histogram over `dedup_groups`' connected components.
+    Two bounded aggregates over the component map; docs_removed =
+    (size−1)·clusters since each cluster keeps one canonical doc."""
+    from tmdb_index_spark.operators.dedup_text import simhash_neardup_pairs
+    from tmdb_index_spark.operators.graph import connected_components
+
+    pairs = simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=2
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("docs_removed"),
+        )
+    )
+
+
+_YIELD_SQL = f"""
+WITH comp AS ({_DEDUP_GROUPS_SQL}),
+sizes AS (
+  SELECT component, COUNT(*)::BIGINT AS cluster_size
+  FROM comp GROUP BY component
+)
+SELECT cluster_size,
+       COUNT(*)::BIGINT AS n_clusters,
+       CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS docs_removed
+FROM sizes GROUP BY cluster_size
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "robust_trend_daily": robust_trend_daily,
     "orders_reconciliation": orders_reconciliation,
@@ -9191,6 +9536,11 @@ QUERIES: dict[str, QueryFn] = {
     "approx_value_quantiles": approx_value_quantiles,
     "embedding_ivf_tuned_topk": embedding_ivf_tuned_topk,
     "embedding_ivf2_topk": embedding_ivf2_topk,
+    "order_anova_by_priority": order_anova_by_priority,
+    "event_dow_chisq": event_dow_chisq,
+    "purchase_mannwhitney": purchase_mannwhitney,
+    "lang_token_fertility": lang_token_fertility,
+    "dedup_yield_curve": dedup_yield_curve,
 }
 
 QUERIES = {name: _self_configuring(fn) for name, fn in QUERIES.items()}
@@ -9211,6 +9561,11 @@ ORACLES: dict[str, str] = {
     "purchase_value_ks_test": _KS_SQL,
     "column_dependence_mi": _MI_COLDEP_SQL,
     "purchase_did_estimate": _DID_SQL,
+    "order_anova_by_priority": _ANOVA_SQL,
+    "event_dow_chisq": _CHISQ_SQL,
+    "purchase_mannwhitney": _MANNWHITNEY_SQL,
+    "lang_token_fertility": _FERTILITY_SQL,
+    "dedup_yield_curve": _YIELD_SQL,
     "variant_conversion_ztest": _ZTEST_SQL,
     "metric_correlation_matrix": _CORR_MATRIX_SQL,
     "bloom_prefilter_revenue": _BLOOM_SQL,
