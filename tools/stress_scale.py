@@ -36,6 +36,7 @@ def main() -> int:
     from bench import BENCH_QUERIES
 
     from tmdb_index_spark.operators.similarity import (
+        ivf2_index_topk,
         ivf_index_topk,
         lsh_index_topk,
     )
@@ -107,6 +108,27 @@ def main() -> int:
         "ratio": round(bt / max(st, 1e-9), 1)
     }
     print(f"ivf self-tuned ratio at {factor}x: x{report['ivf_index_topk_selftuned_ratio']['ratio']}")
+
+    # Two-level IVF lever (round 7): hierarchical assignment bounds
+    # total work at N^(4/3) — measured alongside flat so the ratio gap
+    # (and the fit-fix regression) stays visible round over round.
+    for label, d in (("small", small), ("big", big)):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", F.col("embedding")
+        )
+        n = emb.count()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        ivf2_index_topk(emb, k=3, probe_coarse=2, n_estimate=n).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t = round(time.perf_counter() - t0, 2)
+        report[f"ivf2_index_topk_{label}"] = {"sec": t, "n": n}
+        print(f"ivf2_index_topk ({label}, n={n}): {t}s")
+    st = report["ivf2_index_topk_small"]["sec"]
+    bt = report["ivf2_index_topk_big"]["sec"]
+    report["ivf2_index_topk_ratio"] = {"ratio": round(bt / max(st, 1e-9), 1)}
+    print(f"ivf2 ratio at {factor}x: x{report['ivf2_index_topk_ratio']['ratio']}")
 
     # LSH scale lever: the catalog query pins 8 bits (oracle-exact);
     # lsh_index_topk grows bits with log2(N/target_bucket), holding
