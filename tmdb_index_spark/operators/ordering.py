@@ -103,6 +103,7 @@ def _tag_buckets(
     partition_cols: list[str],
     buckets: int,
     ascending: bool,
+    pin: bool = True,
 ) -> DataFrame:
     """Tag each row with ``__key__`` (the sign-adjusted double sort key)
     and ``__bkt__`` (a monotone quantization of that key into at most
@@ -124,11 +125,24 @@ def _tag_buckets(
     sketch's approximation error is harmless. The per-row bin is a
     compiled sum of ``key > cut_i`` comparisons (flat expressions,
     whole-stage codegen — not an interpreted array fold).
+
+    The keyed input is PINNED (``pin_frame``): three plan subtrees
+    consume it (the cuts aggregate, the per-bucket counts, and the
+    final join), and without the pin each re-derives the caller's
+    input lineage — measured 9.8× on ``user_rfm_segments``, whose
+    three chained ntile passes multiplied the re-derivations. The
+    pinned frame is the caller's (usually rollup-sized) input plus one
+    double column; callers pass ``pin=False`` for pure lineage (e.g.
+    when the input is already pinned).
     """
     key = F.col(key_col).cast("double")
     if not ascending:
         key = -key
     keyed = df.withColumn("__key__", key)
+    if pin:
+        from tmdb_index_spark.operators.materialize import pin_frame
+
+        keyed = pin_frame(keyed)
     pcts = [i / buckets for i in range(1, buckets)]
     if not pcts:  # buckets == 1: everything in bin 0
         return keyed.withColumn("__bkt__", F.lit(0).cast("long"))
@@ -158,6 +172,7 @@ def grouped_rank(
     n_col: str | None = None,
     ascending: bool = True,
     buckets: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Exact 1-based ``row_number`` rank of each row under
     ``(key_col, *tiebreak)`` within each ``partition_cols`` group —
@@ -186,7 +201,7 @@ def grouped_rank(
     tb = tiebreak or []
     pc = list(partition_cols or [])
     b = buckets or df.sparkSession.sparkContext.defaultParallelism
-    tagged = _tag_buckets(df, key_col, pc, b, ascending)
+    tagged = _tag_buckets(df, key_col, pc, b, ascending, pin=pin)
     counts = tagged.groupBy(*pc, "__bkt__").agg(
         F.count(F.lit(1)).alias("__cnt__")
     )
@@ -229,6 +244,7 @@ def grouped_ntile(
     tile_col: str = "tile",
     ascending: bool = True,
     buckets: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Exact ``NTILE(n_tiles)`` over ``(key_col, *tiebreak)`` per
     ``partition_cols`` group, computed from :func:`grouped_rank`'s
@@ -249,6 +265,7 @@ def grouped_ntile(
         n_col="__gn__",
         ascending=ascending,
         buckets=buckets,
+        pin=pin,
     )
     k = int(n_tiles)
     # 0-based position p; head = r*(q+1) rows live in the oversized
@@ -270,6 +287,7 @@ def grouped_prefix_sum(
     partition_cols: list[str] | None = None,
     ascending: bool = True,
     buckets: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Inclusive running sums ordered by ``key_col`` within each
     ``partition_cols`` group — the CDF/step-function primitive —
@@ -287,7 +305,7 @@ def grouped_prefix_sum(
     """
     pc = list(partition_cols or [])
     b = buckets or df.sparkSession.sparkContext.defaultParallelism
-    tagged = _tag_buckets(df, key_col, pc, b, ascending)
+    tagged = _tag_buckets(df, key_col, pc, b, ascending, pin=pin)
     bsums = tagged.groupBy(*pc, "__bkt__").agg(
         *[F.sum(src).alias(f"__bs_{out}__") for out, src in sum_cols.items()]
     )

@@ -7704,7 +7704,6 @@ def robust_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics — the same formula both engines' exact percentile
     uses, so parity is bit-for-bit. Slopes are decimal-difference
     over integer day-gap doubles."""
-    from tmdb_index_spark.operators.materialize import pin_frame
     from tmdb_index_spark.operators.ordering import grouped_rank
 
     daily = (
@@ -7729,9 +7728,8 @@ def robust_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__vb__") - F.col("__va__")).cast("double")
         ).cast("int").alias("__sgn__"),
     )
-    # the pair grid feeds the rank machinery's several subtrees — pin
-    # it so the nested-loop stage runs exactly once
-    pairs = pin_frame(pairs)
+    # grouped_rank pins its keyed input internally (operators/
+    # ordering.py), so the nested-loop pair stage runs exactly once
     ranked = grouped_rank(
         pairs, "__slope__", rank_col="__r__", n_col="__n__"
     )
@@ -7892,18 +7890,24 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__m__").cast("double").alias("monetary"),
         )
     )
+    from tmdb_index_spark.operators.materialize import pin_frame
     from tmdb_index_spark.operators.ordering import grouped_ntile
 
+    # one pinned rollup, three FLAT ntile branches joined back on the
+    # key — chaining the calls instead nests each pass's lineage (and
+    # pin) inside the next, tripling plan depth for zero benefit
+    per_user = pin_frame(per_user)
     scored = per_user
     for tile_col, key, asc in (
         ("r_score", "recency_days", False),
         ("f_score", "frequency", True),
         ("m_score", "monetary", True),
     ):
-        scored = grouped_ntile(
-            scored, 5, key, tiebreak=["user_id"], tile_col=tile_col,
-            ascending=asc,
-        )
+        tiles = grouped_ntile(
+            per_user, 5, key, tiebreak=["user_id"], tile_col=tile_col,
+            ascending=asc, pin=False,
+        ).select("user_id", tile_col)
+        scored = scored.join(tiles, "user_id")
     scored = scored.select(
         "user_id",
         "recency_days",
