@@ -840,3 +840,44 @@ def test_catalog_window_funnel_lint(spark):
         if findings:
             bad[name] = findings
     assert not bad, f"window funnels: {bad}"
+
+
+# ---- round-7 new analytics queries ------------------------------------
+
+
+def test_anova_single_scan_sufficient_stats(spark):
+    # One partial-aggregated groupBy over orders, then bounded math:
+    # no join, no second fact scan.
+    p = _plan(spark, "order_anova_by_priority")
+    assert "partial_" in p
+    assert p.count("FileScan parquet") == 1
+    assert "Join" not in p
+
+
+def test_chisq_marginals_from_cells_no_rescan(spark):
+    # The contingency cells aggregate once from events (pinned);
+    # marginals and totals re-aggregate the bounded cell frame — every
+    # FileScan in the plan text is the pin echoing its own child.
+    p = _plan(spark, "event_dow_chisq")
+    assert "partial_" in p
+    assert p.count("InMemoryRelation") >= 1
+    assert p.count("FileScan parquet") == p.count("InMemoryRelation")
+    assert "CartesianProduct" not in p
+
+
+def test_mannwhitney_rides_bucketed_prefix_sum(spark):
+    # Midranks come from grouped_prefix_sum: the data-path cumulative
+    # window must partition on __bkt__; no single-partition sort of
+    # the per-value frame.
+    p = _plan(spark, "purchase_mannwhitney")
+    assert "hashpartitioning(__bkt__" in p
+    assert "ntile(" not in p
+
+
+def test_fertility_map_only_plus_bounded_agg(spark):
+    # Feature extraction is pure column expressions over one documents
+    # scan; the groupBy key (lang) is vocab-bounded.
+    p = _plan(spark, "lang_token_fertility")
+    assert p.count("FileScan parquet") == 1
+    assert "partial_" in p
+    assert "Join" not in p

@@ -9094,6 +9094,8 @@ def event_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cell counts in one groupBy; marginals re-aggregate the
     bounded cell frame (the `column_dependence_mi` pattern); all
     doubles derive from identical integers."""
+    from tmdb_index_spark.operators.materialize import pin_frame
+
     ev = _events(spark, sf_dir)
     dow = F.pmod(
         F.datediff(
@@ -9101,9 +9103,13 @@ def event_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(7),
     )
-    cells = ev.groupBy(
-        F.col("event_type").alias("__t__"), dow.alias("__d__")
-    ).agg(F.count(F.lit(1)).alias("__o__"))
+    # the |types|×7 cell frame feeds four subtrees (marginals ×2,
+    # total, contribution join) — pin it so events scan exactly once
+    cells = pin_frame(
+        ev.groupBy(
+            F.col("event_type").alias("__t__"), dow.alias("__d__")
+        ).agg(F.count(F.lit(1)).alias("__o__"))
+    )
     rt = cells.groupBy("__t__").agg(F.sum("__o__").alias("__rt__"))
     ct = cells.groupBy("__d__").agg(F.sum("__o__").alias("__ct__"))
     tot = cells.agg(F.sum("__o__").alias("__n__"))
