@@ -1,0 +1,111 @@
+"""Degenerate-data guards (round-7 review findings): the session runs
+ANSI mode, where a zeroed denominator THROWS instead of returning NULL
+— every statistics query must return a deterministic NULL/0 sentinel on
+degenerate inputs, matching its DuckDB oracle's NULLIF guard."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from tmdb_index_spark import queries as Q
+
+
+def _mini_events(spark, tmp_path, rows):
+    """Write a tiny events.parquet shaped like the fixtures."""
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_value_rank_dist_single_row_group_returns_zero(spark, tmp_path):
+    # one event_type with exactly ONE row: PERCENT_RANK is defined as
+    # 0; the unguarded (rank-1)/(n-1) would ANSI-throw on 0/0.
+    sf = _mini_events(
+        spark,
+        tmp_path,
+        [
+            (0, datetime(2024, 1, 1), 1, "solo", 5.0, "{}"),
+            (1, datetime(2024, 1, 2), 1, "multi", 1.0, "{}"),
+            (2, datetime(2024, 1, 3), 2, "multi", 2.0, "{}"),
+        ],
+    )
+    rows = {r["event_type"]: r for r in Q.value_rank_dist(spark, sf).collect()}
+    # single row: pr = 0 (not top decile), cd = 1.0 (not bottom decile)
+    # — exactly PERCENT_RANK/CUME_DIST semantics, and no ANSI crash
+    assert rows["solo"]["n_top_decile"] == 0
+    assert rows["solo"]["n_bottom_decile"] == 0
+    assert rows["solo"]["top_entry_value"] is None
+
+
+def test_mannwhitney_all_weekday_returns_null_z(spark, tmp_path):
+    # every purchase on a weekday (epoch dow 4 = 1970-01-01+3) → the
+    # weekend group is empty → variance 0 → z must be NULL, not a
+    # DIVIDE_BY_ZERO crash.
+    sf = _mini_events(
+        spark,
+        tmp_path,
+        [
+            (0, datetime(1970, 1, 1), 1, "purchase", 10.0, "{}"),
+            (1, datetime(1970, 1, 1), 2, "purchase", 20.0, "{}"),
+        ],
+    )
+    row = Q.purchase_mannwhitney(spark, sf).collect()[0]
+    assert row["n_weekend"] == 0
+    assert row["z_score"] is None
+
+
+def test_ks_test_all_weekday_returns_null_threshold(spark, tmp_path):
+    sf = _mini_events(
+        spark,
+        tmp_path,
+        [
+            (0, datetime(1970, 1, 1), 1, "purchase", 10.0, "{}"),
+            (1, datetime(1970, 1, 1), 2, "purchase", 20.0, "{}"),
+        ],
+    )
+    row = Q.purchase_value_ks_test(spark, sf).collect()[0]
+    assert row["n_weekend"] == 0
+    assert row["critical_05"] is None
+    assert row["distributions_differ"] is None
+
+
+def test_two_level_assign_skips_empty_coarse_cells(spark):
+    # a coarse cell with NO fine members sits nearest to the query
+    # vector; probing must skip it and assign a REAL fine cell (the
+    # sentinel would otherwise leak into a bogus mega-cell while the
+    # SQL oracle's membership join dropped the vector).
+    from tmdb_index_spark.operators.similarity import two_level_ivf_assign
+
+    coarse = [(0, [0.0, 0.0]), (1, [10.0, 10.0])]
+    fine = [(0, [10.0, 9.0]), (1, [9.0, 10.0])]
+    f2c = {0: 1, 1: 1}  # coarse cell 0 is EMPTY
+    emb = spark.createDataFrame(
+        [(7, [0.1, 0.2])], "vec_id long, embedding array<float>"
+    )
+    got = two_level_ivf_assign(
+        emb, coarse, fine, f2c, probe_coarse=1
+    ).collect()
+    assert got[0]["cell"] in (0, 1)  # a real fine cell, not the sentinel
+
+
+def test_powerlaw_degenerate_counts_null_alpha(spark, tmp_path):
+    # every user has the same event count → Σ ln(x/xmin) = 0 → the
+    # NULLIF guard (ADVICE r6) must yield NULL alpha, not a crash.
+    sf = _mini_events(
+        spark,
+        tmp_path,
+        [
+            (0, datetime(2024, 1, 1), 1, "click", 1.0, "{}"),
+            (1, datetime(2024, 1, 2), 2, "click", 1.0, "{}"),
+        ],
+    )
+    row = Q.activity_powerlaw_fit(spark, sf).collect()[0]
+    assert row["alpha_mle"] is None

@@ -152,9 +152,22 @@ def _tag_buckets(
     cuts_agg = F.percentile_approx("__key__", pcts, 1_000).alias("__cuts__")
     if partition_cols:
         cc = keyed.groupBy(*partition_cols).agg(cuts_agg)
-        tagged = keyed.join(F.broadcast(cc), partition_cols)
     else:
         cc = keyed.agg(cuts_agg)
+    # The cuts frame is consumed by TWO duplicated plan subtrees (the
+    # counts/offsets branch and the final join). percentile_approx's
+    # sketch merge is not exactly order-independent, so two independent
+    # evaluations could return different cut vectors — bucket tags on
+    # the join side would then disagree with the histogram the offsets
+    # came from, silently corrupting ranks. Pinning the (≤|groups|-row)
+    # frame makes single-evaluation a guarantee instead of a
+    # broadcast-exchange-reuse accident.
+    from tmdb_index_spark.operators.materialize import pin_frame
+
+    cc = pin_frame(cc)
+    if partition_cols:
+        tagged = keyed.join(F.broadcast(cc), partition_cols)
+    else:
         tagged = keyed.crossJoin(F.broadcast(cc))
     bucket = sum(
         (F.col("__key__") > F.col("__cuts__").getItem(i)).cast("int")

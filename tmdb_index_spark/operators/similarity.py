@@ -465,9 +465,7 @@ def fit_centroids(
     rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(max_sample).collect()
     )
-    import numpy as _np
-
-    X = _np.array([list(r[1]) for r in rows], dtype="float64")
+    X = np.array([list(r[1]) for r in rows], dtype="float64")
     if len(X) == 0:
         raise ValueError("fit_centroids needs a non-empty corpus")
     return fit_kmeans_array(X, k, iters=iters, seed=seed)
@@ -692,14 +690,26 @@ def two_level_ivf_assign(
     if not coarse_centroids or not fine_centroids:
         raise ValueError("two_level_ivf_assign requires fitted centroids")
     coarse_sorted = sorted(coarse_centroids, key=lambda cv: int(cv[0]))
-    coarse_ids = [int(c) for c, _ in coarse_sorted]
-    Cc_rows = [[float(x) for x in v] for _, v in coarse_sorted]
     # per coarse cell: member fine ids (ascending) + their vectors
-    members: dict[int, list[tuple[int, list[float]]]] = {c: [] for c in coarse_ids}
+    members: dict[int, list[tuple[int, list[float]]]] = {
+        int(c): [] for c, _ in coarse_sorted
+    }
     for fid, fvec in sorted(fine_centroids, key=lambda cv: int(cv[0])):
         members[fine_to_coarse[int(fid)]].append(
             (int(fid), [float(x) for x in fvec])
         )
+    # EMPTY coarse cells (Lloyd keeps stale centers for clusters that
+    # lost all members) are excluded from the probe candidate set —
+    # probing one would otherwise leave a vector cell-less (the int64
+    # sentinel would group such vectors into a bogus mega-cell) while
+    # the SQL oracle's membership join silently drops them. With only
+    # populated cells probeable, every vector always lands in a real
+    # fine cell, identically on both engines.
+    coarse_sorted = [
+        (c, v) for c, v in coarse_sorted if members[int(c)]
+    ]
+    coarse_ids = [int(c) for c, _ in coarse_sorted]
+    Cc_rows = [[float(x) for x in v] for _, v in coarse_sorted]
     w = max(1, min(int(probe_coarse), len(coarse_ids)))
     dtypes = dict(df.dtypes)
     out_schema = (

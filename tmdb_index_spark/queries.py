@@ -1470,9 +1470,15 @@ def _fitted_ivf2_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None
     except Exception:  # noqa: BLE001
         return None
     dim = X.shape[1]
+    # only POPULATED coarse cells are probe candidates (mirrors
+    # two_level_ivf_assign: a probed-but-empty cell would drop the
+    # vector from the membership join here while Spark must still
+    # assign it)
+    used = set(f2c.values())
     cvals = ",\n    ".join(
         "({}, [{}])".format(cid, ", ".join(repr(float(x)) for x in vec))
         for cid, vec in cc
+        if int(cid) in used
     )
     fvals = ",\n    ".join(
         "({}, {}, [{}])".format(
@@ -2810,7 +2816,9 @@ def value_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("__n__").cast("double")
     rank = (F.col("__cum__") - F.col("__c__") + 1).cast("double")
-    pr = (rank - 1) / (n - 1)
+    # single-row group: PERCENT_RANK is defined as 0 (and the session
+    # runs ANSI, where (rank-1)/(n-1) would THROW on 0/0, not NULL)
+    pr = F.when(n > 1, (rank - 1) / (n - 1)).otherwise(F.lit(0.0))
     cd = F.col("__cum__").cast("double") / n
     ranked = cum.join(F.broadcast(totals), "event_type").select(
         "event_type", "value", "__c__", pr.alias("pr"), cd.alias("cd")
@@ -8725,14 +8733,17 @@ def purchase_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__nb__",
         F.abs(
             F.col("__cca__").cast("double")
-            / F.col("__na__").cast("double")
+            / F.nullif(F.col("__na__").cast("double"), F.lit(0.0))
             - F.col("__ccb__").cast("double")
-            / F.col("__nb__").cast("double")
+            / F.nullif(F.col("__nb__").cast("double"), F.lit(0.0))
         ).alias("__d__"),
     )
     n1 = F.col("__na__").cast("double")
     n2 = F.col("__nb__").cast("double")
-    crit = 1.358 * F.sqrt((n1 + n2) / (n1 * n2))
+    # one empty group → n1*n2 = 0: ANSI Spark would THROW where DuckDB
+    # returns Inf — NULLIF on both engines makes the threshold (and
+    # the verdict column) a deterministic NULL on degenerate data
+    crit = 1.358 * F.sqrt((n1 + n2) / F.nullif(n1 * n2, F.lit(0.0)))
     return (
         stepped.groupBy("__na__", "__nb__")
         .agg(F.max("__d__").alias("__ks__"))
@@ -8765,20 +8776,22 @@ stepped AS (
   SELECT tot.na, tot.nb,
          ABS(CAST(SUM(ca) OVER (ORDER BY v
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS DOUBLE) / CAST(tot.na AS DOUBLE)
+                  AS DOUBLE) / NULLIF(CAST(tot.na AS DOUBLE), 0.0)
              - CAST(SUM(cb) OVER (ORDER BY v
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS DOUBLE) / CAST(tot.nb AS DOUBLE)) AS d
+                    AS DOUBLE) / NULLIF(CAST(tot.nb AS DOUBLE), 0.0)) AS d
   FROM per_val, tot
 )
 SELECT CAST(na AS BIGINT) AS n_weekday,
        CAST(nb AS BIGINT) AS n_weekend,
        ROUND(MAX(d), 6) AS ks_statistic,
        ROUND(1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
-                          / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+                          / NULLIF(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE),
+                                   0.0)), 6)
          AS critical_05,
        MAX(d) > 1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
-                             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                             / NULLIF(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE),
+                                      0.0))
          AS distributions_differ
 FROM stepped GROUP BY na, nb
 """
@@ -9205,8 +9218,14 @@ def purchase_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = F.col("n_weekend").cast("double")
     nn = n1 + n2
     u = F.col("__r1__") - n1 * (n1 + 1) / 2
-    var = n1 * n2 / 12 * ((nn + 1) - F.col("__tie__") / (nn * (nn - 1)))
-    z = (u - n1 * n2 / 2) / F.sqrt(var)
+    # degenerate data (one empty group, a single purchase, or all
+    # values tied) zeroes a denominator — NULLIF-guarded on BOTH
+    # engines so z is a deterministic NULL instead of an ANSI
+    # DIVIDE_BY_ZERO here and Inf/NaN in DuckDB
+    var = n1 * n2 / 12 * (
+        (nn + 1) - F.col("__tie__") / F.nullif(nn * (nn - 1), F.lit(0.0))
+    )
+    z = (u - n1 * n2 / 2) / F.nullif(F.sqrt(var), F.lit(0.0))
     return agg.select(
         "n_weekday",
         "n_weekend",
@@ -9249,10 +9268,11 @@ SELECT n_weekday, n_weekend,
          AS u_stat,
        ROUND((r1 - CAST(n_weekday AS DOUBLE) * (n_weekday + 1) / 2
               - CAST(n_weekday AS DOUBLE) * n_weekend / 2)
-             / sqrt(CAST(n_weekday AS DOUBLE) * n_weekend / 12
+             / NULLIF(sqrt(CAST(n_weekday AS DOUBLE) * n_weekend / 12
                     * ((n_weekday + n_weekend + 1)
-                       - tie / (CAST(n_weekday + n_weekend AS DOUBLE)
-                                * (n_weekday + n_weekend - 1)))), 4)
+                       - tie / NULLIF(CAST(n_weekday + n_weekend AS DOUBLE)
+                                      * (n_weekday + n_weekend - 1), 0.0))),
+                      0.0), 4)
          AS z_score
 FROM a
 """
@@ -9302,7 +9322,7 @@ def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FERTILITY_SQL = """
 WITH feats AS (
   SELECT lang,
-         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS tok,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS tok,
          length(text)::BIGINT AS chars,
          octet_length(encode(text))::BIGINT AS bytes
   FROM documents
@@ -9805,9 +9825,17 @@ DYNAMIC_ORACLE_BUILDERS: dict[str, Callable[[str], str | None]] = {
 }
 
 
+_DYNAMIC_ORACLE_CACHE: dict[str, dict[str, str]] = {}
+
+
 def dynamic_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """Materialize every dynamic oracle for ``sf_dir``; builders that
-    fail (unreadable table) are skipped rather than raising."""
+    fail (unreadable table) are skipped rather than raising. Memoized
+    per ``sf_dir`` — each build re-runs the full numpy fits on a
+    parquet sample, and the result is a pure function of the table
+    bytes, so repeated ``oracle_sql()`` calls should be free."""
+    if sf_dir in _DYNAMIC_ORACLE_CACHE:
+        return dict(_DYNAMIC_ORACLE_CACHE[sf_dir])
     out: dict[str, str] = {}
     for name, build in DYNAMIC_ORACLE_BUILDERS.items():
         try:
@@ -9816,4 +9844,5 @@ def dynamic_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             sql = None
         if sql:
             out[name] = sql
-    return out
+    _DYNAMIC_ORACLE_CACHE[sf_dir] = out
+    return dict(out)
