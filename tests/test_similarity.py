@@ -536,3 +536,33 @@ def test_ivf2_default_cells_two_thirds_power(spark):
         S.fit_two_level_centroids = orig
     assert captured["cells"] == 100  # round(1000^(2/3))
     assert captured["coarse"] == 10  # sqrt(cells)
+
+
+def test_batched_within_group_topk_matches_per_group(spark):
+    # The batched (mapInPandas over sorted partitions) search must be
+    # bit-identical to the per-group applyInPandas form, including
+    # cells split across Arrow batch boundaries (forced with a tiny
+    # maxRecordsPerBatch).
+    from tmdb_index_spark.operators.similarity import (
+        _within_group_topk_batched,
+        _within_group_topk_pandas,
+        ivf_assign,
+    )
+
+    emb = _rand_emb(spark, n=300, d=6, seed=11)
+    cents = [(j, [float(j == i) for i in range(6)]) for j in range(5)]
+    assigned = ivf_assign(emb, cents, impl="pandas")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+        got = sorted(
+            map(tuple, _within_group_topk_batched(
+                assigned, "cell", 3, "vec_id", "embedding").collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    exp = sorted(
+        map(tuple, _within_group_topk_pandas(
+            assigned, "cell", 3, "vec_id", "embedding").collect())
+    )
+    assert got == exp and len(got) > 0
