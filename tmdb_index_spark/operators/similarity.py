@@ -485,19 +485,30 @@ def fit_kmeans_array(
     n = len(X)
     k = min(k, n)
     rng = np.random.RandomState(seed)
-    # k-means++ init with an INCREMENTAL running min: recomputing the
-    # min over all centers each step is O(n·d·k²) — infeasible at the
-    # two-level index's fine-cell counts (thousands). The running min
-    # is elementwise-identical arithmetic, so the RNG draw sequence
-    # (and therefore the fit) is unchanged.
-    centers = [X[rng.randint(n)]]
-    d2 = ((X - centers[0]) ** 2).sum(axis=1)
-    for _ in range(1, k):
-        probs = d2 / d2.sum() if d2.sum() > 0 else None
-        c = X[rng.choice(n, p=probs)]
-        centers.append(c)
-        d2 = np.minimum(d2, ((X - c) ** 2).sum(axis=1))
-    C = np.stack(centers)
+    if k > 1024:
+        # Large-k regime (two-level fine cells: thousands): k-means++
+        # is inherently SEQUENTIAL — k steps of O(n·d) distance updates
+        # (measured 11.8 s of an 11.8 s fit at k=3420) — while its
+        # quality edge over random init shrinks as k grows and Lloyd
+        # (cheap here: chunked matmul + scatter-add) does the real
+        # work. Standard large-k practice: deterministic random
+        # distinct-point init + 50% more Lloyd iterations.
+        C = X[rng.choice(n, size=k, replace=False)].copy()
+        iters = max(iters, int(iters * 1.5))
+    else:
+        # k-means++ init with an INCREMENTAL running min: recomputing
+        # the min over all centers each step is O(n·d·k²). The running
+        # min is elementwise-identical arithmetic, so the RNG draw
+        # sequence (and therefore the fit — and every pinned-seed
+        # oracle built on it) is unchanged from the original loop.
+        centers = [X[rng.randint(n)]]
+        d2 = ((X - centers[0]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            probs = d2 / d2.sum() if d2.sum() > 0 else None
+            c = X[rng.choice(n, p=probs)]
+            centers.append(c)
+            d2 = np.minimum(d2, ((X - c) ** 2).sum(axis=1))
+        C = np.stack(centers)
     # Lloyd assignment via the expanded-norm matmul, row-chunked so the
     # (n, k) distance block stays bounded; the O(n·k·d) broadcast
     # tensor of the naive form is ~66 GB at (10k sample, 13k cells).
@@ -510,10 +521,14 @@ def fit_kmeans_array(
             blk = slice(s, min(s + chunk, n))
             d2b = x2[blk] - 2.0 * (X[blk] @ C.T) + c2
             assign[blk] = d2b.argmin(axis=1)
-        for j in range(k):
-            members = X[assign == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
+        # scatter-add mean update: the per-cluster boolean-mask loop is
+        # O(n·k) per iteration — 3420 masks × 10k rows × 10 iters was
+        # the fit's second hotspot at two-level cell counts
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=k).astype("float64")
+        nz = counts > 0
+        C[nz] = sums[nz] / counts[nz, None]
     order = np.argsort(C[:, 0], kind="stable")
     return [(i, [float(x) for x in C[j]]) for i, j in enumerate(order)]
 
