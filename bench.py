@@ -172,6 +172,8 @@ EXTENDED_QUERIES = [
     "purchase_mannwhitney",
     "lang_token_fertility",
     "dedup_yield_curve",
+    "source_token_kl",
+    "token_zipf_fit",
 ]
 
 

@@ -9381,6 +9381,135 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture divergence audit (extension: the training-mix
+    governance metric — how far the corpus's PER-SOURCE TOKEN SHARE
+    sits from the uniform target mix, per source and in total):
+    KL(P‖U) contribution p·ln(p/u) for each source, where p = the
+    source's token share and u = 1/|sources|. One map-only token
+    count + a bounded per-source aggregate; shares are exact integer
+    ratios so the doubles agree cross-engine."""
+    from tmdb_index_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    per_src = d.select(
+        "source", token_count("text").cast("bigint").alias("__tok__")
+    ).groupBy("source").agg(
+        F.sum("__tok__").alias("__t__"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    tot = per_src.agg(
+        F.sum("__t__").alias("__tt__"),
+        F.count(F.lit(1)).alias("__ns__"),
+    )
+    p = F.col("__t__").cast("double") / F.col("__tt__").cast("double")
+    u = F.lit(1.0) / F.col("__ns__").cast("double")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.col("__t__").cast("bigint").alias("n_tokens"),
+        F.round(p, 6).alias("token_share"),
+        F.round(p * F.log(p / u), 6).alias("kl_contribution"),
+    )
+
+
+_SOURCE_KL_SQL = """
+WITH per_src AS (
+  SELECT source,
+         SUM(len(regexp_extract_all(text,
+             '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT) AS t,
+         COUNT(*)::BIGINT AS n_docs
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(t) AS tt, COUNT(*) AS ns FROM per_src)
+SELECT source, n_docs,
+       CAST(t AS BIGINT) AS n_tokens,
+       ROUND(CAST(t AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS token_share,
+       ROUND(CAST(t AS DOUBLE) / CAST(tt AS DOUBLE)
+             * ln((CAST(t AS DOUBLE) / CAST(tt AS DOUBLE))
+                  / (1.0 / CAST(ns AS DOUBLE))), 6) AS kl_contribution
+FROM per_src, tot
+"""
+
+
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-slope fit of the token frequency distribution (extension:
+    the corpus-statistics sibling of `activity_powerlaw_fit` — how
+    closely token frequencies follow rank^(−s), the diagnostic behind
+    vocabulary sizing and smoothing choices): OLS slope of
+    ln(freq) on ln(rank) over the vocabulary. Frequency ranks come
+    from :func:`grouped_rank`'s funnel-free bucketed ranks (the vocab
+    frame grows with corpus diversity — a naive global row_number
+    would single-task sort it). Integer frequencies → identical
+    doubles; tiebreak on the term string makes ranks a total order.
+    Tokenization is the ranking family's lowercase word regex (the
+    oracle mirrors it verbatim — the round-7 fertility lesson: never
+    let the two sides' tokenizers drift)."""
+    from tmdb_index_spark.operators.ordering import grouped_rank
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+                )
+            ).alias("__term__")
+        )
+        .groupBy("__term__")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__f__"))
+    )
+    ranked = grouped_rank(
+        vocab, "__f__", tiebreak=["__term__"], rank_col="__r__",
+        ascending=False,
+    )
+    x = F.log(F.col("__r__").cast("double"))
+    y = F.log(F.col("__f__").cast("double"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("__f__").cast("bigint").alias("n_tokens"),
+        F.sum(x).alias("__sx__"),
+        F.sum(y).alias("__sy__"),
+        F.sum(x * y).alias("__sxy__"),
+        F.sum(x * x).alias("__sxx__"),
+    )
+    n = F.col("vocab_size").cast("double")
+    slope = (n * F.col("__sxy__") - F.col("__sx__") * F.col("__sy__")) / (
+        n * F.col("__sxx__") - F.col("__sx__") * F.col("__sx__")
+    )
+    return agg.select(
+        "vocab_size",
+        "n_tokens",
+        F.round(-slope, 4).alias("zipf_exponent"),
+    )
+
+
+_ZIPF_SQL = """
+WITH vocab AS (
+  SELECT term, COUNT(*)::BIGINT AS f
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents)
+  GROUP BY term
+),
+ranked AS (
+  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term ASC) AS r FROM vocab
+),
+a AS (
+  SELECT COUNT(*)::BIGINT AS vocab_size,
+         CAST(SUM(f) AS BIGINT) AS n_tokens,
+         SUM(ln(CAST(r AS DOUBLE))) AS sx,
+         SUM(ln(CAST(f AS DOUBLE))) AS sy,
+         SUM(ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE))) AS sxy,
+         SUM(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx
+  FROM ranked
+)
+SELECT vocab_size, n_tokens,
+       ROUND(-((vocab_size * sxy - sx * sy)
+               / (vocab_size * sxx - sx * sx)), 4) AS zipf_exponent
+FROM a
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "robust_trend_daily": robust_trend_daily,
     "orders_reconciliation": orders_reconciliation,
@@ -9571,6 +9700,8 @@ QUERIES: dict[str, QueryFn] = {
     "purchase_mannwhitney": purchase_mannwhitney,
     "lang_token_fertility": lang_token_fertility,
     "dedup_yield_curve": dedup_yield_curve,
+    "source_token_kl": source_token_kl,
+    "token_zipf_fit": token_zipf_fit,
 }
 
 QUERIES = {name: _self_configuring(fn) for name, fn in QUERIES.items()}
@@ -9596,6 +9727,8 @@ ORACLES: dict[str, str] = {
     "purchase_mannwhitney": _MANNWHITNEY_SQL,
     "lang_token_fertility": _FERTILITY_SQL,
     "dedup_yield_curve": _YIELD_SQL,
+    "source_token_kl": _SOURCE_KL_SQL,
+    "token_zipf_fit": _ZIPF_SQL,
     "variant_conversion_ztest": _ZTEST_SQL,
     "metric_correlation_matrix": _CORR_MATRIX_SQL,
     "bloom_prefilter_revenue": _BLOOM_SQL,
