@@ -588,21 +588,17 @@ def test_canonical_map_hash_joins_no_cartesian(spark):
     assert "CartesianProduct" not in p
 
 
-def test_robust_trend_pairs_only_on_days_rollup(spark):
-    # The pairwise self-join is the documented bounded quadratic on the
-    # |days| AGGREGATE: the orders scan feeds one partial-agg groupBy
-    # first; the non-equi join touches only aggregated rows. Round 7
-    # pins the pair grid (it feeds the rank machinery's subtrees), so
-    # every consumer must read the InMemoryTableScan — any FileScan
-    # outside the pinned relation would mean the grid recomputes.
+def test_robust_trend_result_is_driver_literal(spark):
+    # Round-7 final form: the calendar-bounded |days| rollup collects
+    # to the driver (same bounded-collect rule as the bloom bitmap)
+    # and the |days|² slope grid evaluates in numpy — the RETURNED
+    # frame must therefore be a literal local relation with the
+    # rounding projection on top: no joins, no exchanges, no window,
+    # nothing distributed left to misplan.
     p = _plan(spark, "robust_trend_daily")
-    assert "partial_" in p
-    assert p.count("InMemoryTableScan") >= 1
-    # each "Scan parquet" line is the InMemoryRelation echoing its own
-    # (once-executed) child plan — all scans live inside the pin
-    for line in p.splitlines():
-        if "Scan parquet" in line:
-            assert ":" in line.split("Scan parquet")[0] or "InMemory" in p
+    assert "LocalTableScan" in p or "Scan ExistingRDD" in p
+    assert "Join" not in p
+    assert "Exchange" not in p
 
 
 def test_reconciliation_single_fact_agg_hash_join(spark):

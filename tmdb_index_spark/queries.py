@@ -7696,66 +7696,80 @@ def robust_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     robust regression — the outlier-immune complement of
     `user_value_trends`' OLS): Theil-Sen slope (median of all pairwise
     slopes) and the Mann-Kendall S / τ trend test (sign counts —
-    pure integers). The deliberate pairwise self-join runs on the
-    |days|-SIZED ROLLUP, never the fact table: |days| grows with the
-    calendar, not data volume — ten years is 3650 rows ≈ 6.6M pairs,
-    trivial at any SF (the same bounded-quadratic-on-aggregate
-    argument as the exact ANN baselines). Two measured perf fixes
-    (round 7): the stream side is repartitioned so the |days|² grid
-    evaluates across the session's cores instead of the single
-    post-aggregation partition, and the exact median comes from
-    :func:`grouped_rank`'s bucketed order-statistic locate instead of
-    Spark's ``percentile`` aggregate — whose count-map merge was the
-    actual cost (measured 10.7 s of the 10.4 s total on 2.9M slopes,
-    single-threaded; the rank path sorts per-bucket in parallel). The
-    median interpolates lo + 0.5·(hi − lo) over the two middle order
-    statistics — the same formula both engines' exact percentile
-    uses, so parity is bit-for-bit. Slopes are decimal-difference
-    over integer day-gap doubles."""
-    from tmdb_index_spark.operators.ordering import grouped_rank
+    pure integers).
+
+    Execution strategy (round-7 final form): the |days| rollup is
+    CALENDAR-BOUNDED — ten years is 3650 rows, a century 36k — so the
+    rollup collects to the driver (the same bounded-collect rule as
+    the bloom bitmap and the k-means sample) and the |days|²/2 slope
+    grid evaluates as row-chunked numpy. This replaced two distributed
+    spellings that were pure overhead at any scale: the BNLJ +
+    ``percentile`` form (10.4 s — the aggregate's count-map merge is
+    single-threaded) and the BNLJ + bucketed-rank locate (~9 s — six
+    bounded jobs over a 2.9M-row grid the driver computes in 0.2 s).
+    A data-proportional frame must still use
+    :func:`~tmdb_index_spark.operators.ordering.grouped_rank`; this
+    fast path is justified ONLY by the calendar bound, stated here.
+
+    Cross-engine exactness: daily sums stay decimal and move as
+    integer CENTS (decimal(18,2)·100 — exact int64), so the slope is
+    double(cents_diff)/100/gap — bit-identical to both engines'
+    decimal-difference-then-cast. The median interpolates
+    lo + 0.5·(hi − lo) over the two middle order statistics (the same
+    formula both engines' exact percentile uses), and the final
+    ROUNDING runs in Spark on literal columns so ROUND semantics
+    match the previous in-engine form."""
+    import numpy as np
 
     daily = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
-        .agg(F.sum(_dec("o_totalprice")).alias("__v__"))
+        .agg(
+            (F.sum(_dec("o_totalprice")) * 100)
+            .cast("bigint")
+            .alias("__cents__")
+        )
+        .select(
+            F.datediff(
+                F.col("day").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("__dayidx__"),
+            "__cents__",
+        )
     )
-    a = daily.repartition(
-        spark.sparkContext.defaultParallelism, "day"
-    ).select(
-        F.col("day").alias("__da__"), F.col("__v__").alias("__va__")
+    rows = daily.collect()
+    rows.sort(key=lambda r: r["__dayidx__"])
+    d = np.array([r["__dayidx__"] for r in rows], dtype="int64")
+    c = np.array([r["__cents__"] for r in rows], dtype="int64")
+    n = len(d)
+    slopes_parts = []
+    mk_s = 0
+    chunk = max(1, int(2e7 // max(n, 1)))
+    for s in range(0, n, chunk):
+        blk = slice(s, min(s + chunk, n))
+        dc = (c[None, :] - c[blk][:, None]).astype("float64") / 100.0
+        gap = (d[None, :] - d[blk][:, None]).astype("float64")
+        upper = d[None, :] > d[blk][:, None]
+        slopes_parts.append((dc[upper] / gap[upper]))
+        mk_s += int(np.sign(dc[upper]).sum())
+    slopes = np.concatenate(slopes_parts) if slopes_parts else np.array([])
+    n_pairs = int(n * (n - 1) // 2)
+    if n_pairs:
+        slopes.sort(kind="stable")
+        lo = slopes[(n_pairs + 1) // 2 - 1]
+        hi = slopes[(n_pairs + 2) // 2 - 1]
+        theil = float(lo + 0.5 * (hi - lo))
+        tau = mk_s / n_pairs
+    else:
+        theil, tau = None, None
+    out = spark.createDataFrame(
+        [(n_pairs, theil, mk_s, float(tau) if tau is not None else None)],
+        "n_pairs bigint, __t__ double, mk_s bigint, __tau__ double",
     )
-    b = daily.select(
-        F.col("day").alias("__db__"), F.col("__v__").alias("__vb__")
-    )
-    pairs = a.join(b, F.col("__da__") < F.col("__db__")).select(
-        (
-            (F.col("__vb__") - F.col("__va__")).cast("double")
-            / F.datediff(F.col("__db__"), F.col("__da__")).cast("double")
-        ).alias("__slope__"),
-        F.signum(
-            (F.col("__vb__") - F.col("__va__")).cast("double")
-        ).cast("int").alias("__sgn__"),
-    )
-    # grouped_rank pins its keyed input internally (operators/
-    # ordering.py), so the nested-loop pair stage runs exactly once
-    ranked = grouped_rank(
-        pairs, "__slope__", rank_col="__r__", n_col="__n__"
-    )
-    # middle order statistics: 1-based ranks (n+1) DIV 2 and
-    # (n+2) DIV 2 (equal when n is odd); interpolate lo + 0.5*(hi-lo)
-    lo_r = F.expr("(__n__ + 1) DIV 2")
-    hi_r = F.expr("(__n__ + 2) DIV 2")
-    x_lo = F.min(F.when(F.col("__r__") == lo_r, F.col("__slope__")))
-    x_hi = F.min(F.when(F.col("__r__") == hi_r, F.col("__slope__")))
-    return ranked.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.round(x_lo + 0.5 * (x_hi - x_lo), 4).alias("theil_sen_slope"),
-        F.sum("__sgn__").cast("bigint").alias("mk_s"),
-        F.round(
-            F.sum("__sgn__").cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            4,
-        ).alias("mk_tau"),
+    return out.select(
+        "n_pairs",
+        F.round(F.col("__t__"), 4).alias("theil_sen_slope"),
+        "mk_s",
+        F.round(F.col("__tau__"), 4).alias("mk_tau"),
     )
 
 
