@@ -109,3 +109,43 @@ def test_powerlaw_degenerate_counts_null_alpha(spark, tmp_path):
     )
     row = Q.activity_powerlaw_fit(spark, sf).collect()[0]
     assert row["alpha_mle"] is None
+
+
+def test_robust_trend_excludes_null_order_dates(spark, tmp_path):
+    # a NULL o_orderdate must drop out BEFORE pair formation (the
+    # oracle's a.day < b.day join never matches NULL) — the driver-side
+    # sort would otherwise TypeError on None day indexes.
+    from datetime import datetime
+
+    spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0, datetime(2024, 1, 1), "P1"),
+            (2, 11, "O", 200.0, None, "P1"),
+            (3, 12, "O", 300.0, datetime(2024, 1, 3), "P1"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    row = Q.robust_trend_daily(spark, str(tmp_path)).collect()[0]
+    assert row["n_pairs"] == 1  # only the two dated days pair up
+    assert row["theil_sen_slope"] == 100.0  # (300-100)/2 days
+
+
+def test_source_kl_zero_token_source_contributes_zero(spark, tmp_path):
+    # a source whose texts tokenize to nothing: KL convention
+    # 0*ln(0) = 0 on both engines (DuckDB ln(0) would hard-error).
+    spark.createDataFrame(
+        [
+            (1, "hello world", "en", "web", 11),
+            (2, "   ", "en", "emptysrc", 3),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["source"]: r
+        for r in Q.source_token_kl(spark, str(tmp_path)).collect()
+    }
+    assert rows["emptysrc"]["kl_contribution"] == 0.0
+    assert rows["emptysrc"]["n_tokens"] == 0

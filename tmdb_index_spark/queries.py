@@ -7729,6 +7729,7 @@ def robust_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("__cents__")
         )
+        .filter(F.col("day").isNotNull())
         .select(
             F.datediff(
                 F.col("day").cast("date"), F.lit("1970-01-01").cast("date")
@@ -7736,23 +7737,32 @@ def robust_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__cents__",
         )
     )
+    # NULL order dates are excluded BEFORE pair formation — identical
+    # to the oracle, whose a.day < b.day join never matches NULL
     rows = daily.collect()
     rows.sort(key=lambda r: r["__dayidx__"])
     d = np.array([r["__dayidx__"] for r in rows], dtype="int64")
     c = np.array([r["__cents__"] for r in rows], dtype="int64")
     n = len(d)
-    slopes_parts = []
+    n_pairs = int(n * (n - 1) // 2)
+    # one pre-allocated slope buffer (8·n²/2 bytes: 53 MB per decade
+    # of days, ~5 GB at a full century — the practical driver envelope;
+    # beyond ~40 years switch back to the distributed grouped_rank
+    # spelling) — filling slices avoids np.concatenate's transient
+    # second copy
+    slopes = np.empty(n_pairs, dtype="float64")
     mk_s = 0
+    pos = 0
     chunk = max(1, int(2e7 // max(n, 1)))
     for s in range(0, n, chunk):
         blk = slice(s, min(s + chunk, n))
         dc = (c[None, :] - c[blk][:, None]).astype("float64") / 100.0
         gap = (d[None, :] - d[blk][:, None]).astype("float64")
         upper = d[None, :] > d[blk][:, None]
-        slopes_parts.append((dc[upper] / gap[upper]))
+        part = dc[upper] / gap[upper]
+        slopes[pos:pos + len(part)] = part
+        pos += len(part)
         mk_s += int(np.sign(dc[upper]).sum())
-    slopes = np.concatenate(slopes_parts) if slopes_parts else np.array([])
-    n_pairs = int(n * (n - 1) // 2)
     if n_pairs:
         slopes.sort(kind="stable")
         lo = slopes[(n_pairs + 1) // 2 - 1]
@@ -9418,12 +9428,16 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = F.col("__t__").cast("double") / F.col("__tt__").cast("double")
     u = F.lit(1.0) / F.col("__ns__").cast("double")
+    # p = 0 (a source whose texts tokenize to nothing): the KL
+    # convention is 0·ln(0) = 0 — guarded on BOTH engines (DuckDB's
+    # ln(0) hard-errors, Spark's returns NULL; round-7 review)
+    kl = F.when(F.col("__t__") > 0, p * F.log(p / u)).otherwise(F.lit(0.0))
     return per_src.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         F.col("__t__").cast("bigint").alias("n_tokens"),
         F.round(p, 6).alias("token_share"),
-        F.round(p * F.log(p / u), 6).alias("kl_contribution"),
+        F.round(kl, 6).alias("kl_contribution"),
     )
 
 
@@ -9439,9 +9453,11 @@ tot AS (SELECT SUM(t) AS tt, COUNT(*) AS ns FROM per_src)
 SELECT source, n_docs,
        CAST(t AS BIGINT) AS n_tokens,
        ROUND(CAST(t AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS token_share,
-       ROUND(CAST(t AS DOUBLE) / CAST(tt AS DOUBLE)
-             * ln((CAST(t AS DOUBLE) / CAST(tt AS DOUBLE))
-                  / (1.0 / CAST(ns AS DOUBLE))), 6) AS kl_contribution
+       ROUND(CASE WHEN t > 0
+                  THEN CAST(t AS DOUBLE) / CAST(tt AS DOUBLE)
+                       * ln((CAST(t AS DOUBLE) / CAST(tt AS DOUBLE))
+                            / (1.0 / CAST(ns AS DOUBLE)))
+                  ELSE 0.0 END, 6) AS kl_contribution
 FROM per_src, tot
 """
 

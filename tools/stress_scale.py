@@ -22,9 +22,14 @@ import sys
 import time
 
 
-def _time(df) -> float:
+def _time(make) -> float:
+    """Time a QUERY CONSTRUCTION + execution: ``make`` is a thunk so
+    queries that do bounded driver-side work at construction (e.g. the
+    calendar-bounded robust_trend_daily collect+numpy grid) are timed
+    honestly — passing a pre-built DataFrame would clock only the
+    final literal write (round-7 review finding)."""
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    make().write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 2)
 
 
@@ -73,9 +78,9 @@ def main() -> int:
     report: dict[str, dict[str, float]] = {}
     for name in stress_set:
         spark.catalog.clearCache()
-        t_small = _time(QUERIES[name](spark, small))
+        t_small = _time(lambda: QUERIES[name](spark, small))
         spark.catalog.clearCache()
-        t_big = _time(QUERIES[name](spark, big))
+        t_big = _time(lambda: QUERIES[name](spark, big))
         report[name] = {
             "small_sec": t_small,
             "big_sec": t_big,
