@@ -31,9 +31,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query. Includes the
-    dynamic oracles (fitted-centroid literals computed from the sf0.01
-    tables the driver compares against); a builder that cannot read its
-    table simply leaves that query rows-only."""
-    return {**dict(ORACLES), **dynamic_oracles()}
+    dynamic oracles (fitted-centroid literals computed from the tables
+    the driver compares against); a builder that cannot read its table
+    simply leaves that query rows-only.
+
+    The dynamic oracles are scale-specific: their centroid literals
+    are re-fit per ``sf_dir``, resolved as the explicit argument, then
+    ``$SPARK_GRAFT_ORACLE_SF_DIR``, then the driver's sf0.01 default —
+    so a value check at another scale never compares against literals
+    fit on the wrong table (round-7 ADVICE)."""
+    import os
+
+    sf_dir = (
+        sf_dir
+        or os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+        or "/root/testdata/sf0.01"
+    )
+    return {**dict(ORACLES), **dynamic_oracles(sf_dir)}

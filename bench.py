@@ -42,7 +42,11 @@ BENCH_QUERIES = [
     "simhash_fingerprints",
     "simhash_neardups",
     "embedding_topk",
-    "embedding_lsh_topk",
+    # embedding_lsh_topk (fixed 8-bit) was demoted from this headline
+    # list in round 8 (r7 VERDICT #3): it is the MEASURED failure-mode
+    # exhibit (12.5x at 10x data; SCALE.md) kept in the catalog and the
+    # stress sweep beside its self-tuned fix — not a query we'd ship as
+    # a headline plan. It still runs under SPARK_GRAFT_BENCH_SET=full.
     "embedding_lsh_tuned_topk",
     "embedding_ivf_topk",
     "embedding_ivf_tuned_topk",
@@ -51,9 +55,12 @@ BENCH_QUERIES = [
     "bm25_search",
 ]
 
-#: The original 21-query round-1 referent set: BASELINE.md's r1 and
-#: min-of-3 totals sum over exactly these, so round-over-round total
-#: comparisons stay like-for-like as the headline list grows.
+#: The round-1 referent set: BASELINE.md's r1 and min-of-3 totals sum
+#: over exactly these, so round-over-round total comparisons stay
+#: like-for-like as the headline list changes. Originally the 21
+#: round-1 queries; ``embedding_lsh_topk`` was demoted in round 8, so
+#: this is the 20 survivors and BASELINE.md carries the adjusted
+#: referent total (28.753 − 0.662 = 28.091 s).
 R1_QUERIES = [q for q in BENCH_QUERIES if "tuned" not in q]
 
 #: Round-4/5 catalog additions (llm-prep pipeline, TPC-H shapes,
@@ -62,6 +69,9 @@ R1_QUERIES = [q for q in BENCH_QUERIES if "tuned" not in q]
 #: min-of-3 referent for them and regressions are attributable
 #: catalog-wide, without inflating the per-round driver bench.
 EXTENDED_QUERIES = [
+    # the demoted fixed-8-bit LSH failure-mode exhibit (see note in
+    # BENCH_QUERIES): still measured catalog-wide, just not headline.
+    "embedding_lsh_topk",
     "decontam_ngram_hits",
     "repetition_quality",
     "pii_redaction",
@@ -236,7 +246,7 @@ def main() -> int:
     # "queries" is min-of-N (measures the code, not the scheduler);
     # "passes" carries every raw pass so any referent methodology —
     # single-shot (pass 0) or min-of-N — can be compared like for like.
-    # "total_r1_set" sums only the original 21 round-1 queries so the
+    # "total_r1_set" sums only the round-1 referent queries so the
     # BASELINE.md r1/min-of-3 totals stay directly comparable after
     # headline additions.
     out = {
@@ -254,7 +264,20 @@ def main() -> int:
         out["total_r1_set"] = round(
             sum(timings[q] for q in R1_QUERIES), 3
         )
-    print(json.dumps(out))
+    # The driver captures only a 2000-char TAIL of stdout and parses
+    # the last line (seven rounds of "parsed": null taught us — r7
+    # VERDICT #2): the full record, passes included, goes to a file
+    # artifact; stdout gets ONE compact line without the passes so the
+    # headline set fits the capture window whole.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_passes_latest.json"),
+        "w",
+    ) as fh:
+        json.dump(out, fh)
+        fh.write("\n")
+    compact = {k: v for k, v in out.items() if k != "passes"}
+    print(json.dumps(compact, separators=(",", ":")))
     return 0
 
 

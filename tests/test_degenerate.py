@@ -149,3 +149,71 @@ def test_source_kl_zero_token_source_contributes_zero(spark, tmp_path):
     }
     assert rows["emptysrc"]["kl_contribution"] == 0.0
     assert rows["emptysrc"]["n_tokens"] == 0
+
+
+def test_anova_single_priority_null_f(spark, tmp_path):
+    # a single priority group: k-1 = 0 and ssb = 0 → f_stat must be
+    # the NULL sentinel (ANSI would DIVIDE_BY_ZERO), eta² = 0/ssw = 0.
+    spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0, datetime(2024, 1, 1), "1-URGENT"),
+            (2, 11, "O", 200.0, datetime(2024, 1, 2), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    row = Q.order_anova_by_priority(spark, str(tmp_path)).collect()[0]
+    assert row["k_groups"] == 1
+    assert row["f_stat"] is None
+    assert row["eta_squared"] == 0.0
+
+
+def test_anova_zero_within_variance_null_f(spark, tmp_path):
+    # two groups, each a single row: N-k = 0 AND ssw = 0 → both inner
+    # NULLIFs fire; f_stat is NULL, not a crash or Inf.
+    spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0, datetime(2024, 1, 1), "1-URGENT"),
+            (2, 11, "O", 200.0, datetime(2024, 1, 2), "2-HIGH"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    row = Q.order_anova_by_priority(spark, str(tmp_path)).collect()[0]
+    assert row["f_stat"] is None
+
+
+def test_fertility_zero_token_lang_null_ratio(spark, tmp_path):
+    # a language whose documents tokenize to zero tokens
+    # (whitespace-only): bytes_per_token is NULL, tokens_per_100_chars
+    # is 0 — not an ANSI DIVIDE_BY_ZERO.
+    spark.createDataFrame(
+        [
+            (1, "hello world", "en", "web", 11),
+            (2, "   ", "zz", "web", 3),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["lang"]: r
+        for r in Q.lang_token_fertility(spark, str(tmp_path)).collect()
+    }
+    assert rows["zz"]["n_tokens"] == 0
+    assert rows["zz"]["bytes_per_token"] is None
+    assert rows["zz"]["tokens_per_100_chars"] == 0.0
+
+
+def test_zipf_single_token_vocab_null_exponent(spark, tmp_path):
+    # vocabulary of exactly one distinct token: every ln(rank) = 0 →
+    # the OLS denominator n·sxx − sx² = 0 → NULL exponent, no crash.
+    spark.createDataFrame(
+        [(1, "hello hello hello", "en", "web", 17)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    row = Q.token_zipf_fit(spark, str(tmp_path)).collect()[0]
+    assert row["vocab_size"] == 1
+    assert row["zipf_exponent"] is None

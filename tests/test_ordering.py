@@ -173,3 +173,15 @@ def test_grouped_rank_no_data_scale_funnel(spark):
     )
     assert "hashpartitioning(g" in plan and "__bkt__" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_grouped_rank_null_key_fails_loudly(spark):
+    # A NULL sort key must RAISE (contract), not silently vanish at
+    # the inner bucket join the way a NULL __bkt__ would (r7 ADVICE).
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], "id long, v double"
+    )
+    with pytest.raises(Exception, match="NULL sort key"):
+        grouped_rank(df, "v", tiebreak=["id"], buckets=2).collect()

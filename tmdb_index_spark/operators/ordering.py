@@ -138,7 +138,25 @@ def _tag_buckets(
     key = F.col(key_col).cast("double")
     if not ascending:
         key = -key
-    keyed = df.withColumn("__key__", key)
+    # Contract enforcement (round-7 ADVICE): a NULL sort key would get
+    # a NULL __bkt__ and be SILENTLY DROPPED at the inner join on
+    # __bkt__ — unlike the window spelling this family replaces, which
+    # ranks NULLs. Fail loudly executor-side instead of losing rows;
+    # callers with nullable keys must filter or coalesce first.
+    keyed = df.withColumn(
+        "__key__",
+        F.when(
+            F.col(key_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"grouped_rank family: NULL sort key in {key_col!r} — "
+                    "the funnel-free rank contract requires non-null keys "
+                    "(NULL rows would silently drop at the bucket join); "
+                    "filter or coalesce them first"
+                )
+            ).cast("double"),
+        ).otherwise(key),
+    )
     if pin:
         from tmdb_index_spark.operators.materialize import pin_frame
 

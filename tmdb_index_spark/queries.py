@@ -9082,14 +9082,21 @@ def order_anova_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("k_groups").cast("double")
     ssb = F.col("__sb__") - F.col("__S__") * F.col("__S__") / N
     ssw = F.col("__SS__") - F.col("__sb__")
-    f_stat = (ssb / (k - 1)) / (ssw / (N - k))
+    # Degenerate-data NULL sentinels (ANSI mode throws on x/0): a
+    # single priority group (k=1), n=k, or zero within-group variance
+    # must yield NULL, not DIVIDE_BY_ZERO — same NULLIFs in _ANOVA_SQL.
+    f_stat = (ssb / F.nullif(k - 1, F.lit(0.0))) / F.nullif(
+        ssw / F.nullif(N - k, F.lit(0.0)), F.lit(0.0)
+    )
     return agg.select(
         "k_groups",
         "n_total",
         F.round(f_stat, 4).alias("f_stat"),
         (F.col("k_groups") - 1).cast("bigint").alias("df_between"),
         (F.col("n_total") - F.col("k_groups")).cast("bigint").alias("df_within"),
-        F.round(ssb / (ssb + ssw), 6).alias("eta_squared"),
+        F.round(ssb / F.nullif(ssb + ssw, F.lit(0.0)), 6).alias(
+            "eta_squared"
+        ),
     )
 
 
@@ -9111,12 +9118,14 @@ a AS (
   FROM g
 )
 SELECT k_groups, n_total,
-       ROUND(((sb - S * S / n_total) / (k_groups - 1))
-             / ((SS - sb) / (n_total - k_groups)), 4) AS f_stat,
+       ROUND(((sb - S * S / n_total) / NULLIF(k_groups - 1, 0))
+             / NULLIF((SS - sb) / NULLIF(n_total - k_groups, 0), 0.0),
+             4) AS f_stat,
        CAST(k_groups - 1 AS BIGINT) AS df_between,
        CAST(n_total - k_groups AS BIGINT) AS df_within,
        ROUND((sb - S * S / n_total)
-             / ((sb - S * S / n_total) + (SS - sb)), 6) AS eta_squared
+             / NULLIF((sb - S * S / n_total) + (SS - sb), 0.0),
+             6) AS eta_squared
 FROM a
 """
 
@@ -9330,14 +9339,18 @@ def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         "n_tokens",
+        # NULL sentinels for degenerate languages (ANSI x/0 throws):
+        # zero chars or zero tokens (whitespace-only text — the exact
+        # case source_token_kl guards) — same NULLIFs in _FERTILITY_SQL.
         F.round(
             F.col("n_tokens").cast("double")
-            / F.col("__nc__").cast("double")
+            / F.nullif(F.col("__nc__").cast("double"), F.lit(0.0))
             * 100,
             4,
         ).alias("tokens_per_100_chars"),
         F.round(
-            F.col("__nb__").cast("double") / F.col("n_tokens").cast("double"),
+            F.col("__nb__").cast("double")
+            / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
             4,
         ).alias("bytes_per_token"),
     )
@@ -9354,9 +9367,11 @@ WITH feats AS (
 SELECT lang,
        COUNT(*)::BIGINT AS n_docs,
        CAST(SUM(tok) AS BIGINT) AS n_tokens,
-       ROUND(CAST(SUM(tok) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE) * 100, 4)
+       ROUND(CAST(SUM(tok) AS DOUBLE)
+             / NULLIF(CAST(SUM(chars) AS DOUBLE), 0.0) * 100, 4)
          AS tokens_per_100_chars,
-       ROUND(CAST(SUM(bytes) AS DOUBLE) / CAST(SUM(tok) AS DOUBLE), 4)
+       ROUND(CAST(SUM(bytes) AS DOUBLE)
+             / NULLIF(CAST(SUM(tok) AS DOUBLE), 0.0), 4)
          AS bytes_per_token
 FROM feats GROUP BY lang
 """
@@ -9504,8 +9519,10 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * x).alias("__sxx__"),
     )
     n = F.col("vocab_size").cast("double")
-    slope = (n * F.col("__sxy__") - F.col("__sx__") * F.col("__sy__")) / (
-        n * F.col("__sxx__") - F.col("__sx__") * F.col("__sx__")
+    # Single-token vocabulary: ln(rank)=0 everywhere → n·sxx−sx² = 0,
+    # which ANSI-throws; NULL sentinel instead (mirrored in _ZIPF_SQL).
+    slope = (n * F.col("__sxy__") - F.col("__sx__") * F.col("__sy__")) / F.nullif(
+        n * F.col("__sxx__") - F.col("__sx__") * F.col("__sx__"), F.lit(0.0)
     )
     return agg.select(
         "vocab_size",
@@ -9535,7 +9552,7 @@ a AS (
 )
 SELECT vocab_size, n_tokens,
        ROUND(-((vocab_size * sxy - sx * sy)
-               / (vocab_size * sxx - sx * sx)), 4) AS zipf_exponent
+               / NULLIF(vocab_size * sxx - sx * sx, 0.0)), 4) AS zipf_exponent
 FROM a
 """
 
