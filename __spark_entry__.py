@@ -39,14 +39,16 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
 
     The dynamic oracles are scale-specific: their centroid literals
     are re-fit per ``sf_dir``, resolved as the explicit argument, then
-    ``$SPARK_GRAFT_ORACLE_SF_DIR``, then the driver's sf0.01 default —
-    so a value check at another scale never compares against literals
-    fit on the wrong table (round-7 ADVICE)."""
+    ``$SPARK_GRAFT_ORACLE_SF_DIR``, then ``$SPARK_GRAFT_SF_DIR`` (a
+    value check that repoints only the data dir still gets literals
+    fit on ITS table — round-8 ADVICE), then the driver's sf0.01
+    default."""
     import os
 
     sf_dir = (
         sf_dir
         or os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+        or os.environ.get("SPARK_GRAFT_SF_DIR")
         or "/root/testdata/sf0.01"
     )
     return {**dict(ORACLES), **dynamic_oracles(sf_dir)}

@@ -269,14 +269,30 @@ def main() -> int:
     # VERDICT #2): the full record, passes included, goes to a file
     # artifact; stdout gets ONE compact line without the passes so the
     # headline set fits the capture window whole.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_passes_latest.json"),
-        "w",
-    ) as fh:
-        json.dump(out, fh)
-        fh.write("\n")
+    #
+    # The passes artifact is per-SET (r8 ADVICE: an extended run must
+    # not clobber the headline record) and round-stamped when the
+    # caller exports SPARK_GRAFT_ROUND (r8 VERDICT #6: raw-pass
+    # history survives the round, committed — not gitignored). Ad-hoc
+    # SPARK_GRAFT_BENCH_ONLY runs skip the write entirely.
+    if not only:
+        stamp = os.environ.get("SPARK_GRAFT_ROUND")
+        fname = f"BENCH_passes_{bench_set}" + (
+            f"_r{stamp}" if stamp else ""
+        ) + ".json"
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), fname),
+            "w",
+        ) as fh:
+            json.dump(out, fh)
+            fh.write("\n")
     compact = {k: v for k, v in out.items() if k != "passes"}
+    # Non-headline sets carry ~45-190 queries: the timings dict alone
+    # can overflow the driver's 2000-char tail capture, reintroducing
+    # parsed-null (r8 ADVICE) — the file artifact keeps the detail,
+    # stdout keeps only the totals.
+    if bench_set != "headline" and not only:
+        compact = {k: v for k, v in compact.items() if k != "queries"}
     print(json.dumps(compact, separators=(",", ":")))
     return 0
 

@@ -877,3 +877,59 @@ def test_fertility_map_only_plus_bounded_agg(spark):
     assert p.count("FileScan parquet") == 1
     assert "partial_" in p
     assert "Join" not in p
+
+
+# ---- round-9: oracle window ORDER BY tie-stability lint ----------------
+
+
+def test_oracle_order_lint_catches_tying_order_by():
+    # Teeth check: a planted stacked-window oracle whose ORDER BY can
+    # tie (no unique trailing key, no waiver) must be flagged; adding
+    # a unique tiebreak must clear it. This is the defect class that
+    # bit supplier_busy_intervals at sf0.1 (round-8 VERDICT #1).
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from oracle_order_lint import audit_oracle_order_keys
+
+    tying = {
+        "planted": """
+WITH f AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events
+)
+SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS island
+FROM f
+"""
+    }
+    findings = audit_oracle_order_keys(tying)
+    assert findings and "planted" in findings[0] and "'ts'" in findings[0]
+    fixed = {
+        "planted": tying["planted"].replace("ORDER BY ts", "ORDER BY ts, event_id")
+    }
+    assert not audit_oracle_order_keys(fixed)
+    # orderless whole-partition windows are order-insensitive: never flagged
+    assert not audit_oracle_order_keys(
+        {"agg": "SELECT SUM(v) OVER (PARTITION BY g) FROM t"}
+    )
+
+
+def test_catalog_oracle_order_lint():
+    # Every static oracle's window ORDER BYs must end in a
+    # catalog-unique key or carry a justified waiver — the standing
+    # gate against cross-pass tie instability in the DuckDB oracles.
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, "/root/repo")
+    from oracle_order_lint import audit_oracle_order_keys, WAIVERS
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+    assert not audit_oracle_order_keys(oracles)
+    # waivers must not go stale: every waived query still exists
+    missing = {n for n, _ in WAIVERS} - set(oracles)
+    assert not missing, f"waivers for deleted oracles: {missing}"

@@ -42,6 +42,7 @@ __all__ = [
     "deterministic_shuffle",
     "grouped_rank",
     "grouped_ntile",
+    "grouped_ntile_multi",
     "grouped_prefix_sum",
 ]
 
@@ -187,10 +188,13 @@ def _tag_buckets(
         tagged = keyed.join(F.broadcast(cc), partition_cols)
     else:
         tagged = keyed.crossJoin(F.broadcast(cc))
-    bucket = sum(
-        (F.col("__key__") > F.col("__cuts__").getItem(i)).cast("int")
-        for i in range(len(pcts))
-    ).cast("long")
+    # ONE F.expr over a flat generated SQL string: building this as a
+    # Python sum of |cuts| Column objects costs one py4j round-trip
+    # per term — measured as the dominant constant of the whole rank
+    # family at rollup scale (plan BUILD time, before Spark even
+    # plans). The flat string is a single py4j call and compiles to
+    # the same whole-stage-codegen comparison chain.
+    bucket = _bucket_expr("__key__", "__cuts__", len(pcts))
     return tagged.withColumn("__bkt__", bucket).drop("__cuts__")
 
 
@@ -298,17 +302,197 @@ def grouped_ntile(
         buckets=buckets,
         pin=pin,
     )
-    k = int(n_tiles)
-    # 0-based position p; head = r*(q+1) rows live in the oversized
-    # tiles; GREATEST guards q=0 (N < k: everyone is in the head).
-    tile = F.expr(
-        f"CASE WHEN (__rk__ - 1) < (__gn__ % {k}) * ((__gn__ DIV {k}) + 1) "
-        f"THEN (__rk__ - 1) DIV ((__gn__ DIV {k}) + 1) + 1 "
-        f"ELSE (__gn__ % {k}) "
-        f"  + ((__rk__ - 1) - (__gn__ % {k}) * ((__gn__ DIV {k}) + 1)) "
-        f"    DIV GREATEST(__gn__ DIV {k}, 1) + 1 END"
-    ).cast("long")
+    tile = _ntile_expr("__rk__", "__gn__", int(n_tiles))
     return ranked.withColumn(tile_col, tile).select(*df.columns, tile_col)
+
+
+def _bucket_expr(key_col: str, cuts_col: str, n_cuts: int) -> Column:
+    """Monotone quantile-bucket tag as ONE flat SQL expression: the
+    count of cut values strictly below the key. Generated as a single
+    string so plan construction is one py4j call, and kept as a flat
+    comparison sum (not an array fold) so whole-stage codegen
+    compiles it."""
+    terms = " + ".join(
+        f"(CASE WHEN {key_col} > {cuts_col}[{i}] THEN 1 ELSE 0 END)"
+        for i in range(n_cuts)
+    )
+    return F.expr(f"CAST({terms} AS BIGINT)")
+
+
+def _ntile_expr(rk_col: str, n_col: str, k: int) -> Column:
+    """Closed-form SQL NTILE(k) from an exact 1-based rank and the
+    group size: with N rows, q = N div k, r = N mod k, the first r
+    tiles take q+1 rows, the rest q — bit-identical to the window
+    form. GREATEST guards q=0 (N < k: everyone is in the head)."""
+    return F.expr(
+        f"CASE WHEN ({rk_col} - 1) < ({n_col} % {k}) * (({n_col} DIV {k}) + 1) "
+        f"THEN ({rk_col} - 1) DIV (({n_col} DIV {k}) + 1) + 1 "
+        f"ELSE ({n_col} % {k}) "
+        f"  + (({rk_col} - 1) - ({n_col} % {k}) * (({n_col} DIV {k}) + 1)) "
+        f"    DIV GREATEST({n_col} DIV {k}, 1) + 1 END"
+    ).cast("long")
+
+
+def grouped_ntile_multi(
+    df: DataFrame,
+    n_tiles: int,
+    specs: list[tuple[str, bool, str]],
+    tiebreak: list[str] | None = None,
+    partition_cols: list[str] | None = None,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(n_tiles)`` over SEVERAL orderings of the SAME
+    frame in one fused pass — ``specs`` is a list of
+    ``(key_col, ascending, tile_col)``; output = ``df`` plus one tile
+    column per spec, each bit-identical to
+    :func:`grouped_ntile`'s (and so to the naive window's) answer.
+
+    Why not three :func:`grouped_ntile` calls joined back on the row
+    key (the round-7 ``user_rfm_segments`` spelling)? Each call pays
+    its own cuts aggregate, its own pinned tagged frame, and — the
+    real constant — a data-sized shuffle JOIN back onto the scored
+    frame. Fused: ONE cuts aggregate computes every spec's quantile
+    vector (one ``percentile_approx`` per key in a single bounded
+    agg), ONE pinned tagged frame carries every spec's bucket tag,
+    and the per-spec ranks chain as ``withColumn`` windows — row
+    identity is preserved, so there is NO join-back at all. The only
+    data-path exchanges left are the per-spec bucket windows
+    (unavoidable: each ordering must sort once). Measured on
+    ``user_rfm_segments`` at sf0.1: 3.2 s → ~1.5 s min-of-3.
+
+    Same contract as :func:`grouped_rank`: keys numeric + non-null
+    (loud executor-side failure otherwise), ``(key, *tiebreak)`` a
+    total order within each group. Per-stage the bucket tag is
+    aliased to ``__bkt__`` so plan audits (``tools/window_lint.py``,
+    ``tests/test_plans.py``) see the standard balanced-tag
+    partitioning.
+    """
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
+    tb = tiebreak or []
+    pc = list(partition_cols or [])
+    b = buckets or df.sparkSession.sparkContext.defaultParallelism
+    from tmdb_index_spark.operators.materialize import pin_frame
+
+    # one keyed projection: every spec's sign-adjusted double key,
+    # with the grouped_rank family's loud NULL-key contract. Batched
+    # into a single withColumns call — per-column py4j round-trips
+    # are the measured dominant constant at rollup scale.
+    keyed = df.withColumns(
+        {
+            f"__key__{i}": F.when(
+                F.col(key_col).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"grouped_rank family: NULL sort key in {key_col!r} — "
+                        "the funnel-free rank contract requires non-null keys "
+                        "(NULL rows would silently drop at the bucket join); "
+                        "filter or coalesce them first"
+                    )
+                ).cast("double"),
+            ).otherwise(
+                F.col(key_col).cast("double")
+                if ascending
+                else -F.col(key_col).cast("double")
+            )
+            for i, (key_col, ascending, _tile) in enumerate(specs)
+        }
+    )
+    keyed = pin_frame(keyed)
+    pcts = [i / b for i in range(1, b)]
+    if pcts:
+        # ONE bounded aggregate for every spec's cut vector. Pinned:
+        # `tagged` below is deliberately NOT pinned (it is a trivial
+        # broadcast-join projection over the cached `keyed`, recomputed
+        # per consumer), so the cuts frame must be single-evaluation on
+        # its own — two independent percentile_approx sketch merges
+        # could return different cut vectors and desynchronize the
+        # histogram from the window-side bucket tags.
+        cuts = [
+            F.percentile_approx(f"__key__{i}", pcts, 1_000).alias(
+                f"__cuts__{i}"
+            )
+            for i in range(len(specs))
+        ]
+        cc = pin_frame(
+            keyed.groupBy(*pc).agg(*cuts) if pc else keyed.agg(*cuts)
+        )
+        tagged = (
+            keyed.join(F.broadcast(cc), pc)
+            if pc
+            else keyed.crossJoin(F.broadcast(cc))
+        )
+        tagged = tagged.withColumns(
+            {
+                f"__bkt__{i}": _bucket_expr(
+                    f"__key__{i}", f"__cuts__{i}", len(pcts)
+                )
+                for i in range(len(specs))
+            }
+        ).drop(*[f"__cuts__{i}" for i in range(len(specs))])
+    else:  # buckets == 1
+        tagged = keyed.withColumns(
+            {f"__bkt__{i}": F.lit(0).cast("long") for i in range(len(specs))}
+        )
+    # Pinned: the histogram branch and every chained window consume it
+    # — unpinned, each re-derives the broadcast join + projections
+    # (measured +35% on user_rfm_segments even over the cached keyed).
+    tagged = pin_frame(tagged)
+    # ONE fused histogram for every spec (vs |specs| separate groupBys
+    # — each a full stage pair of pure scheduling overhead at rollup
+    # scale): explode each row into (spec index, bucket) pairs, count
+    # once, and derive every spec's exclusive offsets + group size from
+    # the single bounded (|groups|·|specs|·|buckets|) frame.
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("__d__"),
+                    F.col(f"__bkt__{i}").alias("__bkt__"),
+                )
+                for i in range(len(specs))
+            ]
+        )
+    ).alias("__p__")
+    hist = (
+        tagged.select(*pc, pairs)
+        .select(*pc, "__p__.__d__", "__p__.__bkt__")
+        .groupBy(*pc, "__d__", "__bkt__")
+        .agg(F.count(F.lit(1)).alias("__cnt__"))
+    )
+    woff = (
+        Window.partitionBy(*pc, "__d__")
+        .orderBy("__bkt__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy(*pc, "__d__")
+    offsets = pin_frame(
+        hist.select(
+            *pc,
+            "__d__",
+            "__bkt__",
+            F.coalesce(F.sum("__cnt__").over(woff), F.lit(0)).alias("__off__"),
+            F.sum("__cnt__").over(wtot).cast("long").alias("__gn__"),
+        )
+    )
+    out = tagged
+    for i, (key_col, ascending, tile_col) in enumerate(specs):
+        off_i = offsets.filter(F.col("__d__") == i).drop("__d__")
+        okey = F.col(key_col).asc() if ascending else F.col(key_col).desc()
+        w = Window.partitionBy(*pc, "__bkt__").orderBy(
+            okey, *[F.col(c).asc() for c in tb]
+        )
+        out = (
+            out.withColumn("__bkt__", F.col(f"__bkt__{i}"))
+            .join(F.broadcast(off_i), [*pc, "__bkt__"])
+            .withColumn(
+                "__rk__",
+                (F.row_number().over(w) + F.col("__off__")).cast("long"),
+            )
+            .withColumn(tile_col, _ntile_expr("__rk__", "__gn__", int(n_tiles)))
+            .drop("__bkt__", "__off__", "__gn__", "__rk__")
+        )
+    return out.select(*df.columns, *[s[2] for s in specs])
 
 
 def grouped_prefix_sum(

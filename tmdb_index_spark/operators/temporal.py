@@ -107,6 +107,23 @@ def merge_intervals(
     flags. Touching intervals (``start == prev_end``) merge, matching
     half-open semantics. One shuffle on ``key``; both windows and the
     final groupBy reuse that partitioning.
+
+    SINGLE-SORT INVARIANT (load-bearing): ``(start, end)`` is NOT a
+    total order when duplicate spans exist (e.g. two same-day events
+    for one key), so the break flags and their running sum are only
+    mutually consistent because Spark evaluates the second window over
+    the FIRST window's physical output order — same partitioning, same
+    ordering, no Exchange or re-shuffle between the two WindowExec
+    nodes, so tied rows cannot swap between passes. Any re-spelling
+    that evaluates the two passes over independently sorted streams
+    (e.g. two separate SQL CTE window scans on an engine with a
+    parallel non-stable sort) can assign a duplicate span to the wrong
+    island and inflate the island extent while keeping counts intact —
+    observed in a DuckDB oracle at sf0.1 (3/1000 suppliers, +8-9 days).
+    If you port this operator, either pre-aggregate duplicate
+    ``(key, start, end)`` rows first (carrying a multiplicity column
+    into ``n_merged``) or append a unique tiebreak column to every
+    ORDER BY.
     """
     order = [F.col(start_col).asc(), F.col(end_col).asc()]
     w = Window.partitionBy(key).orderBy(*order)

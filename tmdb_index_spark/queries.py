@@ -899,16 +899,20 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stream(_events(spark, sf_dir), gap="30 minutes")
 
 
+# event_id tiebreak in BOTH window ORDER BYs: ts alone can tie, and
+# the running SUM pass re-sorts independently of the LAG pass — the
+# stacked-window tie-instability class caught on
+# supplier_busy_intervals at sf0.1 (see tools/oracle_order_lint.py).
 _SESSION_WINDOW_SQL = """
 WITH g AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
                 OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS sid
   FROM g
 )
@@ -4566,11 +4570,11 @@ versions AS (
 -- on dense datetime series but not on ones containing NaT (the open
 -- versions), so the NULLABLE column is pinned to Spark's ns unit.
 SELECT user_id, state, valid_from,
-       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run)
          ::TIMESTAMP_NS AS valid_to,
-       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from)::BIGINT
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from, run)::BIGINT
          AS version,
-       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run)
          IS NULL AS is_current
 FROM versions
 """
@@ -4602,14 +4606,24 @@ def supplier_busy_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Duplicate spans (two same-day shipments of one supplier) are
+# pre-aggregated in `iv` so (start_ts, end_ts) is a TOTAL order per
+# supplier: the two stacked window passes (brk, running SUM(brk))
+# would otherwise see DuckDB's parallel sort break ties differently
+# per pass and assign a duplicate to the wrong island (caught at
+# sf0.1: 3/1000 suppliers, busy_seconds inflated 8-9 days while
+# single-threaded DuckDB equals Spark exactly). mult carries the
+# collapsed multiplicity back into n_intervals.
 _BUSY_INTERVALS_SQL = """
 WITH iv AS (
   SELECT l_suppkey, l_shipdate AS start_ts,
-         l_shipdate + INTERVAL 7 DAY AS end_ts
+         l_shipdate + INTERVAL 7 DAY AS end_ts,
+         COUNT(*) AS mult
   FROM lineitem
+  GROUP BY 1, 2, 3
 ),
 flagged AS (
-  SELECT l_suppkey, start_ts, end_ts,
+  SELECT l_suppkey, start_ts, end_ts, mult,
          CASE WHEN MAX(end_ts) OVER (PARTITION BY l_suppkey
                                      ORDER BY start_ts, end_ts
                                      ROWS BETWEEN UNBOUNDED PRECEDING
@@ -4622,14 +4636,14 @@ flagged AS (
   FROM iv
 ),
 islands AS (
-  SELECT l_suppkey, start_ts, end_ts,
+  SELECT l_suppkey, start_ts, end_ts, mult,
          SUM(brk) OVER (PARTITION BY l_suppkey ORDER BY start_ts, end_ts
                         ROWS UNBOUNDED PRECEDING) AS island
   FROM flagged
 ),
 merged AS (
   SELECT l_suppkey, island, MIN(start_ts) AS island_start,
-         MAX(end_ts) AS island_end, COUNT(*) AS n_merged
+         MAX(end_ts) AS island_end, SUM(mult) AS n_merged
   FROM islands GROUP BY 1, 2
 )
 SELECT l_suppkey, COUNT(*)::BIGINT AS n_islands,
@@ -5473,9 +5487,9 @@ versions AS (
 ),
 hist AS (
   SELECT user_id, state, valid_from,
-         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run)
            AS valid_to,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from)
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from, run)
            AS version
   FROM versions
 )
@@ -7922,24 +7936,22 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__m__").cast("double").alias("monetary"),
         )
     )
-    from tmdb_index_spark.operators.materialize import pin_frame
-    from tmdb_index_spark.operators.ordering import grouped_ntile
+    from tmdb_index_spark.operators.ordering import grouped_ntile_multi
 
-    # one pinned rollup, three FLAT ntile branches joined back on the
-    # key — chaining the calls instead nests each pass's lineage (and
-    # pin) inside the next, tripling plan depth for zero benefit
-    per_user = pin_frame(per_user)
-    scored = per_user
-    for tile_col, key, asc in (
-        ("r_score", "recency_days", False),
-        ("f_score", "frequency", True),
-        ("m_score", "monetary", True),
-    ):
-        tiles = grouped_ntile(
-            per_user, 5, key, tiebreak=["user_id"], tile_col=tile_col,
-            ascending=asc, pin=False,
-        ).select("user_id", tile_col)
-        scored = scored.join(tiles, "user_id")
+    # FUSED multi-key ntile (round-8 VERDICT #4): one cuts aggregate,
+    # one pinned tagged frame, three chained bucket windows — no
+    # per-score shuffle join back onto the rollup (the round-7
+    # three-branch spelling paid three of them).
+    scored = grouped_ntile_multi(
+        per_user,
+        5,
+        [
+            ("recency_days", False, "r_score"),
+            ("frequency", True, "f_score"),
+            ("monetary", True, "m_score"),
+        ],
+        tiebreak=["user_id"],
+    )
     scored = scored.select(
         "user_id",
         "recency_days",

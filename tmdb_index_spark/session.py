@@ -45,6 +45,24 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst=true (the default) floors AQE coalescing at
+        # defaultParallelism, so a 15k-row rollup shuffle still runs 32
+        # tasks — pure task-launch overhead that dominates the bounded
+        # frames the rank/ntile family reduces everything to (measured:
+        # ~1/3 of nation_spend_gini's wall time). False = respect the
+        # advisory size, the setting Spark's own docs recommend for
+        # busy clusters and the right call at 100 TB, where a
+        # 1000-executor cluster wants shuffle partitions sized by
+        # bytes, not by a per-job core floor.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # With parallelismFirst off the advisory size IS the reduce-task
+        # granule: 64 MB (the default) starves CPU-heavy mid-size
+        # shuffles (the shingle joins run 2-3 tasks on 32 cores —
+        # measured 1.7x on dedup_ngram_jaccard), while 8 MB keeps them
+        # ~wide and still coalesces the ≤1 MB bounded rollup shuffles
+        # to a single task. On a real cluster raise this toward the
+        # default; the value scales per-executor-core, not per-job.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,173 @@
+"""Oracle window ORDER BY tie-stability lint (round-8 VERDICT #2).
+
+The defect class this guards: a DuckDB oracle that evaluates TWO OR
+MORE window passes over the same logical ordering (e.g. a break-flag
+pass and a running-SUM-of-flags pass) re-sorts the input
+independently per pass with a PARALLEL, NON-STABLE sort. If the
+ORDER BY is not a total order (duplicate rows can tie), the two
+passes can disagree on tie order, attaching one pass's outputs to
+the other pass's neighbours — caught live on
+``supplier_busy_intervals`` at sf0.1 (3/1000 suppliers with
+``busy_seconds`` inflated 8-9 days; single-threaded DuckDB equals
+Spark exactly). Spark itself is immune *within* one lineage: stacked
+WindowExec nodes share one partitioning + one physical row order, so
+tie order is internally consistent (the single-sort invariant,
+documented on ``operators/temporal.merge_intervals``).
+
+The durable gate: every window ORDER BY in every static oracle SQL
+must end in a key that is UNIQUE within its partition — either a
+catalog-wide unique identifier (``UNIQUE_TRAILING_KEYS``) or a
+per-query waiver (``WAIVERS``) recording WHY the clause is tie-free
+or tie-stable (input pre-grouped on the order keys; rank-family
+functions that assign tied rows identical values). A new oracle with
+a tying ORDER BY fails ``tests/test_plans.py`` until it carries a
+tiebreak or a justified waiver.
+
+Heuristic by design (regex over SQL, not a parser) — it names THIS
+repo's schemas and conventions, same stance as ``window_lint.py``.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["audit_oracle_order_keys", "UNIQUE_TRAILING_KEYS", "WAIVERS"]
+
+#: Trailing ORDER BY keys that are unique within every window
+#: partition this catalog uses them in (so any ORDER BY ending in one
+#: is a total order per partition):
+#:  - event_id / doc_id / vec_id / o_orderkey / c_custkey / s_suppkey
+#:    / p_partkey: primary keys of their tables.
+#:  - user_id: only a trailing key over PER-USER rollups (one row per
+#:    user), never over raw events.
+#:  - run: the per-user run counter of the SCD2 builds — strictly
+#:    increasing per user in the ``versions`` rollup it orders.
+#:  - neighbor_id / cell / ccell: unique per query-vector partition
+#:    in the ANN oracles (one candidate row per neighbor/cell).
+#:  - source / term / part_b / seg_id: grouping keys of the rollup
+#:    each orders (one row per value within the partition).
+UNIQUE_TRAILING_KEYS = {
+    "event_id", "doc_id", "vec_id", "o_orderkey", "c_custkey",
+    "s_suppkey", "p_partkey", "user_id", "run", "neighbor_id",
+    "cell", "ccell", "source", "term", "part_b", "seg_id",
+}
+
+#: Per-oracle waivers: (query name, trailing key) → why the clause
+#: cannot produce the cross-pass tie instability. Two safe shapes:
+#:  - "grouped-unique": the window's input CTE GROUPs BY the full
+#:    ORDER BY key list (within the partition), so the order is total
+#:    by construction.
+#:  - "tie-stable fn": the only window functions over the clause are
+#:    rank-family (PERCENT_RANK / CUME_DIST / RANK / DENSE_RANK) or
+#:    frame aggregates whose grouped result is tie-order invariant,
+#:    AND no second pass consumes per-row outputs positionally.
+WAIVERS = {
+    ("cohort_ltv_curves", "age_weeks"):
+        "grouped-unique: cells GROUP BY (cohort_week, age_weeks)",
+    ("conversion_gains_table", "decile"):
+        "grouped-unique: by_decile GROUP BY decile",
+    ("cumulative_daily_revenue", "day"):
+        "grouped-unique: daily rollup GROUP BY day",
+    ("moving_avg_daily_value", "day"):
+        "grouped-unique: daily rollup GROUP BY day",
+    ("forecast_accuracy", "day"):
+        "grouped-unique: daily rollup GROUP BY day",
+    ("gap_fill_locf", "day"):
+        "grouped-unique: calendar spine is one row per day",
+    ("daily_value_anomalies", "x_day"):
+        "grouped-unique: daily GROUP BY (event_type, x_day)",
+    ("revenue_changepoints", "x"):
+        "grouped-unique: daily GROUP BY (event_type, x)",
+    ("purchase_value_ks_test", "v"):
+        "grouped-unique: per_val GROUP BY v",
+    ("purchase_mannwhitney", "v"):
+        "grouped-unique: per_val GROUP BY v",
+    ("weighted_median_price", "v"):
+        "single pass; MIN(v) over threshold-passing rows is "
+        "tie-order invariant (max cum per value group is fixed)",
+    ("signup_conversion_survival", "t_hours"):
+        "grouped-unique: bytime GROUP BY t_hours",
+    ("price_size_frontier", "size"):
+        "grouped-unique: pairs GROUP BY (price, size); ORDER BY is "
+        "the full grouping tuple",
+    ("supplier_busy_intervals", "end_ts"):
+        "grouped-unique: iv GROUP BY (l_suppkey, start_ts, end_ts) "
+        "— the r8 fix for the live instance of this defect class",
+    ("value_rank_dist", "value"):
+        "tie-stable fn: PERCENT_RANK/CUME_DIST give tied rows "
+        "identical values; single pass, grouped sums invariant",
+    ("upsert_keep_last", "prec"):
+        "unique by construction: each id has at most one row per "
+        "prec value (base UNION ALL filtered-updates)",
+    ("nation_spend_gini", "c_custkey"):
+        "unique: one row per customer in the per-customer rollup",
+    ("backfill_topk", "c_custkey"):
+        "unique: customer primary key",
+    ("customer_first_last_order", "o_orderkey"):
+        "unique: orders primary key",
+    ("refresh_topk", "o_orderkey"):
+        "unique: orders primary key",
+    ("top_supplier_per_nation", "s_suppkey"):
+        "unique: supplier primary key",
+    ("dedup_canonical_map", "doc_id"):
+        "unique: documents primary key",
+}
+
+_CLAUSE_RE = re.compile(
+    r"(?:OVER|WINDOW\s+\w+\s+AS)\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)",
+    re.I,
+)
+_ORDER_RE = re.compile(
+    r"ORDER\s+BY\s+(.*?)(?:\bROWS\b|\bRANGE\b|$)", re.I | re.S
+)
+
+
+def _trailing_key(order_expr: str) -> str:
+    """Last ORDER BY key, stripped of direction, CAST and alias
+    qualifier: 'CAST(m AS DOUBLE) ASC, user_id ASC' → 'user_id';
+    'c.doc_id' → 'doc_id'."""
+    keys = [k.strip() for k in order_expr.split(",") if k.strip()]
+    last = re.sub(r"\s+(ASC|DESC)\s*$", "", keys[-1], flags=re.I).strip()
+    last = re.sub(
+        r"^CAST\s*\((.*?)\s+AS\s+[\w()\s,]+\)$", r"\1", last, flags=re.I
+    ).strip()
+    return last.rsplit(".", 1)[-1].lower()
+
+
+def audit_oracle_order_keys(oracles: dict[str, str]) -> list[str]:
+    """One finding string per window ORDER BY whose trailing key is
+    neither catalog-unique nor waived; empty list = lint clean."""
+    findings: list[str] = []
+    for name in sorted(oracles):
+        sql = oracles[name]
+        if not isinstance(sql, str):
+            continue
+        for clause in _CLAUSE_RE.findall(sql):
+            m = _ORDER_RE.search(clause)
+            if not m:
+                continue  # orderless window: whole-partition agg,
+                # order-insensitive by definition
+            key = _trailing_key(m.group(1))
+            if key in UNIQUE_TRAILING_KEYS:
+                continue
+            if (name, key) in WAIVERS:
+                continue
+            findings.append(
+                f"{name}: window ORDER BY ends in non-unique key "
+                f"{key!r} with no waiver — a stacked pass over this "
+                f"ordering can tie-swap (see supplier_busy_intervals)"
+            )
+    return findings
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry
+
+    found = audit_oracle_order_keys(entry.oracle_sql())
+    for f in found:
+        print("FLAG", f)
+    print("ALL CLEAN" if not found else f"{len(found)} findings")
+    sys.exit(1 if found else 0)
