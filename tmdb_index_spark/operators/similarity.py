@@ -462,8 +462,14 @@ def fit_centroids(
     """
     import numpy as np
 
-    rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(max_sample).collect()
+    from tmdb_index_spark.operators.materialize import bounded_collect
+
+    # the fit sample is capped at max_sample by the limit; the bound
+    # makes the cap enforced rather than assumed
+    rows = bounded_collect(
+        df.select(id_col, vec_col).orderBy(id_col).limit(max_sample),
+        max_sample,
+        "k-means fit sample",
     )
     X = np.array([list(r[1]) for r in rows], dtype="float64")
     if len(X) == 0:
@@ -638,8 +644,14 @@ def fit_two_level_centroids(
     identical structure."""
     import numpy as np
 
-    rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(max_sample).collect()
+    from tmdb_index_spark.operators.materialize import bounded_collect
+
+    # the fit sample is capped at max_sample by the limit; the bound
+    # makes the cap enforced rather than assumed
+    rows = bounded_collect(
+        df.select(id_col, vec_col).orderBy(id_col).limit(max_sample),
+        max_sample,
+        "k-means fit sample",
     )
     X = np.array([list(r[1]) for r in rows], dtype="float64")
     if len(X) == 0:

@@ -7752,8 +7752,15 @@ def robust_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # NULL order dates are excluded BEFORE pair formation — identical
-    # to the oracle, whose a.day < b.day join never matches NULL
-    rows = daily.collect()
+    # to the oracle, whose a.day < b.day join never matches NULL.
+    # The rollup is calendar-bounded (one row per DAY with orders):
+    # 15k rows ≈ 40 years, the documented envelope of the driver-side
+    # slope grid below (|days|²/2 pairs, ~5 GB at a century) — past it
+    # the distributed grouped_rank spelling is the right form, so the
+    # bound failing loudly IS the design.
+    from tmdb_index_spark.operators.materialize import bounded_collect
+
+    rows = bounded_collect(daily, 15_000, "robust-trend daily rollup")
     rows.sort(key=lambda r: r["__dayidx__"])
     d = np.array([r["__dayidx__"] for r in rows], dtype="int64")
     c = np.array([r["__cents__"] for r in rows], dtype="int64")
