@@ -344,18 +344,23 @@ def minhash_signatures(
     sh = _shingle_frame(df, text_col, id_col, n)
     # __sh__ IS md5_60(shingle) already (computed in the shingle stage),
     # so the universal-hash base is a bare modulus — no JVM md5 here.
-    base = F.col("__sh__") % F.lit(MINHASH_P)
-    hashed = sh.select(
+    # Each hash lane generated as SQL text: selectExpr is ONE py4j
+    # call for the whole lane list (the per-lane Column spelling was
+    # ~8 py4j round-trips x num_hashes of pure plan-build latency).
+    hashed = sh.selectExpr(
         "__id__",
         *[
-            ((base * F.lit(_minhash_a(i)) + F.lit(_minhash_b(i))) % F.lit(MINHASH_P)).alias(
-                f"__h{i}__"
-            )
+            f"((__sh__ % {MINHASH_P}) * {_minhash_a(i)}"
+            f" + {_minhash_b(i)}) % {MINHASH_P} AS __h{i}__"
             for i in range(num_hashes)
         ],
     )
     sig = hashed.groupBy("__id__").agg(
-        *[F.min(f"__h{i}__").alias(f"minhash_{i}") for i in range(num_hashes)]
+        F.expr("min(__h0__) AS minhash_0"),
+        *[
+            F.expr(f"min(__h{i}__) AS minhash_{i}")
+            for i in range(1, num_hashes)
+        ],
     )
     return df.select(F.col(id_col)).join(
         sig.withColumnRenamed("__id__", id_col), id_col, "left"
@@ -385,20 +390,21 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"minhash_{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("key"),
+    # one generated SQL string for the whole band array (see the
+    # minhash_signatures note on py4j plan-build cost)
+    band_structs = F.expr(
+        "array(%s)"
+        % ",".join(
+            "named_struct('band',%d,'key',concat_ws(',',%s))"
+            % (
+                b,
+                ",".join(
+                    f"minhash_{b * rows_per_band + r}"
+                    for r in range(rows_per_band)
+                ),
             )
             for b in range(bands)
-        ]
+        )
     )
     buckets = sig.select(
         F.col(id_col).alias("__id__"), F.explode(band_structs).alias("bk")
@@ -481,22 +487,26 @@ def simhash64(
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("__t__"),
     )
     hashed = tok.select("__id__", portable_hash60(F.col("__t__")).alias("__h__"))
+    # 60 vote aggregates + the 60-term fingerprint recombination as
+    # generated SQL text (one py4j call per expression instead of ~7)
     votes = hashed.groupBy("__id__").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("__h__"), b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"__v{b}__")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(__h__, {b}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS __v{b}__"
+            )
             for b in range(60)
         ],
     )
-    fingerprint = F.lit(0).cast("long")
-    for b in range(60):
-        fingerprint = fingerprint + F.when(
-            F.col(f"__v{b}__") > 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+    fingerprint = F.expr(
+        "CAST(%s AS BIGINT)"
+        % " + ".join(
+            f"(CASE WHEN __v{b}__ > 0 THEN CAST({1 << b} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for b in range(60)
+        )
+    )
     sig = votes.select(
         F.col("__id__").alias(id_col), fingerprint.alias("simhash"), "n_tokens"
     )

@@ -320,6 +320,21 @@ def lsh_index_topk(
     )
 
 
+def _centroid_literal(centroids):
+    """The [(cell_id, vector)] list as ONE SQL literal expression
+    (array of named_structs with D-suffix double literals — repr()
+    round-trips each double bit-exactly). Built as a single generated
+    string because the F.array(*[F.lit(x) ...]) spelling is one py4j
+    round-trip per element: at 45 cells x 64 dims that is ~3k calls
+    and was the measured majority of ivf_topk's construction time."""
+    items = ",".join(
+        "named_struct('cell',CAST(%d AS BIGINT),'cvec',array(%s))"
+        % (int(cell_id), ",".join("%rD" % float(x) for x in cvec))
+        for cell_id, cvec in centroids
+    )
+    return F.expr("array(%s)" % items)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -362,15 +377,7 @@ def ivf_assign(
     # tree up exponentially in |centroids| (measured 13s vs <2s for 8
     # centroids × 5k vectors).
     v = _as_double(vec_col)
-    cent = F.array(
-        *[
-            F.struct(
-                F.lit(cell_id).cast("long").alias("cell"),
-                F.array(*[F.lit(float(x)) for x in cvec]).alias("cvec"),
-            )
-            for cell_id, cvec in centroids
-        ]
-    )
+    cent = _centroid_literal(centroids)
     exploded = widen_small_scan(df).select(
         F.col(id_col), F.col(vec_col), F.explode(cent).alias("__c__")
     ).select(
@@ -862,15 +869,7 @@ def ivf_probe_assign(
     if not centroids:
         raise ValueError("ivf_probe_assign requires at least one centroid")
     v = _as_double(vec_col)
-    cent = F.array(
-        *[
-            F.struct(
-                F.lit(cell_id).cast("long").alias("cell"),
-                F.array(*[F.lit(float(x)) for x in cvec]).alias("cvec"),
-            )
-            for cell_id, cvec in centroids
-        ]
-    )
+    cent = _centroid_literal(centroids)
     from pyspark.sql import Window
 
     exploded = widen_small_scan(df).select(
