@@ -105,6 +105,10 @@ EXTENDED_QUERIES = [
     "weighted_sample_per_source",
     "trade_graph_pagerank",
     "source_length_outliers",
+    # absent from every bench list until round 9 — the stress sweep
+    # derives its default set from these lists, so its scale rows were
+    # silently missing (r8 VERDICT #3)
+    "value_rank_dist",
     "user_state_scd2",
     "supplier_busy_intervals",
     "cosupply_triangles",
