@@ -113,6 +113,62 @@ def test_cosine_neardup_exact_vs_bucketed(spark):
     assert {(r["id_a"], r["id_b"]) for r in bucketed.collect()} == got
 
 
+def test_cosine_neardup_pandas_matches_expr(spark):
+    """The broadcast-matrix BLAS exact path (default) must reproduce
+    the fold spelling exactly — values included — on fixture AND real
+    data (sims rounded to 4 before the threshold in both)."""
+    from tmdb_index_spark.operators.similarity import cosine_neardup_pairs
+
+    for df, thr in (
+        (_emb(spark), 0.9),
+        (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"), 0.4),
+    ):
+        blas = sorted(map(tuple, cosine_neardup_pairs(df, thr).collect()))
+        fold = sorted(
+            map(tuple, cosine_neardup_pairs(df, thr, impl="expr").collect())
+        )
+        assert blas == fold and blas
+
+    import pytest
+
+    with pytest.raises(ValueError, match="impl"):
+        cosine_neardup_pairs(_emb(spark), impl="nope", n_bits=4)
+
+
+def test_cosine_neardup_exact_corpus_bound_enforced(spark):
+    """The exact path's driver-side corpus broadcast carries a DECLARED
+    bound: an over-bound corpus must fail loudly (bounded_collect),
+    pointing at the bucketed scale path."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="n_bits"):
+        from tmdb_index_spark.operators.similarity import cosine_neardup_pairs
+
+        cosine_neardup_pairs(_emb(spark), threshold=0.9, max_exact=2).collect()
+
+
+def test_ivf_multiprobe_pandas_matches_expr(spark):
+    """The cogrouped per-cell BLAS multi-probe path (default) must
+    reproduce the expression twin exactly, fixture and real data —
+    per-cell top-k pruning cannot change the global rounded ranking."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from tmdb_index_spark.operators.similarity import fit_centroids
+
+    for df, cents in ((_emb(spark), CENTROIDS), (emb, fit_centroids(emb, 8))):
+        blas = sorted(
+            map(tuple, ivf_topk(df, cents, k=3, nprobe=2).collect())
+        )
+        expr = sorted(
+            map(tuple, ivf_topk(df, cents, k=3, nprobe=2, impl="sql").collect())
+        )
+        assert blas == expr and blas
+
+    import pytest
+
+    with pytest.raises(ValueError, match="impl"):
+        ivf_topk(_emb(spark), CENTROIDS, nprobe=2, impl="nope")
+
+
 def test_ivf_assign_blas_matches_expr(spark):
     """The BLAS assignment (scale path) must place every vector in the
     same cell as the exact-fold assignment, on real data too."""
