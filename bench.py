@@ -109,6 +109,9 @@ EXTENDED_QUERIES = [
     # derives its default set from these lists, so its scale rows were
     # silently missing (r8 VERDICT #3)
     "value_rank_dist",
+    # round-9: the self-tuned scale twin of the exact near-dup
+    # baseline (which stays the labelled quadratic exhibit)
+    "embedding_neardups_tuned",
     "user_state_scd2",
     "supplier_busy_intervals",
     "cosupply_triangles",

@@ -135,6 +135,47 @@ def test_cosine_neardup_pandas_matches_expr(spark):
         cosine_neardup_pairs(_emb(spark), impl="nope", n_bits=4)
 
 
+def test_neardup_index_pairs_subset_of_exact(spark):
+    """The self-tuned bucketed near-dup twin must emit a SUBSET of the
+    exact baseline's pairs with identical sims (bucketing can only
+    drop boundary pairs, never invent or rescore one), and its bit
+    rule must follow lsh_index_topk's occupancy formula."""
+    from tmdb_index_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        neardup_index_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_neardup_pairs(emb, 0.4).collect()
+    }
+    tuned = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in neardup_index_pairs(emb, 0.4).collect()
+    }
+    assert tuned and set(tuned) <= set(exact)
+    assert all(exact[p] == s for p, s in tuned.items())
+
+    # a tiny n_estimate clamps to the 1-bit floor: identical to the
+    # fixed-bits spelling at n_bits=1 (the rule, not the plumbing,
+    # decides the bucket count)
+    floor_bits = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in neardup_index_pairs(emb, 0.4, n_estimate=2).collect()
+    }
+    fixed_1 = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_neardup_pairs(emb, 0.4, n_bits=1).collect()
+    }
+    assert floor_bits == fixed_1 and set(floor_bits) <= set(exact)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_estimate"):
+        neardup_index_pairs(emb, 0.4, n_estimate=0)
+
+
 def test_cosine_neardup_exact_corpus_bound_enforced(spark):
     """The exact path's driver-side corpus broadcast carries a DECLARED
     bound: an over-bound corpus must fail loudly (bounded_collect),

@@ -682,7 +682,7 @@ def token_pmi(
     built as per-doc arrays first — the explode-sibling rule; the
     bigram array is ``zip_with(tokens, tail(tokens))``, NOT
     ``transform(sequence, i -> element_at(t, i))``: element_at inside
-    a lambda evaluates O(\|t\|) per position in Catalyst's generated
+    a lambda evaluates O(|t|) per position in Catalyst's generated
     code, turning per-doc work quadratic — measured 7.3 s vs 0.9 s on
     the sf0.1 corpus), each
     feeding a partial-aggregated groupBy whose cardinality is the

@@ -54,6 +54,8 @@ __all__ = [
     "two_level_ivf_assign",
     "ivf2_index_topk",
     "label_centroid_cosine",
+    "cosine_neardup_pairs",
+    "neardup_index_pairs",
 ]
 
 
@@ -1372,6 +1374,50 @@ def _neardup_pairs_pandas(
     return corpus.select(
         F.col(id_col), _as_double(vec_col).alias(vec_col)
     ).mapInPandas(run, "id_a long, id_b long, cos_sim double")
+
+
+def neardup_index_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_estimate: int | None = None,
+    target_bucket: int = LSH_TARGET_BUCKET,
+    dim: int | None = None,
+) -> DataFrame:
+    """Self-tuning bucketed near-dup pairs — the SCALE twin of
+    :func:`cosine_neardup_pairs`' exact baseline.
+
+    The exact all-pairs form is Θ(N²) by construction (the round-9
+    stress sweep measures it at 22.9× for 10× data once the BLAS
+    constant stops masking the shape — the labelled quadratic
+    exhibit). Here the sign-bit bucket count tracks corpus size with
+    :func:`lsh_index_topk`'s rule — ``bits = clamp(⌈log2(max(N, 2) /
+    target_bucket)⌉, 1, dim)`` — pinning mean bucket occupancy (and
+    per-vector candidate work) at ``target_bucket``, so total pair
+    volume is ~N·target_bucket/2: linear, at the standard LSH recall
+    trade (pairs straddling a bucket boundary are missed; raise
+    ``target_bucket`` or re-run with rotated coordinates for
+    coverage). The bit rule is a deterministic function of
+    ``COUNT(*)``, so a SQL oracle reproduces the buckets — and
+    therefore the emitted pair set — exactly.
+
+    Pass ``n_estimate``/``dim`` when known to skip the count()/head()
+    probe jobs.
+    """
+    import math
+
+    if n_estimate is not None and n_estimate <= 0:
+        raise ValueError(f"n_estimate must be positive, got {n_estimate}")
+    n = n_estimate if n_estimate is not None else corpus.count()
+    n_bits = max(1, math.ceil(math.log2(max(n, 2) / target_bucket)))
+    if dim is None:
+        row = corpus.select(vec_col).head()
+        dim = len(row[0]) if row and row[0] is not None else 1
+    n_bits = min(n_bits, dim)
+    return cosine_neardup_pairs(
+        corpus, threshold, id_col, vec_col, n_bits=n_bits
+    )
 
 
 def lsh_knn_join(

@@ -1609,6 +1609,52 @@ WHERE ROUND(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * 
 """
 
 
+def embedding_neardups_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-tuned bucketed embedding near-dup pairs (extension:
+    embedding near-dup dedup, scale path) — the linear-work twin of
+    the exact baseline above: sign-bit bucket count tracks
+    ``COUNT(*)`` (`bits = clamp(ceil(log2(N / 32)), 1, dim)`, the
+    same rule as `embedding_lsh_tuned_topk`), pinning mean bucket
+    occupancy so total candidate volume is ~N·32/2 instead of N²/2.
+    Same ``(id_a, id_b, cos_sim ≥ 0.4)`` contract on rounded sims;
+    recall approximate at bucket boundaries (the documented LSH
+    trade). The bit rule is a deterministic function of the row
+    count, so the oracle reproduces bucket ids — and the emitted pair
+    set — exactly."""
+    from tmdb_index_spark.operators.similarity import neardup_index_pairs
+
+    return neardup_index_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+# Oracle mirror of neardup_index_pairs: the bit-count rule is the
+# lsh_index_topk tuning formula (target_bucket=32, dim cap 64 — the
+# embeddings table's dimension); both engines evaluate the same IEEE
+# double log2/division, so bucket ids match bit-for-bit and the pair
+# set is identical.
+_EMB_NEARDUP_TUNED_SQL = """
+WITH p AS (
+  SELECT LEAST(GREATEST(1, CAST(CEIL(LOG2(GREATEST(COUNT(*), 2) / 32.0)) AS BIGINT)), 64) AS nb
+  FROM embeddings
+),
+v AS (
+  SELECT vec_id, v,
+         list_sum(list_transform(generate_series(0, (SELECT nb FROM p) - 1),
+           i -> CASE WHEN v[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ROUND(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) /
+          (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+           sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cos_sim
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+WHERE cos_sim >= 0.4
+"""
+
+
 def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact distinct (two-phase dedup-then-count): distinct
     parts shipped per supplier."""
@@ -5775,7 +5821,7 @@ def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-series diagnostics —
     :func:`~tmdb_index_spark.operators.regression.series_autocorrelation`):
     the weekly-seasonality check. The heavy pass is the daily rollup;
-    lag pairs join on exact day difference over the \|days\|-row
+    lag pairs join on exact day difference over the |days|-row
     series, and correlation reduces to decimal-exact sufficient sums
     combined in double identically on both engines."""
     from tmdb_index_spark.operators.regression import series_autocorrelation
@@ -9689,6 +9735,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_lsh_tuned_topk": embedding_lsh_tuned_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
     "embedding_neardups": embedding_neardups,
+    "embedding_neardups_tuned": embedding_neardups_tuned,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
@@ -9892,6 +9939,7 @@ ORACLES: dict[str, str] = {
     "embedding_lsh_tuned_topk": _EMB_LSH_TUNED_SQL,
     "embedding_ivf_topk": _IVF_SQL,
     "embedding_neardups": _EMB_NEARDUP_SQL,
+    "embedding_neardups_tuned": _EMB_NEARDUP_TUNED_SQL,
     "distinct_parts_per_supplier": _DISTINCT_PARTS_SQL,
     "lang_id_predict": _LANG_ID_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
