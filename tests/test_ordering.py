@@ -185,3 +185,117 @@ def test_grouped_rank_null_key_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="NULL sort key"):
         grouped_rank(df, "v", tiebreak=["id"], buckets=2).collect()
+
+
+def test_grouped_gini_matches_per_row_rank_spelling(spark):
+    """The fused per-bucket form (window feeding a same-keys GROUP BY,
+    offsets applied on the bounded frame: Σ(2i−1)x = Σ_b[w_b +
+    2·off_b·S_b]) must be BIT-identical to the per-row ROW_NUMBER
+    spelling for decimal inputs — decimal addition is exact and
+    associative, so regrouping by bucket cannot change the total."""
+    import random
+    from decimal import Decimal
+
+    from tmdb_index_spark.operators.ordering import grouped_gini
+
+    random.seed(11)
+    rows_ = [
+        (i, random.randint(0, 4), Decimal(f"{random.random() * 1000:.2f}"))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        rows_, "id long, g int, x decimal(18,2)"
+    ).repartition(8)
+    mine = {
+        r["g"]: (r["n"], r["sum_w"], r["gini"])
+        for r in grouped_gini(
+            df, "x", tiebreak=["id"], partition_cols=["g"], buckets=4
+        ).collect()
+    }
+    rk = df.withColumn(
+        "i",
+        F.row_number().over(
+            Window.partitionBy("g").orderBy(
+                F.col("x").asc(), F.col("id").asc()
+            )
+        ),
+    )
+    agg = rk.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum((2 * F.col("i") - 1).cast("decimal(18,0)") * F.col("x"))
+        .cast("double")
+        .alias("sw"),
+    )
+    naive = {
+        r["g"]: (
+            r["n"],
+            r["sx"],
+            (r["sw"] - (r["n"] + 1) * r["sx"]) / (r["n"] * r["sx"]),
+        )
+        for r in agg.collect()
+    }
+    assert set(mine) == set(naive)
+    for k in mine:
+        assert mine[k][0] == naive[k][0]
+        assert mine[k][1] == naive[k][1]
+        assert mine[k][2] == naive[k][2]  # exact, not approx
+
+
+def test_grouped_gini_global_and_null_guard(spark):
+    import pytest
+
+    from tmdb_index_spark.operators.ordering import grouped_gini
+
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(i, Decimal(v)) for i, v in enumerate(["1.00", "2.00", "7.00"])],
+        "id long, x decimal(18,2)",
+    )
+    got = grouped_gini(df, "x", tiebreak=["id"], buckets=2).collect()
+    # hand-computed: n=3, Σx=10, Σ(2i−1)x = 1·1 + 3·2 + 5·7 = 42
+    # G = (42 − 4·10) / (3·10)
+    assert got[0]["n"] == 3 and got[0]["sum_w"] == 10.0
+    assert abs(got[0]["gini"] - (42 - 40) / 30) < 1e-15
+
+    bad = spark.createDataFrame([(1, None)], "id long, x decimal(18,2)")
+    with pytest.raises(Exception, match="NULL sort key"):
+        grouped_gini(bad, "x", tiebreak=["id"], buckets=2).collect()
+
+
+def test_grouped_gini_plan_no_data_join_and_bucket_window(spark):
+    """Plan shape: the cuts join is broadcast, the only ROW_NUMBER
+    window partitions by (group, __bkt__) (balanced tag), and there
+    is NO data-sized offsets join-back — the rank window feeds the
+    per-bucket aggregate in the same exchange."""
+    import random
+    from decimal import Decimal
+
+    from tmdb_index_spark.operators.ordering import grouped_gini
+
+    random.seed(5)
+    rows_ = [
+        (i, i % 3, Decimal(f"{random.random() * 100:.2f}"))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows_, "id long, g int, x decimal(18,2)")
+    plan = (
+        grouped_gini(df, "x", tiebreak=["id"], partition_cols=["g"], buckets=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("SortMergeJoin") == 0
+    assert "__bkt__" in plan
+
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from window_lint import audit_window_funnels
+
+    g = grouped_gini(
+        df, "x", tiebreak=["id"], partition_cols=["g"], buckets=4
+    )
+    assert audit_window_funnels(g) == []

@@ -44,6 +44,7 @@ __all__ = [
     "grouped_ntile",
     "grouped_ntile_multi",
     "grouped_prefix_sum",
+    "grouped_gini",
 ]
 
 
@@ -98,6 +99,43 @@ def global_row_positions(
     )
 
 
+def _q(name: str) -> str:
+    """Backquote an identifier for generated SQL."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _null_guarded_key_sql(key_col: str, ascending: bool) -> str:
+    """The sign-adjusted double sort key as ONE flat SQL expression,
+    with the rank family's loud NULL-key contract (a NULL key would
+    silently drop at the bucket join — raise executor-side instead).
+    Flat string = one py4j call; the Column-object spelling cost ~10
+    round-trips of pure plan-build latency per key."""
+    msg = (
+        f"grouped_rank family: NULL sort key in {key_col!r} — "
+        "the funnel-free rank contract requires non-null keys "
+        "(NULL rows would silently drop at the bucket join); "
+        "filter or coalesce them first"
+    )
+    key = f"CAST({_q(key_col)} AS DOUBLE)"
+    if not ascending:
+        key = f"(- {key})"
+    return (
+        f'CASE WHEN {_q(key_col)} IS NULL THEN '
+        f'CAST(raise_error("{msg}") AS DOUBLE) ELSE {key} END'
+    )
+
+
+def _order_by_sql(
+    key_col: str, ascending: bool, tiebreak: list[str]
+) -> str:
+    """``ORDER BY`` body: the ORIGINAL key (exact type compare — the
+    double cast is only for bucketing) then ascending tiebreaks.
+    ASC/DESC carry Spark's default null ordering, matching the
+    ``Column.asc()/.desc()`` spelling this replaces."""
+    head = f"{_q(key_col)} {'ASC' if ascending else 'DESC'}"
+    return ", ".join([head] + [f"{_q(c)} ASC" for c in tiebreak])
+
+
 def _tag_buckets(
     df: DataFrame,
     key_col: str,
@@ -136,27 +174,19 @@ def _tag_buckets(
     double column; callers pass ``pin=False`` for pure lineage (e.g.
     when the input is already pinned).
     """
-    key = F.col(key_col).cast("double")
-    if not ascending:
-        key = -key
     # Contract enforcement (round-7 ADVICE): a NULL sort key would get
     # a NULL __bkt__ and be SILENTLY DROPPED at the inner join on
     # __bkt__ — unlike the window spelling this family replaces, which
     # ranks NULLs. Fail loudly executor-side instead of losing rows;
     # callers with nullable keys must filter or coalesce first.
-    keyed = df.withColumn(
-        "__key__",
-        F.when(
-            F.col(key_col).isNull(),
-            F.raise_error(
-                F.lit(
-                    f"grouped_rank family: NULL sort key in {key_col!r} — "
-                    "the funnel-free rank contract requires non-null keys "
-                    "(NULL rows would silently drop at the bucket join); "
-                    "filter or coalesce them first"
-                )
-            ).cast("double"),
-        ).otherwise(key),
+    #
+    # ONE selectExpr over a flat generated SQL string (round-9): the
+    # Column-object spelling of this CASE cost ~10 py4j round-trips
+    # per call — plan-BUILD time, the measured dominant constant of
+    # the rank family at rollup scale (grouped_ntile_multi built its
+    # plan in 0.9 s on TRIVIAL data before this rewrite).
+    keyed = df.selectExpr(
+        "*", _null_guarded_key_sql(key_col, ascending) + " AS __key__"
     )
     if pin:
         from tmdb_index_spark.operators.materialize import pin_frame
@@ -194,8 +224,12 @@ def _tag_buckets(
     # family at rollup scale (plan BUILD time, before Spark even
     # plans). The flat string is a single py4j call and compiles to
     # the same whole-stage-codegen comparison chain.
-    bucket = _bucket_expr("__key__", "__cuts__", len(pcts))
-    return tagged.withColumn("__bkt__", bucket).drop("__cuts__")
+    # one projection tags AND drops the cut vector (each DataFrame op
+    # is an eager re-analysis of the whole plan — fuse where possible)
+    return tagged.selectExpr(
+        *[_q(c) for c in keyed.columns],
+        _bucket_sql("__key__", "__cuts__", len(pcts)) + " AS __bkt__",
+    )
 
 
 def grouped_rank(
@@ -240,34 +274,32 @@ def grouped_rank(
     counts = tagged.groupBy(*pc, "__bkt__").agg(
         F.count(F.lit(1)).alias("__cnt__")
     )
-    # exclusive prefix over the bounded (group, bucket) frame
-    woff = (
-        Window.partitionBy(*pc)
-        .orderBy("__bkt__")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wtot = Window.partitionBy(*pc) if pc else Window.partitionBy(F.lit(1))
-    offsets = counts.select(
-        *pc,
+    # exclusive prefix over the bounded (group, bucket) frame — flat
+    # window-expression strings (one selectExpr = one py4j call; the
+    # Window-object spelling was measured plan-build overhead)
+    over_pc = ("PARTITION BY " + ", ".join(_q(c) for c in pc) + " ") if pc else ""
+    offsets = counts.selectExpr(
+        *[_q(c) for c in pc],
         "__bkt__",
-        F.coalesce(F.sum("__cnt__").over(woff), F.lit(0)).alias("__off__"),
-        F.sum("__cnt__").over(wtot).cast("long").alias("__n__"),
+        f"COALESCE(SUM(__cnt__) OVER ({over_pc}ORDER BY __bkt__ "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS __off__",
+        f"CAST(SUM(__cnt__) OVER ({over_pc.strip()}) AS BIGINT) AS __n__",
     )
     # order within the bucket by the ORIGINAL key (exact type compare —
     # the double cast is only for bucketing, where monotone-with-
     # possible-collisions is enough; e.g. wide decimals that collide in
     # double still rank exactly here)
-    okey = F.col(key_col).asc() if ascending else F.col(key_col).desc()
-    w = Window.partitionBy(*pc, "__bkt__").orderBy(
-        okey, *[F.col(c).asc() for c in tb]
+    part = ", ".join([_q(c) for c in pc] + ["__bkt__"])
+    rank_sql = (
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY {part} "
+        f"ORDER BY {_order_by_sql(key_col, ascending, tb)}) "
+        f"+ __off__ AS BIGINT) AS {_q(rank_col)}"
     )
-    out = tagged.join(F.broadcast(offsets), [*pc, "__bkt__"]).withColumn(
-        rank_col, (F.row_number().over(w) + F.col("__off__")).cast("long")
-    )
-    keep = [*df.columns, rank_col] + ([n_col] if n_col else [])
+    out = tagged.join(F.broadcast(offsets), [*pc, "__bkt__"])
+    keep = [_q(c) for c in df.columns] + [rank_sql]
     if n_col:
-        out = out.withColumn(n_col, F.col("__n__"))
-    return out.select(*keep)
+        keep.append(f"__n__ AS {_q(n_col)}")
+    return out.selectExpr(*keep)
 
 
 def grouped_ntile(
@@ -306,7 +338,7 @@ def grouped_ntile(
     return ranked.withColumn(tile_col, tile).select(*df.columns, tile_col)
 
 
-def _bucket_expr(key_col: str, cuts_col: str, n_cuts: int) -> Column:
+def _bucket_sql(key_col: str, cuts_col: str, n_cuts: int) -> str:
     """Monotone quantile-bucket tag as ONE flat SQL expression: the
     count of cut values strictly below the key. Generated as a single
     string so plan construction is one py4j call, and kept as a flat
@@ -316,21 +348,25 @@ def _bucket_expr(key_col: str, cuts_col: str, n_cuts: int) -> Column:
         f"(CASE WHEN {key_col} > {cuts_col}[{i}] THEN 1 ELSE 0 END)"
         for i in range(n_cuts)
     )
-    return F.expr(f"CAST({terms} AS BIGINT)")
+    return f"CAST({terms} AS BIGINT)"
 
 
-def _ntile_expr(rk_col: str, n_col: str, k: int) -> Column:
+def _ntile_sql(rk_col: str, n_col: str, k: int) -> str:
     """Closed-form SQL NTILE(k) from an exact 1-based rank and the
     group size: with N rows, q = N div k, r = N mod k, the first r
     tiles take q+1 rows, the rest q — bit-identical to the window
     form. GREATEST guards q=0 (N < k: everyone is in the head)."""
-    return F.expr(
-        f"CASE WHEN ({rk_col} - 1) < ({n_col} % {k}) * (({n_col} DIV {k}) + 1) "
+    return (
+        f"CAST(CASE WHEN ({rk_col} - 1) < ({n_col} % {k}) * (({n_col} DIV {k}) + 1) "
         f"THEN ({rk_col} - 1) DIV (({n_col} DIV {k}) + 1) + 1 "
         f"ELSE ({n_col} % {k}) "
         f"  + (({rk_col} - 1) - ({n_col} % {k}) * (({n_col} DIV {k}) + 1)) "
-        f"    DIV GREATEST({n_col} DIV {k}, 1) + 1 END"
-    ).cast("long")
+        f"    DIV GREATEST({n_col} DIV {k}, 1) + 1 END AS BIGINT)"
+    )
+
+
+def _ntile_expr(rk_col: str, n_col: str, k: int) -> Column:
+    return F.expr(_ntile_sql(rk_col, n_col, k))
 
 
 def grouped_ntile_multi(
@@ -354,18 +390,19 @@ def grouped_ntile_multi(
     frame. Fused: ONE cuts aggregate computes every spec's quantile
     vector (one ``percentile_approx`` per key in a single bounded
     agg), ONE pinned tagged frame carries every spec's bucket tag,
-    and the per-spec ranks chain as ``withColumn`` windows — row
-    identity is preserved, so there is NO join-back at all. The only
-    data-path exchanges left are the per-spec bucket windows
-    (unavoidable: each ordering must sort once). Measured on
+    ONE broadcast map-lookup join carries every spec's bucket offsets,
+    and every spec's rank window sits in a single projection — row
+    identity is preserved, so there is NO data-sized join-back at
+    all. The only data-path exchanges left are the per-spec bucket
+    windows (unavoidable: each ordering must sort once). Measured on
     ``user_rfm_segments`` at sf0.1: 3.2 s → ~1.5 s min-of-3.
 
     Same contract as :func:`grouped_rank`: keys numeric + non-null
     (loud executor-side failure otherwise), ``(key, *tiebreak)`` a
-    total order within each group. Per-stage the bucket tag is
-    aliased to ``__bkt__`` so plan audits (``tools/window_lint.py``,
-    ``tests/test_plans.py``) see the standard balanced-tag
-    partitioning.
+    total order within each group. The per-spec bucket tags keep the
+    reserved ``__bkt__`` prefix (``__bkt__0``, ``__bkt__1``, …) so
+    plan audits (``tools/window_lint.py``, ``tests/test_plans.py``)
+    recognize the balanced-tag partitioning.
     """
     if n_tiles < 1:
         raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
@@ -375,28 +412,17 @@ def grouped_ntile_multi(
     from tmdb_index_spark.operators.materialize import pin_frame
 
     # one keyed projection: every spec's sign-adjusted double key,
-    # with the grouped_rank family's loud NULL-key contract. Batched
-    # into a single withColumns call — per-column py4j round-trips
-    # are the measured dominant constant at rollup scale.
-    keyed = df.withColumns(
-        {
-            f"__key__{i}": F.when(
-                F.col(key_col).isNull(),
-                F.raise_error(
-                    F.lit(
-                        f"grouped_rank family: NULL sort key in {key_col!r} — "
-                        "the funnel-free rank contract requires non-null keys "
-                        "(NULL rows would silently drop at the bucket join); "
-                        "filter or coalesce them first"
-                    )
-                ).cast("double"),
-            ).otherwise(
-                F.col(key_col).cast("double")
-                if ascending
-                else -F.col(key_col).cast("double")
-            )
+    # with the grouped_rank family's loud NULL-key contract. ONE
+    # selectExpr over flat generated SQL — per-Column py4j round-trips
+    # were the measured dominant constant at rollup scale (this
+    # function built its plan in 0.9 s on TRIVIAL data before the
+    # round-9 string rewrite).
+    keyed = df.selectExpr(
+        "*",
+        *[
+            _null_guarded_key_sql(key_col, ascending) + f" AS __key__{i}"
             for i, (key_col, ascending, _tile) in enumerate(specs)
-        }
+        ],
     )
     keyed = pin_frame(keyed)
     pcts = [i / b for i in range(1, b)]
@@ -408,10 +434,11 @@ def grouped_ntile_multi(
         # its own — two independent percentile_approx sketch merges
         # could return different cut vectors and desynchronize the
         # histogram from the window-side bucket tags.
+        arr = ", ".join(repr(p) for p in pcts)
         cuts = [
-            F.percentile_approx(f"__key__{i}", pcts, 1_000).alias(
-                f"__cuts__{i}"
-            )
+            F.expr(
+                f"percentile_approx(__key__{i}, array({arr}), 1000)"
+            ).alias(f"__cuts__{i}")
             for i in range(len(specs))
         ]
         cc = pin_frame(
@@ -422,17 +449,22 @@ def grouped_ntile_multi(
             if pc
             else keyed.crossJoin(F.broadcast(cc))
         )
-        tagged = tagged.withColumns(
-            {
-                f"__bkt__{i}": _bucket_expr(
-                    f"__key__{i}", f"__cuts__{i}", len(pcts)
-                )
+        # one projection tags every spec AND drops the cut vectors
+        tagged = tagged.selectExpr(
+            *[_q(c) for c in keyed.columns],
+            *[
+                _bucket_sql(f"__key__{i}", f"__cuts__{i}", len(pcts))
+                + f" AS __bkt__{i}"
                 for i in range(len(specs))
-            }
-        ).drop(*[f"__cuts__{i}" for i in range(len(specs))])
+            ],
+        )
     else:  # buckets == 1
-        tagged = keyed.withColumns(
-            {f"__bkt__{i}": F.lit(0).cast("long") for i in range(len(specs))}
+        tagged = keyed.selectExpr(
+            "*",
+            *[
+                f"CAST(0 AS BIGINT) AS __bkt__{i}"
+                for i in range(len(specs))
+            ],
         )
     # Pinned: the histogram branch and every chained window consume it
     # — unpinned, each re-derives the broadcast join + projections
@@ -443,56 +475,89 @@ def grouped_ntile_multi(
     # scale): explode each row into (spec index, bucket) pairs, count
     # once, and derive every spec's exclusive offsets + group size from
     # the single bounded (|groups|·|specs|·|buckets|) frame.
-    pairs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("__d__"),
-                    F.col(f"__bkt__{i}").alias("__bkt__"),
-                )
-                for i in range(len(specs))
-            ]
-        )
-    ).alias("__p__")
+    structs = ", ".join(
+        f"named_struct('__d__', {i}, '__bkt__', __bkt__{i})"
+        for i in range(len(specs))
+    )
     hist = (
-        tagged.select(*pc, pairs)
-        .select(*pc, "__p__.__d__", "__p__.__bkt__")
+        tagged.selectExpr(
+            *[_q(c) for c in pc], f"inline(array({structs}))"
+        )
         .groupBy(*pc, "__d__", "__bkt__")
         .agg(F.count(F.lit(1)).alias("__cnt__"))
     )
-    woff = (
-        Window.partitionBy(*pc, "__d__")
-        .orderBy("__bkt__")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    over_d = "PARTITION BY " + ", ".join(
+        [_q(c) for c in pc] + ["__d__"]
     )
-    wtot = Window.partitionBy(*pc, "__d__")
-    offsets = pin_frame(
-        hist.select(
-            *pc,
-            "__d__",
-            "__bkt__",
-            F.coalesce(F.sum("__cnt__").over(woff), F.lit(0)).alias("__off__"),
-            F.sum("__cnt__").over(wtot).cast("long").alias("__gn__"),
-        )
+    offsets = hist.selectExpr(
+        *[_q(c) for c in pc],
+        "__d__",
+        "__bkt__",
+        f"COALESCE(SUM(__cnt__) OVER ({over_d} ORDER BY __bkt__ "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS __off__",
+        f"CAST(SUM(__cnt__) OVER ({over_d}) AS BIGINT) AS __gn__",
     )
-    out = tagged
-    for i, (key_col, ascending, tile_col) in enumerate(specs):
-        off_i = offsets.filter(F.col("__d__") == i).drop("__d__")
-        okey = F.col(key_col).asc() if ascending else F.col(key_col).desc()
-        w = Window.partitionBy(*pc, "__bkt__").orderBy(
-            okey, *[F.col(c).asc() for c in tb]
-        )
-        out = (
-            out.withColumn("__bkt__", F.col(f"__bkt__{i}"))
-            .join(F.broadcast(off_i), [*pc, "__bkt__"])
-            .withColumn(
-                "__rk__",
-                (F.row_number().over(w) + F.col("__off__")).cast("long"),
+    # ONE broadcast map-lookup join instead of |specs| join-backs.
+    # Every DataFrame transformation is eagerly ANALYZED over the
+    # whole accumulated plan (measured ~100 ms per join at rollup
+    # scale — plan-BUILD latency, before any execution), so the
+    # chained per-spec join form paid |specs| plan merges. Pivot the
+    # bounded offsets frame into one row per group carrying a
+    # bucket→(off, n) map per spec, broadcast it once, and let each
+    # spec's rank window read its offset with a map lookup (keys
+    # exist by construction: a row's own bucket always contributed to
+    # the histogram, so the ANSI strict map access never misses).
+    wide = offsets.groupBy(*pc).agg(
+        *[
+            F.expr(
+                f"map_from_entries(collect_list(CASE WHEN __d__ = {i} "
+                "THEN struct(__bkt__, struct(__off__, __gn__)) END))"
+            ).alias(f"__m{i}__")
+            for i in range(len(specs))
+        ]
+    )
+    out = (
+        tagged.join(F.broadcast(wide), pc)
+        if pc
+        else tagged.crossJoin(F.broadcast(wide))
+    )
+    # extract the scalar lookups FIRST and drop the map columns — the
+    # rank windows sit ABOVE this projection, so whatever it emits
+    # rides every per-spec window exchange; two bigints per spec are
+    # fine, |buckets|-entry maps per row are not (the rollup is
+    # data-proportional at scale)
+    out = out.selectExpr(
+        *[_q(c) for c in tagged.columns],
+        *[
+            e
+            for i in range(len(specs))
+            for e in (
+                f"__m{i}__[__bkt__{i}].__off__ AS __off{i}__",
+                f"__m{i}__[__bkt__{i}].__gn__ AS __gn{i}__",
             )
-            .withColumn(tile_col, _ntile_expr("__rk__", "__gn__", int(n_tiles)))
-            .drop("__bkt__", "__off__", "__gn__", "__rk__")
+        ],
+    )
+    # all specs' ranks in ONE projection — the analyzer extracts one
+    # Window operator per distinct partitioning, the same per-spec
+    # exchange+sort as the chained form, minus the joins — then every
+    # tile in a second projection.
+    rank_exprs = []
+    for i, (key_col, ascending, _tile) in enumerate(specs):
+        part = ", ".join([_q(c) for c in pc] + [f"__bkt__{i}"])
+        rank_exprs.append(
+            f"CAST(ROW_NUMBER() OVER (PARTITION BY {part} "
+            f"ORDER BY {_order_by_sql(key_col, ascending, tb)}) "
+            f"+ __off{i}__ AS BIGINT) AS __rk{i}__"
         )
-    return out.select(*df.columns, *[s[2] for s in specs])
+    out = out.selectExpr("*", *rank_exprs)
+    return out.selectExpr(
+        *[_q(c) for c in df.columns],
+        *[
+            _ntile_sql(f"__rk{i}__", f"__gn{i}__", int(n_tiles))
+            + f" AS {_q(tile_col)}"
+            for i, (_k, _a, tile_col) in enumerate(specs)
+        ],
+    )
 
 
 def grouped_prefix_sum(
@@ -524,33 +589,158 @@ def grouped_prefix_sum(
     bsums = tagged.groupBy(*pc, "__bkt__").agg(
         *[F.sum(src).alias(f"__bs_{out}__") for out, src in sum_cols.items()]
     )
-    woff = (
-        Window.partitionBy(*pc)
-        .orderBy("__bkt__")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = bsums.select(
-        *pc,
+    over_pc = (
+        "PARTITION BY " + ", ".join(_q(c) for c in pc) + " "
+    ) if pc else ""
+    offsets = bsums.selectExpr(
+        *[_q(c) for c in pc],
         "__bkt__",
         *[
-            F.coalesce(F.sum(f"__bs_{out}__").over(woff), F.lit(0)).alias(
-                f"__off_{out}__"
-            )
+            f"COALESCE(SUM({_q(f'__bs_{out}__')}) OVER ({over_pc}"
+            "ORDER BY __bkt__ ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            f"1 PRECEDING), 0) AS {_q(f'__off_{out}__')}"
             for out in sum_cols
         ],
     )
-    okey = F.col(key_col).asc() if ascending else F.col(key_col).desc()
+    part = ", ".join([_q(c) for c in pc] + ["__bkt__"])
     win = (
-        Window.partitionBy(*pc, "__bkt__")
-        .orderBy(okey)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        f"OVER (PARTITION BY {part} "
+        f"ORDER BY {_order_by_sql(key_col, ascending, [])} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
     out = tagged.join(F.broadcast(offsets), [*pc, "__bkt__"])
-    for name, src in sum_cols.items():
-        out = out.withColumn(
-            name, F.sum(src).over(win) + F.col(f"__off_{name}__")
+    return out.selectExpr(
+        *[_q(c) for c in df.columns],
+        *[
+            f"SUM({_q(src)}) {win} + {_q(f'__off_{name}__')} AS {_q(name)}"
+            for name, src in sum_cols.items()
+        ],
+    )
+
+
+def grouped_gini(
+    df: DataFrame,
+    value_col: str,
+    tiebreak: list[str],
+    partition_cols: list[str] | None = None,
+    n_col: str = "n",
+    sum_col: str = "sum_w",
+    gini_col: str = "gini",
+    buckets: int | None = None,
+) -> DataFrame:
+    """Per-group Gini coefficient from the sorted-rank identity
+    ``G = Σ(2i − n − 1)·x_i / (n·Σx)`` — the :func:`grouped_rank`
+    machinery SPECIALIZED to its aggregate consumer, with two fusions
+    the generic rank path cannot make:
+
+    * **No join-back, no offsets join.** The generic path ranks every
+      row (bucket window + broadcast offsets join) and re-aggregates.
+      Here the per-bucket window feeds a ``GROUP BY (group, bucket)``
+      DIRECTLY — same keys as the window partition, so the aggregate
+      reuses the window's exchange — emitting per-bucket
+      ``(cnt, Σx, Σ(2·wr−1)·x)``; global ranks never materialize.
+      With ``i = off_b + wr``: ``Σ(2i−1)x = Σ_b[w_b + 2·off_b·S_b]``,
+      and the bucket offsets come from a window over the BOUNDED
+      per-bucket frame. For decimal inputs every term is
+      decimal-exact, so the result is bit-identical to the per-row
+      rank spelling (and to a SQL oracle ranking with
+      ``ROW_NUMBER``); for float inputs summation order differs —
+      pass decimals when parity matters.
+    * **One-statement construction.** Every DataFrame transformation
+      is eagerly re-ANALYZED over the whole accumulated plan — the
+      measured dominant constant of the rank family at rollup scale
+      (plan build, before any execution). After the pinned keyed
+      frame, the entire computation is ONE ``spark.sql`` statement
+      over a uuid-scoped temp view (dropped immediately — the
+      analyzed plan owns the resolved subtree, not the name):
+      measured ~0.2 s construction vs ~0.8 s for the op-chained form.
+
+    ``(value_col, *tiebreak)`` must be a total order within each
+    group; ``value_col`` numeric and non-null (loud executor-side
+    failure otherwise — the family contract). The cuts CTE is
+    consumed exactly once inside the single statement, so the
+    percentile sketch single-evaluation hazard does not arise.
+
+    Returns one row per group: ``partition_cols…, n_col`` (BIGINT
+    count), ``sum_col`` (DOUBLE Σx), ``gini_col`` (DOUBLE,
+    unrounded).
+    """
+    import uuid
+
+    from tmdb_index_spark.operators.materialize import pin_frame
+
+    spark = df.sparkSession
+    pc = list(partition_cols or [])
+    b = buckets or spark.sparkContext.defaultParallelism
+    keyed = df.selectExpr(
+        "*", _null_guarded_key_sql(value_col, True) + " AS __key__"
+    )
+    keyed = pin_frame(keyed)  # cuts + tagged both consume it
+    view = f"__gini_keyed_{uuid.uuid4().hex[:12]}"
+    keyed.createOrReplaceTempView(view)
+    pc_q = ", ".join(_q(c) for c in pc)
+    on_pc = " AND ".join(f"k.{_q(c)} = cuts.{_q(c)}" for c in pc)
+    join_cuts = (
+        f"JOIN ({{cuts}}) cuts ON {on_pc}"
+        if pc
+        else "CROSS JOIN ({cuts}) cuts"
+    ).format(
+        cuts=(
+            "SELECT "
+            + (pc_q + ", " if pc else "")
+            + "percentile_approx(__key__, array("
+            + ", ".join(repr(i / b) for i in range(1, b))
+            + f"), 1000) AS __cuts__ FROM {view}"
+            + (f" GROUP BY {pc_q}" if pc else "")
         )
-    return out.select(*df.columns, *sum_cols.keys())
+    )
+    order_by = _order_by_sql(value_col, True, tiebreak)
+    over_grp = f"PARTITION BY {pc_q}" if pc else ""
+    grp_by = f"GROUP BY {pc_q}" if pc else ""
+    pc_sel = (pc_q + ", ") if pc else ""
+    pc_bkt = (pc_q + ", " if pc else "") + "__bkt__"
+    tagged_sql = (
+        f"SELECT /*+ BROADCAST(cuts) */ k.*, "
+        f"{_bucket_sql('__key__', '__cuts__', b - 1)} AS __bkt__ "
+        f"FROM {view} k {join_cuts}"
+        if b > 1
+        else f"SELECT *, CAST(0 AS BIGINT) AS __bkt__ FROM {view}"
+    )
+    result = spark.sql(f"""
+      WITH tagged AS (
+        {tagged_sql}
+      ),
+      ranked AS (
+        SELECT {pc_sel}__bkt__, {_q(value_col)},
+               ROW_NUMBER() OVER (PARTITION BY {pc_bkt}
+                 ORDER BY {order_by}) AS __wr__
+        FROM tagged
+      ),
+      perb AS (
+        SELECT {pc_sel}__bkt__,
+               COUNT(1) AS __cnt__,
+               SUM({_q(value_col)}) AS __sx__,
+               SUM(CAST(2 * CAST(__wr__ AS BIGINT) - 1 AS DECIMAL(20,0))
+                   * {_q(value_col)}) AS __w__
+        FROM ranked
+        GROUP BY {pc_bkt}
+      ),
+      offs AS (
+        SELECT *, COALESCE(SUM(__cnt__) OVER ({over_grp} ORDER BY __bkt__
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS __off__
+        FROM perb
+      )
+      SELECT {pc_sel}
+             CAST(SUM(__cnt__) AS BIGINT) AS {_q(n_col)},
+             CAST(SUM(__sx__) AS DOUBLE) AS {_q(sum_col)},
+             (CAST(SUM(__w__ + CAST(2 * __off__ AS DECIMAL(20,0)) * __sx__) AS DOUBLE)
+              - (CAST(SUM(__cnt__) AS BIGINT) + 1) * CAST(SUM(__sx__) AS DOUBLE))
+             / (CAST(SUM(__cnt__) AS BIGINT) * CAST(SUM(__sx__) AS DOUBLE))
+               AS {_q(gini_col)}
+      FROM offs {grp_by}
+    """)
+    spark.catalog.dropTempView(view)
+    return result
 
 
 def deterministic_shuffle(

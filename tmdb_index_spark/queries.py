@@ -6694,13 +6694,17 @@ def nation_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     group COUNT is dim-bounded but each group's SIZE is
     |customers|/|nations|, data-proportional, so a naive
     ``row_number`` window would sort a data-sized slice in one task.
-    :func:`grouped_rank` (operators/ordering.py) computes the same
-    exact per-nation ranks with the bucketed prefix-sum pattern — no
-    data-proportional single-task sort. Sums are decimal-exact, the
-    final ratio double. Ties in spend get arbitrary ranks but the SUM
-    over a tie block is order-invariant, so the coefficient is
-    engine-exact."""
-    from tmdb_index_spark.operators.ordering import grouped_rank
+    :func:`grouped_gini` (operators/ordering.py) computes it with the
+    bucketed rank machinery FUSED into its aggregate consumer: the
+    per-bucket rank window feeds a same-keys GROUP BY (one exchange,
+    no offsets join-back, global ranks never materialize), and the
+    whole post-pin plan is one SQL statement (the op-chained form
+    spent ~0.8 s in eager per-transformation re-analysis — plan-build
+    latency, round-9 measurement). Sums are decimal-exact, the final
+    ratio double — bit-identical to the per-row ROW_NUMBER oracle.
+    Ties in spend get arbitrary ranks but the SUM over a tie block is
+    order-invariant, so the coefficient is engine-exact."""
+    from tmdb_index_spark.operators.ordering import grouped_gini
 
     spend = (
         _t(spark, sf_dir, "orders")
@@ -6711,26 +6715,15 @@ def nation_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey", "c_custkey")
         .agg(F.sum(_dec("o_totalprice")).cast("decimal(18,2)").alias("x"))
     )
-    ranked = grouped_rank(
+    g = grouped_gini(
         spend, "x", tiebreak=["c_custkey"], partition_cols=["c_nationkey"],
-        rank_col="i",
-    ).select("c_nationkey", "x", "i")
-    agg = ranked.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.sum("x").cast("double").alias("__sx__"),
-        F.sum(
-            (2 * F.col("i") - 1).cast("decimal(18,0)") * F.col("x")
-        ).cast("double").alias("__sw__"),
+        n_col="n_customers", sum_col="__sx__", gini_col="__g__",
     )
-    n = F.col("n_customers").cast("double")
-    gini = (F.col("__sw__") - (n + 1) * F.col("__sx__")) / (
-        n * F.col("__sx__")
-    )
-    return agg.select(
+    return g.selectExpr(
         "c_nationkey",
         "n_customers",
-        F.round(F.col("__sx__"), 2).alias("total_spend"),
-        F.round(gini, 4).alias("gini"),
+        "ROUND(__sx__, 2) AS total_spend",
+        "ROUND(__g__, 4) AS gini",
     )
 
 

@@ -57,6 +57,13 @@ DATA_KEYS = {
 #: per-bucket row counts ~N/buckets for any key distribution).
 BALANCED_TAGS = {"__bkt__", "__pid__", "__shard__"}
 
+
+def _is_balanced_tag(name: str) -> bool:
+    """``__bkt__`` is also a reserved PREFIX: grouped_ntile_multi tags
+    one bucket column per ordering spec (``__bkt__0``, ``__bkt__1``,
+    …), each quantile-balanced by the same construction."""
+    return name in BALANCED_TAGS or name.startswith("__bkt__")
+
 _CALENDAR_FNS = re.compile(
     r"date_trunc|\byear\(|\bmonth\(|\bquarter\(|\bdayofweek\(|\bhour\(|"
     r"\bwindow\(|to_date|weekofyear"
@@ -152,7 +159,9 @@ def audit_window_funnels(df) -> list[str]:
                     findings.append(
                         f"unpartitioned {cls} over data-proportional frame"
                     )
-                elif not (names & DATA_KEYS) and not (names & BALANCED_TAGS):
+                elif not (names & DATA_KEYS) and not any(
+                    _is_balanced_tag(n) for n in names
+                ):
                     findings.append(
                         f"{cls} partitioned only by bounded keys "
                         f"{sorted(names)} over data-proportional frame"
