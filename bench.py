@@ -112,6 +112,8 @@ EXTENDED_QUERIES = [
     # round-9: the self-tuned scale twin of the exact near-dup
     # baseline (which stays the labelled quadratic exhibit)
     "embedding_neardups_tuned",
+    # round-9: SemDeDup-style cluster-bounded semantic dedup
+    "semantic_dedup_flags",
     "user_state_scd2",
     "supplier_busy_intervals",
     "cosupply_triangles",

@@ -243,10 +243,10 @@ def test_q10_topk_and_broadcast_dims(spark):
 def test_registry_consistency(spark):
     # every oracle points at a registered query; every query is a
     # callable with a docstring (the judge-facing contract). The STATIC
-    # rows-only set is the two engine-private sketches plus the two
-    # fitted-IVF indexes — but the latter two carry DYNAMIC oracles
-    # (fitted-centroid literals, round 7), so with those materialized
-    # only the sketches remain rows-only.
+    # rows-only set is the two engine-private sketches plus the three
+    # fitted-centroid queries — but the latter carry DYNAMIC oracles
+    # (fitted-centroid literals, rounds 7/9), so with those
+    # materialized only the sketches remain rows-only.
     from tmdb_index_spark import queries as Q
 
     assert set(Q.ORACLES) <= set(Q.QUERIES)
@@ -256,10 +256,12 @@ def test_registry_consistency(spark):
         "approx_value_quantiles",
         "embedding_ivf_tuned_topk",
         "embedding_ivf2_topk",
+        "semantic_dedup_flags",
     }
     assert set(Q.DYNAMIC_ORACLE_BUILDERS) == {
         "embedding_ivf_tuned_topk",
         "embedding_ivf2_topk",
+        "semantic_dedup_flags",
     }
     with_dynamic = {**dict(Q.ORACLES), **Q.dynamic_oracles()}
     assert set(Q.QUERIES) - set(with_dynamic) == {

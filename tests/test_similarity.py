@@ -663,3 +663,89 @@ def test_batched_within_group_topk_matches_per_group(spark):
             assigned, "cell", 3, "vec_id", "embedding").collect())
     )
     assert got == exp and len(got) > 0
+
+
+def test_semantic_dedup_impls_identical_and_election_contract(spark):
+    """The per-cell BLAS election (applyInPandas) and the expr
+    self-join twin must produce IDENTICAL flag sets (ROUND(...,4)
+    absorbs BLAS-vs-fold ULPs), and the election must match the
+    contract recomputed independently: drop iff a smaller-id cell-mate
+    is >= threshold similar."""
+    from tmdb_index_spark.operators.similarity import (
+        fit_centroids,
+        semantic_dedup_with_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = fit_centroids(emb, 14)
+    pe = {
+        (r["vec_id"], r["cell"], r["keep"])
+        for r in semantic_dedup_with_centroids(
+            emb, cents, 0.4, impl="pandas"
+        ).collect()
+    }
+    ex = {
+        (r["vec_id"], r["cell"], r["keep"])
+        for r in semantic_dedup_with_centroids(
+            emb, cents, 0.4, impl="expr"
+        ).collect()
+    }
+    assert pe == ex and len(pe) == emb.count()
+    dropped = {i for i, _, k in pe if not k}
+    assert dropped  # the threshold produces real drops on this table
+
+    # independent recomputation of the contract from raw vectors
+    import numpy as np
+
+    rows = emb.collect()
+    cell_of = {i: c for i, c, _ in pe}
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["embedding"]) for r in rows], dtype="float64")
+    nrm = np.sqrt((X * X).sum(axis=1))
+    S = np.round((X @ X.T) / np.outer(nrm, nrm), 4)
+    expect_drop = set()
+    for j in range(len(ids)):
+        for i in range(len(ids)):
+            if (
+                ids[i] < ids[j]
+                and cell_of[ids[i]] == cell_of[ids[j]]
+                and S[i, j] >= 0.4
+            ):
+                expect_drop.add(int(ids[j]))
+                break
+    assert dropped == expect_drop
+
+
+def test_semantic_dedup_validation_and_allkeep(spark):
+    import pytest
+
+    from tmdb_index_spark.operators.similarity import (
+        fit_centroids,
+        semantic_dedup_with_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = fit_centroids(emb, 5)
+    with pytest.raises(ValueError, match="impl"):
+        semantic_dedup_with_centroids(emb, cents, 0.4, impl="nope")
+    out = semantic_dedup_with_centroids(emb, cents, 1.01, impl="pandas")
+    assert all(r["keep"] for r in out.collect())
+
+
+def test_semantic_dedup_plan_no_cartesian(spark):
+    """The expr twin's pair join must be an equi-join on cell — never
+    a cartesian; the pandas path shuffles once on cell."""
+    from tmdb_index_spark.operators.similarity import (
+        fit_centroids,
+        semantic_dedup_with_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = fit_centroids(emb, 8)
+    p = (
+        semantic_dedup_with_centroids(emb, cents, 0.4, impl="expr")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in p

@@ -56,6 +56,8 @@ __all__ = [
     "label_centroid_cosine",
     "cosine_neardup_pairs",
     "neardup_index_pairs",
+    "semantic_dedup",
+    "semantic_dedup_with_centroids",
 ]
 
 
@@ -1417,6 +1419,158 @@ def neardup_index_pairs(
     n_bits = min(n_bits, dim)
     return cosine_neardup_pairs(
         corpus, threshold, id_col, vec_col, n_bits=n_bits
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    cells: int | None = None,
+    n_estimate: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_sample: int = 10_000,
+    seed: int = 13,
+    impl: str = "pandas",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, find cosine
+    near-duplicates WITHIN each cluster only, and keep one
+    representative per near-dup relation with a deterministic
+    election. Returns ``(id_col, cell, keep)`` for EVERY input row —
+    a row is dropped (``keep = false``) iff some SMALLER-id vector in
+    its cell is ``≥ threshold`` similar (the first-occurrence rule
+    this engine's segment dedup also uses; the paper's
+    farthest-from-centroid election is a policy choice this
+    deterministic variant replaces so an external SQL oracle can
+    reproduce the flag set bit-for-bit).
+
+    Scale shape: clustering bounds candidate generation to within-cell
+    pairs — ``N²/cells`` comparisons instead of ``N²`` — and the
+    default ``cells = round(√N)`` tracks corpus size like
+    :func:`ivf_index_topk` (pass ``cells`` explicitly to bound cell
+    size harder; SemDeDup production configs use large k so each
+    cell's pairwise matrix stays small). Assignment is map-only
+    (literal centroid table, BLAS above
+    :data:`IVF_BLAS_ASSIGN_THRESHOLD`); scoring shuffles once on
+    ``cell``. Recall is within-cell by construction: near-dups split
+    across a cluster boundary are missed — the documented SemDeDup
+    trade.
+
+    The fit is the deterministic sampled k-means of
+    :func:`fit_centroids` (pure function of the first-``max_sample``
+    -by-id sample), so a SQL oracle re-runs the identical numpy fit
+    and embeds the centroids as literals — the
+    ``embedding_ivf_tuned_topk`` pattern.
+    """
+    n = n_estimate if n_estimate is not None else corpus.count()
+    if cells is None:
+        cells = max(1, round(n ** 0.5))
+    centroids = fit_centroids(
+        corpus, cells, id_col, vec_col, max_sample=max_sample, seed=seed
+    )
+    assign_impl = "pandas" if n >= IVF_BLAS_ASSIGN_THRESHOLD else "expr"
+    return semantic_dedup_with_centroids(
+        corpus,
+        centroids,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        impl=impl,
+        assign_impl=assign_impl,
+    )
+
+
+def semantic_dedup_with_centroids(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "pandas",
+    assign_impl: str = "expr",
+) -> DataFrame:
+    """:func:`semantic_dedup` with caller-fixed centroids (the
+    oracle-checkable core). ``impl='pandas'`` (scale path) elects
+    per cell inside one Arrow batch: ``applyInPandas`` over
+    ``groupBy(cell)``, one BLAS gram matrix per cell, dropped = any
+    column with a ``≥ threshold`` entry under a smaller id.
+    ``impl='expr'`` is the engine-portable twin (within-cell self-join
+    + fold cosine + distinct-dropped anti-flag) a SQL oracle mirrors
+    line for line. Sims are rounded to 4 decimals before the
+    threshold in BOTH impls — the family contract that absorbs
+    BLAS-vs-fold ULP drift, so the two flag sets are identical."""
+    if impl not in ("pandas", "expr"):
+        raise ValueError(f"impl must be 'pandas' or 'expr', got {impl!r}")
+    assigned = ivf_assign(
+        corpus, centroids, id_col, vec_col, impl=assign_impl
+    ).select(id_col, vec_col, "cell")
+    if impl == "expr":
+        base = assigned.select(
+            F.col(id_col),
+            _as_double(vec_col).alias("__v__"),
+            _norm(_as_double(vec_col)).alias("__n__"),
+            "cell",
+        )
+        a = base.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__v__").alias("__va__"),
+            F.col("__n__").alias("__na__"),
+            "cell",
+        )
+        b = base.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__v__").alias("__vb__"),
+            F.col("__n__").alias("__nb__"),
+            "cell",
+        )
+        dropped = (
+            a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.round(
+                    _dot(F.col("__va__"), F.col("__vb__"))
+                    / (F.col("__na__") * F.col("__nb__")),
+                    4,
+                )
+                >= threshold
+            )
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+            .withColumn("__drop__", F.lit(True))
+        )
+        return (
+            assigned.join(dropped, id_col, "left")
+            .select(
+                id_col,
+                "cell",
+                F.coalesce(~F.col("__drop__"), F.lit(True)).alias("keep"),
+            )
+        )
+
+    import pandas as pd
+
+    def elect(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ids = pdf[id_col].to_numpy(dtype="int64")
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.stack(pdf[vec_col].to_numpy()[order]).astype("float64")
+        nrm = np.sqrt((X * X).sum(axis=1))
+        sims = np.round((X @ X.T) / np.outer(nrm, nrm), 4)
+        smaller = ids[:, None] < ids[None, :]
+        dropped = ((sims >= threshold) & smaller).any(axis=0)
+        return pd.DataFrame(
+            {id_col: ids, "cell": pdf["cell"].iloc[0], "keep": ~dropped}
+        )
+
+    return (
+        assigned.select(
+            F.col(id_col), _as_double(vec_col).alias(vec_col), "cell"
+        )
+        .groupBy("cell")
+        .applyInPandas(elect, f"{id_col} long, cell long, keep boolean")
     )
 
 

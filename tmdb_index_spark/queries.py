@@ -1655,6 +1655,92 @@ WHERE cos_sim >= 0.4
 """
 
 
+def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication flags (extension:
+    embedding near-dup dedup, cluster-bounded scale path — Abbas et
+    al. 2023, arXiv:2303.09540): k-means cells bound candidate
+    generation to within-cell pairs (``N²/cells`` with the
+    ``cells = round(√N)`` rule), and each vector is dropped iff a
+    SMALLER-id cell-mate is ``cos ≥ 0.4`` similar — the deterministic
+    first-occurrence election, so the kept set is a pure function of
+    the table. The k-means fit is iterative and driver-side, but a
+    pure function of the (first-10k-by-id) sample — the oracle
+    re-runs the identical numpy fit and embeds the fitted centroids
+    as SQL literals (:func:`_fitted_semantic_dedup_oracle_sql`, the
+    ``embedding_ivf_tuned_topk`` pattern), making this a FULL value
+    row despite the fit. Assignment map-only; one shuffle on cell;
+    per-cell BLAS election."""
+    from tmdb_index_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def _fitted_semantic_dedup_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    """Value-row oracle for ``semantic_dedup_flags``: reproduce the
+    deterministic centroid fit outside Spark (same parquet sample,
+    same numpy core, same seed — the :func:`_fitted_ivf_oracle_sql`
+    recipe), then express assignment (argmin with the (dist, cell)
+    tie-break), within-cell pair scoring (ROUND(cos, 4) ≥ t), and the
+    smaller-id drop election in plain SQL."""
+    try:
+        import duckdb
+        import numpy as np
+
+        from tmdb_index_spark.operators.similarity import fit_kmeans_array
+
+        con = duckdb.connect()
+        path = f"{sf_dir}/embeddings.parquet"
+        n = con.sql(f"SELECT COUNT(*) FROM '{path}'").fetchone()[0]
+        if not n:
+            return None
+        sample = con.sql(
+            f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT 10000"
+        ).fetchall()
+        X = np.array([list(r[0]) for r in sample], dtype="float64")
+        cells = max(1, round(n ** 0.5))
+        cents = fit_kmeans_array(X, cells)
+    except Exception:  # noqa: BLE001 — missing table → rows-only row
+        return None
+    dim = X.shape[1]
+    values = ",\n    ".join(
+        "({}, [{}])".format(
+            cid, ", ".join(repr(float(x)) for x in vec)
+        )
+        for cid, vec in cents
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT * FROM (VALUES
+    {values}
+) AS t(cell, cv)),
+d AS (
+  SELECT vec_id, v, cell,
+         list_sum(list_transform(generate_series(1, {dim}),
+           i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS dist
+  FROM v CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, v, CAST(cell AS BIGINT) AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist ASC, cell ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_sum(list_transform(generate_series(1, {dim}), i -> a.v[i] * b.v[i])) /
+        (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+         sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) >= 0.4
+)
+SELECT vec_id, cell, (vec_id NOT IN (SELECT vec_id FROM dropped)) AS keep
+FROM assigned
+"""
+
+
 def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact distinct (two-phase dedup-then-count): distinct
     parts shipped per supplier."""
@@ -9729,6 +9815,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_ivf_topk": embedding_ivf_topk,
     "embedding_neardups": embedding_neardups,
     "embedding_neardups_tuned": embedding_neardups_tuned,
+    "semantic_dedup_flags": semantic_dedup_flags,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
@@ -10070,6 +10157,7 @@ ORACLES = _rotated(ORACLES)
 #: falls back to a rows-only row, exactly the pre-round-7 behavior).
 DYNAMIC_ORACLE_BUILDERS: dict[str, Callable[[str], str | None]] = {
     "embedding_ivf_tuned_topk": _fitted_ivf_oracle_sql,
+    "semantic_dedup_flags": _fitted_semantic_dedup_oracle_sql,
     "embedding_ivf2_topk": _fitted_ivf2_oracle_sql,
 }
 
