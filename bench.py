@@ -114,6 +114,8 @@ EXTENDED_QUERIES = [
     "embedding_neardups_tuned",
     # round-9: SemDeDup-style cluster-bounded semantic dedup
     "semantic_dedup_flags",
+    # round-9: DSIR hashed n-gram importance resampling
+    "dsir_source_importance",
     "user_state_scd2",
     "supplier_busy_intervals",
     "cosupply_triangles",

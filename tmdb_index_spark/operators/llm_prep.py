@@ -66,6 +66,7 @@ __all__ = [
     "remove_duplicate_segments",
     "bpe_adjacent_pairs",
     "token_pmi",
+    "dsir_logweights",
     "DEFAULT_REDACTIONS",
 ]
 
@@ -755,3 +756,107 @@ def token_pmi(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
     ).limit(top_k)
+
+def dsir_logweights(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 128,
+) -> DataFrame:
+    """DSIR hashed n-gram importance log-weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling").
+
+    The data-selection step a pretraining pipeline runs to up-weight
+    corpus documents that *look like* a small trusted target domain:
+    featurize every document as a bag of hashed word unigrams+bigrams
+    over ``n_buckets`` buckets, fit two smoothed categorical
+    distributions — the target subset's (rows where ``is_target``) and
+    the full corpus's — and score each document by its log importance
+    weight ``sum_g log(p_target(b(g)) / p_raw(b(g)))`` over its n-gram
+    occurrences. Resampling keeps the highest-weight documents; this
+    operator returns the weights and leaves the keep-policy (top-k,
+    threshold, Gumbel-noise resample) to the caller.
+
+    Cross-engine determinism: bucket log-ratios are quantized to
+    integer nanos (``CAST(ROUND(logw * 1e9) AS BIGINT)``) before the
+    per-document sum, so the reduction is exact integer arithmetic —
+    no float-sum ordering drift between Spark and an oracle engine.
+    Returned ``logw_q`` is that integer (divide by 1e9 for the float
+    weight). Documents whose text yields zero n-grams are absent
+    (left-join + ``COALESCE 0`` at the call site for a dense column).
+
+    Scale shape (100 TB): one heavy shuffle — the per-(doc, bucket)
+    occurrence count, map-side-combinable and keyed by a high-card
+    compound key, so no skew hotspot. Both distributions are derived
+    FROM that aggregated frame (n_docs x <=n_buckets rows, NOT the raw
+    n-gram explosion), its Exchange is reused across the two subtrees
+    (ReusedExchange — asserted by plan test), and the fitted
+    ``n_buckets``-row weight table joins back via **broadcast**.
+    Nothing after the token scan is proportional to corpus size except
+    the one combinable shuffle. Hashing is the portable md5-derived
+    60-bit int, never ``F.hash`` (oracle parity).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.regexp_extract_all(F.lower(txt), F.lit("[a-z0-9]+"), 0)
+    # sequence(1, 0) DESCENDS in Spark instead of being empty (the
+    # word_shingles lesson) — short docs need the explicit empty branch.
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = widen_small_scan(docs).select(
+        F.col(id_col),
+        is_target.alias("__tgt__"),
+        F.explode(F.concat(toks, bigrams)).alias("__g__"),
+    )
+    # THE one data-proportional shuffle: per-(doc, bucket) counts.
+    db = (
+        grams.select(
+            id_col,
+            "__tgt__",
+            F.pmod(portable_hash60(F.col("__g__")), F.lit(n_buckets)).alias(
+                "__b__"
+            ),
+        )
+        .groupBy(id_col, "__tgt__", "__b__")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n__"))
+    )
+    spark = docs.sparkSession
+    buckets = spark.range(n_buckets).select(F.col("id").alias("__b__"))
+    counts = db.groupBy("__b__").agg(
+        F.sum("__n__").alias("__cr__"),
+        F.sum(F.when(F.col("__tgt__"), F.col("__n__")).otherwise(F.lit(0))).alias(
+            "__ct__"
+        ),
+    )
+    dist = buckets.join(counts, "__b__", "left").select(
+        "__b__",
+        F.coalesce("__cr__", F.lit(0)).alias("__cr__"),
+        F.coalesce("__ct__", F.lit(0)).alias("__ct__"),
+    )
+    tot = dist.agg(
+        F.sum("__cr__").alias("__tr__"), F.sum("__ct__").alias("__tt__")
+    )
+    smooth = F.lit(float(n_buckets))
+    logw = F.log(
+        (F.col("__ct__") + F.lit(1)).cast("double")
+        / (F.col("__tt__").cast("double") + smooth)
+    ) - F.log(
+        (F.col("__cr__") + F.lit(1)).cast("double")
+        / (F.col("__tr__").cast("double") + smooth)
+    )
+    w = dist.crossJoin(F.broadcast(tot)).select(
+        "__b__",
+        F.round(logw * F.lit(1e9)).cast("bigint").alias("__lwq__"),
+    )
+    return (
+        db.join(F.broadcast(w), "__b__")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__n__") * F.col("__lwq__")).alias("logw_q"))
+    )

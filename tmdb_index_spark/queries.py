@@ -3174,6 +3174,100 @@ FROM hit GROUP BY source
 """
 
 
+def dsir_source_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection audit (extension: hashed n-gram importance
+    resampling, Xie et al. 2023 — the data-selection step that
+    up-weights corpus documents resembling a small trusted domain):
+    score every document by the log importance weight of its hashed
+    unigram+bigram bag under the target domain's smoothed 128-bucket
+    distribution (docs from ``src0``, the trusted-domain proxy) vs the
+    raw corpus's, then roll up per source — sources that look like the
+    target get positive ``avg_logw`` and high ``n_target_like`` (docs a
+    threshold-at-0 resample would keep). Bucket log-ratios are
+    quantized to integer nanos BEFORE the per-doc sum
+    (`operators/llm_prep.py: dsir_logweights`), so every aggregate
+    below is exact integer arithmetic until the final division —
+    cross-engine parity by construction, no float-sum ordering drift.
+    Scale shape: one combinable (doc, bucket)-keyed shuffle fits the
+    distributions; the 128-row weight table broadcasts back; the only
+    other data-proportional step is the doc_id-keyed attach of
+    per-doc weights to sources, a plain combinable sort-merge join."""
+    from tmdb_index_spark.operators.llm_prep import dsir_logweights
+
+    d = _t(spark, sf_dir, "documents")
+    per_doc = dsir_logweights(d, is_target=F.col("source") == F.lit("src0"))
+    q = F.coalesce(F.col("logw_q"), F.lit(0))
+    return (
+        d.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(q).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e9),
+                6,
+            ).alias("avg_logw"),
+            F.sum(F.when(q > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_target_like"),
+        )
+    )
+
+
+_DSIR_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         regexp_extract_all(coalesce(lower(text), ''), '[a-z0-9]+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source = 'src0' AS tgt,
+         unnest(list_concat(
+           t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+         )) AS g
+  FROM toks
+),
+db AS (
+  SELECT doc_id, tgt,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % 128 AS b,
+         COUNT(*)::BIGINT AS n
+  FROM grams GROUP BY doc_id, tgt, b
+),
+dist AS (
+  SELECT bb.b,
+         COALESCE(cr, 0)::BIGINT AS cr,
+         COALESCE(ct, 0)::BIGINT AS ct
+  FROM (SELECT unnest(range(0, 128)) AS b) bb
+  LEFT JOIN (
+    SELECT b, SUM(n) AS cr, SUM(CASE WHEN tgt THEN n ELSE 0 END) AS ct
+    FROM db GROUP BY b
+  ) c USING (b)
+),
+tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM dist),
+w AS (
+  SELECT b,
+         CAST(ROUND((ln((ct + 1)::DOUBLE / (tt + 128)::DOUBLE)
+                   - ln((cr + 1)::DOUBLE / (tr + 128)::DOUBLE)) * 1e9)
+              AS BIGINT) AS lwq
+  FROM dist, tot
+),
+per_doc AS (
+  SELECT doc_id, SUM(n * lwq) AS q
+  FROM db JOIN w USING (b) GROUP BY doc_id
+)
+SELECT d.source,
+       COUNT(*)::BIGINT AS n_docs,
+       ROUND(CAST(SUM(COALESCE(q, 0)) AS DOUBLE) / COUNT(*) / 1e9, 6)
+         AS avg_logw,
+       SUM(CASE WHEN COALESCE(q, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_target_like
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+GROUP BY d.source
+"""
+
+
 def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (extension: quality scoring):
     duplicate-token fraction and most-common-bigram fraction.
@@ -9853,6 +9947,7 @@ QUERIES: dict[str, QueryFn] = {
     "nation_trade_volume": nation_trade_volume,
     "value_histogram": value_histogram,
     "decontam_ngram_hits": decontam_ngram_hits,
+    "dsir_source_importance": dsir_source_importance,
     "repetition_quality": repetition_quality,
     "pii_redaction": pii_redaction,
     "pack_sequences_stats": pack_sequences_stats,
@@ -10057,6 +10152,7 @@ ORACLES: dict[str, str] = {
     "nation_trade_volume": _Q7_SQL,
     "value_histogram": _HISTOGRAM_SQL,
     "decontam_ngram_hits": _DECONTAM_SQL,
+    "dsir_source_importance": _DSIR_SQL,
     "repetition_quality": _REPETITION_SQL,
     "pii_redaction": _PII_REDACTION_SQL,
     "pack_sequences_stats": _PACK_SEQUENCES_SQL,
