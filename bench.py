@@ -116,6 +116,8 @@ EXTENDED_QUERIES = [
     "semantic_dedup_flags",
     # round-9: DSIR hashed n-gram importance resampling
     "dsir_source_importance",
+    # round-9: fitted-literal PCA projection over embeddings
+    "embedding_pca_labels",
     "user_state_scd2",
     "supplier_busy_intervals",
     "cosupply_triangles",

@@ -243,9 +243,9 @@ def test_q10_topk_and_broadcast_dims(spark):
 def test_registry_consistency(spark):
     # every oracle points at a registered query; every query is a
     # callable with a docstring (the judge-facing contract). The STATIC
-    # rows-only set is the two engine-private sketches plus the three
-    # fitted-centroid queries — but the latter carry DYNAMIC oracles
-    # (fitted-centroid literals, rounds 7/9), so with those
+    # rows-only set is the two engine-private sketches plus the four
+    # fitted-literal queries — but the latter carry DYNAMIC oracles
+    # (fitted centroid/component literals, rounds 7/9), so with those
     # materialized only the sketches remain rows-only.
     from tmdb_index_spark import queries as Q
 
@@ -257,11 +257,13 @@ def test_registry_consistency(spark):
         "embedding_ivf_tuned_topk",
         "embedding_ivf2_topk",
         "semantic_dedup_flags",
+        "embedding_pca_labels",
     }
     assert set(Q.DYNAMIC_ORACLE_BUILDERS) == {
         "embedding_ivf_tuned_topk",
         "embedding_ivf2_topk",
         "semantic_dedup_flags",
+        "embedding_pca_labels",
     }
     with_dynamic = {**dict(Q.ORACLES), **Q.dynamic_oracles()}
     assert set(Q.QUERIES) - set(with_dynamic) == {

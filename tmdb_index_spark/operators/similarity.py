@@ -58,6 +58,9 @@ __all__ = [
     "neardup_index_pairs",
     "semantic_dedup",
     "semantic_dedup_with_centroids",
+    "fit_pca_array",
+    "fit_pca",
+    "pca_projection_sql",
 ]
 
 
@@ -1724,3 +1727,100 @@ def label_centroid_cosine(
             ),
         )
     )
+
+def fit_pca_array(X, n_components: int = 2):
+    """Deterministic numpy PCA core on a raw ``(n, d)`` float64 array,
+    exposed (like :func:`fit_kmeans_array`) so an external oracle
+    builder reading the same parquet sample reproduces the EXACT fit
+    without a SparkSession.
+
+    Returns ``(mu, components, evr)``: the column means ``(d,)``, the
+    top ``n_components`` eigenvectors of the covariance matrix as rows
+    ``(k, d)`` in descending-eigenvalue order, and their explained-
+    variance ratios ``(k,)``. Determinism: the fit is a pure function
+    of the sample bytes (same LAPACK ``eigh`` on the same driver for
+    both the operator and the oracle builder), and each component's
+    sign is FIXED by convention — the entry of largest magnitude
+    (first index on ties) is made positive — so re-runs and the
+    oracle's re-fit agree bit-for-bit.
+    """
+    import numpy as np
+
+    if n_components < 1:
+        raise ValueError(f"n_components must be >= 1, got {n_components}")
+    n, d = X.shape
+    k = min(n_components, d)
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    C = (Xc.T @ Xc) / max(n, 1)
+    vals, vecs = np.linalg.eigh(C)  # ascending eigenvalues
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total = float(vals.sum())
+    evr = [
+        (float(vals[o]) / total) if total > 0 else 0.0 for o in order
+    ]
+    return mu, comps, evr
+
+
+def fit_pca(
+    df: DataFrame,
+    n_components: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_sample: int = 10_000,
+):
+    """Sampled deterministic PCA fit — the dimensionality-reduction
+    sibling of :func:`fit_centroids`, with the identical scale story:
+    production fits on a BOUNDED sample (first ``max_sample`` vectors
+    by id, a stable engine-independent choice), the eigendecomposition
+    runs driver-side in numpy on a (d, d) covariance — d-bounded, not
+    N-bounded — and the fitted mean/components return as plain Python
+    lists to be embedded as plan literals, so the projection itself is
+    a map-only column expression over the full corpus. Returns
+    ``(mu, components, evr)`` as lists.
+    """
+    import numpy as np
+
+    from tmdb_index_spark.operators.materialize import bounded_collect
+
+    rows = bounded_collect(
+        df.select(id_col, vec_col).orderBy(id_col).limit(max_sample),
+        max_sample,
+        "PCA fit sample",
+    )
+    X = np.array([list(r[1]) for r in rows], dtype="float64")
+    if len(X) == 0:
+        raise ValueError("fit_pca needs a non-empty corpus")
+    mu, comps, evr = fit_pca_array(X, n_components)
+    return mu.tolist(), [c.tolist() for c in comps], evr
+
+
+def pca_projection_sql(
+    mu: list[float],
+    component: list[float],
+    vec_sql: str,
+    one_based: bool = False,
+) -> str:
+    """The UNROLLED projection expression ``sum_j (x_j - mu_j) * v_j``
+    as a flat SQL string, shared verbatim by the Spark plan
+    (``F.expr``, 0-based ``vec[j]``) and the DuckDB oracle
+    (``one_based=True``, ``vec[j+1]``) so both engines evaluate the
+    SAME left-associative float64 chain on the SAME ``repr`` literals
+    — bit-identical results by construction, no float-sum ordering
+    drift. Terms with ``v_j == 0.0`` still emit (expression shape is
+    part of the parity contract). One flat string per component keeps
+    plan construction at one analyzer round-trip (the round-9
+    plan-build lesson), not 64 Column ops.
+    """
+    terms = []
+    for j, (m, v) in enumerate(zip(mu, component)):
+        idx = j + 1 if one_based else j
+        terms.append(
+            f"(CAST({vec_sql}[{idx}] AS DOUBLE) - {m!r}) * {v!r}"
+        )
+    return " + ".join(terms)

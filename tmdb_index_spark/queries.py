@@ -1741,6 +1741,102 @@ FROM assigned
 """
 
 
+def embedding_pca_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction over the embedding corpus
+    (extension: the embedding-space diagnostic a training pipeline runs
+    before clustering/dedup — do the labels separate along the top
+    principal directions, and how much variance do those directions
+    carry): fit mean + top-2 eigenvectors on the bounded deterministic
+    sample (`operators/similarity.py: fit_pca` — the
+    :func:`fit_centroids` scale story: driver-side numpy on a (d, d)
+    covariance, NEVER N-proportional), embed the fit as plan literals,
+    and project the FULL corpus map-only — one flat unrolled
+    expression per component (`pca_projection_sql`, shared verbatim
+    with the oracle so both engines run the same left-associative
+    float64 chain), projections quantized to integer micros before the
+    per-label sum so the aggregate is exact integer arithmetic. Output:
+    per-label PC means + the fit's explained-variance ratios. Full
+    value oracle despite the iterative-looking fit — the
+    fitted-literal dynamic-oracle pattern (same numpy core re-run on
+    the same parquet sample, components embedded as literals)."""
+    from tmdb_index_spark.operators.similarity import (
+        fit_pca,
+        pca_projection_sql,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mu, comps, evr = fit_pca(emb, 2)
+    p1 = pca_projection_sql(mu, comps[0], "embedding")
+    p2 = pca_projection_sql(mu, comps[1], "embedding")
+    proj = emb.selectExpr(
+        "label",
+        f"CAST(ROUND(({p1}) * 1e6) AS BIGINT) AS __p1__",
+        f"CAST(ROUND(({p2}) * 1e6) AS BIGINT) AS __p2__",
+    )
+    n = F.count(F.lit(1))
+    return proj.groupBy("label").agg(
+        n.cast("long").alias("n_vecs"),
+        F.round(
+            F.sum("__p1__").cast("double") / n.cast("double") / F.lit(1e6), 6
+        ).alias("mean_pc1"),
+        F.round(
+            F.sum("__p2__").cast("double") / n.cast("double") / F.lit(1e6), 6
+        ).alias("mean_pc2"),
+        F.lit(round(evr[0], 6)).alias("evr_pc1"),
+        F.lit(round(evr[1], 6)).alias("evr_pc2"),
+    )
+
+
+def _fitted_pca_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    """Value-row oracle for ``embedding_pca_labels``: re-run the
+    deterministic PCA fit OUTSIDE Spark (duckdb read of the same
+    first-``max_sample``-by-id parquet sample + the shared
+    :func:`fit_pca_array` numpy core), then emit the projection as the
+    SAME unrolled expression string (``pca_projection_sql``,
+    ``one_based=True`` for DuckDB's list indexing) with the fitted
+    mean/components as literals. Returns None when the table is
+    unreadable (rows-only fallback)."""
+    try:
+        import duckdb
+        import numpy as np
+
+        from tmdb_index_spark.operators.similarity import (
+            fit_pca_array,
+            pca_projection_sql,
+        )
+
+        con = duckdb.connect()
+        path = f"{sf_dir}/embeddings.parquet"
+        sample = con.sql(
+            f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT 10000"
+        ).fetchall()
+        if not sample:
+            return None
+        X = np.array([list(r[0]) for r in sample], dtype="float64")
+        mu, comps, evr = fit_pca_array(X, 2)
+    except Exception:  # noqa: BLE001 — missing table → rows-only row
+        return None
+    p1 = pca_projection_sql(mu.tolist(), comps[0].tolist(), "embedding", True)
+    p2 = pca_projection_sql(mu.tolist(), comps[1].tolist(), "embedding", True)
+    return f"""
+WITH proj AS (
+  SELECT label,
+         CAST(ROUND(({p1}) * 1e6) AS BIGINT) AS p1,
+         CAST(ROUND(({p2}) * 1e6) AS BIGINT) AS p2
+  FROM embeddings
+)
+SELECT label,
+       COUNT(*)::BIGINT AS n_vecs,
+       ROUND(CAST(SUM(p1) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean_pc1,
+       ROUND(CAST(SUM(p2) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean_pc2,
+       CAST({round(evr[0], 6)!r} AS DOUBLE) AS evr_pc1,
+       CAST({round(evr[1], 6)!r} AS DOUBLE) AS evr_pc2
+FROM proj GROUP BY label
+"""
+
+
 def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact distinct (two-phase dedup-then-count): distinct
     parts shipped per supplier."""
@@ -9910,6 +10006,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_neardups": embedding_neardups,
     "embedding_neardups_tuned": embedding_neardups_tuned,
     "semantic_dedup_flags": semantic_dedup_flags,
+    "embedding_pca_labels": embedding_pca_labels,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
@@ -10255,6 +10352,7 @@ DYNAMIC_ORACLE_BUILDERS: dict[str, Callable[[str], str | None]] = {
     "embedding_ivf_tuned_topk": _fitted_ivf_oracle_sql,
     "semantic_dedup_flags": _fitted_semantic_dedup_oracle_sql,
     "embedding_ivf2_topk": _fitted_ivf2_oracle_sql,
+    "embedding_pca_labels": _fitted_pca_oracle_sql,
 }
 
 
