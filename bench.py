@@ -118,6 +118,8 @@ EXTENDED_QUERIES = [
     "dsir_source_importance",
     # round-9: fitted-literal PCA projection over embeddings
     "embedding_pca_labels",
+    # round-9: water-filling token-budget mixture allocation
+    "mixture_budget_allocation",
     "user_state_scd2",
     "supplier_busy_intervals",
     "cosupply_triangles",

@@ -361,3 +361,62 @@ def test_nucleus_rejects_bad_p(spark):
     for bad in (0.0, -0.1, 1.5):
         with pytest.raises(ValueError):
             nucleus_filter(df, "grp", "w", bad, "item")
+
+
+# ---------------------------------------------------------------------------
+# waterfill_allocation
+# ---------------------------------------------------------------------------
+
+
+def _wf(spark, avails, budget):
+    from tmdb_index_spark.operators.sampling import waterfill_allocation
+
+    rows = [(f"s{i}", a, budget) for i, a in enumerate(avails)]
+    df = spark.createDataFrame(
+        rows, "source string, avail long, __budget__ long"
+    )
+    return {
+        r["source"]: r.asDict()
+        for r in waterfill_allocation(df, "avail").collect()
+    }
+
+
+def test_waterfill_hand_computed_pivot(spark):
+    # A=[1,10,20], B=12: source 0 capped at 1, remaining 11 floods the
+    # other two at level 5.5 each — the first-qualifying-row lambda,
+    # NOT the smaller lambdas later rows produce (the max-over-
+    # qualifying selection under test)
+    got = _wf(spark, [1, 10, 20], 12)
+    assert got["s0"]["allocation"] == 1.0 and got["s0"]["capped"]
+    assert got["s1"]["allocation"] == 5.5 and not got["s1"]["capped"]
+    assert got["s2"]["allocation"] == 5.5 and not got["s2"]["capped"]
+    assert all(v["water_level"] == 5.5 for v in got.values())
+    assert sum(v["allocation"] for v in got.values()) == 12.0
+
+
+def test_waterfill_budget_exceeds_supply(spark):
+    got = _wf(spark, [1, 10, 20], 100)
+    assert all(v["capped"] for v in got.values())
+    assert all(v["water_level"] is None for v in got.values())
+    assert [got[f"s{i}"]["allocation"] for i in range(3)] == [1.0, 10.0, 20.0]
+
+
+def test_waterfill_exact_supply_and_zero_budget(spark):
+    exact = _wf(spark, [1, 10, 20], 31)
+    assert [exact[f"s{i}"]["allocation"] for i in range(3)] == [
+        1.0,
+        10.0,
+        20.0,
+    ]
+    assert all(v["capped"] for v in exact.values())
+    zero = _wf(spark, [1, 10, 20], 0)
+    assert all(v["allocation"] == 0.0 for v in zero.values())
+    assert all(v["water_level"] == 0.0 for v in zero.values())
+    assert not any(v["capped"] for v in zero.values())
+
+
+def test_waterfill_even_split_no_caps(spark):
+    got = _wf(spark, [10, 10], 10)
+    assert all(v["allocation"] == 5.0 for v in got.values())
+    assert all(v["water_level"] == 5.0 for v in got.values())
+    assert not any(v["capped"] for v in got.values())

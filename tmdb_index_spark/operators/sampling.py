@@ -28,6 +28,7 @@ __all__ = [
     "cap_per_group",
     "negative_pairs",
     "nucleus_filter",
+    "waterfill_allocation",
 ]
 
 #: Granularity of split fractions (hash buckets).
@@ -367,4 +368,86 @@ def nucleus_filter(
             ),
         )
         .drop("__cum__", "__tot__")
+    )
+
+def waterfill_allocation(
+    df: DataFrame,
+    avail_col: str,
+    budget_col: str = "__budget__",
+    group_col: str = "source",
+) -> DataFrame:
+    """Water-filling token-budget allocation with per-group caps — the
+    mixture-planning step of a pretraining pipeline: split a global
+    token budget ``B`` evenly across groups (sources/domains), except a
+    group can never contribute more than it HAS; its surplus re-floods
+    the remaining groups. The classic closed form over the sorted
+    availability profile, no iteration:
+
+    sort groups by availability ascending ``A_(1) <= ... <= A_(n)``
+    with prefix sums ``P_i``; the pivot is the FIRST row where
+    ``lambda_i = (B - P_{i-1}) / (n - i + 1) <= A_(i)`` — rows before
+    it are capped at their availability, rows from it on get the water
+    level ``lambda``. If no row qualifies (``B > sum(A)``) every group
+    is capped and the level is NULL.
+
+    ``df`` is one row per group carrying integer ``avail_col`` and the
+    integer budget in ``budget_col`` (same value on every row — attach
+    it with a broadcast of the 1-row total before calling). Returns
+    ``(group_col, avail, allocation, capped, water_level)`` with
+    ``allocation = LEAST(avail, lambda)`` as double.
+
+    Scale: every window here runs over the GROUP-cardinality frame
+    (sources/domains — bounded by construction, the same argument as
+    the per-source rollups), totally ordered by ``(avail, group)`` so
+    ties cannot swap between the stacked passes. Inputs are exact
+    integers; ``lambda`` is one division of identical integers on any
+    engine, so comparisons and outputs reproduce bit-for-bit.
+    """
+    w = Window.orderBy(F.col("avail"), F.col(group_col))
+    base = df.select(
+        F.col(group_col),
+        F.col(avail_col).cast("bigint").alias("avail"),
+        F.col(budget_col).cast("bigint").alias("__b__"),
+    )
+    ranked = base.select(
+        group_col,
+        "avail",
+        "__b__",
+        F.row_number().over(w).alias("__i__"),
+        F.sum("avail").over(w).alias("__p__"),
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n__"),
+    )
+    lam_i = (
+        (F.col("__b__") - (F.col("__p__") - F.col("avail"))).cast("double")
+        / (F.col("__n__") - F.col("__i__") + 1).cast("double")
+    )
+    flagged = ranked.select(
+        group_col,
+        "avail",
+        F.when(lam_i <= F.col("avail").cast("double"), lam_i).alias("__lam__"),
+    )
+    # the true level is the FIRST qualifying row's lambda; every later
+    # qualifying row's lambda is <= it (each skipped row contributed
+    # MORE than the level), and rows before the pivot never qualify —
+    # so MAX over qualifying lambdas selects the pivot's, portably
+    level = F.max("__lam__").over(
+        Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    a = F.col("avail").cast("double")
+    return flagged.select(
+        group_col,
+        F.col("avail").alias("avail_tokens"),
+        F.round(
+            F.when(level.isNull(), a).otherwise(F.least(a, level)), 4
+        ).alias("allocation"),
+        F.when(level.isNull(), F.lit(True))
+        .otherwise(a <= level)
+        .alias("capped"),
+        F.round(level, 4).alias("water_level"),
     )

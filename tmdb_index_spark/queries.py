@@ -4503,6 +4503,78 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
 """
 
 
+def mixture_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation (extension: the mixture-
+    PLANNING complement of `mixture_token_sample` — before sampling,
+    decide how many tokens each source contributes to a global budget
+    when shares are even but small sources cap out and re-flood their
+    surplus): per-source token totals feed
+    `operators/sampling.py: waterfill_allocation`'s closed form over
+    the sorted availability profile (first row where
+    ``(B - P_{i-1}) / (n - i + 1) <= A_i`` sets the water level; no
+    iteration). Budget = half the corpus's tokens (integer division,
+    data-derived on both engines identically). Every window runs over
+    the source-bounded frame, totally ordered by (avail, source); all
+    inputs are exact integers so the one division reproduces
+    bit-for-bit cross-engine."""
+    from tmdb_index_spark.functions.text import token_count
+    from tmdb_index_spark.operators.sampling import waterfill_allocation
+
+    d = _t(spark, sf_dir, "documents")
+    per_src = d.select(
+        "source", token_count("text").cast("bigint").alias("__tok__")
+    ).groupBy("source").agg(F.sum("__tok__").alias("avail_tokens"))
+    # FLOOR on both engines: Spark CASTs double->bigint by truncation
+    # but DuckDB CAST rounds, so an odd total would diverge without it
+    budget = per_src.agg(
+        F.floor(F.sum("avail_tokens") / F.lit(2))
+        .cast("bigint")
+        .alias("__budget__")
+    )
+    frame = per_src.crossJoin(F.broadcast(budget))
+    return waterfill_allocation(
+        frame, "avail_tokens", "__budget__", "source"
+    )
+
+
+_WATERFILL_SQL = """
+WITH per_src AS (
+  SELECT source,
+         SUM(len(regexp_extract_all(text,
+             '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT) AS avail
+  FROM documents GROUP BY source
+),
+b AS (SELECT CAST(FLOOR(SUM(avail) / 2) AS BIGINT) AS budget FROM per_src),
+ranked AS (
+  SELECT source, avail, budget,
+         ROW_NUMBER() OVER (ORDER BY avail, source) AS i,
+         SUM(avail) OVER (ORDER BY avail, source) AS p,
+         COUNT(*) OVER () AS n
+  FROM per_src, b
+),
+flagged AS (
+  SELECT source, avail,
+         CASE WHEN CAST(budget - (p - avail) AS DOUBLE)
+                   / CAST(n - i + 1 AS DOUBLE)
+                   <= CAST(avail AS DOUBLE)
+              THEN CAST(budget - (p - avail) AS DOUBLE)
+                   / CAST(n - i + 1 AS DOUBLE)
+         END AS lam
+  FROM ranked
+),
+lev AS (SELECT MAX(lam) AS level FROM flagged)
+SELECT source,
+       CAST(avail AS BIGINT) AS avail_tokens,
+       ROUND(CASE WHEN level IS NULL THEN CAST(avail AS DOUBLE)
+                  ELSE LEAST(CAST(avail AS DOUBLE), level) END, 4)
+         AS allocation,
+       CASE WHEN level IS NULL THEN TRUE
+            ELSE CAST(avail AS DOUBLE) <= level END AS capped,
+       ROUND(level, 4) AS water_level
+FROM flagged, lev
+"""
+
+
 def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric ANN join (extension: similarity search): top-3 corpus
     neighbors for the label-0 query subset via the bucketed
@@ -10045,6 +10117,7 @@ QUERIES: dict[str, QueryFn] = {
     "value_histogram": value_histogram,
     "decontam_ngram_hits": decontam_ngram_hits,
     "dsir_source_importance": dsir_source_importance,
+    "mixture_budget_allocation": mixture_budget_allocation,
     "repetition_quality": repetition_quality,
     "pii_redaction": pii_redaction,
     "pack_sequences_stats": pack_sequences_stats,
@@ -10250,6 +10323,7 @@ ORACLES: dict[str, str] = {
     "value_histogram": _HISTOGRAM_SQL,
     "decontam_ngram_hits": _DECONTAM_SQL,
     "dsir_source_importance": _DSIR_SQL,
+    "mixture_budget_allocation": _WATERFILL_SQL,
     "repetition_quality": _REPETITION_SQL,
     "pii_redaction": _PII_REDACTION_SQL,
     "pack_sequences_stats": _PACK_SEQUENCES_SQL,
