@@ -120,6 +120,8 @@ EXTENDED_QUERIES = [
     "embedding_pca_labels",
     # round-9: water-filling token-budget mixture allocation
     "mixture_budget_allocation",
+    # round-9: asymmetric batch-vs-index near-dup novelty
+    "incremental_novelty_rate",
     "user_state_scd2",
     "supplier_busy_intervals",
     "cosupply_triangles",

@@ -266,3 +266,85 @@ def test_simhash_pandas_matches_sql_bitforbit(spark):
     # including the empty-string-votes-with-md5('') and null-text-is-null
     # edge semantics.
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# minhash_novelty_pairs (asymmetric batch-vs-index)
+# ---------------------------------------------------------------------------
+
+
+def _novelty_frames(spark):
+    index = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of index doc 0
+            (10, "the quick brown fox jumps over the lazy cat"),
+            # exact dup of index doc 0
+            (11, "the quick brown fox jumps over the lazy dog"),
+            # novel
+            (12, "entirely novel text about water filling budgets here"),
+            # near-dup of 12 WITHIN the batch — must NOT pair (batch-
+            # internal pairs are out of scope for the asymmetric join)
+            (13, "entirely novel text about water filling budgets there"),
+            # no shingles
+            (14, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    return index, batch
+
+
+def test_novelty_pairs_are_strictly_batch_vs_index(spark):
+    from tmdb_index_spark.operators.dedup_text import minhash_novelty_pairs
+
+    index, batch = _novelty_frames(spark)
+    got = {
+        (r["batch_id"], r["index_id"]): r["jaccard"]
+        for r in minhash_novelty_pairs(index, batch, threshold=0.5).collect()
+    }
+    # exact dup verifies at 1.0; batch-internal near-dups and novel
+    # docs never appear; the shingle-less doc never appears
+    assert got[(11, 0)] == 1.0
+    assert all(b in (10, 11) and i in (0, 2) for b, i in got)
+    assert (13, 12) not in got and (12, 13) not in got
+    assert not any(b == 14 for b, _ in got)
+
+
+def test_novelty_pairs_match_symmetric_verify_semantics(spark):
+    from tmdb_index_spark.operators.dedup_text import (
+        minhash_lsh_pairs,
+        minhash_novelty_pairs,
+    )
+
+    # on the UNION corpus the symmetric operator's cross pairs must
+    # agree with the asymmetric join's output (same sigs, same verify)
+    index, batch = _novelty_frames(spark)
+    union = index.unionByName(batch)
+    sym = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"])): r["jaccard"]
+        for r in minhash_lsh_pairs(union, threshold=0.3).collect()
+        # keep only batch-vs-index pairs (batch ids are >= 10)
+        if (r["id_a"] >= 10) != (r["id_b"] >= 10)
+    }
+    asym = {
+        (r["batch_id"], r["index_id"]): r["jaccard"]
+        for r in minhash_novelty_pairs(index, batch, threshold=0.3).collect()
+    }
+    assert asym == sym
+
+
+def test_novelty_batch_buckets_broadcast(spark):
+    from tmdb_index_spark.operators.dedup_text import minhash_novelty_pairs
+
+    index, batch = _novelty_frames(spark)
+    out = minhash_novelty_pairs(index, batch)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -45,6 +45,7 @@ __all__ = [
     "ngram_jaccard_pairs_prefix",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_novelty_pairs",
     "simhash64",
     "simhash_neardup_pairs",
     "group_shingle_jaccard",
@@ -814,4 +815,109 @@ def group_shingle_jaccard(
                 4,
             ).alias("jaccard"),
         )
+    )
+
+def minhash_novelty_pairs(
+    index_df: DataFrame,
+    batch_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Asymmetric batch-vs-index MinHash-LSH near-dup join — the
+    INCREMENTAL-ingestion shape: an existing corpus index and a new
+    batch of documents, and the question is which batch docs duplicate
+    something already indexed (their complement is the batch's novel
+    content). Same signatures, banding, and exact-Jaccard verify as
+    :func:`minhash_lsh_pairs`, but candidates are strictly
+    batch x index — batch-internal and index-internal pairs are never
+    generated.
+
+    Scale shape (the :func:`ngram_contamination` argument): an
+    ingestion batch is orders of magnitude smaller than the index, so
+    the batch's band buckets **broadcast** and the index side's bucket
+    stream is probed map-side — the index never shuffles for candidate
+    generation (set ``broadcast_batch=False`` for a hash join when a
+    backfill batch outgrows broadcast range). Docs whose text yields no
+    shingles are filtered before banding: their NULL minhashes would
+    otherwise all share the empty band key and cross-pair every empty
+    batch doc with every empty index doc before the verify stage
+    discards them anyway.
+
+    Returns ``(batch_id, index_id, jaccard)`` for verified pairs with
+    Jaccard >= ``threshold``.
+    """
+    rows_per_band = num_hashes // bands
+
+    def _buckets(df: DataFrame, out_id: str) -> DataFrame:
+        sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+        band_structs = F.expr(
+            "array(%s)"
+            % ",".join(
+                "named_struct('band',%d,'key',concat_ws(',',%s))"
+                % (
+                    b,
+                    ",".join(
+                        f"minhash_{b * rows_per_band + r}"
+                        for r in range(rows_per_band)
+                    ),
+                )
+                for b in range(bands)
+            )
+        )
+        return (
+            sig.filter(F.col("minhash_0").isNotNull())
+            .select(
+                F.col(id_col).alias(out_id),
+                F.explode(band_structs).alias("bk"),
+            )
+            .select(
+                out_id,
+                F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"),
+            )
+        )
+
+    bb = _buckets(batch_df, "batch_id")
+    if broadcast_batch:
+        bb = F.broadcast(bb)
+    cand = (
+        _buckets(index_df, "index_id")
+        .join(bb, ["band", "key"])
+        .select("batch_id", "index_id")
+        .distinct()
+    )
+    sa = _shingle_frame(batch_df, text_col, id_col, n).select(
+        F.col("__id__").alias("batch_id"),
+        "__sh__",
+        F.col("__n__").alias("__na__"),
+    )
+    sb = _shingle_frame(index_df, text_col, id_col, n).select(
+        F.col("__id__").alias("index_id"),
+        "__sh__",
+        F.col("__n__").alias("__nb__"),
+    )
+    return (
+        cand.join(sa, "batch_id")
+        .join(sb, ["index_id", "__sh__"])
+        .groupBy("batch_id", "index_id")
+        .agg(
+            F.count(F.lit(1)).alias("__inter__"),
+            F.max("__na__").alias("__na__"),
+            F.max("__nb__").alias("__nb__"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter__").cast("double")
+                / (F.col("__na__") + F.col("__nb__") - F.col("__inter__")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "index_id", "jaccard")
     )

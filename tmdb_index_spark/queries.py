@@ -1097,6 +1097,92 @@ WHERE ROUND(c * 1.0 / (na.n + nb.n - c), 4) >= 0.5
 )
 
 
+def incremental_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion novelty audit (extension: the batch-vs-
+    index complement of `dedup_minhash_lsh` — production dedup is
+    INCREMENTAL: a new batch arrives and the question is how much of it
+    duplicates the already-indexed corpus, never re-pairing the index
+    against itself): batch = docs with ``doc_id % 7 == 3``, index = the
+    rest; `operators/dedup_text.py: minhash_novelty_pairs` generates
+    strictly batch x index candidates with the batch's band buckets
+    BROADCAST (the index never shuffles for candidate generation),
+    verifies with exact Jaccard >= 0.5, and the rollup reports each
+    source's batch size, duplicate count, and novel-content rate — the
+    number an ingestion pipeline alarms on when a crawl source starts
+    re-sending old content."""
+    from tmdb_index_spark.operators.dedup_text import minhash_novelty_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    index = docs.filter(F.col("doc_id") % 7 != 3)
+    pairs = minhash_novelty_pairs(
+        index, batch, num_hashes=16, bands=4, threshold=0.5
+    )
+    dup = pairs.select(F.col("batch_id").alias("doc_id")).distinct()
+    flagged = batch.select("doc_id", "source").join(
+        dup.withColumn("__dup__", F.lit(1)), "doc_id", "left"
+    )
+    n = F.count(F.lit(1))
+    n_dup = F.sum(F.coalesce(F.col("__dup__"), F.lit(0)))
+    return flagged.groupBy("source").agg(
+        n.cast("long").alias("n_batch"),
+        n_dup.cast("long").alias("n_dup"),
+        F.round(
+            F.lit(1.0) - n_dup.cast("double") / n.cast("double"), 4
+        ).alias("novel_rate"),
+    )
+
+
+_NOVELTY_SQL = (
+    _DUCK_SHINGLES
+    + """, sig AS (
+  SELECT doc_id, """
+    + ", ".join(f"{_minhash_expr(i)} AS mh{i}" for i in range(16))
+    + """ FROM sh
+), buckets AS (
+  SELECT doc_id, b.band,
+         CASE b.band
+           WHEN 0 THEN concat_ws(',', mh0, mh1, mh2, mh3)
+           WHEN 1 THEN concat_ws(',', mh4, mh5, mh6, mh7)
+           WHEN 2 THEN concat_ws(',', mh8, mh9, mh10, mh11)
+           ELSE concat_ws(',', mh12, mh13, mh14, mh15)
+         END AS key
+  FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS band) b
+  WHERE mh0 IS NOT NULL
+), cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS index_id
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key
+  WHERE b.doc_id % 7 = 3 AND a.doc_id % 7 <> 3
+), ex AS (
+  SELECT doc_id, UNNEST(shs) AS s FROM sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1
+), inter AS (
+  SELECT c.batch_id, c.index_id, COUNT(*) AS c
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.batch_id
+  JOIN ex b ON b.doc_id = c.index_id AND b.s = a.s
+  GROUP BY 1, 2
+), dup AS (
+  SELECT DISTINCT batch_id
+  FROM inter
+  JOIN sizes na ON batch_id = na.doc_id
+  JOIN sizes nb ON index_id = nb.doc_id
+  WHERE ROUND(c * 1.0 / (na.n + nb.n - c), 4) >= 0.5
+)
+SELECT d.source,
+       COUNT(*)::BIGINT AS n_batch,
+       SUM(CASE WHEN dup.batch_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_dup,
+       ROUND(1.0 - SUM(CASE WHEN dup.batch_id IS NOT NULL THEN 1 ELSE 0
+                       END) * 1.0 / COUNT(*), 4) AS novel_rate
+FROM documents d LEFT JOIN dup ON d.doc_id = dup.batch_id
+WHERE d.doc_id % 7 = 3
+GROUP BY d.source
+"""
+)
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 64-bit SimHash fingerprints (extension: SimHash)."""
     return simhash64(_t(spark, sf_dir, "documents"))
@@ -10069,6 +10155,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "minhash_sigs": minhash_sigs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "incremental_novelty_rate": incremental_novelty_rate,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_neardups": simhash_neardups,
     "embedding_topk": embedding_topk,
@@ -10277,6 +10364,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "minhash_sigs": _MINHASH_SQL,
     "dedup_minhash_lsh": _MINHASH_LSH_SQL,
+    "incremental_novelty_rate": _NOVELTY_SQL,
     "simhash_fingerprints": _SIMHASH_SQL,
     "simhash_neardups": _SIMHASH_NEARDUP_SQL,
     "embedding_topk": _EMB_TOPK_SQL,
