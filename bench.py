@@ -122,6 +122,8 @@ EXTENDED_QUERIES = [
     "mixture_budget_allocation",
     # round-9: asymmetric batch-vs-index near-dup novelty
     "incremental_novelty_rate",
+    # round-9: per-source adaptive quality-threshold filter
+    "adaptive_quality_filter",
     "user_state_scd2",
     "supplier_busy_intervals",
     "cosupply_triangles",

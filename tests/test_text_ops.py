@@ -348,3 +348,41 @@ def test_novelty_batch_buckets_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# adaptive_quality_filter (per-source p25 threshold)
+# ---------------------------------------------------------------------------
+
+
+def test_adaptive_quality_filter_hand_computed(spark, tmp_path):
+    from tmdb_index_spark.queries import adaptive_quality_filter
+
+    # src_a: 8 docs with strictly increasing stopword density (0..7 of
+    # 8 words are stopwords), no punctuation -> distinct scores; p25
+    # rank = (8+3) div 4 = 2 -> only the single lowest-score doc drops.
+    # src_b: 4 identical docs -> threshold equals the common score and
+    # every doc is kept (ties at the threshold are kept, not dropped).
+    def doc(i, n_stop):
+        words = ["the"] * n_stop + ["zzz"] * (8 - n_stop)
+        return (i, " ".join(words), "en", "src_a", 0)
+
+    rows_ = [doc(i, i) for i in range(8)]
+    rows_ += [
+        (100 + j, "the zzz the zzz", "en", "src_b", 0) for j in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows_, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["source"]: r.asDict()
+        for r in adaptive_quality_filter(spark, str(tmp_path)).collect()
+    }
+    a = got["src_a"]
+    assert a["n_docs"] == 8 and a["n_kept"] == 7 and a["kept_rate"] == 0.875
+    # threshold = the rank-2 score = 1/8 stopwords = 0.125 exactly
+    assert a["threshold"] == 0.125
+    b = got["src_b"]
+    assert b["n_docs"] == 4 and b["n_kept"] == 4 and b["kept_rate"] == 1.0
+    assert b["threshold"] == 0.5

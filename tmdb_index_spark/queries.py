@@ -2023,6 +2023,109 @@ FROM t
 """
 
 
+def adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source adaptive quality-threshold filtering (extension: the
+    FineWeb/per-dump lesson — one global quality cutoff over-filters
+    clean sources and under-filters noisy ones, so each source gets its
+    OWN threshold, here the source's 25th-percentile quality score;
+    docs at or above it are kept): quality score = stopword density
+    minus punctuation density, quantized to exact integer micros via
+    FLOOR (identical double division then FLOOR on both engines — no
+    float-tie hazard in the ranking), per-source p25 found by exact
+    rank ``k = (n + 3) DIV 4`` over :func:`grouped_rank`'s funnel-free
+    buckets (a naive ``row_number`` window partitioned by the ~20
+    sources would sort data-proportional slices in single tasks), and
+    the 20-row threshold frame broadcasts back for the keep count.
+    Score pieces mirror `_TEXT_QUALITY_SQL`'s recipe verbatim (the
+    tokenizer-drift lesson)."""
+    from tmdb_index_spark.functions.text import LANG_MARKERS, tokens
+    from tmdb_index_spark.operators.ordering import grouped_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.coalesce(F.col("text"), F.lit(""))
+    t = tokens(c)
+    n_words = F.size(t)
+    n_chars = F.length(c)
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(t, lambda w: F.array_contains(stop, F.lower(w))))
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    score_q = (
+        F.floor(
+            F.lit(1e6) * n_stop.cast("double")
+            / F.greatest(n_words, F.lit(1)).cast("double")
+        )
+        - F.floor(
+            F.lit(1e6) * n_punct.cast("double")
+            / F.greatest(n_chars, F.lit(1)).cast("double")
+        )
+    ).cast("long")
+    scored = docs.select("doc_id", "source", score_q.alias("__q__"))
+    ranked = grouped_rank(
+        scored,
+        "__q__",
+        tiebreak=["doc_id"],
+        partition_cols=["source"],
+        rank_col="__r__",
+        n_col="__n__",
+        ascending=True,
+    )
+    thr = ranked.filter(
+        F.col("__r__") == F.expr("(__n__ + 3) div 4")
+    ).select("source", F.col("__q__").alias("__thr__"))
+    n = F.count(F.lit(1))
+    kept = F.sum(F.when(F.col("__q__") >= F.col("__thr__"), 1).otherwise(0))
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.round(F.max("__thr__").cast("double") / F.lit(1e6), 6).alias(
+                "threshold"
+            ),
+            kept.cast("long").alias("n_kept"),
+            F.round(kept.cast("double") / n.cast("double"), 4).alias(
+                "kept_rate"
+            ),
+        )
+    )
+
+
+_ADAPTIVE_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, source, coalesce(text, '') AS text,
+         regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS ts
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(1e6 * len(list_filter(ts, w -> list_contains(
+                  ['the','and','of','to','a','is'], lower(w)))) * 1.0
+                / greatest(len(ts), 1))
+            - FLOOR(1e6 * (length(text)
+                - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+                / greatest(length(text), 1)) AS BIGINT) AS q
+  FROM t
+),
+ranked AS (
+  SELECT source, q,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY q, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM scored
+),
+thr AS (
+  SELECT source, q AS thr FROM ranked WHERE r = (n + 3) // 4
+)
+SELECT s.source,
+       COUNT(*)::BIGINT AS n_docs,
+       ROUND(CAST(MAX(thr) AS DOUBLE) / 1e6, 6) AS threshold,
+       SUM(CASE WHEN q >= thr THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       ROUND(SUM(CASE WHEN q >= thr THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+         AS kept_rate
+FROM scored s JOIN thr USING (source)
+GROUP BY s.source
+"""
+
+
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting (extension: token counting)."""
     docs = _t(spark, sf_dir, "documents")
@@ -10169,6 +10272,7 @@ QUERIES: dict[str, QueryFn] = {
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
+    "adaptive_quality_filter": adaptive_quality_filter,
     "token_counts": token_counts,
     "doc_fingerprints": doc_fingerprints,
     "corpus_clean": corpus_clean,
@@ -10376,6 +10480,7 @@ ORACLES: dict[str, str] = {
     "distinct_parts_per_supplier": _DISTINCT_PARTS_SQL,
     "lang_id_predict": _LANG_ID_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
+    "adaptive_quality_filter": _ADAPTIVE_QUALITY_SQL,
     "token_counts": _TOKEN_COUNT_SQL,
     "doc_fingerprints": _FINGERPRINT_SQL,
     "corpus_clean": _CORPUS_CLEAN_SQL,
