@@ -124,6 +124,8 @@ EXTENDED_QUERIES = [
     "incremental_novelty_rate",
     # round-9: per-source adaptive quality-threshold filter
     "adaptive_quality_filter",
+    # round-9: top-K bigram merge-coverage / OOV audit
+    "vocab_oov_rate",
     "user_state_scd2",
     "supplier_busy_intervals",
     "cosupply_triangles",

@@ -386,3 +386,68 @@ def test_adaptive_quality_filter_hand_computed(spark, tmp_path):
     b = got["src_b"]
     assert b["n_docs"] == 4 and b["n_kept"] == 4 and b["kept_rate"] == 1.0
     assert b["threshold"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# vocab_oov_rate (top-K bigram merge coverage)
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_oov_rate_matches_python_mirror(spark, tmp_path):
+    import re
+    from collections import Counter
+
+    from tmdb_index_spark.queries import vocab_oov_rate
+
+    # >512 bigram types so the top-512 cut actually truncates: a hot
+    # bigram repeated everywhere + ~700 singleton bigrams
+    rows_ = []
+    did = 0
+    for s, n_docs in (("src_a", 5), ("src_b", 3)):
+        for d in range(n_docs):
+            words = ["hot", "pair"] * 10  # the always-in-vocab bigram
+            rows_.append((did, " ".join(words), "en", s, 0))
+            did += 1
+    for j in range(700):
+        rows_.append((did, f"u{j:04d} v{j:04d}", "en", "src_c", 0))
+        did += 1
+    df = spark.createDataFrame(
+        rows_,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    # pure-Python mirror of the tokenize -> bigram -> top-512 cut
+    def grams(text):
+        t = re.findall(r"[a-z0-9]+", text.lower())
+        return [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    freq: Counter = Counter()
+    per_src: dict[str, Counter] = {}
+    for _, text, _, s, _ in rows_:
+        g = grams(text)
+        freq.update(g)
+        per_src.setdefault(s, Counter()).update(g)
+    vocab = {
+        t for t, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:512]
+    }
+    want = {}
+    for s, c in per_src.items():
+        n = sum(c.values())
+        oov = sum(v for t, v in c.items() if t not in vocab)
+        want[s] = (n, oov, round(1.0 - (n - oov) / n, 6))
+
+    out = vocab_oov_rate(spark, str(tmp_path))
+    got = {
+        r["source"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in out.collect()
+    }
+    assert got == want
+    # the singleton source must actually have OOV mass (the cut bites)
+    assert want["src_c"][1] > 0
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final  # bounded vocab cut
+    assert "BroadcastHashJoin" in final
+    assert final.count("Sort [") == 0  # never a global sort

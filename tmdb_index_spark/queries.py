@@ -2141,6 +2141,88 @@ FROM documents
 """
 
 
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer merge-coverage audit (extension: the vocab-sizing
+    diagnostic behind `token_zipf_fit` — if the tokenizer's merge
+    table keeps only the corpus's top-K word BIGRAMS, what fraction of
+    each source's adjacent-pair occurrences falls outside it, i.e.
+    must be encoded unmerged): vocabulary = the top 512 bigrams by
+    corpus frequency (ties broken by the bigram string — a total
+    order, so the cut is deterministic), selected with a plan-bounded
+    ``orderBy().limit()`` (TakeOrderedAndProject — never a global
+    sort), **broadcast** to the per-(source, bigram) count frame; OOV
+    share = 1 − in-vocab occurrences / total occurrences from exact
+    integer sums. The unit is the bigram (not the word) because it is
+    the unit whose type count GROWS with corpus diversity — the
+    combinatorial tail merge tables actually truncate. Tokenization
+    and bigram construction mirror `dsir_logweights`' recipe verbatim
+    in the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col("text"), F.lit(""))), F.lit("[a-z0-9]+"), 0
+    )
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("source", F.explode(bigrams).alias("__term__"))
+    per_src_term = grams.groupBy("source", "__term__").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c__")
+    )
+    vocab = (
+        per_src_term.groupBy("__term__")
+        .agg(F.sum("__c__").alias("__f__"))
+        .orderBy(F.col("__f__").desc(), F.col("__term__").asc())
+        .limit(512)
+        .select("__term__", F.lit(1).alias("__in__"))
+    )
+    joined = per_src_term.join(F.broadcast(vocab), "__term__", "left")
+    n_tok = F.sum("__c__")
+    n_in = F.sum(F.when(F.col("__in__").isNotNull(), F.col("__c__")).otherwise(0))
+    return joined.groupBy("source").agg(
+        n_tok.cast("bigint").alias("n_tokens"),
+        (n_tok - n_in).cast("bigint").alias("n_oov"),
+        F.round(
+            F.lit(1.0) - n_in.cast("double") / n_tok.cast("double"), 6
+        ).alias("oov_rate"),
+    )
+
+
+_OOV_SQL = """
+WITH t AS (
+  SELECT source,
+         regexp_extract_all(coalesce(lower(text), ''), '[a-z0-9]+') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS term
+  FROM t
+),
+pst AS (
+  SELECT source, term, COUNT(*)::BIGINT AS c
+  FROM grams GROUP BY source, term
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, SUM(c) AS f FROM pst GROUP BY term
+  ) ORDER BY f DESC, term ASC LIMIT 512
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN c ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(1.0 - SUM(CASE WHEN v.term IS NOT NULL THEN c ELSE 0 END)
+             * 1.0 / SUM(c), 6) AS oov_rate
+FROM pst LEFT JOIN vocab v USING (term)
+GROUP BY source
+"""
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprints (extension: document
     fingerprinting)."""
@@ -10274,6 +10356,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_quality": text_quality,
     "adaptive_quality_filter": adaptive_quality_filter,
     "token_counts": token_counts,
+    "vocab_oov_rate": vocab_oov_rate,
     "doc_fingerprints": doc_fingerprints,
     "corpus_clean": corpus_clean,
     "asof_purchase_snapshot": asof_purchase_snapshot,
@@ -10482,6 +10565,7 @@ ORACLES: dict[str, str] = {
     "text_quality": _TEXT_QUALITY_SQL,
     "adaptive_quality_filter": _ADAPTIVE_QUALITY_SQL,
     "token_counts": _TOKEN_COUNT_SQL,
+    "vocab_oov_rate": _OOV_SQL,
     "doc_fingerprints": _FINGERPRINT_SQL,
     "corpus_clean": _CORPUS_CLEAN_SQL,
     "asof_purchase_snapshot": _ASOF_SQL,
