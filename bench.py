@@ -126,6 +126,8 @@ EXTENDED_QUERIES = [
     "adaptive_quality_filter",
     # round-9: top-K bigram merge-coverage / OOV audit
     "vocab_oov_rate",
+    # round-9: equi-depth (quantile) histogram per event type
+    "value_equidepth_histogram",
     "user_state_scd2",
     "supplier_busy_intervals",
     "cosupply_triangles",

@@ -217,3 +217,25 @@ def test_zipf_single_token_vocab_null_exponent(spark, tmp_path):
     row = Q.token_zipf_fit(spark, str(tmp_path)).collect()[0]
     assert row["vocab_size"] == 1
     assert row["zipf_exponent"] is None
+
+
+def test_value_equidepth_histogram_hand_computed(spark, tmp_path):
+    # 10 values 1..10 in one type, NTILE(8): q=1, r=2 -> buckets 1 and
+    # 2 hold two rows, 3..8 one each; boundaries move with the data
+    from datetime import datetime as dt
+
+    rows_ = [
+        (i, dt(2024, 1, 1), 1, "t", float(i + 1), "{}") for i in range(10)
+    ]
+    # NULL value must be ignored (no NULL bucket)
+    rows_.append((99, dt(2024, 1, 2), 1, "t", None, "{}"))
+    sf = _mini_events(spark, tmp_path, rows_)
+    got = {
+        r["bucket"]: r.asDict()
+        for r in Q.value_equidepth_histogram(spark, sf).collect()
+    }
+    assert [got[b]["n_rows"] for b in range(1, 9)] == [2, 2, 1, 1, 1, 1, 1, 1]
+    assert got[1]["lo"] == 1.0 and got[1]["hi"] == 2.0
+    assert got[2]["lo"] == 3.0 and got[2]["hi"] == 4.0
+    assert got[8]["lo"] == 10.0 and got[8]["hi"] == 10.0
+    assert sum(v["n_rows"] for v in got.values()) == 10

@@ -3471,6 +3471,67 @@ GROUP BY 1, 2, 3
 """
 
 
+def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram per event type (extension: the
+    optimizer-statistics complement of `value_histogram`'s equi-width
+    bins — the DB2/Oracle/ANALYZE-style histogram where every bucket
+    holds ~N/k rows and the BOUNDARIES move with the distribution,
+    which is what selectivity estimation and heavy-tail profiling
+    actually need): exact NTILE(8) per event type over
+    :func:`grouped_ntile`'s funnel-free buckets (the naive window
+    would sort each event type's full slice in one task), tiebroken by
+    event_id so the tile cut is a total order, then per-(type, bucket)
+    count + rounded lo/hi boundaries. NTILE's closed-form tile rule is
+    bit-identical to the SQL window on both engines."""
+    from tmdb_index_spark.operators.ordering import grouped_ntile
+
+    ev = _events(spark, sf_dir)
+    vals = ev.select(
+        "event_type",
+        F.col("value").cast("double").alias("__v__"),
+        "event_id",
+    ).filter(F.col("__v__").isNotNull())
+    tiled = grouped_ntile(
+        vals,
+        8,
+        "__v__",
+        tiebreak=["event_id"],
+        partition_cols=["event_type"],
+        tile_col="bucket",
+    )
+    return tiled.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.min("__v__"), 4).alias("lo"),
+        F.round(F.max("__v__"), 4).alias("hi"),
+    ).select(
+        "event_type",
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_rows",
+        "lo",
+        "hi",
+    )
+
+
+_EQUIDEPTH_SQL = """
+WITH v AS (
+  SELECT event_type, value::DOUBLE AS v, event_id
+  FROM events WHERE value IS NOT NULL
+),
+t AS (
+  SELECT event_type, v,
+         NTILE(8) OVER (PARTITION BY event_type
+                        ORDER BY v, event_id) AS bucket
+  FROM v
+)
+SELECT event_type,
+       bucket::BIGINT AS bucket,
+       COUNT(*)::BIGINT AS n_rows,
+       ROUND(MIN(v), 4) AS lo,
+       ROUND(MAX(v), 4) AS hi
+FROM t GROUP BY event_type, bucket
+"""
+
+
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width binning (feature-engineering family): event values
     histogrammed into width-10 buckets. Pure arithmetic — floor before
@@ -10389,6 +10450,7 @@ QUERIES: dict[str, QueryFn] = {
     "disjunctive_brand_revenue": disjunctive_brand_revenue,
     "nation_trade_volume": nation_trade_volume,
     "value_histogram": value_histogram,
+    "value_equidepth_histogram": value_equidepth_histogram,
     "decontam_ngram_hits": decontam_ngram_hits,
     "dsir_source_importance": dsir_source_importance,
     "mixture_budget_allocation": mixture_budget_allocation,
@@ -10598,6 +10660,7 @@ ORACLES: dict[str, str] = {
     "disjunctive_brand_revenue": _Q19_SQL,
     "nation_trade_volume": _Q7_SQL,
     "value_histogram": _HISTOGRAM_SQL,
+    "value_equidepth_histogram": _EQUIDEPTH_SQL,
     "decontam_ngram_hits": _DECONTAM_SQL,
     "dsir_source_importance": _DSIR_SQL,
     "mixture_budget_allocation": _WATERFILL_SQL,
