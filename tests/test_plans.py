@@ -243,10 +243,10 @@ def test_q10_topk_and_broadcast_dims(spark):
 def test_registry_consistency(spark):
     # every oracle points at a registered query; every query is a
     # callable with a docstring (the judge-facing contract). The STATIC
-    # rows-only set is the two engine-private sketches plus the four
+    # rows-only set is the two engine-private sketches plus the five
     # fitted-literal queries — but the latter carry DYNAMIC oracles
-    # (fitted centroid/component literals, rounds 7/9), so with those
-    # materialized only the sketches remain rows-only.
+    # (fitted centroid/component/codebook literals, rounds 7/9), so
+    # with those materialized only the sketches remain rows-only.
     from tmdb_index_spark import queries as Q
 
     assert set(Q.ORACLES) <= set(Q.QUERIES)
@@ -258,12 +258,14 @@ def test_registry_consistency(spark):
         "embedding_ivf2_topk",
         "semantic_dedup_flags",
         "embedding_pca_labels",
+        "embedding_pq_topk",
     }
     assert set(Q.DYNAMIC_ORACLE_BUILDERS) == {
         "embedding_ivf_tuned_topk",
         "embedding_ivf2_topk",
         "semantic_dedup_flags",
         "embedding_pca_labels",
+        "embedding_pq_topk",
     }
     with_dynamic = {**dict(Q.ORACLES), **Q.dynamic_oracles()}
     assert set(Q.QUERIES) - set(with_dynamic) == {
@@ -937,3 +939,15 @@ def test_catalog_oracle_order_lint():
     # waivers must not go stale: every waived query still exists
     missing = {n for n, _ in WAIVERS} - set(oracles)
     assert not missing, f"waivers for deleted oracles: {missing}"
+
+
+def test_ivfpq_no_joins_one_cell_shuffle(spark):
+    # IVF-PQ is assignment + encoding (map-only Arrow passes) + ONE
+    # per-cell grouping: no join operator of any kind may appear, and
+    # in particular nothing quadratic (cartesian / nested-loop). The
+    # candidate bounding lives in the cell grouping, not a pair join.
+    p = _plan(spark, "embedding_pq_topk")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" not in p
+    assert "FlatMapGroupsInPandas" in p  # the per-cell ADC stage

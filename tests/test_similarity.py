@@ -749,3 +749,121 @@ def test_semantic_dedup_plan_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in p
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (product quantization, ADC scoring)
+# ---------------------------------------------------------------------------
+
+
+def _pq_emb(spark):
+    # 4-dim vectors = 2 subspaces of 2 dims for m=2 tests
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 1.0]),
+        (1, [0.9, 0.1, 0.1, 0.9]),
+        (2, [0.0, 1.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, -1.0]),
+        (4, [0.8, 0.2, 0.2, 0.8]),
+        (5, [0.1, 0.9, 0.9, 0.1]),
+    ]
+    return spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    import numpy as np
+
+    from tmdb_index_spark.operators.similarity import (
+        fit_pq_array,
+        ivf_assign,
+        pq_encode,
+    )
+
+    df = _pq_emb(spark)
+    rows = sorted(df.collect(), key=lambda r: r["vec_id"])
+    X = np.array([list(r["embedding"]) for r in rows], dtype="float64")
+    books = fit_pq_array(X, m=2, ks=3)
+    assigned = ivf_assign(df, [(0, [0.0] * 4)], impl="pandas")
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(assigned, books).collect()
+    }
+    CB = np.array(
+        [[cv for _, cv in sorted(b, key=lambda t: t[0])] for b in books]
+    )
+    for i, r in enumerate(rows):
+        want = [
+            int(((X[i, 2 * j : 2 * j + 2] - CB[j]) ** 2).sum(axis=1).argmin())
+            for j in range(2)
+        ]
+        assert got[r["vec_id"]] == want, r["vec_id"]
+
+
+def test_ivfpq_exact_codebooks_equal_brute_force(spark):
+    # When every subvector is itself a codebook centroid, PQ
+    # reconstruction is exact and ADC == exact cosine: with one IVF
+    # cell the operator must reproduce brute-force top-k bit-for-bit.
+    from tmdb_index_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    df = _pq_emb(spark)
+    subvecs = sorted(
+        {tuple(r["embedding"][:2]) for r in df.collect()}
+        | {tuple(r["embedding"][2:]) for r in df.collect()}
+    )
+    book = [(i, [float(x) for x in v]) for i, v in enumerate(subvecs)]
+    got = ivfpq_topk(
+        df, [(0, [0.0] * 4)], [book, book], k=3
+    ).collect()
+    want = brute_force_topk(df, df, k=3).collect()
+    got_m = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_sim"]) for r in got}
+    want_m = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"]) for r in want}
+    assert got_m == want_m
+
+
+def test_ivfpq_index_topk_contract_and_determinism(spark):
+    from tmdb_index_spark.operators.similarity import ivfpq_index_topk
+
+    df = _pq_emb(spark)
+    out1 = sorted(
+        ivfpq_index_topk(df, k=2, m=2, ks=3).collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    )
+    out2 = sorted(
+        ivfpq_index_topk(df, k=2, m=2, ks=3).collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    )
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    assert all(r["query_id"] != r["neighbor_id"] for r in out1)
+    assert all(1 <= r["rank"] <= 2 for r in out1)
+    # ranks are dense per query, scores non-increasing
+    by_q = {}
+    for r in out1:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r["adc_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ivfpq_validation(spark):
+    import numpy as np
+    import pytest
+
+    from tmdb_index_spark.operators.similarity import (
+        fit_pq_array,
+        ivfpq_topk,
+    )
+
+    X = np.ones((4, 4))
+    with pytest.raises(ValueError, match="subspaces"):
+        fit_pq_array(X, m=3)
+    with pytest.raises(ValueError, match="ks"):
+        fit_pq_array(X, m=2, ks=0)
+    df = _pq_emb(spark)
+    books = fit_pq_array(np.ones((4, 4)), m=2, ks=2)
+    with pytest.raises(ValueError, match="k must be"):
+        ivfpq_topk(df, [(0, [0.0] * 4)], books, k=0)
+    with pytest.raises(ValueError, match="equally sized"):
+        ivfpq_topk(df, [(0, [0.0] * 4)], [books[0], books[1][:1]], k=1)

@@ -1923,6 +1923,147 @@ FROM proj GROUP BY label
 """
 
 
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-3 (extension: similarity-search scale path — the
+    FAISS ``IVFPQ`` shape, Jégou et al. 2011): IVF cells with the
+    flat-IVF ``cells = round(√N)`` rule bound the candidate sets, each
+    candidate is an 8-subspace × 16-code product-quantization code
+    word (~32× smaller than the raw float32 vector), and scoring is
+    ADC — the query side stays exact, the candidate side is read from
+    codes alone via one (m × ks) lookup table per query
+    (:func:`~tmdb_index_spark.operators.similarity.ivfpq_index_topk`).
+    IVF centroids AND per-subspace codebooks are fit by the SAME
+    deterministic numpy k-means core on one bounded sample, so the
+    ORACLE re-runs both fits from the same parquet sample and embeds
+    them as SQL literals (:func:`_fitted_pq_oracle_sql`) — a FULL
+    value row despite the iterative fits, the fitted-literal pattern.
+    ULP caveat as for the IVF oracles: Spark scores via BLAS lookup
+    tables, the SQL via sequential folds — adc_sim compares after
+    ROUND(..., 4)."""
+    from tmdb_index_spark.operators.similarity import ivfpq_index_topk
+
+    return ivfpq_index_topk(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+def _fitted_pq_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    """Value-row oracle for ``embedding_pq_topk``: reproduce BOTH
+    deterministic fits OUTSIDE Spark (duckdb read of the same
+    first-10000-by-id parquet sample; :func:`fit_kmeans_array` for the
+    IVF centroids, :func:`fit_pq_array` for the per-subspace
+    codebooks — identical seeds), embed centroid + codebook tables as
+    literals, and express cell assignment, PQ encoding (per-subspace
+    argmin with the (dist, code) tie-break) and ADC scoring in plain
+    SQL. Returns None when the table is unreadable (rows-only
+    fallback)."""
+    m, ks, k = 8, 16, 3
+    try:
+        import duckdb
+        import numpy as np
+
+        from tmdb_index_spark.operators.similarity import (
+            fit_kmeans_array,
+            fit_pq_array,
+        )
+
+        con = duckdb.connect()
+        path = f"{sf_dir}/embeddings.parquet"
+        n = con.sql(f"SELECT COUNT(*) FROM '{path}'").fetchone()[0]
+        if not n:
+            return None
+        sample = con.sql(
+            f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT 10000"
+        ).fetchall()
+        X = np.array([list(r[0]) for r in sample], dtype="float64")
+        cells = max(1, round(n ** 0.5))
+        cents = fit_kmeans_array(X, cells)
+        books = fit_pq_array(X, m=m, ks=ks)
+    except Exception:  # noqa: BLE001 — missing table → rows-only row
+        return None
+    dim = X.shape[1]
+    sub = dim // m
+    cent_values = ",\n    ".join(
+        "({}, [{}])".format(cid, ", ".join(repr(float(x)) for x in vec))
+        for cid, vec in cents
+    )
+    cb_values = ",\n    ".join(
+        "({}, {}, [{}])".format(
+            j, code, ", ".join(repr(float(x)) for x in vec)
+        )
+        for j, book in enumerate(books)
+        for code, vec in book
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT * FROM (VALUES
+    {cent_values}
+) AS t(cell, cv)),
+d AS (
+  SELECT vec_id, v, cell,
+         list_sum(list_transform(generate_series(1, {dim}),
+           i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS dist
+  FROM v CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist ASC, cell ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+cb AS (SELECT * FROM (VALUES
+    {cb_values}
+) AS t(sub, code, cbv)),
+cdist AS (
+  SELECT a.vec_id, cb.sub, cb.code,
+         list_sum(list_transform(generate_series(1, {sub}),
+           i -> (a.v[cb.sub * {sub} + i] - cb.cbv[i])
+              * (a.v[cb.sub * {sub} + i] - cb.cbv[i]))) AS dist
+  FROM assigned a CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dist ASC, code ASC) AS rn
+    FROM cdist
+  ) WHERE rn = 1
+),
+cbn AS (SELECT sub, code,
+               list_sum(list_transform(cbv, x -> x * x)) AS n2 FROM cb),
+cnorm AS (
+  SELECT c.vec_id, SQRT(SUM(n.n2)) AS cnorm
+  FROM codes c JOIN cbn n ON n.sub = c.sub AND n.code = c.code
+  GROUP BY 1
+),
+qn AS (SELECT vec_id,
+              SQRT(list_sum(list_transform(v, x -> x * x))) AS qnorm
+       FROM assigned),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM(list_sum(list_transform(generate_series(1, {sub}),
+           i -> q.v[cd.sub * {sub} + i] * cb.cbv[i]))) AS adot
+  FROM assigned q
+  JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+  JOIN codes cd ON cd.vec_id = c.vec_id
+  JOIN cb ON cb.sub = cd.sub AND cb.code = cd.code
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         ROUND(d.adot / (q.qnorm * n.cnorm), 4) AS adc_sim
+  FROM dots d
+  JOIN qn q ON q.vec_id = d.query_id
+  JOIN cnorm n ON n.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, adc_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_sim DESC, neighbor_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact distinct (two-phase dedup-then-count): distinct
     parts shipped per supplier."""
@@ -10412,6 +10553,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_neardups_tuned": embedding_neardups_tuned,
     "semantic_dedup_flags": semantic_dedup_flags,
     "embedding_pca_labels": embedding_pca_labels,
+    "embedding_pq_topk": embedding_pq_topk,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
@@ -10767,6 +10909,7 @@ DYNAMIC_ORACLE_BUILDERS: dict[str, Callable[[str], str | None]] = {
     "semantic_dedup_flags": _fitted_semantic_dedup_oracle_sql,
     "embedding_ivf2_topk": _fitted_ivf2_oracle_sql,
     "embedding_pca_labels": _fitted_pca_oracle_sql,
+    "embedding_pq_topk": _fitted_pq_oracle_sql,
 }
 
 
