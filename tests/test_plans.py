@@ -259,6 +259,7 @@ def test_registry_consistency(spark):
         "semantic_dedup_flags",
         "embedding_pca_labels",
         "embedding_pq_topk",
+        "ann_recall_eval",
     }
     assert set(Q.DYNAMIC_ORACLE_BUILDERS) == {
         "embedding_ivf_tuned_topk",
@@ -266,6 +267,7 @@ def test_registry_consistency(spark):
         "semantic_dedup_flags",
         "embedding_pca_labels",
         "embedding_pq_topk",
+        "ann_recall_eval",
     }
     with_dynamic = {**dict(Q.ORACLES), **Q.dynamic_oracles()}
     assert set(Q.QUERIES) - set(with_dynamic) == {

@@ -867,3 +867,44 @@ def test_ivfpq_validation(spark):
         ivfpq_topk(df, [(0, [0.0] * 4)], books, k=0)
     with pytest.raises(ValueError, match="equally sized"):
         ivfpq_topk(df, [(0, [0.0] * 4)], [books[0], books[1][:1]], k=1)
+
+
+def test_ann_recall_eval_matches_python_mirror(spark):
+    # Recompute recall@3 in plain Python from the same operators'
+    # collected outputs: the catalog query's aggregation must match
+    # exactly, and recall must sit in [0, 1] with the exact set as
+    # denominator semantics (queries with no approx rows still count).
+    from tmdb_index_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_index_topk,
+        lsh_index_topk,
+    )
+    from tmdb_index_spark.queries import QUERIES, _t
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["index_name"]: r
+        for r in QUERIES["ann_recall_eval"](spark, sf).collect()
+    }
+    emb = _t(spark, sf, "embeddings")
+    sampled = emb.filter(F.col("vec_id") % 50 == 0)
+    nq = sampled.count()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, sampled, k=3).collect()
+    }
+    for name, fn in (
+        ("ivf_tuned", ivf_index_topk),
+        ("lsh_tuned", lsh_index_topk),
+    ):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in fn(emb, k=3).collect()
+            if r["query_id"] % 50 == 0
+        }
+        hits = len(approx & exact)
+        row = got[name]
+        assert row["n_queries"] == nq
+        assert row["n_hits"] == hits
+        assert row["recall_at_3"] == round(hits / (3.0 * nq), 6)
+        assert 0.0 <= row["recall_at_3"] <= 1.0

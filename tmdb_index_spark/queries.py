@@ -2064,6 +2064,165 @@ SELECT query_id, neighbor_id, adc_sim, rank FROM (
 """
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality evaluation (extension: similarity-search eval
+    harness — the recall@k sweep every production ANN deployment runs
+    before trusting an index): mean recall@3 of the two self-tuned
+    indexes (`lsh_tuned` = :func:`lsh_index_topk`, `ivf_tuned` =
+    :func:`ivf_index_topk`) against EXACT cosine ground truth on a
+    deterministic 1-in-50 query sample (``vec_id % 50 = 0`` — the
+    standard bounded-eval shape: exact work is |sample|·N with the
+    sample broadcast, linear in N for a fixed sample, never the N²
+    full exact join). A query with no approx rows still counts in the
+    denominator; recall@3 = hits / (3 · n_queries). Both index results
+    and the ground truth use the family contract (ROUND(cos, 4) before
+    ranking, ties on lower neighbor id), so the compared sets — and
+    hence the recall — are integer-exact across engines. The oracle
+    re-runs the IVF centroid fit from the same parquet sample
+    (fitted-literal pattern, :func:`_ann_recall_oracle_sql`) and the
+    LSH bit rule as a function of COUNT(*)."""
+    from tmdb_index_spark.operators.similarity import (
+        ivf_index_topk,
+        lsh_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sampled = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(emb, sampled, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    nq = sampled.agg(F.count(F.lit(1)).alias("n_queries"))
+
+    def _hits(name: str, approx: DataFrame) -> DataFrame:
+        return (
+            approx.filter(F.col("query_id") % 50 == 0)
+            .join(F.broadcast(exact), ["query_id", "neighbor_id"], "leftsemi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(name).alias("index_name"), "n_hits")
+        )
+
+    per_index = _hits("ivf_tuned", ivf_index_topk(emb, k=3)).unionByName(
+        _hits("lsh_tuned", lsh_index_topk(emb, k=3))
+    )
+    return per_index.join(F.broadcast(nq)).select(
+        "index_name",
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(
+            F.col("n_hits") / (F.lit(3.0) * F.col("n_queries")), 6
+        ).alias("recall_at_3"),
+    )
+
+
+def _ann_recall_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    """Value-row oracle for ``ann_recall_eval``: exact top-3 over the
+    sampled queries, the LSH bit-rule buckets (static — a function of
+    COUNT(*)), and the IVF assignment over RE-FITTED centroid literals
+    (same numpy core, same parquet sample as
+    :func:`_fitted_ivf_oracle_sql`); recall joins each index's top-3
+    to the exact set. Restricting the query side to the sample before
+    ranking equals Spark's filter-after-ranking — per-query results
+    are independent. Returns None when the table is unreadable."""
+    try:
+        import duckdb
+        import numpy as np
+
+        from tmdb_index_spark.operators.similarity import fit_kmeans_array
+
+        con = duckdb.connect()
+        path = f"{sf_dir}/embeddings.parquet"
+        n = con.sql(f"SELECT COUNT(*) FROM '{path}'").fetchone()[0]
+        if not n:
+            return None
+        sample = con.sql(
+            f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT 10000"
+        ).fetchall()
+        X = np.array([list(r[0]) for r in sample], dtype="float64")
+        cells = max(1, round(n ** 0.5))
+        cents = fit_kmeans_array(X, cells)
+    except Exception:  # noqa: BLE001 — missing table → rows-only row
+        return None
+    dim = X.shape[1]
+    cent_values = ",\n    ".join(
+        "({}, [{}])".format(cid, ", ".join(repr(float(x)) for x in vec))
+        for cid, vec in cents
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+nq AS (SELECT COUNT(*) AS n_queries FROM qs),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_COS_SQL} DESC, c.vec_id ASC) AS rn
+    FROM qs q CROSS JOIN v c WHERE q.vec_id <> c.vec_id
+  ) WHERE rn <= 3
+),
+p AS (
+  SELECT LEAST(GREATEST(1, CAST(CEIL(LOG2(GREATEST(COUNT(*), 2) / 32.0)) AS BIGINT)), {dim}) AS nb
+  FROM embeddings
+),
+lshv AS (
+  SELECT vec_id, v,
+         list_sum(list_transform(generate_series(0, (SELECT nb FROM p) - 1),
+           i -> CASE WHEN v[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS bucket
+  FROM v
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_COS_SQL} DESC, c.vec_id ASC) AS rn
+    FROM (SELECT * FROM lshv WHERE vec_id % 50 = 0) q
+    JOIN lshv c ON q.bucket = c.bucket
+    WHERE q.vec_id <> c.vec_id
+  ) WHERE rn <= 3
+),
+cent AS (SELECT * FROM (VALUES
+    {cent_values}
+) AS t(cell, cv)),
+d AS (
+  SELECT vec_id, v, cell,
+         list_sum(list_transform(generate_series(1, {dim}),
+           i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS dist
+  FROM v CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist ASC, cell ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_COS_SQL} DESC, c.vec_id ASC) AS rn
+    FROM (SELECT * FROM assigned WHERE vec_id % 50 = 0) q
+    JOIN assigned c ON q.cell = c.cell
+    WHERE q.vec_id <> c.vec_id
+  ) WHERE rn <= 3
+),
+ivf_hits AS (SELECT COUNT(*) AS n_hits
+             FROM ivf JOIN exact USING (query_id, neighbor_id)),
+lsh_hits AS (SELECT COUNT(*) AS n_hits
+             FROM lsh JOIN exact USING (query_id, neighbor_id))
+SELECT 'ivf_tuned' AS index_name,
+       nq.n_queries::BIGINT AS n_queries,
+       ivf_hits.n_hits::BIGINT AS n_hits,
+       ROUND(ivf_hits.n_hits / (3.0 * nq.n_queries), 6) AS recall_at_3
+FROM ivf_hits, nq
+UNION ALL
+SELECT 'lsh_tuned', nq.n_queries::BIGINT, lsh_hits.n_hits::BIGINT,
+       ROUND(lsh_hits.n_hits / (3.0 * nq.n_queries), 6)
+FROM lsh_hits, nq
+"""
+
+
 def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact distinct (two-phase dedup-then-count): distinct
     parts shipped per supplier."""
@@ -10554,6 +10713,7 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_dedup_flags": semantic_dedup_flags,
     "embedding_pca_labels": embedding_pca_labels,
     "embedding_pq_topk": embedding_pq_topk,
+    "ann_recall_eval": ann_recall_eval,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
@@ -10910,6 +11070,7 @@ DYNAMIC_ORACLE_BUILDERS: dict[str, Callable[[str], str | None]] = {
     "embedding_ivf2_topk": _fitted_ivf2_oracle_sql,
     "embedding_pca_labels": _fitted_pca_oracle_sql,
     "embedding_pq_topk": _fitted_pq_oracle_sql,
+    "ann_recall_eval": _ann_recall_oracle_sql,
 }
 
 
