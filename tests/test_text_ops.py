@@ -451,3 +451,43 @@ def test_vocab_oov_rate_matches_python_mirror(spark, tmp_path):
     assert "TakeOrderedAndProject" in final  # bounded vocab cut
     assert "BroadcastHashJoin" in final
     assert final.count("Sort [") == 0  # never a global sort
+
+
+# ---------------------------------------------------------------------------
+# vocab_unseen_mass (Good-Turing singleton mass)
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_unseen_mass_hand_computed(spark, tmp_path):
+    from tmdb_index_spark.queries import vocab_unseen_mass
+
+    # src_a tokens: a a b c  -> N=4, types {a:2, b:1, c:1}: V=3, N1=2,
+    # N2=1 -> unseen = 2/4 = 0.5, singleton share = 2/3.
+    # src_b tokens: x x x    -> N=3, V=1, N1=0, N2=0 -> unseen 0.0.
+    # src_c: punctuation-only text -> zero tokens; must still report a
+    # row with the guarded 0.0 ratios, not NULL and not a missing row.
+    rows_ = [
+        (0, "a a b", "en", "src_a", 0),
+        (1, "c", "en", "src_a", 0),
+        (2, "x x x", "en", "src_b", 0),
+        (3, "!!! ???", "en", "src_c", 0),
+    ]
+    df = spark.createDataFrame(
+        rows_, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["source"]: r.asDict()
+        for r in vocab_unseen_mass(spark, str(tmp_path)).collect()
+    }
+    a = got["src_a"]
+    assert (a["n_tokens"], a["n_types"]) == (4, 3)
+    assert (a["n_singletons"], a["n_doubletons"]) == (2, 1)
+    assert a["unseen_mass"] == 0.5
+    assert a["singleton_type_share"] == round(2 / 3, 6)
+    b = got["src_b"]
+    assert (b["n_tokens"], b["n_types"], b["n_singletons"]) == (3, 1, 0)
+    assert b["unseen_mass"] == 0.0
+    c = got["src_c"]
+    assert (c["n_tokens"], c["n_types"]) == (0, 0)
+    assert c["unseen_mass"] == 0.0 and c["singleton_type_share"] == 0.0

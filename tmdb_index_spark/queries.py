@@ -10524,6 +10524,101 @@ FROM per_src, tot
 """
 
 
+def vocab_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing unseen-mass audit per source (extension: the
+    vocabulary-coverage sibling of `vocab_oov_rate` — how much
+    probability mass a language model should reserve for tokens it
+    has NEVER seen from each source, the classic Good–Turing estimate
+    P(unseen) = N₁/N where N₁ counts singleton types; Gale & Sampson
+    1995 "Good-Turing frequency estimation without tears"). Per
+    source: token count, type count, singleton/doubleton type counts,
+    unseen mass and singleton type share. Two combinable hash
+    aggregates — (source, term) then source — plus a broadcast join
+    back to the source list so zero-token sources still report (with
+    the 0-guarded convention, not NULL). Tokenization is the ranking
+    family's lowercase word regex, mirrored verbatim in the oracle.
+    All counts are exact integers; the two ratios divide as doubles
+    and round to 6, so cross-engine parity is by construction."""
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+                )
+            ).alias("__term__"),
+        )
+        .groupBy("source", "__term__")
+        .agg(F.count(F.lit(1)).alias("__f__"))
+    )
+    per_src = freq.groupBy("source").agg(
+        F.sum("__f__").cast("bigint").alias("__n__"),
+        F.count(F.lit(1)).cast("bigint").alias("__v__"),
+        F.sum(F.when(F.col("__f__") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__n1__"),
+        F.sum(F.when(F.col("__f__") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__n2__"),
+    )
+    srcs = d.select("source").distinct()
+    n = F.coalesce(F.col("__n__"), F.lit(0).cast("bigint"))
+    v = F.coalesce(F.col("__v__"), F.lit(0).cast("bigint"))
+    n1 = F.coalesce(F.col("__n1__"), F.lit(0).cast("bigint"))
+    n2 = F.coalesce(F.col("__n2__"), F.lit(0).cast("bigint"))
+    return srcs.join(F.broadcast(per_src), "source", "left").select(
+        "source",
+        n.alias("n_tokens"),
+        v.alias("n_types"),
+        n1.alias("n_singletons"),
+        n2.alias("n_doubletons"),
+        F.round(
+            F.when(n > 0, n1.cast("double") / n.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("unseen_mass"),
+        F.round(
+            F.when(v > 0, n1.cast("double") / v.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("singleton_type_share"),
+    )
+
+
+_VOCAB_UNSEEN_SQL = """
+WITH freq AS (
+  SELECT source, t.term, COUNT(*)::BIGINT AS f
+  FROM documents,
+       UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(term)
+  GROUP BY 1, 2
+),
+per_src AS (
+  SELECT source,
+         SUM(f)::BIGINT AS n,
+         COUNT(*)::BIGINT AS v,
+         SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+  FROM freq GROUP BY 1
+),
+srcs AS (SELECT DISTINCT source FROM documents)
+SELECT s.source,
+       COALESCE(n, 0)::BIGINT AS n_tokens,
+       COALESCE(v, 0)::BIGINT AS n_types,
+       COALESCE(n1, 0)::BIGINT AS n_singletons,
+       COALESCE(n2, 0)::BIGINT AS n_doubletons,
+       ROUND(CASE WHEN COALESCE(n, 0) > 0
+                  THEN COALESCE(n1, 0) / CAST(n AS DOUBLE)
+                  ELSE 0.0 END, 6) AS unseen_mass,
+       ROUND(CASE WHEN COALESCE(v, 0) > 0
+                  THEN COALESCE(n1, 0) / CAST(v AS DOUBLE)
+                  ELSE 0.0 END, 6) AS singleton_type_share
+FROM srcs s LEFT JOIN per_src p USING (source)
+"""
+
+
 def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-slope fit of the token frequency distribution (extension:
     the corpus-statistics sibling of `activity_powerlaw_fit` — how
@@ -10806,6 +10901,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_token_fertility": lang_token_fertility,
     "dedup_yield_curve": dedup_yield_curve,
     "source_token_kl": source_token_kl,
+    "vocab_unseen_mass": vocab_unseen_mass,
     "token_zipf_fit": token_zipf_fit,
 }
 
@@ -10833,6 +10929,7 @@ ORACLES: dict[str, str] = {
     "lang_token_fertility": _FERTILITY_SQL,
     "dedup_yield_curve": _YIELD_SQL,
     "source_token_kl": _SOURCE_KL_SQL,
+    "vocab_unseen_mass": _VOCAB_UNSEEN_SQL,
     "token_zipf_fit": _ZIPF_SQL,
     "variant_conversion_ztest": _ZTEST_SQL,
     "metric_correlation_matrix": _CORR_MATRIX_SQL,
