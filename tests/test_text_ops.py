@@ -491,3 +491,47 @@ def test_vocab_unseen_mass_hand_computed(spark, tmp_path):
     c = got["src_c"]
     assert (c["n_tokens"], c["n_types"]) == (0, 0)
     assert c["unseen_mass"] == 0.0 and c["singleton_type_share"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# lang_id_kappa (Cohen's kappa over the lang-ID confusion matrix)
+# ---------------------------------------------------------------------------
+
+
+def test_lang_id_kappa_hand_computed(spark, tmp_path):
+    from tmdb_index_spark.queries import lang_id_kappa
+
+    # Confusion: true en -> pred {en: 2, de: 1}; true fr -> pred fr.
+    # N=4, diag=3 -> p_o = 0.75; marginal products (en 3*2 + fr 1*1)
+    # / 16 -> p_e = 0.4375; kappa = 0.3125 / 0.5625 = 5/9.
+    rows_ = [
+        (0, "the and of", "en", "s", 0),
+        (1, "the and of", "en", "s", 0),
+        (2, "der und das", "en", "s", 0),
+        (3, "le la et", "fr", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows_, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    [r] = lang_id_kappa(spark, str(tmp_path)).collect()
+    assert r["n_docs"] == 4
+    assert r["observed_agreement"] == 0.75
+    assert r["expected_agreement"] == 0.4375
+    assert r["kappa"] == round(5 / 9, 6)
+
+
+def test_lang_id_kappa_degenerate_single_class(spark, tmp_path):
+    from tmdb_index_spark.queries import lang_id_kappa
+
+    # Every doc declared AND predicted 'en': p_e = 1 -> NULL kappa via
+    # the NULLIF convention, never a divide-by-zero error.
+    rows_ = [(i, "the and of", "en", "s", 0) for i in range(3)]
+    df = spark.createDataFrame(
+        rows_, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    [r] = lang_id_kappa(spark, str(tmp_path)).collect()
+    assert r["observed_agreement"] == 1.0
+    assert r["expected_agreement"] == 1.0
+    assert r["kappa"] is None

@@ -9342,6 +9342,101 @@ FROM cm
 """
 
 
+def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the language-ID classifier (extension:
+    classification evaluation — the chance-corrected agreement summary
+    of `lang_confusion_matrix`, the statistic annotation pipelines
+    report when judging classifier-vs-gold or annotator-vs-annotator
+    agreement; Cohen 1960): κ = (p_o − p_e) / (1 − p_e) with observed
+    agreement p_o = Σ diag / N and expected agreement p_e = Σ_c
+    row_c·col_c / N². Marginal products go through DECIMAL(38,0) so
+    the arithmetic stays exact at any N (bigint² overflows at
+    petabyte-scale class counts); p_o/p_e are then single divisions of
+    exact integers — identical doubles cross-engine. Degenerate p_e=1
+    (a single class on both sides) yields NULL κ via the ANSI NULLIF
+    convention rather than a divide error. All frames are
+    |langs|²-bounded aggregates; the only corpus-sized work is the
+    predictor's map-only pass."""
+    pred = lang_id_predict(spark, sf_dir).select("doc_id", "pred_lang")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_true")
+    )
+    cm = (
+        pred.join(docs, "doc_id")
+        .groupBy("lang_true", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n__"))
+    )
+    tot = cm.agg(
+        F.sum("__n__").cast("bigint").alias("__N__"),
+        F.sum(
+            F.when(F.col("lang_true") == F.col("pred_lang"), F.col("__n__"))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("__diag__"),
+    )
+    rows_m = cm.groupBy("lang_true").agg(
+        F.sum("__n__").cast("decimal(38,0)").alias("__r__")
+    )
+    cols_m = cm.groupBy("pred_lang").agg(
+        F.sum("__n__").cast("decimal(38,0)").alias("__c__")
+    )
+    pe_num = (
+        rows_m.join(
+            F.broadcast(cols_m),
+            rows_m.lang_true == cols_m.pred_lang,
+        )
+        .agg(F.sum(F.col("__r__") * F.col("__c__")).alias("__pe_num__"))
+    )
+    nd = F.col("__N__").cast("double")
+    po = F.col("__diag__").cast("double") / nd
+    pe = F.col("__pe_num__").cast("double") / (nd * nd)
+    return tot.join(F.broadcast(pe_num)).select(
+        F.col("__N__").alias("n_docs"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("expected_agreement"),
+        F.round(
+            (po - pe) / F.expr("NULLIF(1.0 - __pe_num__ / (CAST(__N__ AS DOUBLE) * CAST(__N__ AS DOUBLE)), 0.0)"),
+            6,
+        ).alias("kappa"),
+    )
+
+
+_LANG_KAPPA_SQL = f"""
+WITH pred AS ({_LANG_ID_SQL}),
+cm AS (
+  SELECT d.lang AS lang_true, p.pred_lang, COUNT(*)::BIGINT AS n
+  FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+  GROUP BY d.lang, p.pred_lang
+),
+tot AS (
+  SELECT SUM(n)::BIGINT AS N,
+         SUM(CASE WHEN lang_true = pred_lang THEN n ELSE 0 END)::BIGINT
+           AS diag
+  FROM cm
+),
+rows_m AS (SELECT lang_true, CAST(SUM(n) AS DECIMAL(38,0)) AS r
+           FROM cm GROUP BY 1),
+cols_m AS (SELECT pred_lang, CAST(SUM(n) AS DECIMAL(38,0)) AS c
+           FROM cm GROUP BY 1),
+pe_num AS (
+  SELECT SUM(r * c) AS pe_num
+  FROM rows_m JOIN cols_m ON lang_true = pred_lang
+)
+SELECT N AS n_docs,
+       ROUND(CAST(diag AS DOUBLE) / CAST(N AS DOUBLE), 6)
+         AS observed_agreement,
+       ROUND(CAST(pe_num AS DOUBLE)
+             / (CAST(N AS DOUBLE) * CAST(N AS DOUBLE)), 6)
+         AS expected_agreement,
+       ROUND((CAST(diag AS DOUBLE) / CAST(N AS DOUBLE)
+              - CAST(pe_num AS DOUBLE)
+                / (CAST(N AS DOUBLE) * CAST(N AS DOUBLE)))
+             / NULLIF(1.0 - CAST(pe_num AS DOUBLE)
+                    / (CAST(N AS DOUBLE) * CAST(N AS DOUBLE)), 0.0), 6)
+         AS kappa
+FROM tot, pe_num
+"""
+
+
 def purchase_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal burstiness per user (extension: Goh-Barabási
     burstiness index B = (σ−μ)/(σ+μ) of inter-event gaps): B → −1 for
@@ -10707,6 +10802,7 @@ QUERIES: dict[str, QueryFn] = {
     "conversion_gains_table": conversion_gains_table,
     "ab_power_analysis": ab_power_analysis,
     "lang_confusion_matrix": lang_confusion_matrix,
+    "lang_id_kappa": lang_id_kappa,
     "purchase_burstiness": purchase_burstiness,
     "copurchase_item_cf": copurchase_item_cf,
     "search_ndcg": search_ndcg,
@@ -10915,6 +11011,7 @@ ORACLES: dict[str, str] = {
     "conversion_gains_table": _GAINS_SQL,
     "ab_power_analysis": _POWER_SQL,
     "lang_confusion_matrix": _LANG_CONFUSION_SQL,
+    "lang_id_kappa": _LANG_KAPPA_SQL,
     "purchase_burstiness": _BURSTINESS_SQL,
     "copurchase_item_cf": _ITEM_CF_SQL,
     "search_ndcg": _NDCG_SQL,
