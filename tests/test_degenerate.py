@@ -239,3 +239,63 @@ def test_value_equidepth_histogram_hand_computed(spark, tmp_path):
     assert got[2]["lo"] == 3.0 and got[2]["hi"] == 4.0
     assert got[8]["lo"] == 10.0 and got[8]["hi"] == 10.0
     assert sum(v["n_rows"] for v in got.values()) == 10
+
+
+# ---------------------------------------------------------------------------
+# revenue_bootstrap_ci (Poisson bootstrap)
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_matches_python_mirror(spark, tmp_path):
+    # Recompute the full hash -> Poisson-weight -> replicate-mean ->
+    # nearest-rank pipeline in plain Python (hashlib md5) and pin the
+    # catalog query's output exactly — the weights are deterministic,
+    # so this is a value test, not a statistical one.
+    import hashlib
+
+    from tmdb_index_spark.queries import (
+        _BOOT_B,
+        _POIS_CDF,
+        revenue_bootstrap_ci,
+    )
+
+    rows_ = [
+        (ok, ln, float(px))
+        for ok, ln, px in [
+            (1, 1, 10.0), (1, 2, 20.5), (2, 1, 31.25), (3, 1, 7.75),
+            (3, 2, 99.0), (4, 1, 55.5), (5, 1, 12.0), (6, 1, 42.42),
+        ]
+    ]
+    df = spark.createDataFrame(
+        rows_, "l_orderkey long, l_linenumber int, l_extendedprice double"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    [r] = revenue_bootstrap_ci(spark, str(tmp_path)).collect()
+
+    def u(ok, ln, b):
+        payload = f"{ok}:{ln}#{b}".encode()
+        h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+        return h / 1152921504606846976.0
+
+    def w(ok, ln, b):
+        uu = u(ok, ln, b)
+        for rr, c in enumerate(_POIS_CDF):
+            if uu < c:
+                return rr
+        return len(_POIS_CDF)
+
+    n = len(rows_)
+    point = round(sum(px for _, _, px in rows_) / n, 6)
+    means = []
+    for b in range(_BOOT_B):
+        ws = [w(ok, ln, b) for ok, ln, _ in rows_]
+        sw = sum(ws)
+        swx = sum(wi * px for wi, (_, _, px) in zip(ws, rows_))
+        means.append(swx / sw if sw else None)
+    assert all(m is not None for m in means)  # fixture sanity
+    ms = sorted(means)
+    assert r["n_rows"] == n
+    assert r["point_mean"] == point
+    assert r["boot_lo"] == round(ms[1], 6)
+    assert r["boot_hi"] == round(ms[_BOOT_B - 3], 6)
+    assert r["boot_lo"] <= r["point_mean"] <= r["boot_hi"]

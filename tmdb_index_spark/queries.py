@@ -9342,6 +9342,116 @@ FROM cm
 """
 
 
+#: Poisson(1) inverse-CDF thresholds for the hash-derived bootstrap
+#: weights: P(X <= r) = e^-1 * sum_{i<=r} 1/i! for r = 0..4 (weight
+#: capped at 5; P(X > 5) ~ 0.06%). Computed once and embedded as repr
+#: literals on BOTH engines, so the CASE ladder is bit-identical.
+import math as _math
+
+_POIS_CDF = [
+    _math.exp(-1.0) * s
+    for s in (1.0, 2.0, 2.5, 2.0 + 2.0 / 3.0, 2.0 + 2.0 / 3.0 + 1.0 / 24.0)
+]
+_BOOT_B = 20
+
+
+def _bootstrap_ci_sql(table: str, spark_dialect: bool) -> str:
+    """One SQL text for the Poisson-bootstrap mean CI, generated for
+    both engines from the same builder so every literal, alias, and
+    CASE ladder is shared; only the 60-bit md5-hash parse and the
+    array sort/index spellings differ per dialect."""
+    key = (
+        "CONCAT(CAST(l_orderkey AS STRING), ':', "
+        "CAST(l_linenumber AS STRING), '#', '{b}')"
+        if spark_dialect
+        else "CONCAT(CAST(l_orderkey AS VARCHAR), ':', "
+        "CAST(l_linenumber AS VARCHAR), '#', '{b}')"
+    )
+    h = (
+        f"CAST(CAST(CONV(SUBSTRING(MD5({key}), 1, 15), 16, 10) AS BIGINT)"
+        " AS DOUBLE)"
+        if spark_dialect
+        else f"CAST(('0x' || substr(md5({key}), 1, 15))::BIGINT AS DOUBLE)"
+    )
+    u = f"({h} / 1152921504606846976.0)"
+    ladder = (
+        "CASE "
+        + " ".join(
+            f"WHEN {u} < {c!r} THEN {r}" for r, c in enumerate(_POIS_CDF)
+        )
+        + f" ELSE {len(_POIS_CDF)} END"
+    )
+    w_cols = ",\n         ".join(
+        ladder.format(b=b) + f" AS w{b}" for b in range(_BOOT_B)
+    )
+    aggs = ",\n         ".join(
+        f"SUM(w{b} * px) AS swx{b}, SUM(w{b}) AS sw{b}"
+        for b in range(_BOOT_B)
+    )
+    means = ",\n      ".join(
+        f"CAST(swx{b} AS DOUBLE) / NULLIF(CAST(sw{b} AS DOUBLE), 0.0)"
+        for b in range(_BOOT_B)
+    )
+    if spark_dialect:
+        sorted_means = f"array_sort(array(\n      {means}\n    ))"
+        lo, hi = "element_at(ms, 2)", f"element_at(ms, {_BOOT_B - 2})"
+    else:
+        sorted_means = f"list_sort([\n      {means}\n    ])"
+        lo, hi = "ms[2]", f"ms[{_BOOT_B - 2}]"
+    return f"""
+WITH w AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS px,
+         {w_cols}
+  FROM {table}
+),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(px) AS sp,
+         {aggs}
+  FROM w
+),
+sel AS (
+  SELECT n, sp, {sorted_means} AS ms FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       ROUND(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS point_mean,
+       ROUND({lo}, 6) AS boot_lo,
+       ROUND({hi}, 6) AS boot_hi
+FROM sel
+"""
+
+
+def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean line revenue
+    (extension: the AT-SCALE bootstrap — Chamandy et al. 2012,
+    "Estimating uncertainty for massive data streams": classic
+    resampling needs N draws per replicate and a data-sized RNG state,
+    the Poisson bootstrap gives each row an independent Poisson(1)
+    weight per replicate, so ALL {B} replicates run in ONE streaming
+    pass as {B} extra conditional aggregates — no resampled copies, no
+    shuffle beyond the single 1-row aggregate). Weights are the
+    Poisson(1) inverse CDF of a hash-derived uniform
+    (``portable_hash60(orderkey:linenumber#b) / 2^60`` — deterministic
+    and engine-reproducible, the repo's hash-derived-sampling
+    convention, no RNG state). Weighted sums are exact
+    DECIMAL·integer; each replicate mean is one double division;
+    the CI is nearest-rank p10/p90 (2nd and 18th of the 20 sorted
+    replicate means). Both SQL texts come from ONE builder
+    (:func:`_bootstrap_ci_sql`), so every literal and CASE ladder is
+    shared; a replicate whose weights all land 0 (probability ~e^-N)
+    yields a NULL mean via NULLIF rather than a divide error."""
+    import uuid
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    view = f"__boot_li_{uuid.uuid4().hex[:12]}"
+    li.createOrReplaceTempView(view)
+    return spark.sql(_bootstrap_ci_sql(view, spark_dialect=True))
+
+
+_BOOTSTRAP_CI_SQL = _bootstrap_ci_sql("lineitem", spark_dialect=False)
+
+
 def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa for the language-ID classifier (extension:
     classification evaluation — the chance-corrected agreement summary
@@ -10803,6 +10913,7 @@ QUERIES: dict[str, QueryFn] = {
     "ab_power_analysis": ab_power_analysis,
     "lang_confusion_matrix": lang_confusion_matrix,
     "lang_id_kappa": lang_id_kappa,
+    "revenue_bootstrap_ci": revenue_bootstrap_ci,
     "purchase_burstiness": purchase_burstiness,
     "copurchase_item_cf": copurchase_item_cf,
     "search_ndcg": search_ndcg,
@@ -11012,6 +11123,7 @@ ORACLES: dict[str, str] = {
     "ab_power_analysis": _POWER_SQL,
     "lang_confusion_matrix": _LANG_CONFUSION_SQL,
     "lang_id_kappa": _LANG_KAPPA_SQL,
+    "revenue_bootstrap_ci": _BOOTSTRAP_CI_SQL,
     "purchase_burstiness": _BURSTINESS_SQL,
     "copurchase_item_cf": _ITEM_CF_SQL,
     "search_ndcg": _NDCG_SQL,
