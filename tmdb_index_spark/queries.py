@@ -9374,15 +9374,26 @@ def _bootstrap_ci_sql(table: str, spark_dialect: bool) -> str:
         else f"CAST(('0x' || substr(md5({key}), 1, 15))::BIGINT AS DOUBLE)"
     )
     u = f"({h} / 1152921504606846976.0)"
-    ladder = (
-        "CASE "
-        + " ".join(
-            f"WHEN {u} < {c!r} THEN {r}" for r, c in enumerate(_POIS_CDF)
-        )
-        + f" ELSE {len(_POIS_CDF)} END"
+    # the uniforms materialize ONCE in their own projection layer: a
+    # CASE ladder inlining the md5 expression repeats it per WHEN arm
+    # (5 hashes per weight instead of 1 — measured 14.3 s vs 3 s at
+    # sf0.1)
+    u_cols = ",\n         ".join(
+        u.format(b=b) + f" AS u{b}" for b in range(_BOOT_B)
     )
+
+    def ladder(b: int) -> str:
+        return (
+            "CASE "
+            + " ".join(
+                f"WHEN u{b} < {c!r} THEN {r}"
+                for r, c in enumerate(_POIS_CDF)
+            )
+            + f" ELSE {len(_POIS_CDF)} END"
+        )
+
     w_cols = ",\n         ".join(
-        ladder.format(b=b) + f" AS w{b}" for b in range(_BOOT_B)
+        ladder(b) + f" AS w{b}" for b in range(_BOOT_B)
     )
     aggs = ",\n         ".join(
         f"SUM(w{b} * px) AS swx{b}, SUM(w{b}) AS sw{b}"
@@ -9399,10 +9410,15 @@ def _bootstrap_ci_sql(table: str, spark_dialect: bool) -> str:
         sorted_means = f"list_sort([\n      {means}\n    ])"
         lo, hi = "ms[2]", f"ms[{_BOOT_B - 2}]"
     return f"""
-WITH w AS (
+WITH uu AS (
   SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS px,
-         {w_cols}
+         {u_cols}
   FROM {table}
+),
+w AS (
+  SELECT px,
+         {w_cols}
+  FROM uu
 ),
 agg AS (
   SELECT COUNT(*) AS n, SUM(px) AS sp,
@@ -9441,8 +9457,17 @@ def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields a NULL mean via NULLIF rather than a divide error."""
     import uuid
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_extendedprice"
+    from tmdb_index_spark.operators.partitioning import widen_small_scan
+
+    # the per-row hashing is the cost (B md5+parse per row): a small
+    # single-row-group scan must widen to the session's parallelism or
+    # one task runs the whole map stage serially (measured 22 s -> 3 s
+    # at sf0.1); at real scale the scan is already wide and this
+    # no-ops.
+    li = widen_small_scan(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice"
+        )
     )
     view = f"__boot_li_{uuid.uuid4().hex[:12]}"
     li.createOrReplaceTempView(view)
