@@ -887,7 +887,9 @@ def test_ann_recall_eval_matches_python_mirror(spark):
         for r in QUERIES["ann_recall_eval"](spark, sf).collect()
     }
     emb = _t(spark, sf, "embeddings")
-    sampled = emb.filter(F.col("vec_id") % 50 == 0)
+    sampled = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 100_000)
+    )
     nq = sampled.count()
     exact = {
         (r["query_id"], r["neighbor_id"])
@@ -900,7 +902,7 @@ def test_ann_recall_eval_matches_python_mirror(spark):
         approx = {
             (r["query_id"], r["neighbor_id"])
             for r in fn(emb, k=3).collect()
-            if r["query_id"] % 50 == 0
+            if r["query_id"] % 50 == 0 and r["query_id"] < 100_000
         }
         hits = len(approx & exact)
         row = got[name]

@@ -2070,10 +2070,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     before trusting an index): mean recall@3 of the two self-tuned
     indexes (`lsh_tuned` = :func:`lsh_index_topk`, `ivf_tuned` =
     :func:`ivf_index_topk`) against EXACT cosine ground truth on a
-    deterministic 1-in-50 query sample (``vec_id % 50 = 0`` — the
-    standard bounded-eval shape: exact work is |sample|·N with the
-    sample broadcast, linear in N for a fixed sample, never the N²
-    full exact join). A query with no approx rows still counts in the
+    deterministic BOUNDED query sample (``vec_id % 50 = 0 AND vec_id <
+    100000`` — the standard bounded-eval shape: the id cap holds the
+    eval set at ≤2000 queries however large the corpus, so exact work
+    is |sample|·N with the sample broadcast, LINEAR in N; a pure
+    1-in-50 fraction would make it N²/50). A query with no approx
+    rows still counts in the
     denominator; recall@3 = hits / (3 · n_queries). Both index results
     and the ground truth use the family contract (ROUND(cos, 4) before
     ranking, ties on lower neighbor id), so the compared sets — and
@@ -2087,7 +2089,8 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    sampled = emb.filter(F.col("vec_id") % 50 == 0)
+    in_sample = (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 100_000)
+    sampled = emb.filter(in_sample)
     exact = brute_force_topk(emb, sampled, k=3).select(
         "query_id", "neighbor_id"
     )
@@ -2095,7 +2098,10 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _hits(name: str, approx: DataFrame) -> DataFrame:
         return (
-            approx.filter(F.col("query_id") % 50 == 0)
+            approx.filter(
+                (F.col("query_id") % 50 == 0)
+                & (F.col("query_id") < 100_000)
+            )
             .join(F.broadcast(exact), ["query_id", "neighbor_id"], "leftsemi")
             .agg(F.count(F.lit(1)).alias("n_hits"))
             .select(F.lit(name).alias("index_name"), "n_hits")
@@ -2151,7 +2157,7 @@ def _ann_recall_oracle_sql(
     )
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-qs AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+qs AS (SELECT * FROM v WHERE vec_id % 50 = 0 AND vec_id < 100000),
 nq AS (SELECT COUNT(*) AS n_queries FROM qs),
 exact AS (
   SELECT query_id, neighbor_id FROM (
@@ -2176,7 +2182,7 @@ lsh AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
                               ORDER BY {_COS_SQL} DESC, c.vec_id ASC) AS rn
-    FROM (SELECT * FROM lshv WHERE vec_id % 50 = 0) q
+    FROM (SELECT * FROM lshv WHERE vec_id % 50 = 0 AND vec_id < 100000) q
     JOIN lshv c ON q.bucket = c.bucket
     WHERE q.vec_id <> c.vec_id
   ) WHERE rn <= 3
@@ -2202,7 +2208,7 @@ ivf AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
                               ORDER BY {_COS_SQL} DESC, c.vec_id ASC) AS rn
-    FROM (SELECT * FROM assigned WHERE vec_id % 50 = 0) q
+    FROM (SELECT * FROM assigned WHERE vec_id % 50 = 0 AND vec_id < 100000) q
     JOIN assigned c ON q.cell = c.cell
     WHERE q.vec_id <> c.vec_id
   ) WHERE rn <= 3
