@@ -910,3 +910,49 @@ def test_ann_recall_eval_matches_python_mirror(spark):
         assert row["n_hits"] == hits
         assert row["recall_at_3"] == round(hits / (3.0 * nq), 6)
         assert 0.0 <= row["recall_at_3"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking
+# ---------------------------------------------------------------------------
+
+
+def _mmr_pool(spark):
+    rows = [
+        (1, 0.9, [1.0, 0.0, 0.0, 0.0]),   # most relevant
+        (2, 0.89, [1.0, 0.0, 0.0, 0.0]),  # near-duplicate of 1 (sim 1.0)
+        (3, 0.5, [0.0, 1.0, 0.0, 0.0]),   # diverse (sim 0.0 to both)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, rel double, embedding array<float>"
+    )
+
+
+def test_mmr_diversifies_hand_computed(spark):
+    from tmdb_index_spark.operators.similarity import mmr_rerank
+
+    out = sorted(
+        mmr_rerank(_mmr_pool(spark), k=3, lam=0.7).collect(),
+        key=lambda r: r["rank"],
+    )
+    # Plain relevance order is 1, 2, 3 — MMR must demote the duplicate
+    # (id 2, sim 1.0 to the first pick) below the diverse id 3.
+    assert [r["vec_id"] for r in out] == [1, 3, 2]
+    assert out[0]["mmr_score"] == round(0.7 * 0.9, 4)
+    assert out[1]["mmr_score"] == round(0.7 * 0.5 - 0.3 * 0.0, 4)
+    assert out[2]["mmr_score"] == round(0.7 * 0.89 - 0.3 * 1.0, 4)
+    assert [r["relevance"] for r in out] == [0.9, 0.5, 0.89]
+
+
+def test_mmr_pool_smaller_than_k_and_validation(spark):
+    import pytest
+
+    from tmdb_index_spark.operators.similarity import mmr_rerank
+
+    pool = _mmr_pool(spark).filter(F.col("vec_id") <= 2)
+    out = mmr_rerank(pool, k=5, lam=0.7).collect()
+    assert sorted(r["rank"] for r in out) == [1, 2]
+    with pytest.raises(ValueError, match="k must be"):
+        mmr_rerank(pool, k=0)
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(pool, k=1, lam=0.0)

@@ -65,6 +65,7 @@ __all__ = [
     "pq_encode",
     "ivfpq_topk",
     "ivfpq_index_topk",
+    "mmr_rerank",
 ]
 
 
@@ -2067,3 +2068,98 @@ def ivfpq_index_topk(
         corpus, centroids, codebooks, k=k,
         id_col=id_col, vec_col=vec_col, assign_impl=assign_impl,
     )
+
+
+def mmr_rerank(
+    pool: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    rel_col: str = "rel",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` results maximizing ``λ·rel(d) −
+    (1−λ)·max_{s∈S} sim(d, s)`` — the classic search-result
+    diversifier that trades relevance against redundancy with the
+    already-selected set.
+
+    ``pool`` must be the BOUNDED head of a retrieval ranking (e.g. a
+    TakeOrderedAndProject top-N) — that is the production shape:
+    reranking happens on the candidate head, never the corpus, so the
+    |pool|² similarity matrix and the ``k`` greedy passes are
+    constant-size however large the corpus. The pool and its pairwise
+    cosine matrix are pinned once (both are consumed by every step);
+    each greedy step is a bounded anti-join + max-aggregate +
+    ``orderBy().limit(1)``, all broadcast-size. Ties break on lower
+    id; relevance and pairwise sims are rounded to 4 decimals BEFORE
+    the score arithmetic (the family contract), and λ/(1−λ) enter as
+    the same repr literals on both engines, so the greedy trajectory
+    is engine-exact. Output: (rank, id, relevance, mmr_score) with
+    the first pick's score = λ·rel (no diversity term yet). Fewer
+    than ``k`` pool rows yield fewer output rows."""
+    from tmdb_index_spark.operators.materialize import pin_frame
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 < lam <= 1.0:
+        raise ValueError(f"lam must be in (0, 1], got {lam}")
+    div_w = round(1.0 - lam, 10)
+    p = pin_frame(pool.select(id_col, rel_col, vec_col))
+    a, b = p.alias("a"), p.alias("b")
+    sim = pin_frame(
+        a.join(
+            F.broadcast(b),
+            F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+        ).select(
+            F.col(f"a.{id_col}").alias("__da__"),
+            F.col(f"b.{id_col}").alias("__db__"),
+            cosine(
+                F.col(f"a.{vec_col}").cast("array<double>"),
+                F.col(f"b.{vec_col}").cast("array<double>"),
+            ).alias("__sim__"),
+        )
+    )
+    selected = (
+        p.orderBy(F.col(rel_col).desc(), F.col(id_col))
+        .limit(1)
+        .select(
+            F.lit(1).cast("bigint").alias("rank"),
+            F.col(id_col),
+            F.col(rel_col).alias("relevance"),
+            F.round(F.lit(lam) * F.col(rel_col), 4).alias("mmr_score"),
+        )
+    )
+    for step in range(2, k + 1):
+        sel_ids = selected.select(F.col(id_col).alias("__db__"))
+        maxsim = (
+            sim.join(F.broadcast(sel_ids), "__db__")
+            .groupBy("__da__")
+            .agg(F.max("__sim__").alias("__ms__"))
+        )
+        nxt = (
+            p.join(
+                selected.select(id_col).withColumnRenamed(id_col, "__da__"),
+                p[id_col] == F.col("__da__"),
+                "leftanti",
+            )
+            .join(maxsim, p[id_col] == maxsim["__da__"])
+            .select(
+                F.col(id_col),
+                F.col(rel_col),
+                (
+                    F.lit(lam) * F.col(rel_col)
+                    - F.lit(div_w) * F.col("__ms__")
+                ).alias("__mmr__"),
+            )
+            .orderBy(F.col("__mmr__").desc(), F.col(id_col))
+            .limit(1)
+            .select(
+                F.lit(step).cast("bigint").alias("rank"),
+                F.col(id_col),
+                F.col(rel_col).alias("relevance"),
+                F.round(F.col("__mmr__"), 4).alias("mmr_score"),
+            )
+        )
+        selected = selected.unionByName(nxt)
+    return selected

@@ -2229,6 +2229,81 @@ FROM lsh_hits, nq
 """
 
 
+_MMR_LAM, _MMR_DIV, _MMR_POOL, _MMR_K = 0.7, 0.3, 20, 5
+
+
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 (extension: search-result diversification
+    — Carbonell & Goldstein 1998 Maximal Marginal Relevance, the
+    reranker RAG/search stacks run on the retrieval head so near-
+    duplicate hits don't crowd the result list): exact cosine top-20
+    for query vector ``vec_id = 0`` is the bounded candidate pool
+    (TakeOrderedAndProject — reranking happens on the head, never the
+    corpus), then :func:`~tmdb_index_spark.operators.similarity
+    .mmr_rerank` greedily picks 5 with λ=0.7. The greedy trajectory
+    is engine-exact (rounded-4 rel/sims, repr-shared λ literals, ties
+    on lower id), so the ORACLE expresses the same 5 steps as chained
+    CTEs — a full static value row for an iterative algorithm."""
+    from tmdb_index_spark.operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rel = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=_MMR_POOL
+    ).select(F.col("neighbor_id").alias("vec_id"), F.col("cos_sim").alias("rel"))
+    pool = rel.join(emb.select("vec_id", "embedding"), "vec_id")
+    return mmr_rerank(pool, k=_MMR_K, lam=_MMR_LAM)
+
+
+def _mmr_oracle_sql() -> str:
+    """Static oracle for ``mmr_diversified_topk``: the 5 greedy MMR
+    steps as chained CTEs — each step joins the remaining pool to the
+    pairwise sim matrix restricted to the selected-so-far set, takes
+    MAX(sim), scores λ·rel − (1−λ)·maxsim on the same repr literals
+    the Spark side uses, and picks the (score DESC, id ASC) head."""
+    steps = []
+    sel_union = "SELECT vec_id FROM s1"
+    for i in range(2, _MMR_K + 1):
+        steps.append(f"""
+s{i} AS (
+  SELECT p.vec_id, p.rel,
+         {_MMR_LAM!r} * p.rel - {_MMR_DIV!r} * MAX(s.sim) AS mmr
+  FROM pool p
+  JOIN sim s ON s.da = p.vec_id AND s.db IN ({sel_union})
+  WHERE p.vec_id NOT IN ({sel_union})
+  GROUP BY p.vec_id, p.rel
+  ORDER BY mmr DESC, p.vec_id ASC LIMIT 1
+)""")
+        sel_union += f" UNION ALL SELECT vec_id FROM s{i}"
+    selects = [
+        f"SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel AS relevance,"
+        f" ROUND({_MMR_LAM!r} * rel, 4) AS mmr_score FROM s1"
+    ] + [
+        f"SELECT CAST({i} AS BIGINT), vec_id, rel, ROUND(mmr, 4) FROM s{i}"
+        for i in range(2, _MMR_K + 1)
+    ]
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+rel AS (
+  SELECT c.vec_id, {_COS_SQL} AS rel
+  FROM (SELECT * FROM v WHERE vec_id = 0) q
+  CROSS JOIN v c
+  WHERE c.vec_id <> 0
+  ORDER BY rel DESC, c.vec_id ASC LIMIT {_MMR_POOL}
+),
+pool AS (SELECT r.vec_id, r.rel, vv.v FROM rel r JOIN v vv USING (vec_id)),
+sim AS (
+  SELECT q.vec_id AS da, c.vec_id AS db, {_COS_SQL} AS sim
+  FROM pool q JOIN pool c ON q.vec_id <> c.vec_id
+),
+s1 AS (SELECT vec_id, rel FROM pool ORDER BY rel DESC, vec_id ASC LIMIT 1),
+{",".join(steps)}
+{" UNION ALL ".join(selects)}
+"""
+
+
+_MMR_SQL = _mmr_oracle_sql()
+
+
 def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact distinct (two-phase dedup-then-count): distinct
     parts shipped per supplier."""
@@ -11047,6 +11122,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_pca_labels": embedding_pca_labels,
     "embedding_pq_topk": embedding_pq_topk,
     "ann_recall_eval": ann_recall_eval,
+    "mmr_diversified_topk": mmr_diversified_topk,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
@@ -11155,6 +11231,7 @@ ORACLES: dict[str, str] = {
     "lang_confusion_matrix": _LANG_CONFUSION_SQL,
     "lang_id_kappa": _LANG_KAPPA_SQL,
     "revenue_bootstrap_ci": _BOOTSTRAP_CI_SQL,
+    "mmr_diversified_topk": _MMR_SQL,
     "purchase_burstiness": _BURSTINESS_SQL,
     "copurchase_item_cf": _ITEM_CF_SQL,
     "search_ndcg": _NDCG_SQL,
