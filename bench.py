@@ -128,6 +128,15 @@ EXTENDED_QUERIES = [
     "vocab_oov_rate",
     # round-9: equi-depth (quantile) histogram per event type
     "value_equidepth_histogram",
+    # round-9 second batch: IVF-PQ, ANN recall eval, Good-Turing,
+    # Cohen's kappa, Poisson bootstrap, MMR rerank, conformal interval
+    "embedding_pq_topk",
+    "ann_recall_eval",
+    "vocab_unseen_mass",
+    "lang_id_kappa",
+    "revenue_bootstrap_ci",
+    "mmr_diversified_topk",
+    "conformal_revenue_interval",
     "user_state_scd2",
     "supplier_busy_intervals",
     "cosupply_triangles",

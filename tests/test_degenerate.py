@@ -299,3 +299,19 @@ def test_bootstrap_ci_matches_python_mirror(spark, tmp_path):
     assert r["boot_lo"] == round(ms[1], 6)
     assert r["boot_hi"] == round(ms[_BOOT_B - 3], 6)
     assert r["boot_lo"] <= r["point_mean"] <= r["boot_hi"]
+
+
+def test_conformal_interval_contract(spark):
+    # Split-conformal guarantees >= 1 - alpha coverage in expectation;
+    # on the fixed testdata the empirical value is deterministic, so
+    # assert the contract loosely (coverage can sit slightly under 0.9
+    # by finite-sample noise) plus the structural invariants.
+    from tmdb_index_spark.queries import conformal_revenue_interval
+
+    [r] = conformal_revenue_interval(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert r["n_train_days"] > 0 and r["n_cal_days"] > 0
+    assert r["n_test_days"] > 0
+    assert r["q_hat"] > 0.0
+    assert 0.8 <= r["coverage"] <= 1.0

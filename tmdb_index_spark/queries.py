@@ -2229,6 +2229,131 @@ FROM lsh_hits, nq
 """
 
 
+def conformal_revenue_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for daily revenue
+    (extension: distribution-free uncertainty quantification — the
+    finite-sample-valid interval construction modern forecast evals
+    report; Vovk et al. 2005, Angelopoulos & Bates 2021 intro): a
+    per-day-of-week mean revenue model fits on the TRAIN years
+    (1995–97), the CALIBRATION years (1998–99) supply the conformal
+    radius q̂ = the ⌈(n_cal+1)·0.9⌉-th smallest |residual| (exact
+    nearest-rank order statistic, ties broken by day), and the TEST
+    years (2000+) measure empirical coverage of pred ± q̂ — conformal
+    theory guarantees ≥90% up to finite-sample noise. Day-of-week is
+    the portable ``datediff(day, 1995-01-02) % 7`` (engine date-part
+    conventions differ; an integer day count cannot). Daily revenue
+    aggregates as exact DECIMAL; residuals are single double
+    subtractions of identical values; the rank window runs over the
+    CALENDAR-BOUNDED calibration frame (~730 rows — the
+    `robust_trend_daily` bound convention). Output: split sizes, q̂,
+    and test coverage."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(_dec("l_extendedprice")).alias("__rev__")
+    daily = (
+        li.groupBy(F.date_trunc("day", F.col("l_shipdate")).alias("__day__"))
+        .agg(rev)
+        .select(
+            "__day__",
+            F.col("__rev__").cast("double").alias("__y__"),
+            (
+                F.datediff(
+                    F.col("__day__"), F.lit("1995-01-02").cast("date")
+                )
+                % 7
+            ).alias("__dow__"),
+        )
+    )
+    train = daily.filter(F.col("__day__") < F.lit("1998-01-01").cast("timestamp"))
+    cal = daily.filter(
+        (F.col("__day__") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("__day__") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    test = daily.filter(F.col("__day__") >= F.lit("2000-01-01").cast("timestamp"))
+    model = train.groupBy("__dow__").agg(
+        (F.sum("__y__") / F.count(F.lit(1))).alias("__pred__")
+    )
+    cal_r = cal.join(F.broadcast(model), "__dow__").select(
+        "__day__", F.abs(F.col("__y__") - F.col("__pred__")).alias("__r__")
+    )
+    n_cal_f = cal_r.agg(F.count(F.lit(1)).alias("__n_cal__"))
+    w = Window.orderBy(F.col("__r__").asc(), F.col("__day__").asc())
+    ranked = cal_r.select(
+        "__r__", F.row_number().over(w).alias("__rn__")
+    ).join(F.broadcast(n_cal_f))
+    q_hat = ranked.filter(
+        F.col("__rn__")
+        == F.least(
+            F.ceil((F.col("__n_cal__") + 1) * F.lit(0.9)).cast("int"),
+            F.col("__n_cal__"),
+        )
+    ).select(F.col("__r__").alias("__q__"), "__n_cal__")
+    test_r = test.join(F.broadcast(model), "__dow__").select(
+        F.abs(F.col("__y__") - F.col("__pred__")).alias("__r__")
+    )
+    test_agg = test_r.join(F.broadcast(q_hat)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_days"),
+        F.first("__n_cal__").cast("bigint").alias("n_cal_days"),
+        F.round(F.first("__q__"), 4).alias("q_hat"),
+        F.round(
+            F.sum(
+                F.when(F.col("__r__") <= F.col("__q__"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+    n_train = train.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train_days")
+    )
+    return test_agg.join(F.broadcast(n_train)).select(
+        "n_train_days", "n_cal_days", "n_test_days", "q_hat", "coverage"
+    )
+
+
+_CONFORMAL_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS day,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS y,
+         date_diff('day', DATE '1995-01-02', date_trunc('day', l_shipdate))
+           % 7 AS dow
+  FROM lineitem GROUP BY 1
+),
+model AS (
+  SELECT dow, SUM(y) / COUNT(*) AS pred
+  FROM daily WHERE day < TIMESTAMP '1998-01-01' GROUP BY 1
+),
+cal_r AS (
+  SELECT d.day, ABS(d.y - m.pred) AS r
+  FROM daily d JOIN model m USING (dow)
+  WHERE d.day >= TIMESTAMP '1998-01-01' AND d.day < TIMESTAMP '2000-01-01'
+),
+n_cal AS (SELECT COUNT(*) AS n_cal FROM cal_r),
+ranked AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r ASC, day ASC) AS rn FROM cal_r
+),
+q AS (
+  SELECT r AS q_hat, n_cal FROM ranked, n_cal
+  WHERE rn = LEAST(CAST(CEIL((n_cal + 1) * 0.9) AS INT), n_cal)
+),
+test_r AS (
+  SELECT ABS(d.y - m.pred) AS r
+  FROM daily d JOIN model m USING (dow)
+  WHERE d.day >= TIMESTAMP '2000-01-01'
+),
+n_train AS (
+  SELECT COUNT(*) AS n_train FROM daily WHERE day < TIMESTAMP '1998-01-01'
+)
+SELECT n_train::BIGINT AS n_train_days,
+       n_cal::BIGINT AS n_cal_days,
+       COUNT(*)::BIGINT AS n_test_days,
+       ROUND(ANY_VALUE(q_hat), 4) AS q_hat,
+       ROUND(SUM(CASE WHEN test_r.r <= q_hat THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+FROM test_r, q, n_train
+GROUP BY n_train, n_cal
+"""
+
+
 _MMR_LAM, _MMR_DIV, _MMR_POOL, _MMR_K = 0.7, 0.3, 20, 5
 
 
@@ -2259,14 +2384,16 @@ def _mmr_oracle_sql() -> str:
     steps as chained CTEs — each step joins the remaining pool to the
     pairwise sim matrix restricted to the selected-so-far set, takes
     MAX(sim), scores λ·rel − (1−λ)·maxsim on the same repr literals
-    the Spark side uses, and picks the (score DESC, id ASC) head."""
+    the Spark side uses, ROUNDS to 4 BEFORE the argmax (the family
+    round-before-rank contract — the operator ranks the rounded
+    score), and picks the (score DESC, id ASC) head."""
     steps = []
     sel_union = "SELECT vec_id FROM s1"
     for i in range(2, _MMR_K + 1):
         steps.append(f"""
 s{i} AS (
   SELECT p.vec_id, p.rel,
-         {_MMR_LAM!r} * p.rel - {_MMR_DIV!r} * MAX(s.sim) AS mmr
+         ROUND({_MMR_LAM!r} * p.rel - {_MMR_DIV!r} * MAX(s.sim), 4) AS mmr
   FROM pool p
   JOIN sim s ON s.da = p.vec_id AND s.db IN ({sel_union})
   WHERE p.vec_id NOT IN ({sel_union})
@@ -2278,7 +2405,7 @@ s{i} AS (
         f"SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel AS relevance,"
         f" ROUND({_MMR_LAM!r} * rel, 4) AS mmr_score FROM s1"
     ] + [
-        f"SELECT CAST({i} AS BIGINT), vec_id, rel, ROUND(mmr, 4) FROM s{i}"
+        f"SELECT CAST({i} AS BIGINT), vec_id, rel, mmr FROM s{i}"
         for i in range(2, _MMR_K + 1)
     ]
     return f"""
@@ -11123,6 +11250,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_pq_topk": embedding_pq_topk,
     "ann_recall_eval": ann_recall_eval,
     "mmr_diversified_topk": mmr_diversified_topk,
+    "conformal_revenue_interval": conformal_revenue_interval,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
@@ -11232,6 +11360,7 @@ ORACLES: dict[str, str] = {
     "lang_id_kappa": _LANG_KAPPA_SQL,
     "revenue_bootstrap_ci": _BOOTSTRAP_CI_SQL,
     "mmr_diversified_topk": _MMR_SQL,
+    "conformal_revenue_interval": _CONFORMAL_SQL,
     "purchase_burstiness": _BURSTINESS_SQL,
     "copurchase_item_cf": _ITEM_CF_SQL,
     "search_ndcg": _NDCG_SQL,

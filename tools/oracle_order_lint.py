@@ -42,14 +42,16 @@ __all__ = ["audit_oracle_order_keys", "UNIQUE_TRAILING_KEYS", "WAIVERS"]
 #:    user), never over raw events.
 #:  - run: the per-user run counter of the SCD2 builds — strictly
 #:    increasing per user in the ``versions`` rollup it orders.
-#:  - neighbor_id / cell / ccell: unique per query-vector partition
-#:    in the ANN oracles (one candidate row per neighbor/cell).
+#:  - neighbor_id / cell / ccell / code: unique per query-vector (or
+#:    per (vec_id, sub)) partition in the ANN oracles (one candidate
+#:    row per neighbor/cell; one codebook row per (sub, code) in the
+#:    PQ encoding argmin).
 #:  - source / term / part_b / seg_id: grouping keys of the rollup
 #:    each orders (one row per value within the partition).
 UNIQUE_TRAILING_KEYS = {
     "event_id", "doc_id", "vec_id", "o_orderkey", "c_custkey",
     "s_suppkey", "p_partkey", "user_id", "run", "neighbor_id",
-    "cell", "ccell", "source", "term", "part_b", "seg_id",
+    "cell", "ccell", "code", "source", "term", "part_b", "seg_id",
 }
 
 #: Per-oracle waivers: (query name, trailing key) → why the clause
@@ -68,6 +70,9 @@ WAIVERS = {
         "grouped-unique: by_decile GROUP BY decile",
     ("cumulative_daily_revenue", "day"):
         "grouped-unique: daily rollup GROUP BY day",
+    ("conformal_revenue_interval", "day"):
+        "grouped-unique: cal_r rows come from the daily rollup "
+        "(GROUP BY day), one row per day",
     ("moving_avg_daily_value", "day"):
         "grouped-unique: daily rollup GROUP BY day",
     ("forecast_accuracy", "day"):
