@@ -535,3 +535,37 @@ def test_lang_id_kappa_degenerate_single_class(spark, tmp_path):
     assert r["observed_agreement"] == 1.0
     assert r["expected_agreement"] == 1.0
     assert r["kappa"] is None
+
+
+# ---------------------------------------------------------------------------
+# compaction_plan (small-files rewrite planning)
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_plan_hand_computed(spark, tmp_path):
+    from tmdb_index_spark.queries import compaction_plan
+
+    # héllo = 6 UTF-8 bytes / 5 chars: the plan must count BYTES
+    # (octet_length == DuckDB strlen), not characters.
+    rows_ = [
+        (0, "héllo", "en", "src_a", 0),
+        (1, "ab", "en", "src_a", 0),
+        (2, "x" * 10, "en", "src_b", 0),
+    ]
+    df = spark.createDataFrame(
+        rows_, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["source"]: r.asDict()
+        for r in compaction_plan(spark, str(tmp_path)).collect()
+    }
+    a = got["src_a"]
+    assert a["n_docs"] == 2
+    assert a["total_bytes"] == 8  # 6 + 2 bytes
+    assert a["max_doc_bytes"] == 6
+    assert a["target_files"] == 1  # far under one 128 MiB target
+    assert a["rows_per_file"] == 2
+    assert a["avg_doc_bytes"] == 4.0
+    b = got["src_b"]
+    assert (b["total_bytes"], b["target_files"], b["rows_per_file"]) == (10, 1, 1)

@@ -2229,6 +2229,67 @@ FROM lsh_hits, nq
 """
 
 
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planning per source (extension: the
+    lakehouse ops query behind every OPTIMIZE/rewrite job — given
+    per-source row and byte totals, how many 128 MiB-target files
+    should the rewrite emit and how many rows land in each): byte
+    sizes are exact UTF-8 octet counts (Spark ``octet_length`` =
+    DuckDB ``strlen``), file counts are pure integer ceiling division
+    ((bytes + target − 1) DIV target — no float in the plan math, so
+    cross-engine parity is trivial), and the per-source aggregate is
+    one combinable map-side groupBy. At 100 TB this query IS the
+    compaction driver's planning stage: its output is |sources| rows
+    however large the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    target = 134_217_728  # 128 MiB
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.octet_length(F.col("text"))).cast("bigint").alias(
+            "total_bytes"
+        ),
+        F.max(F.octet_length(F.col("text"))).cast("bigint").alias(
+            "max_doc_bytes"
+        ),
+    )
+    nf = f"GREATEST(CAST(1 AS BIGINT), (total_bytes + {target - 1}) DIV {target})"
+    return per.select(
+        "source",
+        "n_docs",
+        "total_bytes",
+        "max_doc_bytes",
+        F.expr(nf).alias("target_files"),
+        F.expr(f"CAST((n_docs + {nf} - 1) DIV {nf} AS BIGINT)").alias(
+            "rows_per_file"
+        ),
+        F.round(
+            F.col("total_bytes").cast("double")
+            / F.col("n_docs").cast("double"),
+            2,
+        ).alias("avg_doc_bytes"),
+    )
+
+
+_COMPACTION_SQL = """
+WITH per AS (
+  SELECT source,
+         COUNT(*)::BIGINT AS n_docs,
+         SUM(strlen(text))::BIGINT AS total_bytes,
+         MAX(strlen(text))::BIGINT AS max_doc_bytes
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs, total_bytes, max_doc_bytes,
+       GREATEST(1, (total_bytes + 134217727) // 134217728)::BIGINT
+         AS target_files,
+       ((n_docs + GREATEST(1, (total_bytes + 134217727) // 134217728) - 1)
+        // GREATEST(1, (total_bytes + 134217727) // 134217728))::BIGINT
+         AS rows_per_file,
+       ROUND(CAST(total_bytes AS DOUBLE) / CAST(n_docs AS DOUBLE), 2)
+         AS avg_doc_bytes
+FROM per
+"""
+
+
 def conformal_revenue_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal prediction interval for daily revenue
     (extension: distribution-free uncertainty quantification — the
@@ -11251,6 +11312,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_recall_eval": ann_recall_eval,
     "mmr_diversified_topk": mmr_diversified_topk,
     "conformal_revenue_interval": conformal_revenue_interval,
+    "compaction_plan": compaction_plan,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
@@ -11361,6 +11423,7 @@ ORACLES: dict[str, str] = {
     "revenue_bootstrap_ci": _BOOTSTRAP_CI_SQL,
     "mmr_diversified_topk": _MMR_SQL,
     "conformal_revenue_interval": _CONFORMAL_SQL,
+    "compaction_plan": _COMPACTION_SQL,
     "purchase_burstiness": _BURSTINESS_SQL,
     "copurchase_item_cf": _ITEM_CF_SQL,
     "search_ndcg": _NDCG_SQL,
