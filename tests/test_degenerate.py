@@ -315,3 +315,47 @@ def test_conformal_interval_contract(spark):
     assert r["n_test_days"] > 0
     assert r["q_hat"] > 0.0
     assert 0.8 <= r["coverage"] <= 1.0
+
+
+def test_psm_att_hand_computed(spark, tmp_path):
+    # treated: u1 (2 clicks, y=100), u2 (0 clicks, y=50)
+    # control: u3 (2 clicks, y=80), u4 (3 clicks, y=40), u5 (0 clicks, y=0)
+    # matches: score 2 -> control cell 2 (mean 80); score 0 -> cell 0
+    # (mean 0) => mean_t = 75, matched mean = 40, ATT = 35.
+    from tmdb_index_spark.queries import signup_psm_att
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def ev(uid, etype, value=0.0):
+        nonlocal eid
+        rows.append((eid, t0, uid, etype, float(value), "{}"))
+        eid += 1
+
+    ev(1, "signup"); ev(1, "click"); ev(1, "click"); ev(1, "purchase", 100)
+    ev(2, "signup"); ev(2, "purchase", 50)
+    ev(3, "click"); ev(3, "click"); ev(3, "purchase", 80)
+    ev(4, "click"); ev(4, "click"); ev(4, "click"); ev(4, "purchase", 40)
+    ev(5, "view")
+    sf = _mini_events(spark, tmp_path, rows)
+    [r] = Q.signup_psm_att(spark, sf).collect()
+    assert r["n_treated"] == 2 and r["n_controls"] == 3
+    assert r["mean_treated_outcome"] == 75.0
+    assert r["mean_matched_outcome"] == 40.0
+    assert r["att"] == 35.0
+
+
+def test_psm_att_no_treated_null(spark, tmp_path):
+    # no signups at all: NULLIF(n_treated, 0) must yield NULL means
+    # and att, never an ANSI divide error.
+    from tmdb_index_spark.queries import signup_psm_att
+
+    t0 = datetime(2024, 1, 1)
+    sf = _mini_events(
+        spark, tmp_path,
+        [(0, t0, 1, "click", 0.0, "{}"), (1, t0, 2, "purchase", 9.0, "{}")],
+    )
+    [r] = Q.signup_psm_att(spark, sf).collect()
+    assert r["n_treated"] == 0 and r["n_controls"] == 2
+    assert r["att"] is None

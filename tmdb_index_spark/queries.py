@@ -2229,6 +2229,146 @@ FROM lsh_hits, nq
 """
 
 
+def signup_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-matched treatment effect (extension: the
+    observational-causal sibling of `purchase_did_estimate` —
+    nearest-neighbor propensity matching, Rosenbaum & Rubin 1983):
+    does signing up (treatment = ≥1 ``signup`` event) lift total
+    purchase value (outcome), controlling for engagement (propensity
+    proxy = the user's click count)? Each treated SCORE CELL matches
+    the nearest control score (argmin |s−s'|, ties to the lower
+    control score — matching WITH replacement on the
+    coarsened-by-integer-score cells, the standard NN-matching shape
+    re-expressed over bounded aggregates: the score tables are
+    distinct click-counts, sub-linear in users, so the match join is
+    a bounded broadcast cross with a per-treated-score argmin window,
+    never a user×user pair join). Exactness: outcomes aggregate as
+    DECIMAL; control cell means quantize to integer micros BEFORE the
+    Σ n_t·ȳ_c accumulation (the PCA convention — no cross-engine
+    float-sum-order drift); ATT divides once at the end, NULL via
+    NULLIF when there are no treated or no control users."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("__clicks__"),
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .cast("bigint")
+        .alias("__signups__"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", _dec("value")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        ).alias("__y__"),
+    )
+    treated = per_user.filter(F.col("__signups__") > 0)
+    control = per_user.filter(F.col("__signups__") == 0)
+    t_cells = treated.groupBy("__clicks__").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nt__"),
+        F.sum("__y__").alias("__syt__"),
+    )
+    c_cells = control.groupBy("__clicks__").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nc__"),
+        (
+            F.round(
+                F.sum("__y__").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * F.lit(1e6)
+            )
+        )
+        .cast("bigint")
+        .alias("__mm__"),
+    )
+    wm = Window.partitionBy("__ts__").orderBy(
+        F.abs(F.col("__ts__") - F.col("__cs__")).asc(), F.col("__cs__").asc()
+    )
+    matched = (
+        t_cells.select(F.col("__clicks__").alias("__ts__"), "__nt__", "__syt__")
+        .join(
+            F.broadcast(
+                c_cells.select(
+                    F.col("__clicks__").alias("__cs__"), "__mm__"
+                )
+            )
+        )
+        .withColumn("__rn__", F.row_number().over(wm))
+        .filter(F.col("__rn__") == 1)
+    )
+    tot = matched.agg(
+        F.coalesce(F.sum("__nt__"), F.lit(0)).cast("bigint").alias(
+            "n_treated"
+        ),
+        F.sum("__syt__").alias("__sy__"),
+        F.sum(F.col("__nt__") * F.col("__mm__")).cast("decimal(38,0)").alias(
+            "__smm__"
+        ),
+    )
+    n_ctrl = control.agg(F.count(F.lit(1)).cast("bigint").alias("n_controls"))
+    nt = F.col("n_treated").cast("double")
+    mean_t = F.col("__sy__").cast("double") / F.expr("NULLIF(n_treated, 0)")
+    mean_c = (
+        F.col("__smm__").cast("double")
+        / F.lit(1e6)
+        / F.expr("NULLIF(n_treated, 0)")
+    )
+    return tot.join(F.broadcast(n_ctrl)).select(
+        "n_treated",
+        "n_controls",
+        F.round(mean_t, 4).alias("mean_treated_outcome"),
+        F.round(mean_c, 4).alias("mean_matched_outcome"),
+        F.round(mean_t - mean_c, 4).alias("att"),
+    )
+
+
+_PSM_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+           AS clicks,
+         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT
+           AS signups,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+  FROM events GROUP BY 1
+),
+t_cells AS (
+  SELECT clicks AS ts, COUNT(*)::BIGINT AS nt, SUM(y) AS syt
+  FROM per_user WHERE signups > 0 GROUP BY 1
+),
+c_cells AS (
+  SELECT clicks AS cs, COUNT(*)::BIGINT AS nc,
+         CAST(ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*) * 1e6) AS BIGINT)
+           AS mm
+  FROM per_user WHERE signups = 0 GROUP BY 1
+),
+matched AS (
+  SELECT ts, nt, syt, mm FROM (
+    SELECT t.ts, t.nt, t.syt, c.mm,
+           ROW_NUMBER() OVER (PARTITION BY t.ts
+                              ORDER BY ABS(t.ts - c.cs) ASC, c.cs ASC) AS rn
+    FROM t_cells t CROSS JOIN c_cells c
+  ) WHERE rn = 1
+),
+tot AS (
+  SELECT COALESCE(SUM(nt), 0)::BIGINT AS n_treated, SUM(syt) AS sy,
+         CAST(SUM(nt * mm) AS DECIMAL(38,0)) AS smm
+  FROM matched
+),
+n_ctrl AS (
+  SELECT COUNT(*)::BIGINT AS n_controls FROM per_user WHERE signups = 0
+)
+SELECT n_treated, n_controls,
+       ROUND(CAST(sy AS DOUBLE) / NULLIF(n_treated, 0), 4)
+         AS mean_treated_outcome,
+       ROUND(CAST(smm AS DOUBLE) / 1e6 / NULLIF(n_treated, 0), 4)
+         AS mean_matched_outcome,
+       ROUND(CAST(sy AS DOUBLE) / NULLIF(n_treated, 0)
+             - CAST(smm AS DOUBLE) / 1e6 / NULLIF(n_treated, 0), 4) AS att
+FROM tot, n_ctrl
+"""
+
+
 def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction planning per source (extension: the
     lakehouse ops query behind every OPTIMIZE/rewrite job — given
@@ -11313,6 +11453,7 @@ QUERIES: dict[str, QueryFn] = {
     "mmr_diversified_topk": mmr_diversified_topk,
     "conformal_revenue_interval": conformal_revenue_interval,
     "compaction_plan": compaction_plan,
+    "signup_psm_att": signup_psm_att,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
@@ -11424,6 +11565,7 @@ ORACLES: dict[str, str] = {
     "mmr_diversified_topk": _MMR_SQL,
     "conformal_revenue_interval": _CONFORMAL_SQL,
     "compaction_plan": _COMPACTION_SQL,
+    "signup_psm_att": _PSM_SQL,
     "purchase_burstiness": _BURSTINESS_SQL,
     "copurchase_item_cf": _ITEM_CF_SQL,
     "search_ndcg": _NDCG_SQL,
