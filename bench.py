@@ -137,6 +137,9 @@ EXTENDED_QUERIES = [
     "revenue_bootstrap_ci",
     "mmr_diversified_topk",
     "conformal_revenue_interval",
+    "compaction_plan",
+    "signup_psm_att",
+    "event_stationary_dist",
     "user_state_scd2",
     "supplier_busy_intervals",
     "cosupply_triangles",

@@ -359,3 +359,30 @@ def test_psm_att_no_treated_null(spark, tmp_path):
     [r] = Q.signup_psm_att(spark, sf).collect()
     assert r["n_treated"] == 0 and r["n_controls"] == 2
     assert r["att"] is None
+
+
+def test_stationary_dist_hand_computed(spark, tmp_path):
+    # user 1 alternates view->click->view->click->view (a pure 2-cycle:
+    # P(view->click)=P(click->view)=1); user 2 emits one dangling
+    # 'error' event (no outgoing transitions). Uniform start = 1e9 DIV
+    # 3 nanos each; the cycle preserves its mass exactly in integer
+    # arithmetic while the dangling type's mass vanishes at step 1 —
+    # so the fixed point is exactly 333333333 nanos for view and
+    # click, and NO error row.
+    from datetime import timedelta
+
+    from tmdb_index_spark.queries import event_stationary_dist
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1, et, 0.0, "{}")
+        for i, et in enumerate(["view", "click", "view", "click", "view"])
+    ] + [(99, t0, 2, "error", 0.0, "{}")]
+    sf = _mini_events(spark, tmp_path, rows)
+    got = {
+        r["event_type"]: r for r in event_stationary_dist(spark, sf).collect()
+    }
+    assert set(got) == {"view", "click"}
+    assert got["view"]["prob_nanos"] == 333333333
+    assert got["click"]["prob_nanos"] == 333333333
+    assert got["view"]["stationary_prob"] == 0.333333

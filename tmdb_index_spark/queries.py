@@ -2229,6 +2229,87 @@ FROM lsh_hits, nq
 """
 
 
+_STATIONARY_ITERS = 16
+
+
+def _stationary_sql(table: str, spark_dialect: bool) -> str:
+    """One generated SQL text for the event-type stationary
+    distribution, shared by both engines (only the integer-division
+    operator differs: Spark ``DIV``, DuckDB ``//``): the Markov chain
+    over consecutive-event transitions, its transition matrix
+    quantized to exact integer ppm, then ``_STATIONARY_ITERS`` power
+    steps of v·P as chained CTEs — every step is pure BIGINT
+    multiply/sum/divide, so the fixed point is bit-identical across
+    engines with NO float-sum caveat (the `trade_graph_pagerank`
+    exact-integer convention, taken to a deeper unroll over the
+    types×types-bounded frame)."""
+    dv = "DIV" if spark_dialect else "//"
+    steps = []
+    prev = "v0"
+    for i in range(1, _STATIONARY_ITERS + 1):
+        steps.append(f"""
+v{i} AS (
+  SELECT p.b AS t, CAST(SUM({prev}.v * p.ppm) {dv} 1000000 AS BIGINT) AS v
+  FROM {prev} JOIN p ON p.a = {prev}.t GROUP BY p.b
+)""")
+        prev = f"v{i}"
+    return f"""
+WITH pairs AS (
+  SELECT event_type AS a,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS b
+  FROM {table}
+),
+cnt AS (
+  SELECT a, b, COUNT(*)::BIGINT AS c
+  FROM pairs WHERE b IS NOT NULL GROUP BY a, b
+),
+rowsum AS (SELECT a, SUM(c) AS tot FROM cnt GROUP BY a),
+p AS (
+  SELECT cnt.a, cnt.b, CAST((c * 1000000) {dv} tot AS BIGINT) AS ppm
+  FROM cnt JOIN rowsum ON cnt.a = rowsum.a
+),
+types AS (SELECT DISTINCT event_type AS t FROM {table}),
+v0 AS (
+  SELECT t, CAST(1000000000 {dv} (SELECT COUNT(*) FROM types) AS BIGINT)
+           AS v
+  FROM types
+),
+{",".join(steps)}
+SELECT t AS event_type,
+       CAST(v AS BIGINT) AS prob_nanos,
+       ROUND(CAST(v AS DOUBLE) / 1e9, 6) AS stationary_prob
+FROM {prev}
+"""
+
+
+def event_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain
+    (extension: the fixed-point summary of `event_transition_probs` —
+    where user behavior settles if the observed transition dynamics
+    run forever, the classic power-iteration statistic behind
+    behavioral steady-state dashboards): 16 unrolled v·P power steps
+    over the types×types-bounded transition matrix, EVERY step exact
+    integer arithmetic (probabilities as nanos, the matrix as ppm —
+    the `trade_graph_pagerank` convention), so the result is
+    bit-identical across engines with no float caveat at all. Row
+    quantization truncates, so total mass decays ≤ |types| ppm per
+    step (documented, deterministic); dangling types (no outgoing
+    transitions) correctly bleed to zero. One generated flat SQL text
+    serves BOTH engines (:func:`_stationary_sql`): one analyzer pass,
+    16 tiny keyed aggregates over a bounded frame after the single
+    events-sized window."""
+    import uuid
+
+    ev = _events(spark, sf_dir)
+    view = f"__stationary_ev_{uuid.uuid4().hex[:12]}"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(_stationary_sql(view, spark_dialect=True))
+
+
+_STATIONARY_SQL = _stationary_sql("events", spark_dialect=False)
+
+
 def signup_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Propensity-matched treatment effect (extension: the
     observational-causal sibling of `purchase_did_estimate` —
@@ -11454,6 +11535,7 @@ QUERIES: dict[str, QueryFn] = {
     "conformal_revenue_interval": conformal_revenue_interval,
     "compaction_plan": compaction_plan,
     "signup_psm_att": signup_psm_att,
+    "event_stationary_dist": event_stationary_dist,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
@@ -11566,6 +11648,7 @@ ORACLES: dict[str, str] = {
     "conformal_revenue_interval": _CONFORMAL_SQL,
     "compaction_plan": _COMPACTION_SQL,
     "signup_psm_att": _PSM_SQL,
+    "event_stationary_dist": _STATIONARY_SQL,
     "purchase_burstiness": _BURSTINESS_SQL,
     "copurchase_item_cf": _ITEM_CF_SQL,
     "search_ndcg": _NDCG_SQL,
