@@ -2077,6 +2077,7 @@ def mmr_rerank(
     id_col: str = "vec_id",
     rel_col: str = "rel",
     vec_col: str = "embedding",
+    max_pool: int = 1024,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998): greedily pick ``k`` results maximizing ``λ·rel(d) −
@@ -2085,26 +2086,30 @@ def mmr_rerank(
     already-selected set.
 
     ``pool`` must be the BOUNDED head of a retrieval ranking (e.g. a
-    TakeOrderedAndProject top-N) — the production shape: reranking
-    happens on the candidate head, never the corpus, so the |pool|²
-    similarity matrix and the ``k`` greedy passes are constant-size
-    however large the corpus. The pool and its pairwise cosine matrix
-    are cached once; each greedy step is ONE in-engine argmax
-    (filter + max-sim aggregate + ``orderBy().limit(1)``) whose single
-    winning row is fetched to the driver and fed into the next step's
-    literal exclusion list — the k-step accumulation is driver-side by
-    construction (k rows total, the CC-rounds convention), which keeps
-    every step's plan flat instead of chaining k limit(1) subtrees
-    into one exponentially re-evaluated tree (the chained form
-    measured 11.9 s for a 20-row pool; this form ~1 s). All score
-    rounding happens IN-ENGINE (``ROUND(x, 4)``, half-up) so the
-    emitted literals are bit-identical to the SQL oracle's — Python's
-    half-even ``round`` never touches a value. Ties break on lower
-    id; relevance and pairwise sims round to 4 before the score
-    arithmetic; λ/(1−λ) enter as the same repr literals on both
-    engines, so the greedy trajectory is engine-exact. Output: (rank,
-    id, relevance, mmr_score), first pick's score = λ·rel. Fewer than
-    ``k`` pool rows yield fewer rows."""
+    TakeOrderedAndProject top-N; ``max_pool`` declares and enforces
+    the bound via :func:`bounded_collect`) — the production shape:
+    reranking happens on the candidate head, never the corpus, and in
+    real stacks it happens SERVICE-SIDE on that head. Execution is
+    two engine jobs + pure-Python greedy accumulation:
+
+    1. collect the pool (≤ ``max_pool`` rows, loud past the bound);
+    2. ONE tiny in-engine job computes the |pool|² pairwise cosine
+       matrix over the LITERALIZED pool rows — so every similarity is
+       rounded by the ENGINE's ROUND (the family contract), never by
+       Python's half-even ``round``;
+    3. the k greedy steps run driver-side on those rounded inputs —
+       each score is one IEEE-double multiply/subtract of
+       engine-rounded values, bit-identical to what the SQL oracle
+       computes, with the argmax on the UNROUNDED score (ties to the
+       lower id) and the output score rounded IN-ENGINE in the final
+       literal-frame select.
+
+    The earlier all-in-engine forms measured 11.9 s (chained limit(1)
+    subtrees re-evaluated exponentially) and ~10 s (k sequential
+    argmax jobs — pure job-count overhead on 20-row frames) at sf0.1;
+    this form is the pool job + ~1 s. Output: (rank, id, relevance,
+    mmr_score), first pick's score = λ·rel. Fewer than ``k`` pool
+    rows yield fewer rows."""
     from tmdb_index_spark.operators.materialize import bounded_collect
 
     if k < 1:
@@ -2114,74 +2119,57 @@ def mmr_rerank(
     div_w = round(1.0 - lam, 10)
     spark = pool.sparkSession
     id_type = dict(pool.dtypes)[id_col]
-    p = pool.select(id_col, rel_col, vec_col).cache()
-    a, b = p.alias("a"), p.alias("b")
-    sim = (
+    rows = bounded_collect(
+        pool.select(id_col, rel_col, vec_col), max_pool, "MMR pool"
+    )
+    out_schema = (
+        f"rank bigint, `{id_col}` {id_type}, relevance double, "
+        "mmr_score double"
+    )
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    ids = [r[0] for r in rows]
+    rel = {r[0]: float(r[1]) for r in rows}
+    lit_pool = spark.createDataFrame(
+        [(r[0], list(map(float, r[2]))) for r in rows],
+        f"`{id_col}` {id_type}, `{vec_col}` array<double>",
+    )
+    a, b = lit_pool.alias("a"), lit_pool.alias("b")
+    sim_rows = bounded_collect(
         a.join(
-            F.broadcast(b),
-            F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
-        )
-        .select(
+            F.broadcast(b), F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+        ).select(
             F.col(f"a.{id_col}").alias("__da__"),
             F.col(f"b.{id_col}").alias("__db__"),
             cosine(
-                F.col(f"a.{vec_col}").cast("array<double>"),
-                F.col(f"b.{vec_col}").cast("array<double>"),
+                F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
             ).alias("__sim__"),
-        )
-        .cache()
+        ),
+        max_pool * max_pool,
+        "MMR pairwise sims",
     )
-    try:
-        picks: list[tuple] = []
-        first = bounded_collect(
-            p.orderBy(F.col(rel_col).desc(), F.col(id_col))
-            .limit(1)
-            .select(
-                F.col(id_col),
-                F.col(rel_col),
-                F.round(F.lit(lam) * F.col(rel_col), 4).alias("__mmr__"),
-            ),
-            1,
-            "MMR first pick",
-        )
-        if first:
-            r = first[0]
-            picks.append((1, r[id_col], r[rel_col], r["__mmr__"]))
-        for step in range(2, k + 1):
-            if not picks:
-                break
-            sel = [t[1] for t in picks]
-            maxsim = (
-                sim.filter(F.col("__db__").isin(sel))
-                .groupBy("__da__")
-                .agg(F.max("__sim__").alias("__ms__"))
-            )
-            rows = bounded_collect(
-                p.filter(~F.col(id_col).isin(sel))
-                .join(maxsim, p[id_col] == F.col("__da__"))
-                .select(
-                    F.col(id_col),
-                    F.col(rel_col),
-                    F.round(
-                        F.lit(lam) * F.col(rel_col)
-                        - F.lit(div_w) * F.col("__ms__"),
-                        4,
-                    ).alias("__mmr__"),
-                )
-                .orderBy(F.col("__mmr__").desc(), F.col(id_col))
-                .limit(1),
-                1,
-                "MMR step pick",
-            )
-            if not rows:
-                break
-            r = rows[0]
-            picks.append((step, r[id_col], r[rel_col], r["__mmr__"]))
-        return spark.createDataFrame(
-            picks,
-            f"rank bigint, `{id_col}` {id_type}, relevance double, "
-            "mmr_score double",
-        )
-    finally:
-        p.unpersist()
-        sim.unpersist()
+    sim = {(r[0], r[1]): float(r[2]) for r in sim_rows}
+    # greedy on engine-rounded inputs: plain IEEE double arithmetic,
+    # argmax on the unrounded score, ties to the lower id
+    first = sorted(ids, key=lambda i: (-rel[i], i))[0]
+    picks = [(1, first, rel[first], lam * rel[first])]
+    selected = [first]
+    while len(picks) < k and len(selected) < len(ids):
+        best = None
+        for i in ids:
+            if i in selected:
+                continue
+            ms = max(sim[(i, s)] for s in selected)
+            score = lam * rel[i] - div_w * ms
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        picks.append((len(picks) + 1, best[1], rel[best[1]], best[2]))
+        selected.append(best[1])
+    out = spark.createDataFrame(picks, out_schema)
+    # output rounding stays IN-ENGINE (half-up), matching the oracle's
+    # final ROUND — Python's half-even round never touches a score
+    return out.select(
+        "rank", id_col, "relevance",
+        F.round(F.col("mmr_score"), 4).alias("mmr_score"),
+    )

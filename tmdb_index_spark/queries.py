@@ -2666,16 +2666,18 @@ def _mmr_oracle_sql() -> str:
     steps as chained CTEs — each step joins the remaining pool to the
     pairwise sim matrix restricted to the selected-so-far set, takes
     MAX(sim), scores λ·rel − (1−λ)·maxsim on the same repr literals
-    the Spark side uses, ROUNDS to 4 BEFORE the argmax (the family
-    round-before-rank contract — the operator ranks the rounded
-    score), and picks the (score DESC, id ASC) head."""
+    the Spark side uses (UNROUNDED for the argmax — both engines
+    compute bit-identical doubles from the engine-rounded rel/sim
+    inputs, so the pick order is exact), takes the (score DESC, id
+    ASC) head, and ROUNDS only the OUTPUT score — mirroring the
+    operator's in-engine final rounding."""
     steps = []
     sel_union = "SELECT vec_id FROM s1"
     for i in range(2, _MMR_K + 1):
         steps.append(f"""
 s{i} AS (
   SELECT p.vec_id, p.rel,
-         ROUND({_MMR_LAM!r} * p.rel - {_MMR_DIV!r} * MAX(s.sim), 4) AS mmr
+         {_MMR_LAM!r} * p.rel - {_MMR_DIV!r} * MAX(s.sim) AS mmr
   FROM pool p
   JOIN sim s ON s.da = p.vec_id AND s.db IN ({sel_union})
   WHERE p.vec_id NOT IN ({sel_union})
@@ -2687,7 +2689,7 @@ s{i} AS (
         f"SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel AS relevance,"
         f" ROUND({_MMR_LAM!r} * rel, 4) AS mmr_score FROM s1"
     ] + [
-        f"SELECT CAST({i} AS BIGINT), vec_id, rel, mmr FROM s{i}"
+        f"SELECT CAST({i} AS BIGINT), vec_id, rel, ROUND(mmr, 4) FROM s{i}"
         for i in range(2, _MMR_K + 1)
     ]
     return f"""
