@@ -140,6 +140,7 @@ EXTENDED_QUERIES = [
     "compaction_plan",
     "signup_psm_att",
     "event_stationary_dist",
+    "source_ablation_effects",
     "user_state_scd2",
     "supplier_busy_intervals",
     "cosupply_triangles",

@@ -569,3 +569,48 @@ def test_compaction_plan_hand_computed(spark, tmp_path):
     assert a["avg_doc_bytes"] == 4.0
     b = got["src_b"]
     assert (b["total_bytes"], b["target_files"], b["rows_per_file"]) == (10, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# source_ablation_effects (leave-one-source-out data valuation)
+# ---------------------------------------------------------------------------
+
+
+def test_source_ablation_hand_computed(spark, tmp_path):
+    from tmdb_index_spark.queries import source_ablation_effects
+
+    # Scores (stopword-density - punct-density micros): "the the" ->
+    # 1e6, "zzz zzz" -> 0. src_a: two docs at 1e6 (mean 1.0); src_b:
+    # two docs at 0 (mean 0.0). Corpus mean 0.5; LOO means: without a
+    # -> 0.0, without b -> 1.0; deltas +0.5 / -0.5.
+    rows_ = [
+        (0, "the the", "en", "src_a", 0),
+        (1, "the the", "en", "src_a", 0),
+        (2, "zzz zzz", "en", "src_b", 0),
+        (3, "zzz zzz", "en", "src_b", 0),
+    ]
+    df = spark.createDataFrame(
+        rows_, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["source"]: r.asDict()
+        for r in source_ablation_effects(spark, str(tmp_path)).collect()
+    }
+    a, b = got["src_a"], got["src_b"]
+    assert a["source_mean"] == 1.0 and b["source_mean"] == 0.0
+    assert a["corpus_mean"] == 0.5 == b["corpus_mean"]
+    assert a["loo_mean"] == 0.0 and b["loo_mean"] == 1.0
+    assert a["delta"] == 0.5 and b["delta"] == -0.5
+
+
+def test_source_ablation_single_source_null_loo(spark, tmp_path):
+    from tmdb_index_spark.queries import source_ablation_effects
+
+    df = spark.createDataFrame(
+        [(0, "the", "en", "only", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    [r] = source_ablation_effects(spark, str(tmp_path)).collect()
+    assert r["loo_mean"] is None and r["delta"] is None

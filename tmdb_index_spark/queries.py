@@ -2310,6 +2310,111 @@ def event_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATIONARY_SQL = _stationary_sql("events", spark_dialect=False)
 
 
+def source_ablation_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out data valuation (extension: the ablation
+    table a data-mixture owner reads before cutting a source — how
+    much does REMOVING each source move the corpus mean quality
+    score? The exact group-wise LOO identity mean₋ₛ = (T − tₛ)/(N −
+    nₛ) makes the whole table ONE aggregate pass — no per-source
+    recompute, the trick that makes source ablations free at 100 TB):
+    quality score = the `adaptive_quality_filter` recipe verbatim
+    (stopword density − punctuation density, FLOOR-quantized integer
+    micros), per-source sums exact BIGINT, the corpus totals broadcast
+    back onto the |sources| frame, every mean one double division.
+    ``delta`` = corpus mean − LOO mean (the source's contribution);
+    NULLIF guards the single-source corpus."""
+    from tmdb_index_spark.functions.text import LANG_MARKERS, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.coalesce(F.col("text"), F.lit(""))
+    t = tokens(c)
+    n_words = F.size(t)
+    n_chars = F.length(c)
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(t, lambda w: F.array_contains(stop, F.lower(w))))
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    score_q = (
+        F.floor(
+            F.lit(1e6) * n_stop.cast("double")
+            / F.greatest(n_words, F.lit(1)).cast("double")
+        )
+        - F.floor(
+            F.lit(1e6) * n_punct.cast("double")
+            / F.greatest(n_chars, F.lit(1)).cast("double")
+        )
+    ).cast("long")
+    per_src = (
+        docs.select("source", score_q.alias("__q__"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__q__").cast("bigint").alias("__sq__"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").cast("bigint").alias("__nall__"),
+        F.sum("__sq__").cast("bigint").alias("__sqall__"),
+    )
+    src_mean = F.col("__sq__").cast("double") / F.col("n_docs").cast(
+        "double"
+    ) / F.lit(1e6)
+    corpus_mean = F.col("__sqall__").cast("double") / F.col("__nall__").cast(
+        "double"
+    ) / F.lit(1e6)
+    loo_mean = (
+        (F.col("__sqall__") - F.col("__sq__")).cast("double")
+        / F.expr("CAST(NULLIF(__nall__ - n_docs, 0) AS DOUBLE)")
+        / F.lit(1e6)
+    )
+    return per_src.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(src_mean, 6).alias("source_mean"),
+        F.round(corpus_mean, 6).alias("corpus_mean"),
+        F.round(loo_mean, 6).alias("loo_mean"),
+        # + 0.0 kills IEEE negative zero: a delta rounding to zero
+        # from below prints -0.0 on one engine and 0.0 on the other
+        (F.round(corpus_mean - loo_mean, 6) + F.lit(0.0)).alias("delta"),
+    )
+
+
+_SOURCE_ABLATION_SQL = """
+WITH t AS (
+  SELECT source, coalesce(text, '') AS text,
+         regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS ts
+  FROM documents
+),
+scored AS (
+  SELECT source,
+         CAST(FLOOR(1e6 * len(list_filter(ts, w -> list_contains(
+                  ['the','and','of','to','a','is'], lower(w)))) * 1.0
+                / greatest(len(ts), 1))
+            - FLOOR(1e6 * (length(text)
+                - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+                / greatest(length(text), 1)) AS BIGINT) AS q
+  FROM t
+),
+per_src AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(q)::BIGINT AS sq
+  FROM scored GROUP BY 1
+),
+tot AS (SELECT SUM(n_docs)::BIGINT AS nall, SUM(sq)::BIGINT AS sqall
+        FROM per_src)
+SELECT source, n_docs,
+       ROUND(CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e6, 6)
+         AS source_mean,
+       ROUND(CAST(sqall AS DOUBLE) / CAST(nall AS DOUBLE) / 1e6, 6)
+         AS corpus_mean,
+       ROUND(CAST(sqall - sq AS DOUBLE)
+             / CAST(NULLIF(nall - n_docs, 0) AS DOUBLE) / 1e6, 6) AS loo_mean,
+       ROUND(CAST(sqall AS DOUBLE) / CAST(nall AS DOUBLE) / 1e6
+             - CAST(sqall - sq AS DOUBLE)
+               / CAST(NULLIF(nall - n_docs, 0) AS DOUBLE) / 1e6, 6) + 0.0
+         AS delta
+FROM per_src, tot
+"""
+
+
 def signup_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Propensity-matched treatment effect (extension: the
     observational-causal sibling of `purchase_did_estimate` —
@@ -11538,6 +11643,7 @@ QUERIES: dict[str, QueryFn] = {
     "compaction_plan": compaction_plan,
     "signup_psm_att": signup_psm_att,
     "event_stationary_dist": event_stationary_dist,
+    "source_ablation_effects": source_ablation_effects,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
@@ -11651,6 +11757,7 @@ ORACLES: dict[str, str] = {
     "compaction_plan": _COMPACTION_SQL,
     "signup_psm_att": _PSM_SQL,
     "event_stationary_dist": _STATIONARY_SQL,
+    "source_ablation_effects": _SOURCE_ABLATION_SQL,
     "purchase_burstiness": _BURSTINESS_SQL,
     "copurchase_item_cf": _ITEM_CF_SQL,
     "search_ndcg": _NDCG_SQL,
