@@ -141,6 +141,7 @@ EXTENDED_QUERIES = [
     "signup_psm_att",
     "event_stationary_dist",
     "source_ablation_effects",
+    "nation_balance_fdr",
     "user_state_scd2",
     "supplier_busy_intervals",
     "cosupply_triangles",

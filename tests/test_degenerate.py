@@ -386,3 +386,23 @@ def test_stationary_dist_hand_computed(spark, tmp_path):
     assert got["view"]["prob_nanos"] == 333333333
     assert got["click"]["prob_nanos"] == 333333333
     assert got["view"]["stationary_prob"] == 0.333333
+
+
+def test_nation_fdr_bh_python_mirror(spark):
+    # Re-derive the Benjamini-Hochberg step-up in plain Python from
+    # the engine's own quantized p-values: ranks must be dense over
+    # (p asc, name asc), and the significant set must be exactly
+    # ranks <= k* = max{k : p_(k) <= k*alpha/m}.
+    rows = Q.nation_balance_fdr(spark, "/root/testdata/sf0.001").collect()
+    m = len(rows)
+    assert m > 1
+    ordered = sorted(rows, key=lambda r: (r["p_value"], r["n_name"]))
+    assert [r["bh_rank"] for r in ordered] == list(range(1, m + 1))
+    kstar = max(
+        (r["bh_rank"] for r in ordered
+         if r["p_value"] <= r["bh_rank"] * 0.05 / m),
+        default=0,
+    )
+    for r in ordered:
+        assert r["significant"] == (r["bh_rank"] <= kstar)
+        assert 0.0 <= r["p_value"] <= 1.0

@@ -2310,6 +2310,109 @@ def event_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATIONARY_SQL = _stationary_sql("events", spark_dialect=False)
 
 
+_FDR_ALPHA = 0.05
+
+
+def _fdr_sql(table: str) -> str:
+    """One SQL text (shared verbatim by Spark and DuckDB — standard
+    syntax only) for the per-nation balance z-test + Benjamini–
+    Hochberg FDR correction: exact DECIMAL moment sums per nation,
+    population z against the global mean, two-sided p via the
+    Abramowitz & Stegun 7.1.26 erf polynomial (the only libm calls are
+    exp/sqrt — the ``ln`` cross-engine stance: 1-ULP libm drift is
+    absorbed by quantizing p to 6 decimals BEFORE the BH comparison,
+    so the step-up rule compares identical quantized values), then the
+    classic step-up: k* = max rank with p₍ₖ₎ ≤ k·α/m over the
+    |nations|-bounded ranked frame."""
+    # A&S 7.1.26 coefficients, embedded as repr literals on both sides
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p_coef = 0.3275911
+    return f"""
+WITH per_nation AS (
+  SELECT n.n_name,
+         COUNT(*) AS n_custs,
+         SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS s,
+         SUM(CAST(c.c_acctbal AS DECIMAL(18,2))
+             * CAST(c.c_acctbal AS DECIMAL(18,2))) AS ss
+  FROM {table} c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+allstats AS (
+  SELECT SUM(n_custs) AS nall, SUM(s) AS sall, SUM(ss) AS ssall,
+         COUNT(*) AS m
+  FROM per_nation
+),
+z AS (
+  SELECT n_name, n_custs, m,
+         CAST(s AS DOUBLE) / n_custs AS mean_s,
+         CAST(sall AS DOUBLE) / nall AS mean_g,
+         (CAST(s AS DOUBLE) / n_custs - CAST(sall AS DOUBLE) / nall)
+           / (SQRT(CAST(ssall AS DOUBLE) / nall
+                   - (CAST(sall AS DOUBLE) / nall)
+                     * (CAST(sall AS DOUBLE) / nall))
+              / SQRT(CAST(n_custs AS DOUBLE))) AS zval
+  FROM per_nation CROSS JOIN allstats
+),
+pv AS (
+  SELECT n_name, n_custs, m, mean_s, zval,
+         ROUND((({a1!r} * (1.0 / (1.0 + {p_coef!r} * (ABS(zval) / SQRT(2.0))))
+           + {a2!r} * POWER(1.0 / (1.0 + {p_coef!r} * (ABS(zval) / SQRT(2.0))), 2)
+           + {a3!r} * POWER(1.0 / (1.0 + {p_coef!r} * (ABS(zval) / SQRT(2.0))), 3)
+           + {a4!r} * POWER(1.0 / (1.0 + {p_coef!r} * (ABS(zval) / SQRT(2.0))), 4)
+           + {a5!r} * POWER(1.0 / (1.0 + {p_coef!r} * (ABS(zval) / SQRT(2.0))), 5))
+           * EXP(-(ABS(zval) / SQRT(2.0)) * (ABS(zval) / SQRT(2.0)))), 6)
+           AS p_value
+  FROM z
+),
+ranked AS (
+  SELECT n_name, n_custs, m, mean_s, zval, p_value,
+         ROW_NUMBER() OVER (ORDER BY p_value ASC, n_name ASC) AS bh_rank
+  FROM pv
+),
+kstar AS (
+  SELECT COALESCE(MAX(CASE WHEN p_value <= bh_rank * {_FDR_ALPHA!r} / m
+                           THEN bh_rank ELSE 0 END), 0) AS k
+  FROM ranked
+)
+SELECT n_name,
+       CAST(n_custs AS BIGINT) AS n_custs,
+       ROUND(mean_s, 2) AS mean_bal,
+       ROUND(zval, 4) AS z_score,
+       p_value,
+       CAST(bh_rank AS BIGINT) AS bh_rank,
+       bh_rank <= k AS significant
+FROM ranked CROSS JOIN kstar
+"""
+
+
+def nation_balance_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control (extension: the eval-suite statistic
+    behind any per-segment metric dashboard — 25 simultaneous
+    per-nation balance z-tests inflate false positives, Benjamini–
+    Hochberg 1995 step-up bounds the FDR at α=0.05): exact DECIMAL
+    moment sums, population z per nation vs the global mean, two-sided
+    p via the shared A&S 7.1.26 erf polynomial, p quantized to 6
+    decimals BEFORE the step-up comparison so both engines run BH on
+    identical values (the only libm calls are exp/sqrt — the
+    `source_token_kl` ln stance on 1-ULP drift). ONE SQL text serves
+    both engines verbatim (:func:`_fdr_sql`); every frame after the
+    per-nation aggregate is |nations|-bounded."""
+    import uuid
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cview = f"__fdr_cust_{uuid.uuid4().hex[:12]}"
+    nview = f"__fdr_nation_{uuid.uuid4().hex[:12]}"
+    cust.createOrReplaceTempView(cview)
+    nation.createOrReplaceTempView(nview)
+    return spark.sql(_fdr_sql(cview).replace(" nation n ", f" {nview} n "))
+
+
+_NATION_FDR_SQL = _fdr_sql("customer")
+
+
 def source_ablation_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-source-out data valuation (extension: the ablation
     table a data-mixture owner reads before cutting a source — how
@@ -11644,6 +11747,7 @@ QUERIES: dict[str, QueryFn] = {
     "signup_psm_att": signup_psm_att,
     "event_stationary_dist": event_stationary_dist,
     "source_ablation_effects": source_ablation_effects,
+    "nation_balance_fdr": nation_balance_fdr,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
@@ -11758,6 +11862,7 @@ ORACLES: dict[str, str] = {
     "signup_psm_att": _PSM_SQL,
     "event_stationary_dist": _STATIONARY_SQL,
     "source_ablation_effects": _SOURCE_ABLATION_SQL,
+    "nation_balance_fdr": _NATION_FDR_SQL,
     "purchase_burstiness": _BURSTINESS_SQL,
     "copurchase_item_cf": _ITEM_CF_SQL,
     "search_ndcg": _NDCG_SQL,

@@ -46,12 +46,14 @@ __all__ = ["audit_oracle_order_keys", "UNIQUE_TRAILING_KEYS", "WAIVERS"]
 #:    per (vec_id, sub)) partition in the ANN oracles (one candidate
 #:    row per neighbor/cell; one codebook row per (sub, code) in the
 #:    PQ encoding argmin).
-#:  - source / term / part_b / seg_id: grouping keys of the rollup
-#:    each orders (one row per value within the partition).
+#:  - source / term / part_b / seg_id / n_name: grouping keys of the
+#:    rollup each orders (one row per value within the partition;
+#:    n_name is the nation primary name over per-nation rollups).
 UNIQUE_TRAILING_KEYS = {
     "event_id", "doc_id", "vec_id", "o_orderkey", "c_custkey",
     "s_suppkey", "p_partkey", "user_id", "run", "neighbor_id",
     "cell", "ccell", "code", "source", "term", "part_b", "seg_id",
+    "n_name",
 }
 
 #: Per-oracle waivers: (query name, trailing key) → why the clause
@@ -73,6 +75,9 @@ WAIVERS = {
     ("conformal_revenue_interval", "day"):
         "grouped-unique: cal_r rows come from the daily rollup "
         "(GROUP BY day), one row per day",
+    ("signup_psm_att", "cs"):
+        "grouped-unique: c_cells GROUPs BY clicks, one row per cs "
+        "within every t.ts partition of the match cross",
     ("moving_avg_daily_value", "day"):
         "grouped-unique: daily rollup GROUP BY day",
     ("forecast_accuracy", "day"):
