@@ -142,6 +142,7 @@ EXTENDED_QUERIES = [
     "event_stationary_dist",
     "source_ablation_effects",
     "nation_balance_fdr",
+    "order_trimmed_mean",
     "user_state_scd2",
     "supplier_busy_intervals",
     "cosupply_triangles",

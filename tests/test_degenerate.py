@@ -406,3 +406,25 @@ def test_nation_fdr_bh_python_mirror(spark):
     for r in ordered:
         assert r["significant"] == (r["bh_rank"] <= kstar)
         assert 0.0 <= r["p_value"] <= 1.0
+
+
+def test_trimmed_mean_hand_computed(spark, tmp_path):
+    # 10 orders valued 1..9 plus a 1000 outlier, one priority:
+    # k = 10 DIV 10 = 1 -> drop rank 1 (value 1) and rank 10 (1000);
+    # trimmed mean = (2+..+9)/8 = 5.5 while the plain mean is 104.5.
+    from tmdb_index_spark.queries import order_trimmed_mean
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0]
+    spark.createDataFrame(
+        [
+            (i, 1, "O", v, datetime(2024, 1, 1), "1-URGENT")
+            for i, v in enumerate(vals)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    [r] = order_trimmed_mean(spark, str(tmp_path)).collect()
+    assert r["n_orders"] == 10 and r["n_trim_each"] == 1
+    assert r["trimmed_mean"] == 5.5
+    assert r["mean_all"] == 104.5

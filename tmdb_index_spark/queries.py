@@ -2310,6 +2310,89 @@ def event_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATIONARY_SQL = _stationary_sql("events", spark_dialect=False)
 
 
+def order_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric 10% trimmed mean of order value per priority
+    (extension: the robust-statistics companion to
+    `weighted_median_price` — the mean with the top and bottom decile
+    of ranks dropped, immune to the tail outliers that pull a plain
+    mean): exact trim boundaries from integer ``n DIV 10`` (never
+    ``n·0.1`` float arithmetic — ``floor`` of a binary 0.1 product can
+    disagree with exact tenths), ranks from :func:`grouped_rank`'s
+    funnel-free buckets (5 priorities = the few-huge-groups window
+    funnel the rank family exists to avoid), kept-range sums exact
+    DECIMAL. Output per priority: count, per-side trim count, trimmed
+    and plain means."""
+    from tmdb_index_spark.operators.ordering import grouped_rank
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", _dec("o_totalprice").alias("__p__")
+    )
+    ranked = grouped_rank(
+        o,
+        "__p__",
+        tiebreak=["o_orderkey"],
+        partition_cols=["o_orderpriority"],
+        rank_col="__r__",
+        n_col="__n__",
+        ascending=True,
+    )
+    k = F.expr("__n__ DIV 10")
+    kept = ranked.filter((F.col("__r__") > k) & (F.col("__r__") <= F.col("__n__") - k))
+    per = kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("__nk__"), F.sum("__p__").alias("__sk__")
+    )
+    alls = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("__p__").alias("__s__"),
+    )
+    return alls.join(F.broadcast(per), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        F.expr("CAST(n_orders DIV 10 AS BIGINT)").alias("n_trim_each"),
+        F.round(
+            F.col("__sk__").cast("double") / F.col("__nk__").cast("double"),
+            2,
+        ).alias("trimmed_mean"),
+        F.round(
+            F.col("__s__").cast("double") / F.col("n_orders").cast("double"),
+            2,
+        ).alias("mean_all"),
+    )
+
+
+_TRIMMED_MEAN_SQL = """
+WITH o AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders
+),
+ranked AS (
+  SELECT o_orderpriority, p,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY p, o_orderkey) AS r,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM o
+),
+kept AS (
+  SELECT o_orderpriority, p FROM ranked
+  WHERE r > n // 10 AND r <= n - n // 10
+),
+per AS (
+  SELECT o_orderpriority, COUNT(*) AS nk, SUM(p) AS sk
+  FROM kept GROUP BY 1
+),
+alls AS (
+  SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders, SUM(p) AS s
+  FROM o GROUP BY 1
+)
+SELECT o_orderpriority, n_orders,
+       CAST(n_orders // 10 AS BIGINT) AS n_trim_each,
+       ROUND(CAST(sk AS DOUBLE) / nk, 2) AS trimmed_mean,
+       ROUND(CAST(s AS DOUBLE) / n_orders, 2) AS mean_all
+FROM alls JOIN per USING (o_orderpriority)
+"""
+
+
 _FDR_ALPHA = 0.05
 
 
@@ -11748,6 +11831,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_stationary_dist": event_stationary_dist,
     "source_ablation_effects": source_ablation_effects,
     "nation_balance_fdr": nation_balance_fdr,
+    "order_trimmed_mean": order_trimmed_mean,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
@@ -11863,6 +11947,7 @@ ORACLES: dict[str, str] = {
     "event_stationary_dist": _STATIONARY_SQL,
     "source_ablation_effects": _SOURCE_ABLATION_SQL,
     "nation_balance_fdr": _NATION_FDR_SQL,
+    "order_trimmed_mean": _TRIMMED_MEAN_SQL,
     "purchase_burstiness": _BURSTINESS_SQL,
     "copurchase_item_cf": _ITEM_CF_SQL,
     "search_ndcg": _NDCG_SQL,
