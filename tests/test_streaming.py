@@ -515,3 +515,75 @@ def test_running_transitions_stream_batch_parity(spark, tmp_path):
     assert dict(streamed) == batch
     # the boundary-spanning transition was counted exactly once
     assert streamed[("view", "purchase")] == 1
+
+
+def test_heavy_hitters_misra_gries_guarantees(spark, tmp_path):
+    # capacity 2 with 4 distinct users forces the mergeable-summaries
+    # shrink; after draining both appends the classic MG guarantees
+    # must hold against the exact counts.
+    from collections import Counter
+
+    from tmdb_index_spark.streaming.stateful import running_heavy_hitters
+
+    src = str(tmp_path / "hh_ev")
+    ckpt = str(tmp_path / "hh_ckpt")
+
+    def ev(eid, uid):
+        return (eid, datetime(2024, 1, 1, 0, eid % 60), uid, "click", 0.0)
+
+    batch1 = [ev(i, 1) for i in range(6)] + [ev(10 + i, 2) for i in range(3)]
+    batch2 = (
+        [ev(20 + i, 1) for i in range(4)]
+        + [ev(30 + i, 3) for i in range(2)]
+        + [ev(40, 4)]
+    )
+    true = Counter()
+    for b in (batch1, batch2):
+        for e in b:
+            true[e[2]] += 1
+
+    emissions: list = []
+
+    def drain():
+        def collect(batch_df, batch_id):
+            emissions.append(batch_df.collect())
+
+        q = (
+            running_heavy_hitters(
+                spark.readStream.schema(EVENT_SCHEMA).parquet(src),
+                capacity=2,
+            )
+            .writeStream.foreachBatch(collect)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for batch in (batch1, batch2):
+        spark.createDataFrame(batch, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        drain()
+
+    final = [r for batch in emissions[-1:] for r in batch]
+    assert final, "final drain must emit the summary"
+    assert len(final) <= 2  # capacity bound on state
+    err = final[0]["err"]
+    for r in final:
+        assert r["count_lb"] <= true[r["user_id"]] <= r["count_lb"] + err
+    # every user whose true count exceeds the error offset must survive
+    kept = {r["user_id"] for r in final}
+    for uid, c in true.items():
+        if c > err:
+            assert uid in kept, (uid, c, err)
+
+
+def test_heavy_hitters_capacity_validation(spark):
+    import pytest as _pytest
+
+    from tmdb_index_spark.streaming.stateful import running_heavy_hitters
+
+    with _pytest.raises(ValueError, match="capacity"):
+        running_heavy_hitters(None, capacity=0)

@@ -32,6 +32,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = [
     "running_user_totals",
+    "running_heavy_hitters",
+    "HEAVY_HITTERS_SCHEMA",
     "USER_TOTALS_SCHEMA",
     "running_transitions",
     "TRANSITIONS_SCHEMA",
@@ -144,6 +146,87 @@ def running_transitions(events: DataFrame) -> DataFrame:
         _transitions_update,
         outputStructType=TRANSITIONS_SCHEMA,
         stateStructType=_LAST_EVENT_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+HEAVY_HITTERS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("count_lb", T.LongType()),
+        T.StructField("err", T.LongType()),
+    ]
+)
+
+_HH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("users", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("err", T.LongType()),
+    ]
+)
+
+
+def _hh_update_factory(capacity: int):
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        users, counts, err = (
+            state.get if state.exists else ([], [], 0)
+        )
+        summary = dict(zip(list(users), list(counts)))
+        for pdf in pdfs:
+            for u, c in pdf["user_id"].value_counts().items():
+                summary[int(u)] = summary.get(int(u), 0) + int(c)
+        if len(summary) > capacity:
+            # mergeable-summaries shrink (Agarwal et al. 2012): subtract
+            # the (capacity+1)-th largest count from everything and drop
+            # the non-positive rest — one deterministic pass, ties
+            # broken on the lower user id
+            items = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+            t = items[capacity][1]
+            summary = {u: c - t for u, c in items if c - t > 0}
+            err += t
+        items = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+        state.update(
+            ([u for u, _ in items], [c for _, c in items], int(err))
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(items),
+                "user_id": [u for u, _ in items],
+                "count_lb": [c for _, c in items],
+                "err": [int(err)] * len(items),
+            }
+        )
+
+    return update
+
+
+def running_heavy_hitters(events: DataFrame, capacity: int = 8) -> DataFrame:
+    """Streaming Misra–Gries heavy hitters per event type (Misra &
+    Gries 1982; merged across micro-batches via the Agarwal et al.
+    2012 mergeable-summaries rule): at most ``capacity`` candidate
+    counters per key survive in the state store — CONSTANT state per
+    key however many distinct users flow past, the property that makes
+    frequency tracking viable at stream scale where an exact per-user
+    count table would grow without bound. Per micro-batch each group
+    emits its current candidate set with the summary's error offset;
+    the deterministic contract (exact per-batch pandas counts, the
+    (c+1)-th-largest subtraction, ties to the lower user id) makes
+    every emission reproducible, and the classic guarantees hold at
+    drain: ``count_lb ≤ true ≤ count_lb + err`` for emitted users, and
+    every user with ``true > err`` is present in the final summary."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    return events.groupBy("event_type").applyInPandasWithState(
+        _hh_update_factory(capacity),
+        outputStructType=HEAVY_HITTERS_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

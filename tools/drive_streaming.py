@@ -170,6 +170,63 @@ def main() -> int:
         f"micro-batches, all band collisions + agreements re-verified OK"
     )
 
+    # ---- 3. running_heavy_hitters MG guarantees over real events ----
+    # Reuse the 4 time-ordered event tranches from drive 1: drain the
+    # Misra-Gries summaries per event type, then verify the classic
+    # guarantees against EXACT per-(type, user) counts: count_lb <=
+    # true <= count_lb + err for every emitted candidate, every user
+    # with true > err survives, and the state stays within capacity.
+    from tmdb_index_spark.streaming.stateful import running_heavy_hitters
+
+    hh_rows: list = []
+
+    def collect_hh(batch_df, _bid):
+        hh_rows.append(batch_df.collect())
+
+    q3 = (
+        running_heavy_hitters(
+            spark.readStream.schema(ev_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            capacity=8,
+        )
+        .writeStream.foreachBatch(collect_hh)
+        .outputMode("append")
+        .option("checkpointLocation", f"{scratch}/ckpt_hh")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination()
+    # later emissions supersede earlier ones per type
+    final: dict = {}
+    for batch in hh_rows:
+        by_type: dict = {}
+        for r in batch:
+            by_type.setdefault(r["event_type"], []).append(r)
+        for et, rows_ in by_type.items():
+            final[et] = rows_
+    true_counts = Counter(
+        (r["event_type"], r["user_id"])
+        for r in events.select("event_type", "user_id").collect()
+    )
+    checked = 0
+    for et, rows_ in final.items():
+        assert len(rows_) <= 8, (et, len(rows_))
+        err = rows_[0]["err"] if rows_ else 0
+        kept = {r["user_id"] for r in rows_}
+        for r in rows_:
+            t = true_counts[(et, r["user_id"])]
+            assert r["count_lb"] <= t <= r["count_lb"] + err, (et, r, t)
+            checked += 1
+        for (tet, uid), c in true_counts.items():
+            if tet == et and c > err:
+                assert uid in kept, (et, uid, c, err)
+    print(
+        f"running_heavy_hitters: {checked} final candidates across "
+        f"{len(final)} event types verified against exact counts "
+        f"(capacity 8, 4 micro-batches) — MG guarantees OK"
+    )
+
     shutil.rmtree(scratch, ignore_errors=True)
     print("STREAM DRIVE OK")
     return 0
