@@ -143,6 +143,7 @@ EXTENDED_QUERIES = [
     "source_ablation_effects",
     "nation_balance_fdr",
     "order_trimmed_mean",
+    "channel_removal_effects",
     "user_state_scd2",
     "supplier_busy_intervals",
     "cosupply_triangles",

@@ -428,3 +428,48 @@ def test_trimmed_mean_hand_computed(spark, tmp_path):
     assert r["n_orders"] == 10 and r["n_trim_each"] == 1
     assert r["trimmed_mean"] == 5.5
     assert r["mean_all"] == 104.5
+
+
+def test_removal_effects_hand_computed(spark, tmp_path):
+    # journeys: u1 click->purchase, u2 view->purchase, u3 click->view
+    # (drop), u4 view (drop). Exact integer chain: P(convert) =
+    # 0.49999975 (499,999,750 nanos); removing click leaves only the
+    # view path (conv 166,666,500 nanos -> effect ~0.666667); removing
+    # view leaves only the click path (conv 250,000,000 -> effect
+    # 0.5000005); absent channels (signup/error) have effect 0.
+    from datetime import timedelta
+
+    from tmdb_index_spark.queries import channel_removal_effects
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def ev(uid, et):
+        nonlocal eid
+        rows.append((eid, t0 + timedelta(minutes=eid), uid, et, 0.0, "{}"))
+        eid += 1
+
+    ev(1, "click"); ev(1, "purchase")
+    ev(2, "view"); ev(2, "purchase")
+    ev(3, "click"); ev(3, "view")
+    ev(4, "view")
+    sf = _mini_events(spark, tmp_path, rows)
+    got = {
+        r["channel"]: r for r in channel_removal_effects(spark, sf).collect()
+    }
+    assert set(got) == {"click", "view", "signup", "error"}
+    full = 499_999_750 / 1e9
+    assert got["click"]["p_convert_full"] == round(full, 6)
+    # 0.1666665 sits ON the 6-decimal boundary: engine ROUND is
+    # HALF_UP -> 0.166667 (Python's half-even round would say .166666)
+    assert got["click"]["p_convert_without"] == 0.166667
+    assert got["click"]["removal_effect"] == round(
+        1 - 166_666_500 / 499_999_750, 6
+    )
+    assert got["view"]["p_convert_without"] == round(250_000_000 / 1e9, 6)
+    assert got["view"]["removal_effect"] == round(
+        1 - 250_000_000 / 499_999_750, 6
+    )
+    assert got["signup"]["removal_effect"] == 0.0
+    assert got["error"]["removal_effect"] == 0.0

@@ -2310,6 +2310,139 @@ def event_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATIONARY_SQL = _stationary_sql("events", spark_dialect=False)
 
 
+_ATTR_CHANNELS = ("click", "view", "signup", "error")
+_ATTR_ITERS = 12
+
+
+def _removal_effects_sql(table: str, spark_dialect: bool) -> str:
+    """One generated SQL text for Markov removal-effect attribution
+    (dialect differs only in the integer-division operator): journeys
+    truncate at each user's FIRST purchase (total-ordered by (ts,
+    event_id) row number), journey ends count as explicit
+    ``__drop__`` transitions (omitting them over-predicts conversion —
+    the estimated rows would renormalize away the null path), the
+    transition matrix quantizes to exact integer ppm, 'purchase' gets
+    a ppm self-loop of 1e6 so the absorbing-chain conversion mass
+    accumulates through the SAME
+    stationary-style v·P power step, and each channel's removal
+    scenario filters that channel's rows/columns out of the matrix
+    (mass entering a removed channel drops — the standard
+    removal-effect convention). ``_ATTR_ITERS`` unrolled steps per
+    scenario; every step is pure BIGINT arithmetic, so conversion
+    masses are bit-identical across engines; the single double
+    division happens in the final effect row."""
+    dv = "DIV" if spark_dialect else "//"
+
+    def steps(tag: str, p_cte: str, v0_cte: str) -> str:
+        out = []
+        prev = v0_cte
+        for i in range(1, _ATTR_ITERS + 1):
+            out.append(f"""
+{tag}{i} AS (
+  SELECT {p_cte}.b AS t,
+         CAST(SUM({prev}.v * {p_cte}.ppm) {dv} 1000000 AS BIGINT) AS v
+  FROM {prev} JOIN {p_cte} ON {p_cte}.a = {prev}.t GROUP BY {p_cte}.b
+)""")
+            prev = f"{tag}{i}"
+        return ",".join(out)
+
+    scen_ctes, conv_selects = [], []
+    for c in _ATTR_CHANNELS:
+        tag = f"v_{c}_"
+        scen_ctes.append(f"""
+p_{c} AS (SELECT a, b, ppm FROM p_aug WHERE a <> '{c}' AND b <> '{c}'),
+v_{c}_0 AS (SELECT t, v FROM v0 WHERE t <> '{c}'),
+{steps(tag, f"p_{c}", f"v_{c}_0")},
+conv_{c} AS (
+  SELECT COALESCE(MAX(v), 0) AS cv FROM {tag}{_ATTR_ITERS}
+  WHERE t = 'purchase'
+)""")
+        conv_selects.append(f"""
+SELECT '{c}' AS channel,
+       ROUND(CAST(cf.cv AS DOUBLE) / 1e9, 6) AS p_convert_full,
+       ROUND(CAST(conv_{c}.cv AS DOUBLE) / 1e9, 6) AS p_convert_without,
+       ROUND(1.0 - CAST(conv_{c}.cv AS DOUBLE)
+                   / CAST(NULLIF(cf.cv, 0) AS DOUBLE), 6)
+         AS removal_effect
+FROM conv_full cf, conv_{c}""")
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM {table}
+),
+fpos AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'purchase' THEN rn END)
+           AS fp
+  FROM ordered GROUP BY user_id
+),
+kept AS (
+  SELECT o.user_id, o.event_type, o.rn
+  FROM ordered o JOIN fpos f ON o.user_id = f.user_id
+  WHERE f.fp IS NULL OR o.rn <= f.fp
+),
+pairs AS (
+  SELECT event_type AS a,
+         COALESCE(LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY rn), '__drop__') AS b
+  FROM kept
+),
+cnt AS (
+  SELECT a, b, COUNT(*) AS c FROM pairs
+  WHERE a <> 'purchase' GROUP BY a, b
+),
+rowsum AS (SELECT a, SUM(c) AS tot FROM cnt GROUP BY a),
+p_aug AS (
+  SELECT cnt.a, cnt.b, CAST((c * 1000000) {dv} tot AS BIGINT) AS ppm
+  FROM cnt JOIN rowsum ON cnt.a = rowsum.a
+  UNION ALL
+  SELECT 'purchase', 'purchase', CAST(1000000 AS BIGINT)
+),
+nstart AS (SELECT COUNT(*) AS n FROM kept WHERE rn = 1),
+v0 AS (
+  SELECT event_type AS t,
+         CAST((COUNT(*) * 1000000000) {dv} (SELECT n FROM nstart)
+              AS BIGINT) AS v
+  FROM kept WHERE rn = 1 GROUP BY event_type
+),
+{steps("v_full_", "p_aug", "v0")},
+conv_full AS (
+  SELECT COALESCE(MAX(v), 0) AS cv FROM v_full_{_ATTR_ITERS}
+  WHERE t = 'purchase'
+),
+{",".join(scen_ctes)}
+{" UNION ALL ".join(conv_selects)}
+"""
+
+
+def channel_removal_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (extension: the data-driven
+    multi-touch attribution model — Anderl et al. 2014 "Mapping the
+    customer journey"; which event channel, if removed, costs the most
+    conversion probability): absorbing-chain conversion mass from the
+    first-event start distribution through the journey transition
+    matrix (truncated at each user's first purchase), re-run with each
+    channel's matrix rows/columns removed; removal effect = 1 −
+    P(convert | channel removed) / P(convert). All chain arithmetic is
+    exact integer (nanos × ppm — the `event_stationary_dist`
+    convention), 12 unrolled power steps × 5 scenarios as generated
+    CTEs in ONE SQL text shared by both engines
+    (:func:`_removal_effects_sql`), so every conversion mass is
+    bit-identical; the one double division sits in the final row.
+    Channels are the fixture's non-purchase event types; an absent
+    channel yields effect 0 (its removal filters nothing)."""
+    import uuid
+
+    ev = _events(spark, sf_dir)
+    view = f"__attr_ev_{uuid.uuid4().hex[:12]}"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(_removal_effects_sql(view, spark_dialect=True))
+
+
+_REMOVAL_EFFECTS_SQL = _removal_effects_sql("events", spark_dialect=False)
+
+
 def order_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric 10% trimmed mean of order value per priority
     (extension: the robust-statistics companion to
@@ -11832,6 +11965,7 @@ QUERIES: dict[str, QueryFn] = {
     "source_ablation_effects": source_ablation_effects,
     "nation_balance_fdr": nation_balance_fdr,
     "order_trimmed_mean": order_trimmed_mean,
+    "channel_removal_effects": channel_removal_effects,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
@@ -11948,6 +12082,7 @@ ORACLES: dict[str, str] = {
     "source_ablation_effects": _SOURCE_ABLATION_SQL,
     "nation_balance_fdr": _NATION_FDR_SQL,
     "order_trimmed_mean": _TRIMMED_MEAN_SQL,
+    "channel_removal_effects": _REMOVAL_EFFECTS_SQL,
     "purchase_burstiness": _BURSTINESS_SQL,
     "copurchase_item_cf": _ITEM_CF_SQL,
     "search_ndcg": _NDCG_SQL,

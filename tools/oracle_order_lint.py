@@ -49,11 +49,13 @@ __all__ = ["audit_oracle_order_keys", "UNIQUE_TRAILING_KEYS", "WAIVERS"]
 #:  - source / term / part_b / seg_id / n_name: grouping keys of the
 #:    rollup each orders (one row per value within the partition;
 #:    n_name is the nation primary name over per-nation rollups).
+#:  - rn: always a ROW_NUMBER computed over the SAME partition in a
+#:    prior CTE — unique per partition by definition.
 UNIQUE_TRAILING_KEYS = {
     "event_id", "doc_id", "vec_id", "o_orderkey", "c_custkey",
     "s_suppkey", "p_partkey", "user_id", "run", "neighbor_id",
     "cell", "ccell", "code", "source", "term", "part_b", "seg_id",
-    "n_name",
+    "n_name", "rn",
 }
 
 #: Per-oracle waivers: (query name, trailing key) → why the clause
