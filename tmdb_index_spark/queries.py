@@ -2422,22 +2422,114 @@ def channel_removal_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer journey"; which event channel, if removed, costs the most
     conversion probability): absorbing-chain conversion mass from the
     first-event start distribution through the journey transition
-    matrix (truncated at each user's first purchase), re-run with each
-    channel's matrix rows/columns removed; removal effect = 1 −
-    P(convert | channel removed) / P(convert). All chain arithmetic is
-    exact integer (nanos × ppm — the `event_stationary_dist`
-    convention), 12 unrolled power steps × 5 scenarios as generated
-    CTEs in ONE SQL text shared by both engines
-    (:func:`_removal_effects_sql`), so every conversion mass is
-    bit-identical; the one double division sits in the final row.
-    Channels are the fixture's non-purchase event types; an absent
-    channel yields effect 0 (its removal filters nothing)."""
-    import uuid
+    matrix (truncated at each user's first purchase, journey ends as
+    explicit drop transitions), re-run with each channel's matrix
+    rows/columns removed; removal effect = 1 − P(convert | channel
+    removed) / P(convert).
+
+    Execution shape: the corpus-sized work — the per-user (ts,
+    event_id)-ordered windows and the (a, b) pair count — runs
+    distributed (ONE user-keyed shuffle feeds both the truncation and
+    the LEAD); the transition table that falls out is
+    (|types|+1)²-bounded, so the 12-step × 5-scenario chain recursion
+    runs driver-side over collected integers (``bounded_collect``, the
+    MMR/robust-trend bounded-math convention — the all-in-SQL chain
+    spelling spent 18.7 s of pure tiny-exchange overhead on ≤7-row
+    frames). EVERY chain step is exact integer arithmetic (nanos ×
+    ppm, Python int ≡ SQL BIGINT on these magnitudes), so the
+    conversion masses are bit-identical to the ORACLE, which runs the
+    full chain as generated SQL CTEs (:func:`_removal_effects_sql`);
+    the final ROUNDs evaluate ENGINE-side over the literal masses so
+    HALF_UP parity holds. Channels are the fixture's non-purchase
+    event types; an absent channel yields effect 0."""
+    from tmdb_index_spark.operators.materialize import bounded_collect
 
     ev = _events(spark, sf_dir)
-    view = f"__attr_ev_{uuid.uuid4().hex[:12]}"
-    ev.createOrReplaceTempView(view)
-    return spark.sql(_removal_effects_sql(view, spark_dialect=True))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("__rn__"),
+    )
+    fpos = (
+        ordered.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("__rn__").alias("__fp__"))
+    )
+    kept = ordered.join(fpos, "user_id", "left").filter(
+        F.col("__fp__").isNull() | (F.col("__rn__") <= F.col("__fp__"))
+    )
+    wk = Window.partitionBy("user_id").orderBy("__rn__")
+    pairs = kept.select(
+        F.col("event_type").alias("__a__"),
+        F.coalesce(
+            F.lead("event_type").over(wk), F.lit("__drop__")
+        ).alias("__b__"),
+    )
+    cnt_rows = bounded_collect(
+        pairs.filter(F.col("__a__") != "purchase")
+        .groupBy("__a__", "__b__")
+        .agg(F.count(F.lit(1)).alias("__c__")),
+        10_000,
+        "attribution transition table",
+    )
+    start_rows = bounded_collect(
+        kept.filter(F.col("__rn__") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("__c__")),
+        10_000,
+        "attribution start distribution",
+    )
+
+    # exact-integer chain, identical to the oracle's generated CTEs
+    cnt = {(r[0], r[1]): int(r[2]) for r in cnt_rows}
+    rowsum: dict[str, int] = {}
+    for (a, _b), c in cnt.items():
+        rowsum[a] = rowsum.get(a, 0) + c
+    ppm = {(a, b): (c * 1_000_000) // rowsum[a] for (a, b), c in cnt.items()}
+    ppm[("purchase", "purchase")] = 1_000_000
+    n_start = sum(int(r[1]) for r in start_rows)
+    v0 = {
+        r[0]: (int(r[1]) * 1_000_000_000) // n_start for r in start_rows
+    } if n_start else {}
+
+    def conv(removed: str | None) -> int:
+        p = {
+            (a, b): x
+            for (a, b), x in ppm.items()
+            if removed is None or (a != removed and b != removed)
+        }
+        v = {t: x for t, x in v0.items() if t != removed}
+        for _ in range(_ATTR_ITERS):
+            nxt: dict[str, int] = {}
+            for (a, b), x in p.items():
+                if a in v:
+                    nxt[b] = nxt.get(b, 0) + v[a] * x
+            v = {t: s // 1_000_000 for t, s in nxt.items()}
+        return v.get("purchase", 0)
+
+    cv_full = conv(None)
+    rows = [
+        (c, cv_full, conv(c)) for c in _ATTR_CHANNELS
+    ]
+    lit = spark.createDataFrame(
+        rows, "channel string, __cvf__ long, __cvw__ long"
+    )
+    return lit.select(
+        "channel",
+        F.round(F.col("__cvf__").cast("double") / F.lit(1e9), 6).alias(
+            "p_convert_full"
+        ),
+        F.round(F.col("__cvw__").cast("double") / F.lit(1e9), 6).alias(
+            "p_convert_without"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.col("__cvw__").cast("double")
+            / F.expr("CAST(NULLIF(__cvf__, 0) AS DOUBLE)"),
+            6,
+        ).alias("removal_effect"),
+    )
 
 
 _REMOVAL_EFFECTS_SQL = _removal_effects_sql("events", spark_dialect=False)
