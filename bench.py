@@ -144,6 +144,7 @@ EXTENDED_QUERIES = [
     "nation_balance_fdr",
     "order_trimmed_mean",
     "channel_removal_effects",
+    "source_quality_shrinkage",
     "user_state_scd2",
     "supplier_busy_intervals",
     "cosupply_triangles",

@@ -614,3 +614,43 @@ def test_source_ablation_single_source_null_loo(spark, tmp_path):
     df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
     [r] = source_ablation_effects(spark, str(tmp_path)).collect()
     assert r["loo_mean"] is None and r["delta"] is None
+
+
+# ---------------------------------------------------------------------------
+# source_quality_shrinkage (DerSimonian-Laird empirical Bayes)
+# ---------------------------------------------------------------------------
+
+
+def test_shrinkage_properties(spark):
+    from tmdb_index_spark.queries import source_quality_shrinkage
+
+    rows = source_quality_shrinkage(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    # grand mean from the same rows (weighted by n)
+    grand = sum(r["raw_mean"] * r["n_docs"] for r in rows) / sum(
+        r["n_docs"] for r in rows
+    )
+    for r in rows:
+        assert r["shrink_weight"] is None or 0.0 <= r["shrink_weight"] <= 1.0
+        # shrunk mean lies between the raw mean and the grand mean
+        lo, hi = sorted((r["raw_mean"], grand))
+        assert lo - 1e-4 <= r["shrunk_mean"] <= hi + 1e-4, r
+
+
+def test_shrinkage_degenerate_identical_scores(spark, tmp_path):
+    # every doc identical -> zero within AND between variance -> the
+    # shrink weight is NULL (0/0 guarded) and the shrunk mean falls
+    # back to the grand mean exactly.
+    from tmdb_index_spark.queries import source_quality_shrinkage
+
+    rows_ = [
+        (i, "the the", "en", f"src_{i % 2}", 0) for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows_, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = source_quality_shrinkage(spark, str(tmp_path)).collect()
+    for r in got:
+        assert r["shrink_weight"] is None
+        assert r["shrunk_mean"] == r["raw_mean"] == 1.0

@@ -2310,6 +2310,208 @@ def event_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATIONARY_SQL = _stationary_sql("events", spark_dialect=False)
 
 
+def source_quality_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-source mean quality
+    (extension: the random-effects estimator a mixture owner uses to
+    rank SMALL sources reliably — a 20-doc source's raw mean is noise;
+    DerSimonian & Laird 1986 shrinks it toward the corpus mean with a
+    weight from the between/within variance decomposition): per-source
+    moments from FLOOR-quantized integer-micro quality scores (the
+    adaptive-filter recipe), pooled within-variance σ̂² = SSW/(N−k),
+    between-heterogeneity τ̂² = max(0, (Q − (k−1)σ̂²)/(N − Σn²/N)),
+    shrink weight Bₛ = τ̂²/(τ̂² + σ̂²/nₛ), shrunk mean = grand +
+    Bₛ·(raw − grand). The two variance-component sums (SSW's
+    per-source terms, Q's per-source terms) quantize to integer nanos
+    BEFORE their k-row aggregation (the PCA convention — no
+    cross-engine float-sum-order drift); degenerate all-identical
+    corpora give τ̂²+σ̂²/n = 0 → NULL weight → shrunk = grand via the
+    COALESCE convention."""
+    from tmdb_index_spark.functions.text import LANG_MARKERS, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.coalesce(F.col("text"), F.lit(""))
+    t = tokens(c)
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(t, lambda w: F.array_contains(stop, F.lower(w))))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    score_q = (
+        F.floor(
+            F.lit(1e6) * n_stop.cast("double")
+            / F.greatest(F.size(t), F.lit(1)).cast("double")
+        )
+        - F.floor(
+            F.lit(1e6) * n_punct.cast("double")
+            / F.greatest(F.length(c), F.lit(1)).cast("double")
+        )
+    ).cast("long")
+    per = (
+        docs.select("source", score_q.alias("__q__"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n__"),
+            F.sum("__q__").cast("bigint").alias("__s__"),
+            F.sum(
+                F.col("__q__").cast("decimal(19,0)")
+                * F.col("__q__").cast("decimal(19,0)")
+            ).cast("decimal(38,0)").alias("__ss__"),
+        )
+    )
+    mean_s = F.col("__s__").cast("double") / F.col("__n__").cast("double")
+    # per-source variance-component terms, quantized to integer nanos
+    # (micros² scale) before the k-row aggregation
+    ssw_term = F.col("__ss__").cast("double") - (
+        F.col("__s__").cast("double") * F.col("__s__").cast("double")
+        / F.col("__n__").cast("double")
+    )
+    terms = per.select(
+        "source",
+        "__n__",
+        "__s__",
+        F.round(ssw_term * F.lit(1e-3)).cast("bigint").alias("__ssw_m__"),
+        mean_s.alias("__mean__"),
+    )
+    tot = terms.agg(
+        F.sum("__n__").cast("bigint").alias("__nall__"),
+        F.sum("__s__").cast("bigint").alias("__sall__"),
+        F.count(F.lit(1)).cast("bigint").alias("__k__"),
+        F.sum("__ssw_m__").cast("bigint").alias("__ssw__"),
+        F.sum(F.col("__n__") * F.col("__n__")).cast("bigint").alias(
+            "__n2__"
+        ),
+    )
+    grand = F.col("__sall__").cast("double") / F.col("__nall__").cast("double")
+    joined = terms.join(F.broadcast(tot)).withColumn(
+        "__q_term__",
+        F.round(
+            F.col("__n__").cast("double")
+            * (F.col("__mean__") - grand)
+            * (F.col("__mean__") - grand)
+            * F.lit(1e-3)
+        ).cast("bigint"),
+    )
+    qsum = joined.agg(F.sum("__q_term__").cast("bigint").alias("__qsum__"))
+    out = joined.join(F.broadcast(qsum))
+    sigma2 = (
+        F.col("__ssw__").cast("double")
+        * F.lit(1e3)
+        / F.expr("CAST(NULLIF(__nall__ - __k__, 0) AS DOUBLE)")
+    )
+    tau2 = F.greatest(
+        F.lit(0.0),
+        (F.col("__qsum__").cast("double") * F.lit(1e3)
+         - (F.col("__k__") - 1).cast("double") * sigma2)
+        / F.expr(
+            "CAST(NULLIF(CAST(__nall__ AS DOUBLE)"
+            " - CAST(__n2__ AS DOUBLE) / CAST(__nall__ AS DOUBLE), 0.0)"
+            " AS DOUBLE)"
+        ),
+    )
+    b = tau2 / F.expr(
+        "NULLIF({t} + {s} / CAST(__n__ AS DOUBLE), 0.0)".format(
+            t="GREATEST(CAST(0.0 AS DOUBLE), (CAST(__qsum__ AS DOUBLE) * 1e3"
+              " - (CAST(__k__ AS DOUBLE) - 1.0) * (CAST(__ssw__ AS DOUBLE)"
+              " * 1e3 / NULLIF(CAST(__nall__ - __k__ AS DOUBLE), 0.0)))"
+              " / NULLIF(CAST(__nall__ AS DOUBLE) - CAST(__n2__ AS DOUBLE)"
+              " / CAST(__nall__ AS DOUBLE), 0.0))",
+            s="(CAST(__ssw__ AS DOUBLE) * 1e3"
+              " / NULLIF(CAST(__nall__ - __k__ AS DOUBLE), 0.0))",
+        )
+    )
+    shrunk = grand + F.coalesce(b, F.lit(0.0)) * (F.col("__mean__") - grand)
+    return out.select(
+        "source",
+        F.col("__n__").alias("n_docs"),
+        F.round(F.col("__mean__") / F.lit(1e6), 6).alias("raw_mean"),
+        F.round(b, 6).alias("shrink_weight"),
+        F.round(shrunk / F.lit(1e6), 6).alias("shrunk_mean"),
+    )
+
+
+_SHRINKAGE_SQL = """
+WITH t AS (
+  SELECT source, coalesce(text, '') AS text,
+         regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS ts
+  FROM documents
+),
+scored AS (
+  SELECT source,
+         CAST(FLOOR(1e6 * len(list_filter(ts, w -> list_contains(
+                  ['the','and','of','to','a','is'], lower(w)))) * 1.0
+                / greatest(len(ts), 1))
+            - FLOOR(1e6 * (length(text)
+                - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+                / greatest(length(text), 1)) AS BIGINT) AS q
+  FROM t
+),
+per AS (
+  SELECT source, COUNT(*)::BIGINT AS n, SUM(q)::BIGINT AS s,
+         CAST(SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS ss
+  FROM scored GROUP BY 1
+),
+terms AS (
+  SELECT source, n, s,
+         CAST(ROUND((CAST(ss AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              * 1e-3) AS BIGINT) AS ssw_m,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_s
+  FROM per
+),
+tot AS (
+  SELECT SUM(n)::BIGINT AS nall, SUM(s)::BIGINT AS sall,
+         COUNT(*)::BIGINT AS k, SUM(ssw_m)::BIGINT AS ssw,
+         SUM(n * n)::BIGINT AS n2
+  FROM terms
+),
+qterms AS (
+  SELECT source, n, mean_s, nall, sall, k, ssw, n2,
+         CAST(ROUND(CAST(n AS DOUBLE)
+              * (mean_s - CAST(sall AS DOUBLE) / CAST(nall AS DOUBLE))
+              * (mean_s - CAST(sall AS DOUBLE) / CAST(nall AS DOUBLE))
+              * 1e-3) AS BIGINT) AS q_term
+  FROM terms CROSS JOIN tot
+),
+qsum AS (SELECT SUM(q_term)::BIGINT AS qsum FROM qterms)
+SELECT source,
+       n AS n_docs,
+       ROUND(mean_s / 1e6, 6) AS raw_mean,
+       ROUND(
+         GREATEST(0.0, (CAST(qsum AS DOUBLE) * 1e3
+             - (CAST(k AS DOUBLE) - 1.0) * (CAST(ssw AS DOUBLE) * 1e3
+               / NULLIF(CAST(nall - k AS DOUBLE), 0.0)))
+           / NULLIF(CAST(nall AS DOUBLE)
+               - CAST(n2 AS DOUBLE) / CAST(nall AS DOUBLE), 0.0))
+         / NULLIF(
+             GREATEST(0.0, (CAST(qsum AS DOUBLE) * 1e3
+                 - (CAST(k AS DOUBLE) - 1.0) * (CAST(ssw AS DOUBLE) * 1e3
+                   / NULLIF(CAST(nall - k AS DOUBLE), 0.0)))
+               / NULLIF(CAST(nall AS DOUBLE)
+                   - CAST(n2 AS DOUBLE) / CAST(nall AS DOUBLE), 0.0))
+             + (CAST(ssw AS DOUBLE) * 1e3
+                / NULLIF(CAST(nall - k AS DOUBLE), 0.0))
+               / CAST(n AS DOUBLE), 0.0), 6) AS shrink_weight,
+       ROUND((CAST(sall AS DOUBLE) / CAST(nall AS DOUBLE)
+         + COALESCE(
+             GREATEST(0.0, (CAST(qsum AS DOUBLE) * 1e3
+                 - (CAST(k AS DOUBLE) - 1.0) * (CAST(ssw AS DOUBLE) * 1e3
+                   / NULLIF(CAST(nall - k AS DOUBLE), 0.0)))
+               / NULLIF(CAST(nall AS DOUBLE)
+                   - CAST(n2 AS DOUBLE) / CAST(nall AS DOUBLE), 0.0))
+             / NULLIF(
+                 GREATEST(0.0, (CAST(qsum AS DOUBLE) * 1e3
+                     - (CAST(k AS DOUBLE) - 1.0) * (CAST(ssw AS DOUBLE) * 1e3
+                       / NULLIF(CAST(nall - k AS DOUBLE), 0.0)))
+                   / NULLIF(CAST(nall AS DOUBLE)
+                       - CAST(n2 AS DOUBLE) / CAST(nall AS DOUBLE), 0.0))
+                 + (CAST(ssw AS DOUBLE) * 1e3
+                    / NULLIF(CAST(nall - k AS DOUBLE), 0.0))
+                   / CAST(n AS DOUBLE), 0.0), 0.0)
+           * (mean_s - CAST(sall AS DOUBLE) / CAST(nall AS DOUBLE)))
+         / 1e6, 6) AS shrunk_mean
+FROM qterms CROSS JOIN qsum
+"""
+
+
 _ATTR_CHANNELS = ("click", "view", "signup", "error")
 _ATTR_ITERS = 12
 
@@ -12058,6 +12260,7 @@ QUERIES: dict[str, QueryFn] = {
     "nation_balance_fdr": nation_balance_fdr,
     "order_trimmed_mean": order_trimmed_mean,
     "channel_removal_effects": channel_removal_effects,
+    "source_quality_shrinkage": source_quality_shrinkage,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
@@ -12175,6 +12378,7 @@ ORACLES: dict[str, str] = {
     "nation_balance_fdr": _NATION_FDR_SQL,
     "order_trimmed_mean": _TRIMMED_MEAN_SQL,
     "channel_removal_effects": _REMOVAL_EFFECTS_SQL,
+    "source_quality_shrinkage": _SHRINKAGE_SQL,
     "purchase_burstiness": _BURSTINESS_SQL,
     "copurchase_item_cf": _ITEM_CF_SQL,
     "search_ndcg": _NDCG_SQL,
