@@ -4159,26 +4159,6 @@ FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
 """
 
 
-def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping over (returnflag, linestatus): every grouping-set
-    combination in one pass (completes the grouping-set family next to
-    ``rollup_revenue``)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-
-
-_CUBE_SQL = """
-SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-       COUNT(*) AS n_rows
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
-"""
-
-
 def parts_never_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT set-op breadth: part keys shipped in 2001 with no 2001
     return (scoped to the year — over full history every part has a
