@@ -953,3 +953,30 @@ def test_ivfpq_no_joins_one_cell_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "Join" not in p
     assert "FlatMapGroupsInPandas" in p  # the per-cell ADC stage
+
+
+def test_no_shadowed_module_names_in_queries():
+    # A module-level name defined twice silently shadows the first
+    # definition — a live collision (_ATTRIBUTION_SQL) once bound a
+    # different query's SQL to a new oracle, and a dead cube_revenue
+    # pair sat shadowed for rounds. The deliberate rebinds
+    # (QUERIES/ORACLES through _rotated) are the only allowed repeats.
+    import ast
+    from collections import Counter
+
+    import tmdb_index_spark.queries as Q
+
+    tree = ast.parse(open(Q.__file__).read())
+    names = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.ClassDef)):
+            names.append(node.name)
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    names.append(t.id)
+    dupes = {
+        n for n, c in Counter(names).items()
+        if c > 1 and n not in {"QUERIES", "ORACLES"}
+    }
+    assert not dupes, f"shadowed module-level names: {sorted(dupes)}"
