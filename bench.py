@@ -145,6 +145,7 @@ EXTENDED_QUERIES = [
     "order_trimmed_mean",
     "channel_removal_effects",
     "source_quality_shrinkage",
+    "rolling_backtest_mae",
     "user_state_scd2",
     "supplier_busy_intervals",
     "cosupply_triangles",

@@ -473,3 +473,22 @@ def test_removal_effects_hand_computed(spark, tmp_path):
     )
     assert got["signup"]["removal_effect"] == 0.0
     assert got["error"]["removal_effect"] == 0.0
+
+
+def test_rolling_backtest_structure(spark):
+    # Three expanding folds: train sets strictly grow, every fold has
+    # test days on the fixture calendar, MAE >= |bias| always (triangle
+    # inequality of the per-day errors).
+    from tmdb_index_spark.queries import rolling_backtest_mae
+
+    rows = sorted(
+        Q.rolling_backtest_mae(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["fold"],
+    )
+    assert [r["fold"] for r in rows] == [1, 2, 3]
+    trains = [r["n_train_days"] for r in rows]
+    assert trains == sorted(trains) and trains[0] > 0
+    assert trains[1] > trains[0] and trains[2] > trains[1]
+    for r in rows:
+        assert r["n_test_days"] > 0
+        assert r["mae"] >= abs(r["mean_bias"]) - 1e-9

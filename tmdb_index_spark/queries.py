@@ -2310,6 +2310,133 @@ def event_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATIONARY_SQL = _stationary_sql("events", spark_dialect=False)
 
 
+_BACKTEST_FOLDS = (
+    ("1998-01-01", "1999-01-01"),
+    ("1999-01-01", "2000-01-01"),
+    ("2000-01-01", "2001-01-01"),
+)
+
+
+def rolling_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) backtest of the per-DOW daily
+    revenue model (extension: time-series cross-validation — the
+    honest way to evaluate a forecaster, train strictly before each
+    test year; Tashman 2000 review): three folds, each training the
+    day-of-week mean on ALL days before the fold's start and scoring
+    MAE / bias on the fold's year. ONE daily rollup feeds every fold
+    (the expanding windows are filters over the same bounded daily
+    frame — no re-scan per fold); day-of-week is the portable
+    ``datediff % 7``; daily revenue exact DECIMAL; per-fold error sums
+    quantize to integer micros before aggregation (no float-sum-order
+    drift), divisions at the end. Output per fold: train/test day
+    counts, MAE, mean bias (signed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(F.date_trunc("day", F.col("l_shipdate")).alias("__day__"))
+        .agg(F.sum(_dec("l_extendedprice")).alias("__rev__"))
+        .select(
+            "__day__",
+            F.col("__rev__").cast("double").alias("__y__"),
+            (
+                F.datediff(
+                    F.col("__day__"), F.lit("1995-01-02").cast("date")
+                )
+                % 7
+            ).alias("__dow__"),
+        )
+    )
+    from tmdb_index_spark.operators.materialize import pin_frame
+
+    daily = pin_frame(daily)  # every fold filters the same rollup
+    folds = []
+    for i, (start, end) in enumerate(_BACKTEST_FOLDS, 1):
+        train = daily.filter(
+            F.col("__day__") < F.lit(start).cast("timestamp")
+        )
+        test = daily.filter(
+            (F.col("__day__") >= F.lit(start).cast("timestamp"))
+            & (F.col("__day__") < F.lit(end).cast("timestamp"))
+        )
+        model = train.groupBy("__dow__").agg(
+            (F.sum("__y__") / F.count(F.lit(1))).alias("__pred__")
+        )
+        n_train = train.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train_days")
+        )
+        err = F.col("__y__") - F.col("__pred__")
+        scored = test.join(F.broadcast(model), "__dow__").select(
+            F.round(F.abs(err) * F.lit(1e6)).cast("bigint").alias("__ae__"),
+            F.round(err * F.lit(1e6)).cast("bigint").alias("__e__"),
+        )
+        agg = scored.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test_days"),
+            F.sum("__ae__").cast("bigint").alias("__sae__"),
+            F.sum("__e__").cast("bigint").alias("__se__"),
+        )
+        folds.append(
+            agg.join(F.broadcast(n_train)).select(
+                F.lit(i).cast("bigint").alias("fold"),
+                F.lit(start).alias("test_start"),
+                "n_train_days",
+                "n_test_days",
+                F.round(
+                    F.col("__sae__").cast("double")
+                    / F.expr("CAST(NULLIF(n_test_days, 0) AS DOUBLE)")
+                    / F.lit(1e6),
+                    2,
+                ).alias("mae"),
+                F.round(
+                    F.col("__se__").cast("double")
+                    / F.expr("CAST(NULLIF(n_test_days, 0) AS DOUBLE)")
+                    / F.lit(1e6),
+                    2,
+                ).alias("mean_bias"),
+            )
+        )
+    out = folds[0]
+    for f in folds[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _backtest_fold_sql(i: int, start: str, end: str) -> str:
+    return f"""
+SELECT CAST({i} AS BIGINT) AS fold,
+       '{start}' AS test_start,
+       (SELECT COUNT(*)::BIGINT FROM daily
+        WHERE day < TIMESTAMP '{start}') AS n_train_days,
+       COUNT(*)::BIGINT AS n_test_days,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(t.y - m.pred) * 1e6) AS BIGINT))
+                  AS DOUBLE)
+             / NULLIF(COUNT(*), 0) / 1e6, 2) AS mae,
+       ROUND(CAST(SUM(CAST(ROUND((t.y - m.pred) * 1e6) AS BIGINT))
+                  AS DOUBLE)
+             / NULLIF(COUNT(*), 0) / 1e6, 2) AS mean_bias
+FROM (SELECT * FROM daily
+      WHERE day >= TIMESTAMP '{start}' AND day < TIMESTAMP '{end}') t
+JOIN (SELECT dow, SUM(y) / COUNT(*) AS pred FROM daily
+      WHERE day < TIMESTAMP '{start}' GROUP BY 1) m
+  ON t.dow = m.dow
+"""
+
+
+_BACKTEST_SQL = (
+    """
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS day,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS y,
+         date_diff('day', DATE '1995-01-02', date_trunc('day', l_shipdate))
+           % 7 AS dow
+  FROM lineitem GROUP BY 1
+)
+"""
+    + " UNION ALL ".join(
+        _backtest_fold_sql(i, s, e)
+        for i, (s, e) in enumerate(_BACKTEST_FOLDS, 1)
+    )
+)
+
+
 def source_quality_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical-Bayes shrinkage of per-source mean quality
     (extension: the random-effects estimator a mixture owner uses to
@@ -12241,6 +12368,7 @@ QUERIES: dict[str, QueryFn] = {
     "order_trimmed_mean": order_trimmed_mean,
     "channel_removal_effects": channel_removal_effects,
     "source_quality_shrinkage": source_quality_shrinkage,
+    "rolling_backtest_mae": rolling_backtest_mae,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
@@ -12359,6 +12487,7 @@ ORACLES: dict[str, str] = {
     "order_trimmed_mean": _TRIMMED_MEAN_SQL,
     "channel_removal_effects": _REMOVAL_EFFECTS_SQL,
     "source_quality_shrinkage": _SHRINKAGE_SQL,
+    "rolling_backtest_mae": _BACKTEST_SQL,
     "purchase_burstiness": _BURSTINESS_SQL,
     "copurchase_item_cf": _ITEM_CF_SQL,
     "search_ndcg": _NDCG_SQL,
