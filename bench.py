@@ -146,6 +146,7 @@ EXTENDED_QUERIES = [
     "channel_removal_effects",
     "source_quality_shrinkage",
     "rolling_backtest_mae",
+    "code_switch_rate",
     "user_state_scd2",
     "supplier_busy_intervals",
     "cosupply_triangles",

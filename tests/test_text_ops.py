@@ -654,3 +654,36 @@ def test_shrinkage_degenerate_identical_scores(spark, tmp_path):
     for r in got:
         assert r["shrink_weight"] is None
         assert r["shrunk_mean"] == r["raw_mean"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# code_switch_rate (mixed-language detection)
+# ---------------------------------------------------------------------------
+
+
+def test_code_switch_hand_computed(spark, tmp_path):
+    from tmdb_index_spark.queries import code_switch_rate
+
+    rows_ = [
+        # >=2 en markers AND >=2 de markers -> mixed
+        (0, "the and der und", "en", "src_a", 0),
+        # en only -> not mixed
+        (1, "the and of", "en", "src_a", 0),
+        # one de marker + two en markers -> not mixed (threshold is 2)
+        (2, "the and der", "en", "src_a", 0),
+        # no markers at all -> not mixed
+        (3, "zzz qqq", "en", "src_b", 0),
+    ]
+    df = spark.createDataFrame(
+        rows_, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["source"]: r.asDict()
+        for r in code_switch_rate(spark, str(tmp_path)).collect()
+    }
+    a = got["src_a"]
+    assert (a["n_docs"], a["n_mixed"]) == (3, 1)
+    assert a["mixed_rate"] == round(1 / 3, 6)
+    b = got["src_b"]
+    assert (b["n_docs"], b["n_mixed"], b["mixed_rate"]) == (1, 0, 0.0)

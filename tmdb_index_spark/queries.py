@@ -2310,6 +2310,78 @@ def event_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATIONARY_SQL = _stationary_sql("events", spark_dialect=False)
 
 
+def code_switch_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching (mixed-language) detection per source
+    (extension: the cleaning signal language-ID alone misses — a doc
+    whose tokens hit TWO languages' marker lexicons hard is mixed
+    content that degrades monolingual training; flag docs where ≥2
+    languages score ≥2 marker hits each, report the per-source mixed
+    share): per-language hit counts are the `lang_id_predict` marker
+    sets evaluated as pure column expressions (map-only), the flag is
+    exact integer logic, and the per-source rollup is one combinable
+    groupBy — parity is trivial by construction."""
+    from tmdb_index_spark.functions.text import LANG_MARKERS, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens(F.coalesce(F.col("text"), F.lit("")))
+    def _hits(markers: tuple[str, ...]) -> F.Column:
+        arr = F.array(*[F.lit(m) for m in markers])
+        # NB: a two-parameter lambda would be read as (element, index)
+        return F.size(
+            F.filter(t, lambda w: F.array_contains(arr, F.lower(w)))
+        )
+
+    hit_langs = None
+    for markers in LANG_MARKERS.values():
+        flag = F.when(_hits(markers) >= 2, 1).otherwise(0)
+        hit_langs = flag if hit_langs is None else hit_langs + flag
+    mixed = F.when(hit_langs >= 2, 1).otherwise(0)
+    return (
+        docs.select("source", mixed.alias("__m__"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__m__").cast("bigint").alias("n_mixed"),
+            F.round(
+                F.sum("__m__").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mixed_rate"),
+        )
+    )
+
+
+def _code_switch_sql() -> str:
+    from tmdb_index_spark.functions.text import LANG_MARKERS
+
+    flags = " + ".join(
+        "(CASE WHEN len(list_filter(ts, w -> list_contains([{m}], "
+        "lower(w)))) >= 2 THEN 1 ELSE 0 END)".format(
+            m=", ".join(f"'{w}'" for w in markers)
+        )
+        for markers in LANG_MARKERS.values()
+    )
+    return f"""
+WITH t AS (
+  SELECT source,
+         regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS ts
+  FROM documents
+),
+flagged AS (
+  SELECT source,
+         CASE WHEN ({flags}) >= 2 THEN 1 ELSE 0 END AS m
+  FROM t
+)
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+       SUM(m)::BIGINT AS n_mixed,
+       ROUND(SUM(m) / CAST(COUNT(*) AS DOUBLE), 6) AS mixed_rate
+FROM flagged GROUP BY 1
+"""
+
+
+_CODE_SWITCH_SQL = _code_switch_sql()
+
+
 _BACKTEST_FOLDS = (
     ("1998-01-01", "1999-01-01"),
     ("1999-01-01", "2000-01-01"),
@@ -12369,6 +12441,7 @@ QUERIES: dict[str, QueryFn] = {
     "channel_removal_effects": channel_removal_effects,
     "source_quality_shrinkage": source_quality_shrinkage,
     "rolling_backtest_mae": rolling_backtest_mae,
+    "code_switch_rate": code_switch_rate,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "lang_id_predict": lang_id_predict,
     "text_quality": text_quality,
@@ -12488,6 +12561,7 @@ ORACLES: dict[str, str] = {
     "channel_removal_effects": _REMOVAL_EFFECTS_SQL,
     "source_quality_shrinkage": _SHRINKAGE_SQL,
     "rolling_backtest_mae": _BACKTEST_SQL,
+    "code_switch_rate": _CODE_SWITCH_SQL,
     "purchase_burstiness": _BURSTINESS_SQL,
     "copurchase_item_cf": _ITEM_CF_SQL,
     "search_ndcg": _NDCG_SQL,
