@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from tmdb_index_spark.queries import (
     ORACLES,
     QUERIES,
+    ROWS_ONLY_QUERIES,
     dynamic_oracles,
     flagship,
 )
@@ -52,3 +53,16 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         or "/root/testdata/sf0.01"
     )
     return {**dict(ORACLES), **dynamic_oracles(sf_dir)}
+
+
+def oracle_contract() -> dict[str, dict]:
+    """Machine-readable contract for queries that intentionally have
+    no ``oracle_sql()`` entry: ``{"rows_only": True, "reason": ...}``
+    means the query's output embeds an engine-private sketch digest no
+    second engine can reproduce bit-for-bit, so a rows-recorded
+    ``no_oracle`` row is its GREEN state, not a failure (each names
+    the exact twin that carries value parity in its reason)."""
+    return {
+        name: {"rows_only": True, "reason": reason}
+        for name, reason in ROWS_ONLY_QUERIES.items()
+    }

@@ -923,6 +923,26 @@ FROM f
     assert not audit_oracle_order_keys(
         {"agg": "SELECT SUM(v) OVER (PARTITION BY g) FROM t"}
     )
+    # rn trailing key: safe only when the consuming window partitions
+    # exactly like the ROW_NUMBER() that computed it (round-9 ADVICE —
+    # a global 'rn' whitelist would waive mismatched-partition uses)
+    rn_ok = {
+        "q": """
+WITH r AS (SELECT user_id, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS rn FROM events)
+SELECT SUM(1) OVER (PARTITION BY user_id ORDER BY rn) FROM r
+"""
+    }
+    assert not audit_oracle_order_keys(rn_ok)
+    rn_bad = {
+        "q": rn_ok["q"].replace(
+            "OVER (PARTITION BY user_id ORDER BY rn)",
+            "OVER (PARTITION BY user_id, ts ORDER BY rn)",
+        )
+    }
+    bad = audit_oracle_order_keys(rn_bad)
+    assert bad and "rn" in bad[0] and "no ROW_NUMBER" in bad[0]
 
 
 def test_catalog_oracle_order_lint():
@@ -980,3 +1000,21 @@ def test_no_shadowed_module_names_in_queries():
         if c > 1 and n not in {"QUERIES", "ORACLES"}
     }
     assert not dupes, f"shadowed module-level names: {sorted(dupes)}"
+
+    # Repeated literal keys inside a dict display are silently dropped
+    # by Python (last wins) — a cube_revenue entry sat duplicated in
+    # both QUERIES and ORACLES for a round without any test noticing.
+    # Flag every dict literal in the module that repeats a string key.
+    dup_keys: dict[str, list[str]] = {}
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Dict):
+            continue
+        lits = [
+            k.value
+            for k in node.keys
+            if isinstance(k, ast.Constant) and isinstance(k.value, str)
+        ]
+        repeated = sorted(n for n, c in Counter(lits).items() if c > 1)
+        if repeated:
+            dup_keys[f"line {node.lineno}"] = repeated
+    assert not dup_keys, f"repeated literal dict keys: {dup_keys}"

@@ -956,3 +956,30 @@ def test_mmr_pool_smaller_than_k_and_validation(spark):
         mmr_rerank(pool, k=0)
     with pytest.raises(ValueError, match="lam"):
         mmr_rerank(pool, k=1, lam=0.0)
+
+
+def test_mmr_zero_norm_vector_and_duplicate_ids(spark):
+    import pytest
+
+    from tmdb_index_spark.operators.similarity import mmr_rerank
+
+    # A zero-norm vector makes cosine() NULL for its pairs; MMR must
+    # treat that as sim 0.0 (no redundancy), not crash on float(None).
+    pool = spark.createDataFrame(
+        [
+            (1, 0.9, [1.0, 0.0, 0.0, 0.0]),
+            (2, 0.8, [0.0, 0.0, 0.0, 0.0]),  # zero norm
+            (3, 0.5, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, rel double, embedding array<float>",
+    )
+    out = sorted(
+        mmr_rerank(pool, k=3, lam=0.7).collect(), key=lambda r: r["rank"]
+    )
+    # sim(·, zero) = 0 everywhere → pure relevance order survives
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
+    assert out[1]["mmr_score"] == round(0.7 * 0.8, 4)
+
+    dup = pool.union(pool.filter(F.col("vec_id") == 1))
+    with pytest.raises(ValueError, match="unique"):
+        mmr_rerank(dup, k=2)

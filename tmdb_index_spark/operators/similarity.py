@@ -85,8 +85,13 @@ def _norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column, decimals: int = 4) -> Column:
     """Cosine similarity of two double arrays, rounded for stable
-    cross-engine comparison."""
-    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), decimals)
+    cross-engine comparison. NULL when either vector has zero norm
+    (0/0 is undefined; under Spark's ANSI mode an unguarded divide
+    would raise DIVIDE_BY_ZERO instead of returning NULL/NaN)."""
+    denom = _norm(a) * _norm(b)
+    return F.round(
+        F.when(denom != F.lit(0.0), _dot(a, b) / denom), decimals
+    )
 
 
 def _as_double(col: str) -> Column:
@@ -2129,6 +2134,12 @@ def mmr_rerank(
     if not rows:
         return spark.createDataFrame([], out_schema)
     ids = [r[0] for r in rows]
+    if len(set(ids)) != len(ids):
+        raise ValueError(
+            "MMR pool ids must be unique — duplicates would silently "
+            "collapse in the relevance/similarity maps: "
+            f"{sorted({i for i in ids if ids.count(i) > 1})}"
+        )
     rel = {r[0]: float(r[1]) for r in rows}
     lit_pool = spark.createDataFrame(
         [(r[0], list(map(float, r[2]))) for r in rows],
@@ -2148,7 +2159,13 @@ def mmr_rerank(
         max_pool * max_pool,
         "MMR pairwise sims",
     )
-    sim = {(r[0], r[1]): float(r[2]) for r in sim_rows}
+    # cosine() returns NULL for a zero-norm vector (0/0): treat that
+    # pair as "no redundancy" (sim 0.0) rather than crashing on
+    # float(None) — a zero vector is orthogonal-in-spirit to anything
+    sim = {
+        (r[0], r[1]): (0.0 if r[2] is None else float(r[2]))
+        for r in sim_rows
+    }
     # greedy on engine-rounded inputs: plain IEEE double arithmetic,
     # argmax on the unrounded score, ties to the lower id
     first = sorted(ids, key=lambda i: (-rel[i], i))[0]

@@ -49,13 +49,17 @@ __all__ = ["audit_oracle_order_keys", "UNIQUE_TRAILING_KEYS", "WAIVERS"]
 #:  - source / term / part_b / seg_id / n_name: grouping keys of the
 #:    rollup each orders (one row per value within the partition;
 #:    n_name is the nation primary name over per-nation rollups).
-#:  - rn: always a ROW_NUMBER computed over the SAME partition in a
-#:    prior CTE — unique per partition by definition.
+#: ``rn`` is deliberately NOT here: a ROW_NUMBER alias is only unique
+#: within the partition it was COMPUTED over, so an ORDER BY ending in
+#: ``rn`` is verified structurally instead — the consuming clause's
+#: PARTITION BY must match some ROW_NUMBER() window's PARTITION BY in
+#: the same oracle (round-9 ADVICE: a global key here would silently
+#: waive future mismatched-partition uses).
 UNIQUE_TRAILING_KEYS = {
     "event_id", "doc_id", "vec_id", "o_orderkey", "c_custkey",
     "s_suppkey", "p_partkey", "user_id", "run", "neighbor_id",
     "cell", "ccell", "code", "source", "term", "part_b", "seg_id",
-    "n_name", "rn",
+    "n_name",
 }
 
 #: Per-oracle waivers: (query name, trailing key) → why the clause
@@ -132,6 +136,31 @@ _CLAUSE_RE = re.compile(
 _ORDER_RE = re.compile(
     r"ORDER\s+BY\s+(.*?)(?:\bROWS\b|\bRANGE\b|$)", re.I | re.S
 )
+_PARTITION_RE = re.compile(
+    r"PARTITION\s+BY\s+(.*?)(?:ORDER\s+BY|\bROWS\b|\bRANGE\b|$)",
+    re.I | re.S,
+)
+_ROW_NUMBER_RE = re.compile(
+    r"ROW_NUMBER\s*\(\s*\)\s*OVER\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)",
+    re.I,
+)
+
+
+def _partition_cols(clause: str) -> tuple[str, ...]:
+    """Normalized PARTITION BY column tuple of a window clause
+    ('' partition → empty tuple); alias qualifiers stripped."""
+    m = _PARTITION_RE.search(clause)
+    if not m:
+        return ()
+    cols = [c.strip() for c in m.group(1).split(",") if c.strip()]
+    return tuple(sorted(c.rsplit(".", 1)[-1].lower() for c in cols))
+
+
+def _row_number_partitions(sql: str) -> set[tuple[str, ...]]:
+    """PARTITION BY signatures of every ROW_NUMBER() window in the
+    oracle — a trailing ``rn`` key is total-order-safe iff the
+    consuming clause partitions identically to one of these."""
+    return {_partition_cols(c) for c in _ROW_NUMBER_RE.findall(sql)}
 
 
 def _trailing_key(order_expr: str) -> str:
@@ -163,6 +192,18 @@ def audit_oracle_order_keys(oracles: dict[str, str]) -> list[str]:
             if key in UNIQUE_TRAILING_KEYS:
                 continue
             if (name, key) in WAIVERS:
+                continue
+            if key == "rn":
+                # structural check: unique iff the consuming clause
+                # partitions exactly like the ROW_NUMBER that made it
+                if _partition_cols(clause) in _row_number_partitions(sql):
+                    continue
+                findings.append(
+                    f"{name}: window ORDER BY ends in 'rn' but its "
+                    f"PARTITION BY {_partition_cols(clause)} matches "
+                    f"no ROW_NUMBER() window in the oracle — rn is "
+                    f"only unique within the partition that computed it"
+                )
                 continue
             findings.append(
                 f"{name}: window ORDER BY ends in non-unique key "
