@@ -153,6 +153,9 @@ EXTENDED_QUERIES = [
     "source_capped_docs",
     "fuzzy_name_pairs",
     "hybrid_rrf_search",
+    # round-10: the end-to-end corpus-prep composite (quality → lang →
+    # exact/LSH/semantic dedup → decontam → budget sample → pack)
+    "corpus_pipeline_stats",
     # round-6 late additions
     "dedup_segments_rebuild",
     "sliding_distinct_users",

@@ -1,0 +1,151 @@
+"""End-to-end corpus-prep composite: stage semantics + pin behavior.
+
+Each stage of ``prepare_corpus`` is an already-certified operator; what
+these tests pin is the COMPOSITION — that each engineered document
+drops at exactly the stage that should catch it, that the yield-stats
+frame chains consistently, and that the budget stage's hash-rate rule
+is the portable md5 formula (recomputed independently here).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from tmdb_index_spark.operators.corpus_pipeline import (
+    STAGE_NAMES,
+    corpus_pipeline_stats,
+    prepare_corpus,
+)
+
+
+def _words(prefix: str, n: int) -> str:
+    # alpha-only tokens: no digits (the BPE-ish regex would split
+    # "w1" into two tokens), no punctuation (chars must stay in a-z —
+    # chr(97+i) past i=25 walks into {|}~ and breaks token counts AND
+    # quality scores), none of the en stopword markers — so every doc
+    # scores quality 0 and thresholds are flat
+    return " ".join(
+        f"{prefix}{chr(97 + i % 26)}{chr(97 + (i // 26) % 26)}{chr(97 + i % 7)}"
+        for i in range(n)
+    )
+
+
+def _docs(spark):
+    a = _words("a", 30)
+    rows = [
+        # (doc_id, text, lang, source)
+        (1, a, "en", "sa"),
+        # same TOKEN sequence as 1 (double space → md5 differs, token
+        # shingles identical) → jaccard 1.0 → drops at lsh_neardup
+        (2, a.replace(" ", "  ", 1), "en", "sa"),
+        # byte-identical to 1 → drops at exact_dedup (keep lowest id)
+        (3, a, "en", "sa"),
+        (4, _words("b", 30), "en", "sa"),
+        (5, _words("c", 30), "en", "sb"),
+        # non-keep-list language → drops at lang
+        (6, _words("z", 12), "zh", "sa"),
+        # shares the 5-gram "ea... ee..." with eval doc 10 → decontam
+        (7, "eaa ebb ecc edd eee " + _words("f", 25), "en", "sa"),
+        (8, _words("d", 30), "en", "sb"),
+        # embedding identical to doc 8's → drops at semantic_dedup
+        (9, _words("g", 30), "en", "sb"),
+        # doc_id % 10 == 0: IS the eval split → drops at decontam
+        (10, "eaa ebb ecc edd eee " + _words("h", 7), "en", "sa"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def _embeddings(spark):
+    rows = [
+        (1, [0.0, 1.0, 0.0, 0.0], 0),
+        (4, [0.0, 0.0, 1.0, 0.0], 0),
+        (8, [1.0, 0.0, 0.0, 0.0], 1),
+        (9, [1.0, 0.0, 0.0, 0.0], 1),  # identical to 8 → cos 1.0
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def _h60_ppm(doc_id: int) -> int:
+    # portable_hash60(CAST(doc_id AS STRING)) % 1e6, recomputed
+    # independently of the engine
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 1_000_000
+
+
+def test_prepare_corpus_stage_semantics(spark):
+    stats = {
+        r["stage_name"]: r
+        for r in corpus_pipeline_stats(_docs(spark), _embeddings(spark)).collect()
+    }
+    assert list(stats) == list(STAGE_NAMES)
+
+    # engineered drop at each stage
+    assert stats["input"]["docs_out"] == 10
+    assert stats["quality"]["docs_out"] == 10  # flat scores: none drop
+    assert stats["lang"]["docs_out"] == 9  # doc 6 (zh)
+    assert stats["exact_dedup"]["docs_out"] == 8  # doc 3 (byte dup of 1)
+    assert stats["lsh_neardup"]["docs_out"] == 7  # doc 2 (token dup of 1)
+    assert stats["semantic_dedup"]["docs_out"] == 6  # doc 9 (emb dup of 8)
+    # doc 10 is the eval split itself, doc 7 shares its 5-gram
+    assert stats["decontam"]["docs_out"] == 4
+
+    # budget stage: survivors {1, 4} in sa (60 tok), {5, 8} in sb (60
+    # tok); budget = 60, water level 30 → cap 30 per source → ppm rate
+    # 500000; the keep rule is the portable md5 formula
+    kept = [
+        i
+        for i, src in [(1, "sa"), (4, "sa"), (5, "sb"), (8, "sb")]
+        if _h60_ppm(i) < 500_000
+    ]
+    assert stats["budget_sample"]["docs_out"] == len(kept)
+    assert stats["budget_sample"]["tokens_out"] == 30 * len(kept)
+
+    # pack: capacity 256 > any stream's tokens → one bin per occupied
+    # (source, doc_id % 8) stream
+    streams = {(src, i % 8) for i, src in [(1, "sa"), (4, "sa"), (5, "sb"), (8, "sb")] if i in kept}
+    assert stats["pack"]["docs_out"] == len(streams)
+    assert stats["pack"]["docs_dropped"] == 0
+
+    # chaining invariants
+    for k in range(1, len(STAGE_NAMES)):
+        prev, cur = stats[STAGE_NAMES[k - 1]], stats[STAGE_NAMES[k]]
+        assert cur["docs_in"] == prev["docs_out"]
+        if STAGE_NAMES[k] != "pack":
+            assert cur["docs_dropped"] == cur["docs_in"] - cur["docs_out"]
+
+
+def test_prepare_corpus_returns_survivor_frames(spark):
+    out = prepare_corpus(_docs(spark), _embeddings(spark))
+    by_name = dict(out["stages"])
+    surv = sorted(
+        r["doc_id"] for r in by_name["decontam"].select("doc_id").collect()
+    )
+    assert surv == [1, 4, 5, 8]
+    # packed frame: one row per sampled doc, with shard/bin assignment
+    packed = out["packed"].collect()
+    assert all(r["bin"] == 0 for r in packed)  # capacity 256 > streams
+    # allocation table covers both sources with the 30-token water level
+    caps = {r["source"]: r for r in out["caps"].collect()}
+    assert caps["sa"]["allocation"] == 30.0
+    assert caps["sb"]["allocation"] == 30.0
+    assert not caps["sa"]["capped"]
+
+
+def test_pin_frame_checkpoint_truncates_lineage(spark):
+    from tmdb_index_spark.operators.materialize import pin_frame, release_pins
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v").filter("v > 10")
+    out = pin_frame(df, "checkpoint")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the logical plan must be the truncated RDD scan, not the Range →
+    # Project → Filter lineage (chained pins would otherwise compound
+    # into a k^n-node plan tree — the OOM this mode exists to prevent)
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+    assert "Range" not in plan
+    assert out.count() == 94
+    release_pins()

@@ -975,6 +975,30 @@ def test_ivfpq_no_joins_one_cell_shuffle(spark):
     assert "FlatMapGroupsInPandas" in p  # the per-cell ADC stage
 
 
+def test_corpus_pipeline_plan_pinned_no_cartesian_no_python_rows(spark):
+    # The composite chains 8 pinned stages; each stats row consumes a
+    # stage twice (own docs_out + next stage's docs_in). The pins are
+    # plan-truncating checkpoints, so the assembled stats plan must
+    # read stage RDD scans — NOT re-derive each stage from the parquet
+    # source (which would compound to a k^n plan; the cache-pinned
+    # form of this composite OOMed the driver at plan build). And like
+    # every engine plan: no cartesian pair generation, no
+    # row-at-a-time Python.
+    p = _plan(spark, "corpus_pipeline_stats")
+    assert "CartesianProduct" not in p
+    # NOTE: BroadcastNestedLoopJoin IS expected here — the stats
+    # assembly crossJoins 1-row count aggregates (docs_in × docs_out),
+    # the bounded-scalar-join shape; what must never appear is a
+    # partition-level cartesian over data-proportional frames.
+    assert "BatchEvalPython" not in p  # Arrow stages only
+    # one truncated scan per pinned stage consumption; the 8 stage
+    # frames are consumed 15 times by the 9 stats rows
+    assert p.count("Scan ExistingRDD") >= 8
+    # the only parquet re-reads are outside the pin chain (none should
+    # survive into the assembled stats plan at all)
+    assert "FileScan parquet" not in p
+
+
 def test_no_shadowed_module_names_in_queries():
     # A module-level name defined twice silently shadows the first
     # definition — a live collision (_ATTRIBUTION_SQL) once bound a

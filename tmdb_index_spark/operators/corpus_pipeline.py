@@ -1,0 +1,388 @@
+"""End-to-end training-corpus preparation composite.
+
+The reference's defining artifact is ONE composed pipeline —
+``process()`` chains fetch → upsert → enrich → flag into the artifact
+users actually run (``tmdb_index.py:546-568``); the stages are
+implementation detail. This module applies that lesson to the
+north-star LLM-data surface: :func:`prepare_corpus` composes the
+individually-certified stage operators into the full corpus-prep
+chain a pretraining data pipeline runs, in order:
+
+0. **input** — one projection computing the per-doc token count
+   (BPE-ish regex) and the integer-micro quality score once; every
+   later stage reuses both instead of re-tokenizing.
+1. **quality** — per-source ADAPTIVE p25 threshold (the FineWeb
+   per-dump lesson; same recipe as the certified
+   ``adaptive_quality_filter``): keep docs scoring at or above their
+   source's 25th percentile. Threshold via :func:`grouped_rank`'s
+   funnel-free exact rank, broadcast back.
+2. **lang** — declared-language keep-list.
+3. **exact_dedup** — keep lowest id per md5(text).
+4. **lsh_neardup** — MinHash-LSH candidate pairs + exact Jaccard
+   verify (:func:`minhash_lsh_pairs`); the HIGHER id of each
+   verified pair drops (the ``clean_corpus`` keeper rule).
+5. **semantic_dedup** — SemDeDup over the embeddings of the
+   SURVIVORS: k-means cells fit on the FULL embeddings table (the
+   cluster structure is corpus-level, and it keeps the fit
+   independent of upstream filter params), within-cell smaller-id
+   election at ``semantic_threshold``. Docs without an embedding row
+   pass through — you cannot semantically dedup what you never
+   embedded.
+6. **decontam** — drop survivors that ARE the held-out eval split
+   (``doc_id % eval_mod == 0`` — split separation) or that share any
+   5-gram with it (:func:`ngram_contamination`; eval n-gram hashes
+   broadcast, train side never shuffles).
+7. **budget_sample** — water-filling token-budget allocation across
+   sources (:func:`waterfill_allocation`, budget = total/2 by
+   default), then a MAP-ONLY deterministic hash-rate sample per
+   source: keep a doc iff ``portable_hash60(doc_id) % 1e6 <
+   cap·1e6 div avail``. No per-source ordered scan — the greedy
+   cumsum-prefix alternative funnels each source through one task at
+   scale, while the hash-rate rule is embarrassingly parallel and
+   engine-portable (expected fill = the allocation, like real
+   rate-based mixture sampling).
+8. **pack** — concat-and-chunk the sampled docs into
+   ``capacity``-token bins within (source, ``doc_id % shards``)
+   streams (:func:`pack_sequences`); reported as sequences produced.
+
+:func:`corpus_pipeline_stats` materializes the audit artifact: one
+row per stage with exact integer ``docs_in / docs_out /
+docs_dropped / tokens_out`` — the per-stage yield report every
+corpus-prep run publishes.
+
+Scale design: every stage's survivor frame is pinned
+(:func:`pin_frame` — ``checkpoint`` here: chained pins need the
+logical-plan truncation, not just the data pin; ``parquet`` at
+100 TB) so the
+documents parquet is scanned O(1) times and each stage's work runs
+exactly once even though the stats frame consumes every stage twice
+(as its own ``docs_out`` and the next stage's ``docs_in``). No stage
+introduces an unbounded window: quality ranks via bucketed
+``grouped_rank``, budget sampling is map-only, packing shards its
+running sums. The only driver-side materializations are the bounded
+k-means fit sample and the |sources|-row allocation table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tmdb_index_spark.functions.text import (
+    LANG_MARKERS,
+    portable_hash60,
+    token_count,
+    tokens,
+)
+from tmdb_index_spark.operators.dedup import dedup_keep_first
+from tmdb_index_spark.operators.dedup_text import minhash_lsh_pairs
+from tmdb_index_spark.operators.llm_prep import (
+    ngram_contamination,
+    pack_sequences,
+)
+from tmdb_index_spark.operators.materialize import pin_frame
+from tmdb_index_spark.operators.ordering import grouped_rank
+from tmdb_index_spark.operators.sampling import waterfill_allocation
+from tmdb_index_spark.operators.similarity import (
+    IVF_BLAS_ASSIGN_THRESHOLD,
+    fit_centroids,
+    semantic_dedup_with_centroids,
+)
+
+__all__ = ["prepare_corpus", "corpus_pipeline_stats", "STAGE_NAMES"]
+
+#: Stage order of the composite — index = the ``stage`` column of the
+#: stats frame.
+STAGE_NAMES: tuple[str, ...] = (
+    "input",
+    "quality",
+    "lang",
+    "exact_dedup",
+    "lsh_neardup",
+    "semantic_dedup",
+    "decontam",
+    "budget_sample",
+    "pack",
+)
+
+
+def _quality_micros(text) -> F.Column:
+    """Integer-micro quality score: stopword density minus punctuation
+    density, each FLOOR-quantized (identical double division then FLOOR
+    on every engine — the ``adaptive_quality_filter`` recipe, shared
+    verbatim so composite and standalone stage can never drift)."""
+    c = F.coalesce(text, F.lit(""))
+    t = tokens(c)
+    n_words = F.size(t)
+    n_chars = F.length(c)
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(t, lambda w: F.array_contains(stop, F.lower(w))))
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return (
+        F.floor(
+            F.lit(1e6) * n_stop.cast("double")
+            / F.greatest(n_words, F.lit(1)).cast("double")
+        )
+        - F.floor(
+            F.lit(1e6) * n_punct.cast("double")
+            / F.greatest(n_chars, F.lit(1)).cast("double")
+        )
+    ).cast("long")
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    jaccard_threshold: float = 0.8,
+    semantic_threshold: float = 0.4,
+    eval_mod: int = 10,
+    ngram_n: int = 5,
+    budget_den: int = 2,
+    capacity: int = 256,
+    shards: int = 8,
+    materialize: str = "checkpoint",
+    scratch_dir: str | None = None,
+) -> dict:
+    """Run the full corpus-prep chain; returns ``{"stages": [(name,
+    survivor_frame), ...], "packed": packed_frame, "caps":
+    allocation_frame}``. Stage frames are pinned; call
+    :func:`~tmdb_index_spark.operators.materialize.release_pins` after
+    the consumer materializes."""
+    emb_id, emb_vec = "vec_id", "embedding"
+
+    base = pin_frame(
+        docs.select(
+            id_col,
+            text_col,
+            lang_col,
+            source_col,
+            token_count(F.coalesce(F.col(text_col), F.lit(""))).cast(
+                "long"
+            ).alias("n_tokens"),
+            _quality_micros(F.col(text_col)).alias("__q__"),
+        ),
+        materialize,
+        scratch_dir,
+    )
+
+    # 1. per-source adaptive p25 quality gate
+    ranked = grouped_rank(
+        base.select(id_col, source_col, "__q__"),
+        "__q__",
+        tiebreak=[id_col],
+        partition_cols=[source_col],
+        rank_col="__r__",
+        n_col="__n__",
+        ascending=True,
+    )
+    thr = ranked.filter(F.col("__r__") == F.expr("(__n__ + 3) div 4")).select(
+        source_col, F.col("__q__").alias("__thr__")
+    )
+    s1 = (
+        base.join(F.broadcast(thr), source_col)
+        .filter(F.col("__q__") >= F.col("__thr__"))
+        .drop("__thr__")
+    )
+
+    # 2. language keep-list
+    s2 = s1.filter(F.col(lang_col).isin(*langs))
+
+    # 3. exact dedup: lowest id per content hash
+    s3 = pin_frame(
+        dedup_keep_first(
+            s2.withColumn("__h__", F.md5(F.col(text_col))),
+            keys=("__h__",),
+            order=(F.col(id_col),),
+        ).drop("__h__", "__q__"),
+        materialize,
+        scratch_dir,
+    )
+
+    # 4. MinHash-LSH near-dup: drop the higher id of each verified pair
+    pairs = minhash_lsh_pairs(
+        s3,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=jaccard_threshold,
+        materialize=materialize,
+        scratch_dir=scratch_dir,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    s4 = pin_frame(
+        s3.join(losers, id_col, "left_anti"), materialize, scratch_dir
+    )
+
+    # 5. SemDeDup over survivors' embeddings; docs without one survive
+    n_emb = embeddings.count()
+    cells = max(1, round(n_emb ** 0.5))
+    cents = fit_centroids(embeddings, cells, emb_id, emb_vec)
+    surv_emb = embeddings.join(
+        s4.select(F.col(id_col).alias(emb_id)), emb_id
+    )
+    flags = semantic_dedup_with_centroids(
+        surv_emb,
+        cents,
+        semantic_threshold,
+        id_col=emb_id,
+        vec_col=emb_vec,
+        assign_impl=(
+            "pandas" if n_emb >= IVF_BLAS_ASSIGN_THRESHOLD else "expr"
+        ),
+    )
+    sem_drop = flags.filter(~F.col("keep")).select(
+        F.col(emb_id).alias(id_col)
+    )
+    s5 = pin_frame(
+        s4.join(sem_drop, id_col, "left_anti"), materialize, scratch_dir
+    )
+
+    # 6. decontamination: drop the eval split itself + 5-gram hits on it
+    ev = docs.filter(F.col(id_col) % eval_mod == 0)
+    tr = s5.filter(F.col(id_col) % eval_mod != 0)
+    hits = ngram_contamination(
+        tr, ev, text_col=text_col, id_col=id_col, n=ngram_n
+    )
+    s6 = pin_frame(
+        tr.join(hits.select(id_col), id_col, "left_anti"),
+        materialize,
+        scratch_dir,
+    )
+
+    # 7. water-filling budget + map-only per-source hash-rate sample
+    per_src = s6.groupBy(source_col).agg(
+        F.sum("n_tokens").cast("bigint").alias("avail_tokens")
+    )
+    budget = per_src.agg(
+        F.floor(F.sum("avail_tokens") / F.lit(budget_den))
+        .cast("bigint")
+        .alias("__budget__")
+    )
+    alloc = waterfill_allocation(
+        per_src.crossJoin(F.broadcast(budget)),
+        "avail_tokens",
+        group_col=source_col,
+    )
+    caps = alloc.select(
+        source_col,
+        F.col("avail_tokens").alias("__avail__"),
+        F.floor(F.col("allocation")).cast("bigint").alias("__cap__"),
+    )
+    # keep-rate in parts-per-million, exact integer division: a capped
+    # source (cap == avail) gets rate 1e6 → keeps everything
+    rate = F.when(F.col("__avail__") == 0, F.lit(1_000_000)).otherwise(
+        F.expr("(__cap__ * 1000000) div __avail__")
+    )
+    s7 = pin_frame(
+        s6.join(F.broadcast(caps), source_col)
+        .filter(
+            portable_hash60(F.col(id_col).cast("string")) % 1_000_000
+            < rate
+        )
+        .drop("__avail__", "__cap__"),
+        materialize,
+        scratch_dir,
+    )
+
+    # 8. concat-and-chunk packing (fixed shards → reproducible bins);
+    # drop the carried n_tokens first — pack_sequences emits its own
+    # (identical) n_tokens and a duplicate column name is ambiguous
+    packed = pack_sequences(
+        s7.drop("n_tokens"),
+        text_col=text_col,
+        id_col=id_col,
+        group_col=source_col,
+        capacity=capacity,
+        shards=shards,
+    )
+
+    stages = [
+        ("input", base),
+        ("quality", s1),
+        ("lang", s2),
+        ("exact_dedup", s3),
+        ("lsh_neardup", s4),
+        ("semantic_dedup", s5),
+        ("decontam", s6),
+        ("budget_sample", s7),
+    ]
+    return {"stages": stages, "packed": packed, "caps": alloc}
+
+
+def corpus_pipeline_stats(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    capacity: int = 256,
+    shards: int = 8,
+    **kwargs,
+) -> DataFrame:
+    """Per-stage yield report of :func:`prepare_corpus`: one row per
+    stage — ``(stage, stage_name, docs_in, docs_out, docs_dropped,
+    tokens_out)``, all exact integers. The ``pack`` row reports
+    sequences: ``docs_out`` = bins produced (``docs_dropped`` 0 —
+    packing drops nothing), ``tokens_out`` unchanged from the sampled
+    set."""
+    out = prepare_corpus(
+        docs, embeddings, capacity=capacity, shards=shards, **kwargs
+    )
+
+    def cnt(frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.count(F.lit(1)).cast("long").alias("__n__"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("long")
+            .alias("__t__"),
+        )
+
+    counts = [cnt(frame) for _, frame in out["stages"]]
+    rows: list[DataFrame] = []
+    first = counts[0].select(
+        F.lit(0).cast("long").alias("stage"),
+        F.lit(STAGE_NAMES[0]).alias("stage_name"),
+        F.col("__n__").alias("docs_in"),
+        F.col("__n__").alias("docs_out"),
+        F.lit(0).cast("long").alias("docs_dropped"),
+        F.col("__t__").alias("tokens_out"),
+    )
+    rows.append(first)
+    for i in range(1, len(counts)):
+        prev = counts[i - 1].select(
+            F.col("__n__").alias("__pn__")
+        )
+        rows.append(
+            prev.crossJoin(counts[i]).select(
+                F.lit(i).cast("long").alias("stage"),
+                F.lit(STAGE_NAMES[i]).alias("stage_name"),
+                F.col("__pn__").alias("docs_in"),
+                F.col("__n__").alias("docs_out"),
+                (F.col("__pn__") - F.col("__n__"))
+                .cast("long")
+                .alias("docs_dropped"),
+                F.col("__t__").alias("tokens_out"),
+            )
+        )
+    n_seq = out["packed"].agg(
+        F.countDistinct(
+            F.col("source"), F.col("shard"), F.col("bin")
+        ).cast("long").alias("__s__")
+    )
+    last = counts[-1]
+    rows.append(
+        last.crossJoin(n_seq).select(
+            F.lit(len(counts)).cast("long").alias("stage"),
+            F.lit(STAGE_NAMES[len(counts)]).alias("stage_name"),
+            F.col("__n__").alias("docs_in"),
+            F.col("__s__").alias("docs_out"),
+            F.lit(0).cast("long").alias("docs_dropped"),
+            F.col("__t__").alias("tokens_out"),
+        )
+    )
+    stats = rows[0]
+    for r in rows[1:]:
+        stats = stats.unionByName(r)
+    return stats.orderBy("stage")

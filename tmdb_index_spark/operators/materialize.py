@@ -3,11 +3,14 @@
 Spark recomputes a shared subtree once per consumer unless it is
 pinned: an expensive stage (Python ``mapInPandas``, a tokenize+shuffle
 pass over the corpus) that feeds a self-join or several aggregates
-would otherwise run 2-4x. Two pinning strategies:
+would otherwise run 2-4x. Three pinning strategies:
 
 * ``"cache"`` (default): storage-memory cache — right while the frame
   fits cluster memory (small/medium corpora). Also the only mode with
-  no filesystem requirements.
+  no filesystem requirements. Does NOT truncate the logical plan.
+* ``"checkpoint"``: lazy ``localCheckpoint`` — cache semantics PLUS
+  logical-plan truncation, required when pinned stages chain (see the
+  in-function comment).
 * ``"parquet"``: write once and re-read — the 100 TB path. Bounded
   memory, truncated lineage/statistics, and the expensive stage
   provably executes exactly once (a cache-evicted partition would
@@ -63,6 +66,20 @@ def pin_frame(
         out = df.cache()
         _PINNED_FRAMES.append(out)
         return out
+    if materialize == "checkpoint":
+        # localCheckpoint TRUNCATES THE LOGICAL PLAN (lineage) as well
+        # as pinning the data — required when pins CHAIN: a stage that
+        # consumes its cached input k times still embeds the input's
+        # full plan k times in its own, so an n-stage composite grows
+        # a ~k^n-node plan tree that OOMs the driver at plan-string
+        # build (hit live by prepare_corpus at sf0.001). Lazy
+        # (eager=False): materializes on first consumption, blocks
+        # stored on executors like cache. Trade: recompute after
+        # executor loss needs the checkpoint blocks (no lineage), so
+        # long multi-tenant jobs should prefer "parquet".
+        out = df.localCheckpoint(eager=False)
+        _PINNED_FRAMES.append(out)
+        return out
     if materialize == "parquet":
         spark = df.sparkSession
         base = scratch_dir or (
@@ -73,7 +90,10 @@ def pin_frame(
         df.write.mode("overwrite").parquet(path)
         _SCRATCH_PATHS.append(path)
         return spark.read.parquet(path)
-    raise ValueError(f"materialize must be 'cache' or 'parquet', got {materialize!r}")
+    raise ValueError(
+        f"materialize must be 'cache', 'checkpoint' or 'parquet', "
+        f"got {materialize!r}"
+    )
 
 
 def bounded_collect(df: DataFrame, bound: int, what: str) -> list:

@@ -4110,6 +4110,277 @@ WHERE l.doc_id IS NULL
 _CORPUS_CLEAN_SQL = _corpus_clean_sql()
 
 
+def corpus_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation composite (extension:
+    the reference's `process()` lesson — `tmdb_index.py:546-568`
+    composes fetch→upsert→enrich→flag into ONE artifact — applied to
+    the north-star LLM surface): adaptive per-source quality gate →
+    language keep-list → exact dedup → MinHash-LSH near-dup →
+    SemDeDup semantic dedup → 5-gram eval decontamination →
+    water-filling budget + map-only hash-rate mixture sample →
+    concat-and-chunk packing, each stage the already-certified
+    operator, chained over pinned (plan-truncating checkpoint)
+    survivor frames so the corpus is scanned O(stages) times. Output:
+    one exact-integer yield row per stage (docs_in/out/dropped,
+    tokens_out). FULL value oracle despite the k-means fit inside the
+    semantic stage — the fitted-literal dynamic-oracle pattern
+    (centroids fit on the full embeddings table, independent of the
+    upstream filter params, so the oracle re-fit needs no survivor
+    replay)."""
+    from tmdb_index_spark.operators.corpus_pipeline import (
+        corpus_pipeline_stats as _pipeline_stats,
+    )
+
+    return _pipeline_stats(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
+
+
+def _fitted_corpus_pipeline_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    """Value-row oracle for ``corpus_pipeline_stats``: re-run the
+    deterministic centroid fit outside Spark (same parquet sample,
+    same numpy core — the :func:`_fitted_semantic_dedup_oracle_sql`
+    recipe, cells fit on the FULL embeddings table), then express all
+    eight stages as chained CTEs mirroring each certified stage
+    oracle: the adaptive-quality recipe (`_ADAPTIVE_QUALITY_SQL`),
+    the corpus-clean minhash blocks (`_corpus_clean_sql`), the
+    SemDeDup election, the decontam 5-grams (`_DECONTAM_SQL`), the
+    water-fill closed form (`_WATERFILL_SQL`) + ppm hash-rate sample,
+    and the pack binning (`_PACK_SEQUENCES_SQL`)."""
+    try:
+        import duckdb
+        import numpy as np
+
+        from tmdb_index_spark.operators.similarity import fit_kmeans_array
+
+        con = duckdb.connect()
+        path = f"{sf_dir}/embeddings.parquet"
+        n = con.sql(f"SELECT COUNT(*) FROM '{path}'").fetchone()[0]
+        if not n:
+            return None
+        sample = con.sql(
+            f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT 10000"
+        ).fetchall()
+        X = np.array([list(r[0]) for r in sample], dtype="float64")
+        cells = max(1, round(n ** 0.5))
+        cents = fit_kmeans_array(X, cells)
+    except Exception:  # noqa: BLE001 — missing table → rows-only row
+        return None
+    dim = X.shape[1]
+    values = ",\n    ".join(
+        "({}, [{}])".format(
+            cid, ", ".join(repr(float(x)) for x in vec)
+        )
+        for cid, vec in cents
+    )
+    sig_cols = ", ".join(f"{_minhash_expr(i)} AS mh{i}" for i in range(16))
+    tok_expr = (
+        "len(regexp_extract_all(coalesce(text, ''),"
+        " '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT"
+    )
+    return f"""
+WITH docs0 AS (
+  SELECT doc_id, text, lang, source, {tok_expr} AS tok FROM documents
+),
+q_scored AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(1e6 * len(list_filter(
+                  regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                  w -> list_contains({_EN_MARKERS_SQL}, lower(w)))) * 1.0
+                / greatest(len(regexp_split_to_array(
+                      trim(coalesce(text, '')), '\\s+')), 1))
+            - FLOOR(1e6 * (length(coalesce(text, ''))
+                - length(regexp_replace(coalesce(text, ''),
+                                        '[^\\w\\s]', '', 'g'))) * 1.0
+                / greatest(length(coalesce(text, '')), 1)) AS BIGINT) AS q
+  FROM documents
+),
+q_ranked AS (
+  SELECT source, q,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY q, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM q_scored
+),
+thr AS (SELECT source, q AS thr FROM q_ranked WHERE r = (n + 3) // 4),
+s1 AS (
+  SELECT d.* FROM docs0 d
+  JOIN q_scored sc ON d.doc_id = sc.doc_id
+  JOIN thr t ON d.source = t.source
+  WHERE sc.q >= t.thr
+),
+s2 AS (SELECT * FROM s1 WHERE lang IN ('en', 'de', 'fr', 'es')),
+s3 AS (
+  SELECT doc_id, text, lang, source, tok FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+    FROM s2
+  ) WHERE rn = 1
+),
+t3 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM s3),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(ts)-2, 0)),
+                                      i -> array_to_string(list_slice(ts, i, i+2), ' '))) AS shs
+  FROM t3
+),
+sig AS (SELECT doc_id, {sig_cols} FROM sh),
+buckets AS (
+  SELECT doc_id, b.band,
+         CASE b.band
+           WHEN 0 THEN concat_ws(',', mh0, mh1, mh2, mh3)
+           WHEN 1 THEN concat_ws(',', mh4, mh5, mh6, mh7)
+           WHEN 2 THEN concat_ws(',', mh8, mh9, mh10, mh11)
+           ELSE concat_ws(',', mh12, mh13, mh14, mh15)
+         END AS key
+  FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+ex AS (SELECT doc_id, UNNEST(shs) AS s, len(shs) AS n FROM sh),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS c, MAX(a.n) AS na, MAX(b.n) AS nb
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.id_a
+  JOIN ex b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY 1, 2
+),
+losers AS (
+  SELECT DISTINCT id_b AS doc_id FROM inter
+  WHERE ROUND(c * 1.0 / (na + nb - c), 4) >= 0.8
+),
+s4 AS (
+  SELECT s3.* FROM s3 LEFT JOIN losers l ON s3.doc_id = l.doc_id
+  WHERE l.doc_id IS NULL
+),
+v AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+  FROM embeddings e JOIN s4 ON e.vec_id = s4.doc_id
+),
+cent AS (SELECT * FROM (VALUES
+    {values}
+) AS tc(cell, cv)),
+dd AS (
+  SELECT vec_id, v, cell,
+         list_sum(list_transform(generate_series(1, {dim}),
+           i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS dist
+  FROM v CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, v, CAST(cell AS BIGINT) AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist ASC, cell ASC) AS rn
+    FROM dd
+  ) WHERE rn = 1
+),
+semdrop AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_sum(list_transform(generate_series(1, {dim}), i -> a.v[i] * b.v[i])) /
+        (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+         sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) >= 0.4
+),
+s5 AS (
+  SELECT s4.* FROM s4 LEFT JOIN semdrop sd ON s4.doc_id = sd.vec_id
+  WHERE sd.vec_id IS NULL
+),
+ng_ev AS (
+  SELECT DISTINCT unnest(list_transform(
+           list_distinct(list_transform(range(1, len(ts) - 3),
+                                        i -> array_to_string(ts[i:i+4], ' '))),
+           g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS h
+  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS ts
+        FROM documents WHERE doc_id % 10 = 0)
+),
+tr5 AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM s5 WHERE doc_id % 10 <> 0
+),
+ng_tr AS (
+  SELECT doc_id, unnest(list_transform(
+           list_distinct(list_transform(range(1, len(ts) - 3),
+                                        i -> array_to_string(ts[i:i+4], ' '))),
+           g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS h
+  FROM tr5
+),
+contam AS (SELECT DISTINCT doc_id FROM ng_tr JOIN ng_ev USING (h)),
+s6 AS (
+  SELECT s5.* FROM s5 LEFT JOIN contam c ON s5.doc_id = c.doc_id
+  WHERE s5.doc_id % 10 <> 0 AND c.doc_id IS NULL
+),
+per_src AS (SELECT source, SUM(tok)::BIGINT AS avail FROM s6 GROUP BY 1),
+bb AS (SELECT CAST(FLOOR(SUM(avail) / 2) AS BIGINT) AS budget FROM per_src),
+wr AS (
+  SELECT source, avail, budget,
+         ROW_NUMBER() OVER (ORDER BY avail, source) AS i,
+         SUM(avail) OVER (ORDER BY avail, source) AS p,
+         COUNT(*) OVER () AS n
+  FROM per_src, bb
+),
+wf AS (
+  SELECT source, avail,
+         CASE WHEN CAST(budget - (p - avail) AS DOUBLE)
+                   / CAST(n - i + 1 AS DOUBLE)
+                   <= CAST(avail AS DOUBLE)
+              THEN CAST(budget - (p - avail) AS DOUBLE)
+                   / CAST(n - i + 1 AS DOUBLE)
+         END AS lam
+  FROM wr
+),
+lev AS (SELECT MAX(lam) AS level FROM wf),
+caps AS (
+  SELECT source, avail,
+         CAST(FLOOR(ROUND(CASE WHEN level IS NULL THEN CAST(avail AS DOUBLE)
+                    ELSE LEAST(CAST(avail AS DOUBLE), level) END, 4))
+              AS BIGINT) AS cap
+  FROM wf, lev
+),
+s7 AS (
+  SELECT s6.* FROM s6 JOIN caps c ON s6.source = c.source
+  WHERE ('0x' || substr(md5(CAST(s6.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000
+        < CASE WHEN c.avail = 0 THEN 1000000
+               ELSE (c.cap * 1000000) // c.avail END
+),
+pk AS (
+  SELECT source, doc_id % 8 AS shard, tok,
+         SUM(tok) OVER (PARTITION BY source, doc_id % 8 ORDER BY doc_id)
+           - tok AS strt
+  FROM s7
+),
+nseq AS (
+  SELECT COUNT(DISTINCT (source, shard, CAST(FLOOR(strt / 256) AS BIGINT)))
+           ::BIGINT AS n
+  FROM pk
+),
+c0 AS (SELECT COUNT(*)::BIGINT AS n, COALESCE(SUM(tok), 0)::BIGINT AS t FROM docs0),
+c1 AS (SELECT COUNT(*)::BIGINT AS n, COALESCE(SUM(tok), 0)::BIGINT AS t FROM s1),
+c2 AS (SELECT COUNT(*)::BIGINT AS n, COALESCE(SUM(tok), 0)::BIGINT AS t FROM s2),
+c3 AS (SELECT COUNT(*)::BIGINT AS n, COALESCE(SUM(tok), 0)::BIGINT AS t FROM s3),
+c4 AS (SELECT COUNT(*)::BIGINT AS n, COALESCE(SUM(tok), 0)::BIGINT AS t FROM s4),
+c5 AS (SELECT COUNT(*)::BIGINT AS n, COALESCE(SUM(tok), 0)::BIGINT AS t FROM s5),
+c6 AS (SELECT COUNT(*)::BIGINT AS n, COALESCE(SUM(tok), 0)::BIGINT AS t FROM s6),
+c7 AS (SELECT COUNT(*)::BIGINT AS n, COALESCE(SUM(tok), 0)::BIGINT AS t FROM s7)
+SELECT CAST(0 AS BIGINT) AS stage, 'input' AS stage_name,
+       c0.n AS docs_in, c0.n AS docs_out,
+       CAST(0 AS BIGINT) AS docs_dropped, c0.t AS tokens_out FROM c0
+UNION ALL SELECT 1, 'quality', c0.n, c1.n, c0.n - c1.n, c1.t FROM c0, c1
+UNION ALL SELECT 2, 'lang', c1.n, c2.n, c1.n - c2.n, c2.t FROM c1, c2
+UNION ALL SELECT 3, 'exact_dedup', c2.n, c3.n, c2.n - c3.n, c3.t FROM c2, c3
+UNION ALL SELECT 4, 'lsh_neardup', c3.n, c4.n, c3.n - c4.n, c4.t FROM c3, c4
+UNION ALL SELECT 5, 'semantic_dedup', c4.n, c5.n, c4.n - c5.n, c5.t FROM c4, c5
+UNION ALL SELECT 6, 'decontam', c5.n, c6.n, c5.n - c6.n, c6.t FROM c5, c6
+UNION ALL SELECT 7, 'budget_sample', c6.n, c7.n, c6.n - c7.n, c7.t FROM c6, c7
+UNION ALL SELECT 8, 'pack', c7.n, (SELECT n FROM nseq),
+          CAST(0 AS BIGINT), c7.t FROM c7
+ORDER BY stage
+"""
+
+
 # ---------------------------------------------------------------------------
 # Graph dedup groups, term ranking, and window/semi/anti-join breadth
 # ---------------------------------------------------------------------------
@@ -12473,6 +12744,7 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_oov_rate": vocab_oov_rate,
     "doc_fingerprints": doc_fingerprints,
     "corpus_clean": corpus_clean,
+    "corpus_pipeline_stats": corpus_pipeline_stats,
     "asof_purchase_snapshot": asof_purchase_snapshot,
     "train_test_split_counts": train_test_split_counts,
     "dedup_jaccard_prefix": dedup_jaccard_prefix,
@@ -12863,6 +13135,7 @@ ORACLES = _rotated(ORACLES)
 #: default. Each builder returns the SQL string or None (→ the query
 #: falls back to a rows-only row, exactly the pre-round-7 behavior).
 DYNAMIC_ORACLE_BUILDERS: dict[str, Callable[[str], str | None]] = {
+    "corpus_pipeline_stats": _fitted_corpus_pipeline_oracle_sql,
     "embedding_ivf_tuned_topk": _fitted_ivf_oracle_sql,
     "semantic_dedup_flags": _fitted_semantic_dedup_oracle_sql,
     "embedding_ivf2_topk": _fitted_ivf2_oracle_sql,
