@@ -156,6 +156,8 @@ EXTENDED_QUERIES = [
     # round-10: the end-to-end corpus-prep composite (quality → lang →
     # exact/LSH/semantic dedup → decontam → budget sample → pack)
     "corpus_pipeline_stats",
+    # round-10: k-round BPE merge trainer (chained-CTE static oracle)
+    "bpe_merges_k",
     # round-6 late additions
     "dedup_segments_rebuild",
     "sliding_distinct_users",

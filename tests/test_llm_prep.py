@@ -593,3 +593,40 @@ def test_bigram_templates_below_free_text(spark):
     df = _df(spark, template + free)
     got = {r["doc_id"]: r["mean_neg_log2p"] for r in rows(bigram_logprob(df))}
     assert max(got[i] for i in range(1, 6)) < min(got[10], got[11])
+
+
+def test_bpe_train_merges_classic_example(spark):
+    # the Sennrich classroom corpus: 'low'×4, 'lower', 'lowest',
+    # 'newer', 'newest', 'new' — merges must follow the greedy
+    # frequency-weighted argmax with (count desc, pair asc) ties
+    from tmdb_index_spark.operators.llm_prep import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "newer newest new low")],
+        "doc_id long, text string",
+    )
+    out = [tuple(r) for r in bpe_train_merges(docs, k=4).collect()]
+    assert out == [
+        (1, "l", "o", "lo", 6),
+        (2, "lo", "w", "low", 6),
+        (3, "e", "w", "ew", 3),
+        (4, "n", "ew", "new", 3),
+    ]
+
+
+def test_bpe_train_merges_greedy_nonoverlap_and_early_stop(spark):
+    from tmdb_index_spark.operators.llm_prep import bpe_train_merges
+
+    # 'aaaa' must merge as (aa)(aa) — greedy left-to-right
+    # non-overlapping, never three overlapping 'aa' merges
+    docs = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    out = [tuple(r) for r in bpe_train_merges(docs, k=10).collect()]
+    assert out[0] == (1, "a", "a", "aa", 3)  # count BEFORE merging
+    assert out[1] == (2, "aa", "aa", "aaaa", 1)
+    # after 'aaaa' is one symbol there are no pairs left: early stop
+    assert len(out) == 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        bpe_train_merges(docs, k=0)

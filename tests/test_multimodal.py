@@ -248,3 +248,62 @@ def test_unavailable_resizer_raises_with_dependency_hint():
 
     with pytest.raises(NotImplementedError, match="Pillow"):
         unavailable_resizer(b"x", "image/png", 8, 8)
+
+
+# ---- opt-in: REAL pixel path through the injectable seams ------------------
+# The container ships no image libraries (TESTDATA/brief contract), so
+# these skip cleanly here; on any machine with Pillow they prove the
+# production wiring — a real decoder in decode_media's codec seam, a
+# real resizer in resize_media's — and cross-validate the stdlib
+# make_png synthesizer against a real decoder.
+
+
+def test_pillow_roundtrip_through_codec_and_resizer_seams(spark):
+    Image = pytest.importorskip("PIL.Image", reason="Pillow not installed")
+    import io
+
+    from tmdb_index_spark.operators.multimodal import (
+        decode_media,
+        resize_media,
+    )
+
+    # our stdlib-synthesized PNG must be readable by a REAL decoder
+    with Image.open(io.BytesIO(make_png(320, 200))) as im:
+        assert im.size == (320, 200)
+
+    def pillow_codec(data: bytes, mime: str) -> dict:
+        if not data or not mime.startswith("image/"):
+            return {
+                "width": None, "height": None,
+                "n_frames": None, "decode_ok": False,
+            }
+        try:
+            with Image.open(io.BytesIO(data)) as im:
+                return {
+                    "width": im.size[0], "height": im.size[1],
+                    "n_frames": getattr(im, "n_frames", 1),
+                    "decode_ok": True,
+                }
+        except Exception:
+            return {
+                "width": None, "height": None,
+                "n_frames": None, "decode_ok": False,
+            }
+
+    def pillow_resizer(data, mime, w, h):
+        if not data:
+            return None
+        try:
+            with Image.open(io.BytesIO(data)) as im:
+                buf = io.BytesIO()
+                im.resize((w, h)).save(buf, format=im.format or "PNG")
+                return buf.getvalue()
+        except Exception:
+            return None
+
+    imgs = _media(spark).filter("media_id = 0")
+    resized = resize_media(imgs, 64, 48, resizer=pillow_resizer)
+    out = decode_media(resized, codec=pillow_codec).collect()
+    assert len(out) == 1
+    assert (out[0]["width"], out[0]["height"]) == (64, 48)
+    assert out[0]["decode_ok"]

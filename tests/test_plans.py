@@ -254,6 +254,7 @@ def test_registry_consistency(spark):
     assert rows_only == {
         "approx_distinct_users_daily",
         "approx_value_quantiles",
+        "corpus_pipeline_stats",
         "embedding_ivf_tuned_topk",
         "embedding_ivf2_topk",
         "semantic_dedup_flags",
@@ -262,6 +263,7 @@ def test_registry_consistency(spark):
         "ann_recall_eval",
     }
     assert set(Q.DYNAMIC_ORACLE_BUILDERS) == {
+        "corpus_pipeline_stats",
         "embedding_ivf_tuned_topk",
         "embedding_ivf2_topk",
         "semantic_dedup_flags",
@@ -1005,40 +1007,60 @@ def test_no_shadowed_module_names_in_queries():
     # different query's SQL to a new oracle, and a dead cube_revenue
     # pair sat shadowed for rounds. The deliberate rebinds
     # (QUERIES/ORACLES through _rotated) are the only allowed repeats.
+    # Since the round-10 package split this walks EVERY part module:
+    # within-module dups shadow as before, and a name DEFINED in two
+    # different parts would silently pick one in the __init__
+    # re-export (last import wins), so cross-module dups flag too.
     import ast
+    import glob
+    import os
     from collections import Counter
 
     import tmdb_index_spark.queries as Q
 
-    tree = ast.parse(open(Q.__file__).read())
-    names = []
-    for node in tree.body:
-        if isinstance(node, (ast.FunctionDef, ast.ClassDef)):
-            names.append(node.name)
-        elif isinstance(node, ast.Assign):
-            for t in node.targets:
-                if isinstance(t, ast.Name):
-                    names.append(t.id)
-    dupes = {
-        n for n, c in Counter(names).items()
-        if c > 1 and n not in {"QUERIES", "ORACLES"}
-    }
-    assert not dupes, f"shadowed module-level names: {sorted(dupes)}"
+    pkg_dir = os.path.dirname(Q.__file__)
+    names_by_mod: dict[str, list[str]] = {}
+    dict_dup_keys: dict[str, list[str]] = {}
+    for path in sorted(glob.glob(os.path.join(pkg_dir, "*.py"))):
+        mod = os.path.basename(path)
+        tree = ast.parse(open(path).read())
+        names: list[str] = []
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.ClassDef)):
+                names.append(node.name)
+            elif isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name):
+                        names.append(t.id)
+        names_by_mod[mod] = names
+        dupes = {
+            n for n, c in Counter(names).items()
+            if c > 1 and n not in {"QUERIES", "ORACLES"}
+        }
+        assert not dupes, f"{mod}: shadowed module-level names: {sorted(dupes)}"
 
-    # Repeated literal keys inside a dict display are silently dropped
-    # by Python (last wins) — a cube_revenue entry sat duplicated in
-    # both QUERIES and ORACLES for a round without any test noticing.
-    # Flag every dict literal in the module that repeats a string key.
-    dup_keys: dict[str, list[str]] = {}
-    for node in ast.walk(tree):
-        if not isinstance(node, ast.Dict):
-            continue
-        lits = [
-            k.value
-            for k in node.keys
-            if isinstance(k, ast.Constant) and isinstance(k.value, str)
-        ]
-        repeated = sorted(n for n, c in Counter(lits).items() if c > 1)
-        if repeated:
-            dup_keys[f"line {node.lineno}"] = repeated
-    assert not dup_keys, f"repeated literal dict keys: {dup_keys}"
+        # Repeated literal keys inside a dict display are silently
+        # dropped by Python (last wins) — a cube_revenue entry sat
+        # duplicated in both QUERIES and ORACLES for a round without
+        # any test noticing.
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Dict):
+                continue
+            lits = [
+                k.value
+                for k in node.keys
+                if isinstance(k, ast.Constant) and isinstance(k.value, str)
+            ]
+            repeated = sorted(n for n, c in Counter(lits).items() if c > 1)
+            if repeated:
+                dict_dup_keys[f"{mod}:{node.lineno}"] = repeated
+    assert not dict_dup_keys, f"repeated literal dict keys: {dict_dup_keys}"
+
+    # cross-module: the same name DEFINED (not imported) in two parts
+    defs = Counter()
+    for mod, names in names_by_mod.items():
+        if mod == "__init__.py":
+            continue  # registry rebinds QUERIES/ORACLES deliberately
+        defs.update(set(names))
+    cross = {n for n, c in defs.items() if c > 1}
+    assert not cross, f"name defined in multiple part modules: {sorted(cross)}"

@@ -86,6 +86,7 @@ from tmdb_index_spark.operators.sampling import waterfill_allocation
 from tmdb_index_spark.operators.similarity import (
     IVF_BLAS_ASSIGN_THRESHOLD,
     fit_centroids,
+    semantic_cells,
     semantic_dedup_with_centroids,
 )
 
@@ -219,9 +220,9 @@ def prepare_corpus(
     )
 
     # 5. SemDeDup over survivors' embeddings; docs without one survive
+    # (occupancy-constant cell count — the semantic_dedup rule)
     n_emb = embeddings.count()
-    cells = max(1, round(n_emb ** 0.5))
-    cents = fit_centroids(embeddings, cells, emb_id, emb_vec)
+    cents = fit_centroids(embeddings, semantic_cells(n_emb), emb_id, emb_vec)
     surv_emb = embeddings.join(
         s4.select(F.col(id_col).alias(emb_id)), emb_id
     )

@@ -860,3 +860,107 @@ def dsir_logweights(
         .groupBy(id_col)
         .agg(F.sum(F.col("__n__") * F.col("__lwq__")).alias("logw_q"))
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """``k`` rounds of BPE vocabulary induction (Sennrich et al. 2016)
+    over the corpus — the usable small-vocab trainer grown from the
+    one-iteration :func:`bpe_adjacent_pairs` exhibit. Each round
+    counts adjacent symbol pairs over word TYPES weighted by corpus
+    frequency, fuses the argmax pair (count desc, pair asc — a total
+    order) everywhere, and repeats on the merged symbols. (No
+    end-of-word marker — the classroom formulation; add one upstream
+    by appending a sentinel char to each word if needed.)
+
+    Engine-portable merge trick: a word's symbol sequence is one
+    STRING with every symbol PREFIXED by an out-of-alphabet marker
+    (chr(31)): ``abc`` → ``\\x1fa\\x1fb\\x1fc``. Fusing pair (a, b)
+    is then plain ``replace(s, '\\x1fa\\x1fb', '\\x1fab')`` — and
+    ``replace`` scans left-to-right replacing non-overlapping
+    occurrences in BOTH Spark (java.lang.String.replace) and ANSI SQL
+    engines, which is exactly BPE's greedy merge rule (``aaaa`` with
+    merge (a,a) → ``aa aa``, not three overlapping merges). No
+    per-symbol array surgery, no UDF.
+
+    Scale shape: the k rounds iterate over the WORD-TYPE frame (vocab-
+    bounded — Heaps' law, not corpus-bounded; the one corpus-scale
+    scan is the initial word count, a partial-aggregated groupBy).
+    Per round: one map-only pair explode over the vocab frame + one
+    pair-keyed partial-agg + a 1-row argmax under ``bounded_collect``
+    — the bounded-math convention (driver holds one (pair, count) row
+    per round; an external SQL twin chains the same rounds as CTEs
+    with scalar subqueries). Returns one row per executed merge:
+    ``(step, left_sym, right_sym, merged, n_pairs)``; stops early if
+    the corpus runs out of pairs before ``k``.
+    """
+    from tmdb_index_spark.operators.materialize import bounded_collect
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = df.sparkSession
+    sep = "\x1f"
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = (
+        df.select(
+            F.explode(
+                F.filter(tokens(txt), lambda x: x != F.lit(""))
+            ).alias("__w__")
+        )
+        .groupBy("__w__")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__wf__"))
+        .select(
+            F.regexp_replace(F.col("__w__"), "(.)", sep + "$1").alias("__s__"),
+            "__wf__",
+        )
+    )
+    from tmdb_index_spark.operators.materialize import pin_frame
+
+    cur = pin_frame(words, "checkpoint")
+    merges: list[tuple] = []
+    syms = F.slice(
+        F.split(F.col("__s__"), sep),
+        2,
+        F.greatest(F.size(F.split(F.col("__s__"), sep)) - 1, F.lit(0)),
+    )
+    for step in range(1, k + 1):
+        # zip_with PADS the shorter side with NULLs (it does not
+        # truncate), so the last zip slot concats to NULL — compact it
+        # out or the NULL "pair" aggregates into a bogus argmax row
+        pair_col = F.array_compact(
+            F.zip_with(
+                syms,
+                F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+                lambda x, y: F.concat(x, F.lit(sep), y),
+            )
+        )
+        counts = (
+            cur.select(F.explode(pair_col).alias("__p__"), "__wf__")
+            .groupBy("__p__")
+            .agg(F.sum("__wf__").cast("bigint").alias("__c__"))
+            .orderBy(F.col("__c__").desc(), F.col("__p__").asc())
+            .limit(1)
+        )
+        top = bounded_collect(counts, 1, f"BPE merge round {step} argmax")
+        if not top:
+            break  # corpus out of pairs before k merges
+        pr, c = top[0][0], int(top[0][1])
+        left, right = pr.split(sep)
+        merges.append((step, left, right, left + right, c))
+        cur = pin_frame(
+            cur.select(
+                F.replace(
+                    F.col("__s__"), F.lit(sep + pr), F.lit(sep + left + right)
+                ).alias("__s__"),
+                "__wf__",
+            ),
+            "checkpoint",
+        )
+    return spark.createDataFrame(
+        merges,
+        "step bigint, left_sym string, right_sym string, "
+        "merged string, n_pairs bigint",
+    )

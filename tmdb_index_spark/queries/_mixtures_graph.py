@@ -1,0 +1,1559 @@
+"""Catalog part _mixtures_graph (mechanical split of queries.py; see __init__)."""
+
+from __future__ import annotations
+
+from tmdb_index_spark.queries._shared import (  # noqa: E501
+    DataFrame,
+    F,
+    SparkSession,
+    Window,
+)
+from tmdb_index_spark.queries._surface import (  # noqa: E501
+    _dec,
+    _events,
+    _t,
+)
+from tmdb_index_spark.queries._embed_dedup import (  # noqa: E501
+    _COS_SQL,
+    _DUCK_SHINGLES,
+)
+from tmdb_index_spark.queries._retrieval_tpch import (  # noqa: E501
+    _BM25_SQL,
+    _BM25_TERMS,
+)
+
+_MULTI_GRAIN_SQL = """
+SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket,
+       COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'day', date_trunc('day', ts),
+       COUNT(*)::BIGINT,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'month', date_trunc('month', ts),
+       COUNT(*)::BIGINT,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+FROM events GROUP BY 2
+"""
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer×orders LEFT OUTER join (join-side
+    predicate, not a pre-filter of customers) → per-customer order
+    count INCLUDING zeros → histogram of counts. Two aggregations; the
+    second one's key (c_count) is tiny-cardinality, so the final
+    shuffle moves ~|distinct counts| rows per partition after partial
+    aggregation."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep every
+    supplier tied at the MAX (scalar-subquery-over-aggregate). The max
+    is a 1-row aggregate broadcast against the revenue frame; the tie
+    comparison runs on the exact DECIMAL sum, never a double, so
+    equality cannot diverge between engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    disc = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(disc).alias("__rev__"))
+    mx = rev.agg(F.max("__rev__").alias("__mx__"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("__rev__") == F.col("__mx__"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev__").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+"""
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated AVG subquery — revenue from
+    lineitems of one brand whose quantity is below 20% of that part's
+    average. The brand filter broadcasts FIRST so the per-part stats
+    aggregate only brand rows; the threshold test is rewritten to the
+    integer-exact form ``5·qty·cnt < sum_qty`` (DECIMAL both sides) so
+    no engine ever materializes the float average."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    bl = li.join(
+        F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey
+    ).drop("p_partkey")
+    per_part = bl.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("__sumq__"),
+        F.count(F.lit(1)).alias("__cnt__"),
+    )
+    return (
+        bl.join(per_part, "l_partkey")
+        .filter(
+            _dec("l_quantity") * F.lit(5) * F.col("__cnt__")
+            < F.col("__sumq__")
+        )
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+_Q17_SQL = """
+WITH bl AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+),
+pp AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sumq,
+         COUNT(*) AS cnt
+  FROM bl GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+         AS avg_yearly
+FROM bl JOIN pp USING (l_partkey)
+WHERE 5 * CAST(l_quantity AS DECIMAL(18,2)) * cnt < sumq
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact aggregate (orders whose
+    total quantity > 250 — ~top 1%) joined back to orders + broadcast
+    customer, deterministic top-20 by (totalprice DESC, orderkey). The
+    aggregate-then-join runs co-partitioned on orderkey; the limit
+    compiles to TakeOrderedAndProject (per-partition top-k, no global
+    sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__q__"))
+        .filter(F.col("__q__") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("__q__").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(q AS DOUBLE) AS sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape ("suppliers who kept orders waiting"): the
+    hardest standard join topology — correlated EXISTS and NOT EXISTS
+    against two more aliases of the same fact, correlated on orderkey.
+    The synthetic lineitem has no receipt/commit dates, so (as in the
+    Q4 shape above) ``l_returnflag = 'R'`` stands in for "late".
+
+    A NATION_1 supplier's late line waits iff the order is finalized
+    ('F'), some OTHER supplier contributed a line to the same order
+    (EXISTS → left-semi), and no other supplier was also late on it
+    (NOT EXISTS → left-anti). Both rewritten joins are equi-joins on
+    ``l_orderkey`` with the ``<>`` supplier residual attached — so the
+    fact shuffles once on orderkey and the semi, anti, and orders
+    probes all reuse that partitioning (plan-pinned: no
+    BroadcastNestedLoopJoin, no cartesian); supplier and nation
+    broadcast.
+
+    The nation predicate is pushed into ``l1`` BEFORE the expensive
+    orderkey semi/anti joins via a broadcast left-semi against the
+    NATION_1 supplier keys: only ~1/|nations| of late lines flow
+    through the heavy stage (the rest could never survive the final
+    nation join anyway — at TPC-H ratios that is a ~25× probe-side
+    reduction at 100 TB)."""
+    li = _t(spark, sf_dir, "lineitem")
+    late_cols = ["l_orderkey", "l_suppkey"]
+    l2 = li.select(*late_cols).alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").select(*late_cols).alias("l3")
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1"
+    )
+    nation_suppkeys = (
+        _t(spark, sf_dir, "supplier")
+        .alias("sf")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation").alias("nf")),
+            (F.col("sf.s_nationkey") == F.col("nf.n_nationkey"))
+            & (F.col("nf.n_name") == "NATION_1"),
+        )
+        .select(F.col("sf.s_suppkey").alias("__nsk__"))
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(*late_cols)
+        .join(
+            F.broadcast(nation_suppkeys),
+            F.col("l_suppkey") == F.col("__nsk__"),
+            "leftsemi",
+        )
+        .alias("l1")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "leftsemi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "leftanti",
+        )
+        .join(orders_f, F.col("l1.l_orderkey") == orders_f.o_orderkey, "leftsemi")
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*)::BIGINT AS numwait
+FROM lineitem l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_1'
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: conditional-aggregation ratio — NATION_1's share
+    of yearly revenue across all customer nations. Dimension chain
+    (customer→nation) broadcasts; the share divides two decimal-exact
+    sums cast to double at the very end (identical bits both engines),
+    rounded before compare."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    target = F.when(F.col("n_name") == "NATION_1", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+_Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       ROUND(
+         CAST(SUM(CASE WHEN n_name = 'NATION_1'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+         6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape ("minimum cost supplier"): a correlated scalar
+    MIN subquery over the part-supplier relation, re-expressed as a
+    window MIN so the relation is scanned once. The synthetic schema
+    has no ``partsupp`` table (TESTDATA.md), so it is derived from
+    lineitem — ``supplycost = MIN(l_extendedprice / l_quantity)`` per
+    (part, supplier), the same stand-in family as the Q4/Q21 shapes'
+    returnflag dates. Region-filtered suppliers (EUROPE) restrict the
+    relation BEFORE the per-part MIN, exactly like the correlated
+    subquery in the spec (tpch q2: ps_supplycost = (SELECT MIN ...
+    WHERE r_name = '...')). supplier/nation/region/part are all
+    dimension-sized and broadcast; the only shuffle is the derived
+    relation's groupBy — at 100 TB the window MIN re-uses that
+    partitioning (partkey ⊂ grouping keys)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 15) & (F.col("p_type") == "ECONOMY")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+        )
+    )
+    # Region filter BEFORE the per-part MIN (the correlation domain).
+    ps_eu = (
+        ps.join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps_eu.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            F.col("s_acctbal"),
+            F.col("s_name"),
+            F.col("n_name"),
+            F.col("p_partkey"),
+            F.round(F.col("cost"), 2).alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+_Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY 1, 2
+),
+ps_eu AS (
+  SELECT ps.*, s_acctbal, s_name, n_name
+  FROM ps
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, ROUND(cost, 2) AS supplycost
+FROM (
+  SELECT *, MIN(cost) OVER (PARTITION BY l_partkey) AS min_cost FROM ps_eu
+)
+JOIN part ON l_partkey = p_partkey AND p_size < 15 AND p_type = 'ECONOMY'
+WHERE cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape ("product type profit measure"): profit per
+    supplier-nation per year over a name-substring part filter. With
+    no ``partsupp.ps_supplycost`` in the synthetic schema, unit cost
+    is the deterministic stand-in ``ROUND(0.5 * p_retailprice, 2)``
+    (both engines compute the identical double product and half-even
+    round before the decimal cast). Every term is exact DECIMAL(18,2)
+    two-factor arithmetic — the same discipline as the Q1/Q8 shapes —
+    summed exactly and cast to double only at the end. part is
+    broadcast (it is the filter dim); lineitem→orders is the one
+    co-partitioned fact join; supplier/nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    cost = F.round(F.col("p_retailprice") * F.lit(0.5), 2).cast(
+        "decimal(18,2)"
+    ) * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(revenue - cost).cast("double"), 2).alias("sum_profit")
+        )
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       ROUND(CAST(SUM(
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+         - CAST(ROUND(0.5 * p_retailprice, 2) AS DECIMAL(18,2))
+           * CAST(l_quantity AS DECIMAL(18,2))
+       ) AS DOUBLE), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape ("important stock identification"): per-part
+    value with a HAVING threshold computed from the GLOBAL total of
+    the same relation — the scalar-subquery-in-HAVING topology. The
+    part-supplier value is derived from lineitem (no partsupp table):
+    ``value = SUM(l_extendedprice)`` over lines from EUROPE suppliers.
+    The global total is a 1-row aggregate broadcast to the per-part
+    side (plan-pinned like the Q15 MAX); the threshold keeps the
+    spec's scale-invariance (tpch scales its fraction by 1/SF) by
+    selecting parts above the MEAN share — written multiplicatively,
+    ``value * n_parts > total``, so the compare is exact
+    decimal-times-integer with no division rounding. At 100 TB the
+    relation aggregates once, and the total re-aggregates the (tiny,
+    |parts|-sized) per-part output — no second fact scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_lines = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    per_part = eu_lines.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice")).alias("value_dec")
+    )
+    total = per_part.agg(
+        F.sum("value_dec").alias("total_dec"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_dec") * F.col("n_parts") > F.col("total_dec"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("value_dec").cast("double"), 2).alias("value"),
+        )
+    )
+
+
+_Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  GROUP BY 1
+)
+SELECT l_partkey AS p_partkey,
+       ROUND(CAST(value_dec AS DOUBLE), 2) AS value
+FROM per_part
+WHERE value_dec * (SELECT COUNT(*) FROM per_part)
+      > (SELECT SUM(value_dec) FROM per_part)
+"""
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape ("shipping modes and order priority"):
+    conditional CASE counts of urgent vs non-urgent orders per line
+    class over a one-year shipdate window. The synthetic lineitem has
+    no ``l_shipmode`` (TESTDATA.md), so ``l_returnflag`` plays the
+    mode column, the same stand-in as the Q4/Q21 shapes. Both the
+    range predicate and the IN-list reach the parquet scan
+    (plan-pinned); the orders side projects only (o_orderkey,
+    o_orderpriority) so the fact join carries two columns."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag").isin("A", "N"))
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag AS ship_class,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag IN ('A', 'N')
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape ("parts/supplier relationship"): COUNT(DISTINCT
+    supplier) per (brand, type, size) bucket with a NOT-IN supplier
+    exclusion. The part-supplier relation is the DISTINCT
+    (l_partkey, l_suppkey) projection of lineitem (no partsupp
+    table); the spec's "complaints" name-pattern exclusion becomes
+    the deterministic stand-in ``s_suppkey % 4 = 0`` (documented;
+    both engines evaluate the identical modulus), rewritten NOT-IN →
+    left-anti against the dimension-sized supplier list. The distinct
+    projection and the count-distinct both partial-aggregate map-side;
+    part is broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(9, 10, 16, 24, 29))
+    )
+    complaints = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 4 == 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(complaints),
+            li.l_suppkey == complaints.s_suppkey,
+            "leftanti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (9, 10, 16, 24, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 4 = 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape ("potential part promotion"): nested
+    IN-subqueries — suppliers IN (part-supplier pairs whose stock
+    exceeds half of a correlated period aggregate, for parts IN a
+    name-pattern list) — rewritten as a left-semi join chain. The
+    spec's ``ps_availqty`` has no synthetic column, so stock is the
+    prior-year shipment volume: both the 1996 "stock" and the 1997
+    "demand" aggregates come from ONE conditional-aggregation pass
+    over lineitem (a single fact scan — plan-pinned), compared
+    exactly in DECIMAL; a NULL 1997 aggregate excludes the pair in
+    both engines (NULL comparison). part is broadcast into the semi
+    join; the supplier output joins dimension-sized nation/region
+    (ASIA) broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    yr = F.year("l_shipdate")
+    ps = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.when(yr == 1996, _dec("l_quantity"))).alias("stock_qty"),
+        F.sum(F.when(yr == 1997, _dec("l_quantity"))).alias("demand_qty"),
+    )
+    flagged = (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey, "leftsemi")
+        .filter(
+            F.col("stock_qty")
+            > F.col("demand_qty") * F.lit(0.5).cast("decimal(2,1)")
+        )
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(flagged, supp.s_suppkey == flagged.l_suppkey, "leftsemi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+_Q20_SQL = """
+WITH ps AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CASE WHEN year(l_shipdate) = 1996
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS stock_qty,
+         SUM(CASE WHEN year(l_shipdate) = 1997
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS demand_qty
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM ps
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+    AND stock_qty > demand_qty * CAST(0.5 AS DECIMAL(2,1))
+)
+ORDER BY s_name
+"""
+
+
+def dup_span_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span fraction (extension: text
+    analysis / corpus curation — the Gopher/RefinedWeb "fraction of
+    text in duplicated n-grams" signal). Word-3-gram spans so the
+    oracle reuses the shared shingle CTE; within-doc repetition is the
+    separate ``repetition_quality`` query — this one scores corpus-wide
+    boilerplate."""
+    from tmdb_index_spark.operators.llm_prep import dup_span_fraction
+
+    return dup_span_fraction(_t(spark, sf_dir, "documents"), n=3)
+
+
+_DUP_SPAN_SQL = (
+    _DUCK_SHINGLES
+    + """, ex AS (
+  SELECT doc_id, UNNEST(shs) AS s FROM sh
+), sdf AS (
+  SELECT s, COUNT(*) AS df FROM ex GROUP BY 1
+), per AS (
+  SELECT doc_id, COUNT(*) AS n_spans,
+         SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_spans
+  FROM ex JOIN sdf USING (s) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(per.n_spans, 0)::BIGINT AS n_spans,
+       COALESCE(per.dup_spans, 0)::BIGINT AS dup_spans,
+       ROUND(per.dup_spans * 1.0 / per.n_spans, 4) AS dup_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+)
+
+
+#: Mixture weights for the catalog query: a 3-source mixture over the
+#: 20 synthetic sources (unlisted sources get rate 0 — the operator's
+#: contract), with a fixed char budget so per-source rates stay < 1 at
+#: every SF.
+_MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIXTURE_BUDGET = 5000.0
+
+
+def mixture_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (extension: training-data mixing):
+    deterministically sample each source at the rate that lands its
+    weighted share of a global char budget — the data-mixing step
+    between curation and tokenization. Hash-bucket membership, so the
+    same rows are kept on any engine/partitioning/rerun."""
+    from tmdb_index_spark.operators.sampling import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        source_col="source",
+        cost_col="n_chars",
+        key="doc_id",
+        weights=_MIXTURE_WEIGHTS,
+        budget=_MIXTURE_BUDGET,
+    ).select("doc_id", "source", "n_chars")
+
+
+_MIXTURE_SQL = """
+WITH totals AS (
+  SELECT source, SUM(CAST(n_chars AS DOUBLE)) AS tot
+  FROM documents GROUP BY 1
+),
+rates AS (
+  SELECT source,
+         CAST(FLOOR(LEAST(1.0,
+           5000.0 * (CASE source WHEN 'src0' THEN 0.5
+                                 WHEN 'src1' THEN 0.3
+                                 WHEN 'src2' THEN 0.2
+                                 ELSE 0.0 END) / tot) * 10000) AS BIGINT)
+           AS keep
+  FROM totals
+)
+SELECT doc_id, source, n_chars
+FROM documents JOIN rates USING (source)
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      < keep
+"""
+
+
+def mixture_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation (extension: the mixture-
+    PLANNING complement of `mixture_token_sample` — before sampling,
+    decide how many tokens each source contributes to a global budget
+    when shares are even but small sources cap out and re-flood their
+    surplus): per-source token totals feed
+    `operators/sampling.py: waterfill_allocation`'s closed form over
+    the sorted availability profile (first row where
+    ``(B - P_{i-1}) / (n - i + 1) <= A_i`` sets the water level; no
+    iteration). Budget = half the corpus's tokens (integer division,
+    data-derived on both engines identically). Every window runs over
+    the source-bounded frame, totally ordered by (avail, source); all
+    inputs are exact integers so the one division reproduces
+    bit-for-bit cross-engine."""
+    from tmdb_index_spark.functions.text import token_count
+    from tmdb_index_spark.operators.sampling import waterfill_allocation
+
+    d = _t(spark, sf_dir, "documents")
+    per_src = d.select(
+        "source", token_count("text").cast("bigint").alias("__tok__")
+    ).groupBy("source").agg(F.sum("__tok__").alias("avail_tokens"))
+    # FLOOR on both engines: Spark CASTs double->bigint by truncation
+    # but DuckDB CAST rounds, so an odd total would diverge without it
+    budget = per_src.agg(
+        F.floor(F.sum("avail_tokens") / F.lit(2))
+        .cast("bigint")
+        .alias("__budget__")
+    )
+    frame = per_src.crossJoin(F.broadcast(budget))
+    return waterfill_allocation(
+        frame, "avail_tokens", "__budget__", "source"
+    )
+
+
+_WATERFILL_SQL = """
+WITH per_src AS (
+  SELECT source,
+         SUM(len(regexp_extract_all(text,
+             '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT) AS avail
+  FROM documents GROUP BY source
+),
+b AS (SELECT CAST(FLOOR(SUM(avail) / 2) AS BIGINT) AS budget FROM per_src),
+ranked AS (
+  SELECT source, avail, budget,
+         ROW_NUMBER() OVER (ORDER BY avail, source) AS i,
+         SUM(avail) OVER (ORDER BY avail, source) AS p,
+         COUNT(*) OVER () AS n
+  FROM per_src, b
+),
+flagged AS (
+  SELECT source, avail,
+         CASE WHEN CAST(budget - (p - avail) AS DOUBLE)
+                   / CAST(n - i + 1 AS DOUBLE)
+                   <= CAST(avail AS DOUBLE)
+              THEN CAST(budget - (p - avail) AS DOUBLE)
+                   / CAST(n - i + 1 AS DOUBLE)
+         END AS lam
+  FROM ranked
+),
+lev AS (SELECT MAX(lam) AS level FROM flagged)
+SELECT source,
+       CAST(avail AS BIGINT) AS avail_tokens,
+       ROUND(CASE WHEN level IS NULL THEN CAST(avail AS DOUBLE)
+                  ELSE LEAST(CAST(avail AS DOUBLE), level) END, 4)
+         AS allocation,
+       CASE WHEN level IS NULL THEN TRUE
+            ELSE CAST(avail AS DOUBLE) <= level END AS capped,
+       ROUND(level, 4) AS water_level
+FROM flagged, lev
+"""
+
+
+def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric ANN join (extension: similarity search): top-3 corpus
+    neighbors for the label-0 query subset via the bucketed
+    :func:`~tmdb_index_spark.operators.similarity.lsh_knn_join` — the
+    "label a query set against a big index" shape. Query side
+    multi-probes its 1-bit-flip buckets and broadcasts; the corpus
+    never shuffles (plan-pinned)."""
+    from tmdb_index_spark.operators.similarity import lsh_knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_knn_join(
+        corpus=emb,
+        queries=emb.filter(F.col("label") == 0),
+        k=3,
+        n_bits=8,
+        multi_probe=True,
+        exclude_self=True,
+    )
+
+
+_KNN_JOIN_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+         list_sum(list_transform(generate_series(0, 7),
+           i -> CASE WHEN v[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END))
+           AS bucket
+  FROM v
+),
+q AS (
+  SELECT b.vec_id, b.v, b.bucket
+  FROM b JOIN embeddings e ON b.vec_id = e.vec_id
+  WHERE e.label = 0
+),
+qp AS (
+  SELECT DISTINCT vec_id, v, xor(bucket, m.mask) AS bucket
+  FROM q, (SELECT UNNEST([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS mask) m
+),
+scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS_SQL} AS cos_sim
+  FROM qp q JOIN b c ON q.bucket = c.bucket
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC)::BIGINT
+              AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: revenue and line counts at every grain of
+    (returnflag × linestatus) — both axes, each alone, and the grand
+    total — in ONE pass with ``grouping_id`` disambiguating the
+    subtotal rows from genuine NULL groups. Complements the
+    ``rollup_revenue`` hierarchy: CUBE is the cross-grain topology
+    (2^k grouping sets). Spark expands the cube BEFORE the exchange,
+    so each of the 4 grouping sets partial-aggregates map-side and one
+    shuffle carries all grains — at 100 TB this beats 4 separate
+    scans 4:1 on I/O."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "revenue", "n_lines")
+    )
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+         AS revenue,
+       COUNT(*)::BIGINT AS n_lines
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view -> click -> purchase): users counted
+    at each stage only when the stage's FIRST qualifying event strictly
+    follows the previous stage's — the product-analytics sequence-match
+    pattern, not independent event counts. Expressed as cascaded window
+    minimums over ONE user-partitioned pass: the fact is scanned once
+    and shuffled once on ``user_id``; all three stage thresholds
+    evaluate inside that single window partitioning (the per-stage
+    aggregate-and-join formulation the oracle uses would scan the fact
+    three times), then a per-user fold produces the three global stage
+    counts. Plan-pinned: one events FileScan, no join at all."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    typ, ts = F.col("event_type"), F.col("ts")
+    staged = (
+        ev.withColumn("t_view", F.min(F.when(typ == "view", ts)).over(w))
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when((typ == "click") & (ts > F.col("t_view")), ts)
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when((typ == "purchase") & (ts > F.col("t_click")), ts)
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").cast("bigint").alias("n_viewed"),
+        F.count("t_click").cast("bigint").alias("n_clicked_after"),
+        F.count("t_purchase").cast("bigint").alias("n_purchased_after"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM v)::BIGINT AS n_viewed,
+       (SELECT COUNT(*) FROM c)::BIGINT AS n_clicked_after,
+       (SELECT COUNT(*) FROM p)::BIGINT AS n_purchased_after
+"""
+
+
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen week
+    (cohort) × week of activity, counting distinct active users per
+    cell — the classic growth-analytics triangle. Week index is days
+    since the corpus epoch ÷ 7 (integer), identical arithmetic in both
+    engines. Two keyed aggregations (per-user first week, then the
+    cohort cell counts) plus a user-keyed join — no window over the
+    whole fact, nothing quadratic. (On the synthetic events table most
+    users are active from week 0, so cohort 0 dominates the matrix —
+    the SHAPE under test is the cohort topology, which fills out on
+    real arrival-distributed data.)"""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7
+        ).cast("bigint").alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy("cohort_week", F.col("week").alias("active_week"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+_RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+  FROM events
+),
+first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1
+)
+SELECT cohort_week, ev.week AS active_week,
+       COUNT(DISTINCT ev.user_id)::BIGINT AS n_users
+FROM ev JOIN first ON ev.user_id = first.user_id
+GROUP BY 1, 2
+"""
+
+
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (extension:
+    corpus curation): 3 docs per source, selection probability
+    proportional to ``n_chars``, via the Efraimidis–Spirakis hash key
+    (:func:`~tmdb_index_spark.operators.sampling.weighted_sample`).
+    The oracle reproduces the identical ``ln(u)/w`` keys from the same
+    md5-derived uniforms."""
+    from tmdb_index_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"),
+        key="doc_id",
+        weight_col="n_chars",
+        k=3,
+        group_col="source",
+    ).select("doc_id", "source", "n_chars")
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000) + 0.5) / 1000000.0)
+           / CAST(n_chars AS DOUBLE) AS skey
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY skey DESC, doc_id ASC) AS rn
+  FROM w
+) WHERE rn <= 3
+"""
+
+
+def trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (2 unrolled iterations) over the
+    symmetrized customer↔supplier trade graph (distinct pairs from
+    orders⋈lineitem; supplier node ids offset by 10^6). Extension:
+    iterative graph algorithms as static dataflow — exact integer
+    (ppm) arithmetic makes the ranks bit-identical across engines,
+    so unlike a float PageRank this one carries a full value oracle
+    (:func:`~tmdb_index_spark.operators.graph.pagerank_fixed_point`)."""
+    from tmdb_index_spark.operators.graph import pagerank_fixed_point
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    rel = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = rel.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).union(rel.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+    return pagerank_fixed_point(edges, iterations=2)
+
+
+_PAGERANK_SQL = """
+WITH rel AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (
+  SELECT cust AS src, supp AS dst FROM rel
+  UNION ALL
+  SELECT supp AS src, cust AS dst FROM rel
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+r0 AS (SELECT node, 1000000::BIGINT AS rank_ppm FROM nodes),
+c1 AS (
+  SELECT e.dst AS node, SUM(r0.rank_ppm // deg.d) AS s
+  FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+  GROUP BY 1
+),
+r1 AS (
+  SELECT n.node,
+         (150000 + (850000 * COALESCE(c1.s, 0)) // 1000000)::BIGINT AS rank_ppm
+  FROM nodes n LEFT JOIN c1 ON n.node = c1.node
+),
+c2 AS (
+  SELECT e.dst AS node, SUM(r1.rank_ppm // deg.d) AS s
+  FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+  GROUP BY 1
+)
+SELECT n.node,
+       (150000 + (850000 * COALESCE(c2.s, 0)) // 1000000)::BIGINT AS rank_ppm
+FROM nodes n LEFT JOIN c2 ON n.node = c2.node
+"""
+
+
+def source_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source outlier detection (extension: corpus curation
+    quality filter): documents whose length deviates from their
+    source's MEDIAN by more than 2.5× the source's MAD (median absolute
+    deviation) — the standard robust alternative to mean/stddev, which
+    a single giant document would drag. Two grouped exact-percentile
+    aggregations (median, then MAD of residuals) plus a broadcast join
+    of the |sources|-sized stats back onto the corpus; the corpus
+    itself never shuffles. Exact interpolated percentiles compute
+    identically in both engines (ints averaged in IEEE doubles).
+    Sources whose MAD is 0 (degenerate constant-length) flag nothing —
+    the explicit ``mad > 0`` guard both engines share."""
+    docs = _t(spark, sf_dir, "documents")
+    med = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    resid = docs.join(F.broadcast(med), "source").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.abs(F.col("n_chars") - F.col("med")).alias("__r__"),
+        "med",
+    )
+    mad = resid.groupBy("source").agg(
+        F.expr("percentile(__r__, 0.5)").alias("mad")
+    )
+    return (
+        resid.join(F.broadcast(mad), "source")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("n_chars") - F.col("med"))
+               > F.lit(2.5) * F.col("mad"))
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.round(
+                F.abs(F.col("n_chars") - F.col("med")) / F.col("mad"), 4
+            ).alias("robust_z"),
+        )
+    )
+
+
+_OUTLIER_SQL = """
+WITH med AS (
+  SELECT source, quantile_cont(n_chars, 0.5) AS med
+  FROM documents GROUP BY 1
+),
+resid AS (
+  SELECT d.source, d.doc_id, d.n_chars, ABS(d.n_chars - med.med) AS r, med.med
+  FROM documents d JOIN med ON d.source = med.source
+),
+mad AS (
+  SELECT source, quantile_cont(r, 0.5) AS mad FROM resid GROUP BY 1
+)
+SELECT resid.doc_id, resid.source, resid.n_chars::BIGINT AS n_chars,
+       ROUND(ABS(resid.n_chars - resid.med) / mad.mad, 4) AS robust_z
+FROM resid JOIN mad ON resid.source = mad.source
+WHERE mad.mad > 0
+  AND ABS(resid.n_chars - resid.med) > 2.5 * mad.mad
+"""
+
+
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history of each user's event
+    state: one row per RUN of consecutive identical ``event_type``
+    values, with [valid_from, valid_to) validity, per-user version
+    number, and an is_current flag on the open version. The reference
+    keeps only latest state (keep-last upsert, tmdb_index.py:330-366);
+    this is the full-history complement
+    (:func:`~tmdb_index_spark.operators.temporal.scd2_build`). One
+    shuffle on user_id; run detection, versioning, and the validity
+    lead() all execute inside that partitioning."""
+    from tmdb_index_spark.operators.temporal import scd2_build
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    hist = scd2_build(ev, "user_id", "ts", "event_type", tiebreak="event_id")
+    return hist.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+        F.col("version").cast("bigint").alias("version"),
+        "is_current",
+    )
+
+
+_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type IS DISTINCT FROM
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM ordered
+),
+versions AS (
+  SELECT user_id, run, MIN(event_type) AS state, MIN(ts) AS valid_from
+  FROM runs GROUP BY 1, 2
+)
+-- valid_to casts to TIMESTAMP_NS: pandas tolerates a ns/us unit gap
+-- on dense datetime series but not on ones containing NaT (the open
+-- versions), so the NULLABLE column is pinned to Spark's ns unit.
+SELECT user_id, state, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run)
+         ::TIMESTAMP_NS AS valid_to,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from, run)::BIGINT
+         AS version,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run)
+         IS NULL AS is_current
+FROM versions
+"""
+
+
+def supplier_busy_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval merge (gaps-and-islands over spans): each lineitem
+    opens a 7-day busy window [shipdate, shipdate+7d) for its
+    supplier; overlapping/touching windows merge into islands
+    (:func:`~tmdb_index_spark.operators.temporal.merge_intervals`).
+    Output per supplier: island count, source-interval count, and
+    total busy seconds — exact integers via epoch arithmetic so the
+    cross-engine compare is bit-exact. Both windows and both
+    aggregations share the single l_suppkey shuffle."""
+    from tmdb_index_spark.operators.temporal import merge_intervals
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_shipdate").alias("start_ts"),
+        (F.col("l_shipdate") + F.expr("INTERVAL 7 DAYS")).alias("end_ts"),
+    )
+    islands = merge_intervals(li, "l_suppkey", "start_ts", "end_ts")
+    return islands.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum("n_merged").cast("bigint").alias("n_intervals"),
+        F.sum(
+            F.unix_timestamp("island_end") - F.unix_timestamp("island_start")
+        ).cast("bigint").alias("busy_seconds"),
+    )
+
+
+# Duplicate spans (two same-day shipments of one supplier) are
+# pre-aggregated in `iv` so (start_ts, end_ts) is a TOTAL order per
+# supplier: the two stacked window passes (brk, running SUM(brk))
+# would otherwise see DuckDB's parallel sort break ties differently
+# per pass and assign a duplicate to the wrong island (caught at
+# sf0.1: 3/1000 suppliers, busy_seconds inflated 8-9 days while
+# single-threaded DuckDB equals Spark exactly). mult carries the
+# collapsed multiplicity back into n_intervals.
+_BUSY_INTERVALS_SQL = """
+WITH iv AS (
+  SELECT l_suppkey, l_shipdate AS start_ts,
+         l_shipdate + INTERVAL 7 DAY AS end_ts,
+         COUNT(*) AS mult
+  FROM lineitem
+  GROUP BY 1, 2, 3
+),
+flagged AS (
+  SELECT l_suppkey, start_ts, end_ts, mult,
+         CASE WHEN MAX(end_ts) OVER (PARTITION BY l_suppkey
+                                     ORDER BY start_ts, end_ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) IS NULL
+                OR start_ts > MAX(end_ts) OVER (PARTITION BY l_suppkey
+                                                ORDER BY start_ts, end_ts
+                                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                                         AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM iv
+),
+islands AS (
+  SELECT l_suppkey, start_ts, end_ts, mult,
+         SUM(brk) OVER (PARTITION BY l_suppkey ORDER BY start_ts, end_ts
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+merged AS (
+  SELECT l_suppkey, island, MIN(start_ts) AS island_start,
+         MAX(end_ts) AS island_end, SUM(mult) AS n_merged
+  FROM islands GROUP BY 1, 2
+)
+SELECT l_suppkey, COUNT(*)::BIGINT AS n_islands,
+       SUM(n_merged)::BIGINT AS n_intervals,
+       SUM(epoch(island_end) - epoch(island_start))::BIGINT AS busy_seconds
+FROM merged GROUP BY 1
+"""
+
+
+def cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the supplier co-supply graph (suppliers are
+    adjacent when they ship lines of the same order) via
+    degree-ordered edge orientation
+    (:func:`~tmdb_index_spark.operators.graph.triangle_count`) — the
+    MapReduce-standard O(m^1.5) algorithm whose wedge fan-out is
+    capped by orientation even on power-law hubs. The oracle counts
+    the same triangles with the naive u<v<w three-way self-join;
+    orientation changes the join sizes, never the count.
+
+    Edges require a low-quantity line (l_quantity <= 5): the
+    UNfiltered co-supply graph on uniform TPC-H data is near-COMPLETE
+    (avg degree ~1000 at sf0.1), and a near-complete graph has Th(n^3)
+    triangles no algorithm can count faster than their own number
+    (measured 50 s at sf0.1; the next decade is hopeless by
+    construction, not by plan). The filter keeps qualifying per-order
+    line multiplicity — and so graph density — SF-invariant (~0.4
+    lines/order), so edges grow ~linearly with scale (sf0.01: 1013
+    edges / 1435 triangles; sf0.1: 11.9k / 3696) and the O(m^1.5)
+    bound stays meaningful. Real co-occurrence graphs are sparse for
+    the same reason: bounded basket size."""
+    from tmdb_index_spark.operators.graph import triangle_count
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 5)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+    )
+    return triangle_count(edges)
+
+
+_TRIANGLES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_quantity <= 5),
+e AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+),
+nodes AS (
+  SELECT u AS node FROM e UNION SELECT v FROM e
+),
+t AS (
+  SELECT COUNT(*)::BIGINT AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT COUNT(*) FROM nodes)::BIGINT AS n_nodes,
+       (SELECT COUNT(*) FROM e)::BIGINT AS n_edges,
+       t.n_triangles
+FROM t
+"""
+
+
+def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-cap sampling (C4/RefinedWeb style): keep at most 20
+    documents per source, membership decided by portable-hash rank
+    over doc_id
+    (:func:`~tmdb_index_spark.operators.sampling.cap_per_group`) so
+    the kept set is a pure function of (doc_id, source) — stable
+    across engines, reruns, and data added to other sources. Returns
+    the kept rows themselves; the oracle re-derives membership from
+    the same md5 rank."""
+    from tmdb_index_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return cap_per_group(docs, "doc_id", "source", cap=20)
+
+
+_SOURCE_CAP_SQL = """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                    doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM r WHERE rn <= 20
+"""
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level edit-distance-1 fuzzy join via SymSpell deletion
+    neighborhoods
+    (:func:`~tmdb_index_spark.operators.dedup_text.token_edit1_pairs`):
+    part names within one token insert/delete/substitute of each
+    other, found by exact equi-joins on deletion variants — O(N·L)
+    keys, never an all-pairs comparison. Scoped to one brand: TPC-H
+    part names (5 words from a ~90-word palette) are so dense that
+    the full-table edit-1 graph at sf0.01 already has 437k edges —
+    the scoping keeps the oracle row set discriminating, the operator
+    itself is the scale path."""
+    from tmdb_index_spark.operators.dedup_text import token_edit1_pairs
+
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select("p_partkey", "p_name")
+    )
+    return token_edit1_pairs(parts, id_col="p_partkey", text_col="p_name")
+
+
+_FUZZY_NAME_SQL = """
+WITH toks AS (
+  SELECT p_partkey AS id, string_split(p_name, ' ') AS t, p_name AS s
+  FROM part WHERE p_brand = 'Brand#11'
+    AND len(string_split(p_name, ' ')) >= 2
+),
+vars AS (
+  SELECT id, t, s, i AS pos,
+         array_to_string(list_concat(t[1:i-1], t[i+1:len(t)]), ' ') AS v
+  FROM toks, LATERAL UNNEST(generate_series(1, len(t))) AS u(i)
+),
+indel AS (
+  SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b,
+         'indel' AS match_kind
+  FROM vars a JOIN toks b ON a.v = b.s
+),
+sub AS (
+  SELECT a.id AS id_a, b.id AS id_b, 'substitute' AS match_kind
+  FROM vars a JOIN vars b
+    ON a.v = b.v AND a.pos = b.pos AND a.id < b.id
+  WHERE len(a.t) = len(b.t)
+    AND len(list_filter(range(1, len(a.t)+1),
+                        j -> a.t[j] IS DISTINCT FROM b.t[j])) = 1
+)
+SELECT DISTINCT id_a, id_b, match_kind FROM (
+  SELECT * FROM indel UNION ALL SELECT * FROM sub
+)
+"""
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 and exact-cosine vector
+    top-20 (query = embedding 0) fused by reciprocal-rank fusion
+    (:func:`~tmdb_index_spark.operators.ranking.rrf_fuse`), final
+    top-10 by fused score. The fusion layer moves only the two top-k
+    legs (≤40 rows here, ≤|legs|·k always) — the engine cost stays in
+    the legs, which is why RRF is the hybrid-search standard: no score
+    calibration across incomparable scales, rank-only arithmetic,
+    bit-stable across engines."""
+    from tmdb_index_spark.operators.ranking import bm25_topk, rrf_fuse
+    from tmdb_index_spark.operators.similarity import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, _BM25_TERMS, k=20).select("doc_id", "rank")
+    sem = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse({"lex": lex, "sem": sem})
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", "lex_rank", "sem_rank", "rrf_score")
+    )
+
+
+_HYBRID_RRF_SQL = f"""
+WITH lex AS (
+  SELECT doc_id, rank FROM ({_BM25_SQL})
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sem_scored AS (
+  SELECT c.vec_id AS doc_id, {_COS_SQL} AS cos_sim
+  FROM (SELECT * FROM v WHERE vec_id = 0) q
+  CROSS JOIN v c
+  WHERE c.vec_id <> 0
+),
+sem AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC)
+             ::BIGINT AS rank
+    FROM sem_scored
+  ) WHERE rank <= 20
+),
+tagged AS (
+  SELECT doc_id, 'lex' AS leg, rank FROM lex
+  UNION ALL
+  SELECT doc_id, 'sem' AS leg, rank FROM sem
+),
+fused AS (
+  SELECT doc_id,
+         SUM(1.0 / (60.0 + rank)) AS rrf_score,
+         MAX(CASE WHEN leg = 'lex' THEN rank END) AS lex_rank,
+         MAX(CASE WHEN leg = 'sem' THEN rank END) AS sem_rank
+  FROM tagged GROUP BY doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+
