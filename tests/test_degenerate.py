@@ -272,10 +272,19 @@ def test_bootstrap_ci_matches_python_mirror(spark, tmp_path):
     df.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
     [r] = revenue_bootstrap_ci(spark, str(tmp_path)).collect()
 
+    from tmdb_index_spark.operators.dedup_text import (
+        MINHASH_P,
+        _minhash_a,
+        _minhash_b,
+    )
+
     def u(ok, ln, b):
-        payload = f"{ok}:{ln}#{b}".encode()
+        # ONE md5 base hash per row + the minhash universal-hash mix
+        # per replicate (round 10: the per-replicate-md5 form was the
+        # 100x-stress breach)
+        payload = f"{ok}:{ln}".encode()
         h = int(hashlib.md5(payload).hexdigest()[:15], 16)
-        return h / 1152921504606846976.0
+        return ((h % MINHASH_P) * _minhash_a(b) + _minhash_b(b)) % MINHASH_P / float(MINHASH_P)
 
     def w(ok, ln, b):
         uu = u(ok, ln, b)

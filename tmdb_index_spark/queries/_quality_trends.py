@@ -1714,27 +1714,44 @@ def _bootstrap_ci_sql(table: str, spark_dialect: bool) -> str:
     """One SQL text for the Poisson-bootstrap mean CI, generated for
     both engines from the same builder so every literal, alias, and
     CASE ladder is shared; only the 60-bit md5-hash parse and the
-    array sort/index spellings differ per dialect."""
+    array sort/index spellings differ per dialect.
+
+    Per-replicate uniforms come from ONE md5 base hash per row mixed
+    through the minhash universal-hash family (``((h % P)·a_b + b_b)
+    % P``, P = 2³¹−1): the original B-md5s-per-row form was the
+    catalog's one 100×-stress breach — 60M rows × 20 md5+CONV chains
+    measured 267× at 100× data (hash throughput degrades under
+    sustained allocation pressure), while the mixed form keeps one
+    md5 and B integer mixes. Pairwise-independent uniforms ACROSS
+    replicates are exactly what the Poisson bootstrap needs — each
+    replicate's weights stay i.i.d. ACROSS ROWS (independent md5
+    inputs), and replicate correlation only widens/narrows the CI by
+    the mixing family's bias, the standard trade hash-derived
+    bootstraps make (Chamandy et al. 2012 §4 use the same trick)."""
     key = (
         "CONCAT(CAST(l_orderkey AS STRING), ':', "
-        "CAST(l_linenumber AS STRING), '#', '{b}')"
+        "CAST(l_linenumber AS STRING))"
         if spark_dialect
         else "CONCAT(CAST(l_orderkey AS VARCHAR), ':', "
-        "CAST(l_linenumber AS VARCHAR), '#', '{b}')"
+        "CAST(l_linenumber AS VARCHAR))"
     )
     h = (
-        f"CAST(CAST(CONV(SUBSTRING(MD5({key}), 1, 15), 16, 10) AS BIGINT)"
-        " AS DOUBLE)"
+        f"CAST(CONV(SUBSTRING(MD5({key}), 1, 15), 16, 10) AS BIGINT)"
         if spark_dialect
-        else f"CAST(('0x' || substr(md5({key}), 1, 15))::BIGINT AS DOUBLE)"
+        else f"('0x' || substr(md5({key}), 1, 15))::BIGINT"
     )
-    u = f"({h} / 1152921504606846976.0)"
-    # the uniforms materialize ONCE in their own projection layer: a
-    # CASE ladder inlining the md5 expression repeats it per WHEN arm
-    # (5 hashes per weight instead of 1 — measured 14.3 s vs 3 s at
-    # sf0.1)
+    from tmdb_index_spark.operators.dedup_text import (
+        MINHASH_P,
+        _minhash_a,
+        _minhash_b,
+    )
+
+    # base hash ONCE in its own projection layer; each uniform is one
+    # modular mix of it (the minhash family — stays within 62 bits)
     u_cols = ",\n         ".join(
-        u.format(b=b) + f" AS u{b}" for b in range(_BOOT_B)
+        f"CAST(((h0 % {MINHASH_P}) * {_minhash_a(b)} + {_minhash_b(b)})"
+        f" % {MINHASH_P} AS DOUBLE) / {float(MINHASH_P)!r} AS u{b}"
+        for b in range(_BOOT_B)
     )
 
     def ladder(b: int) -> str:
@@ -1750,12 +1767,18 @@ def _bootstrap_ci_sql(table: str, spark_dialect: bool) -> str:
     w_cols = ",\n         ".join(
         ladder(b) + f" AS w{b}" for b in range(_BOOT_B)
     )
+    # money rides as exact integer CENTS (bigint): 2B+ decimal-object
+    # sums were the remaining 100x cost after the one-md5 fix — long
+    # sums stay inside whole-stage codegen. Overflow headroom: max w
+    # (8) x 1e7-cent prices x 6e10 rows ~ 5e18 < 2^63; at corpora
+    # beyond that, shard the aggregate or return px to DECIMAL.
     aggs = ",\n         ".join(
         f"SUM(w{b} * px) AS swx{b}, SUM(w{b}) AS sw{b}"
         for b in range(_BOOT_B)
     )
     means = ",\n      ".join(
         f"CAST(swx{b} AS DOUBLE) / NULLIF(CAST(sw{b} AS DOUBLE), 0.0)"
+        f" / 100.0"
         for b in range(_BOOT_B)
     )
     if spark_dialect:
@@ -1765,10 +1788,15 @@ def _bootstrap_ci_sql(table: str, spark_dialect: bool) -> str:
         sorted_means = f"list_sort([\n      {means}\n    ])"
         lo, hi = "ms[2]", f"ms[{_BOOT_B - 2}]"
     return f"""
-WITH uu AS (
-  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS px,
-         {u_cols}
+WITH hh AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS px,
+         {h} AS h0
   FROM {table}
+),
+uu AS (
+  SELECT px,
+         {u_cols}
+  FROM hh
 ),
 w AS (
   SELECT px,
@@ -1784,7 +1812,7 @@ sel AS (
   SELECT n, sp, {sorted_means} AS ms FROM agg
 )
 SELECT CAST(n AS BIGINT) AS n_rows,
-       ROUND(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS point_mean,
+       ROUND(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS point_mean,
        ROUND({lo}, 6) AS boot_lo,
        ROUND({hi}, 6) AS boot_hi
 FROM sel
