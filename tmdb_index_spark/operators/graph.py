@@ -46,6 +46,8 @@ def connected_components(
     import shutil
     import tempfile
 
+    from tmdb_index_spark.operators.materialize import _PINNED_FRAMES
+
     spark = pairs.sparkSession
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -54,6 +56,12 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # register with the pin ledger: these eager checkpoint blocks
+    # otherwise outlive the query (freed only on driver GC +
+    # ContextCleaner), and two CC-family queries back-to-back at the
+    # 100x stress scale OOMed a 48g heap on the ACCUMULATED blocks —
+    # release_pins() between bench/stress passes now frees them
+    _PINNED_FRAMES.append(edges)
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -107,8 +115,11 @@ def connected_components(
             if stepped.filter(
                 F.col("new_component") < F.col("old_component")
             ).isEmpty():
-                # Detach the result from the temp files before cleanup.
-                return labels.localCheckpoint(eager=True)
+                # Detach the result from the temp files before cleanup
+                # (ledger-registered like the edge frame above).
+                out = labels.localCheckpoint(eager=True)
+                _PINNED_FRAMES.append(out)
+                return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

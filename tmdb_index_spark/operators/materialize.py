@@ -128,9 +128,22 @@ def release_pins() -> int:
     """Unpersist every frame pinned so far and delete local parquet
     scratch; returns the number of pins released. Call after the
     consumer of the pinned frames has fully materialized (collected /
-    written) — releasing earlier silently degrades the pin back to
-    per-consumer recomputation. Remote (``scheme://``) scratch dirs
-    remain the caller's retention responsibility."""
+    written) — releasing earlier silently degrades a ``cache`` pin
+    back to per-consumer recomputation, and makes any LATER use of a
+    ``checkpoint`` pin fail outright (its lineage was truncated, so
+    the dropped blocks cannot be recomputed). Remote (``scheme://``)
+    scratch dirs remain the caller's retention responsibility.
+
+    Also drops every still-persistent RDD via the JVM handle:
+    ``DataFrame.unpersist()`` does NOT free ``localCheckpoint`` blocks
+    (they belong to the checkpointed internal RDD, not the catalog
+    cache), so checkpoint pins and the CC family's eager round
+    checkpoints would otherwise accumulate until driver GC +
+    ContextCleaner get around to them — two CC-family queries
+    back-to-back at the 100× stress scale OOMed a 48 GB heap on
+    exactly those leftover blocks. This is the between-passes reset
+    (bench/stress call it next to ``spark.catalog.clearCache()``), so
+    dropping ALL persistent RDDs is its contract."""
     n = len(_PINNED_FRAMES) + len(_SCRATCH_PATHS)
     for f in _PINNED_FRAMES:
         try:
@@ -140,4 +153,14 @@ def release_pins() -> int:
     _PINNED_FRAMES.clear()
     _cleanup()
     _SCRATCH_PATHS.clear()
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in list(jrdds.values()):
+                jrdd.unpersist(False)
+    except Exception:  # no active session / JVM gone — nothing to free
+        pass
     return n
