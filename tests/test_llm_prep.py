@@ -630,3 +630,68 @@ def test_bpe_train_merges_greedy_nonoverlap_and_early_stop(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         bpe_train_merges(docs, k=0)
+
+
+def test_bpe_train_merges_right_symbol_prefix_boundary(spark):
+    # round-10 advisor regression: after merging (t, h), a word holding
+    # [x, th] must NOT let a later (x, t) merge fuse across the symbol
+    # boundary (prefix-only delimiting matched '\x1fx\x1ft' inside
+    # '\x1fx\x1fth' and corrupted the state, dropping the (x, th)
+    # merge). Corpus: 'xth'×1, 'xt'×5, 'th'×10.
+    from tmdb_index_spark.operators.llm_prep import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "xth " + "xt " * 5 + "th " * 10)], "doc_id long, text string"
+    )
+    out = [tuple(r) for r in bpe_train_merges(docs, k=10).collect()]
+    assert out == [
+        (1, "t", "h", "th", 11),
+        (2, "x", "t", "xt", 5),
+        (3, "x", "th", "xth", 1),
+    ]
+
+
+def test_bpe_train_merges_matches_pure_python_reference(spark):
+    # belt-and-braces: the Spark trainer must equal a direct list-based
+    # BPE on a corpus mixing repeats, prefixes, and shared stems
+    from tmdb_index_spark.operators.llm_prep import bpe_train_merges
+
+    text = "abab abab aba bab ab ba aab abb aabb baba"
+
+    def ref_bpe(words_text, k):
+        from collections import Counter
+
+        wf = Counter(words_text.split())
+        seqs = {w: list(w) for w in wf}
+        merges = []
+        for step in range(1, k + 1):
+            pc = Counter()
+            for w, f in wf.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += f
+            if not pc:
+                break
+            (left, right), c = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            merges.append((step, left, right, left + right, c))
+            for w in seqs:
+                s, out, i = seqs[w], [], 0
+                while i < len(s):
+                    if (
+                        i + 1 < len(s)
+                        and s[i] == left
+                        and s[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
+        return merges
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train_merges(docs, k=6).collect()]
+    assert got == ref_bpe(text, 6)

@@ -877,14 +877,21 @@ def bpe_train_merges(
     by appending a sentinel char to each word if needed.)
 
     Engine-portable merge trick: a word's symbol sequence is one
-    STRING with every symbol PREFIXED by an out-of-alphabet marker
-    (chr(31)): ``abc`` → ``\\x1fa\\x1fb\\x1fc``. Fusing pair (a, b)
-    is then plain ``replace(s, '\\x1fa\\x1fb', '\\x1fab')`` — and
-    ``replace`` scans left-to-right replacing non-overlapping
-    occurrences in BOTH Spark (java.lang.String.replace) and ANSI SQL
-    engines, which is exactly BPE's greedy merge rule (``aaaa`` with
-    merge (a,a) → ``aa aa``, not three overlapping merges). No
-    per-symbol array surgery, no UDF.
+    STRING with every symbol WRAPPED in an out-of-alphabet marker
+    (chr(31)) on BOTH sides: ``abc`` → ``\\x1fa\\x1f\\x1fb\\x1f
+    \\x1fc\\x1f``. Fusing pair (a, b) is then plain ``replace(s,
+    '\\x1fa\\x1f\\x1fb\\x1f', '\\x1fab\\x1f')`` — and ``replace``
+    scans left-to-right replacing non-overlapping occurrences in BOTH
+    Spark (java.lang.String.replace) and ANSI SQL engines, which is
+    exactly BPE's greedy merge rule (``aaaa`` with merge (a,a) →
+    ``aa aa``, not three overlapping merges). The CLOSING marker is
+    what makes the pattern symbol-exact: a prefix-only encoding
+    (``\\x1fa\\x1fb``) matches wherever the right symbol is a PREFIX
+    of the actual symbol — merging ``(x, t)`` inside a word holding
+    ``[x, th]`` would fuse across the boundary and corrupt every later
+    round (the round-10 advisor found this live). With both sides
+    delimited, ``\\x1fx\\x1f\\x1ft\\x1f`` cannot match
+    ``\\x1fx\\x1f\\x1fth\\x1f``. No per-symbol array surgery, no UDF.
 
     Scale shape: the k rounds iterate over the WORD-TYPE frame (vocab-
     bounded — Heaps' law, not corpus-bounded; the one corpus-scale
@@ -913,7 +920,9 @@ def bpe_train_merges(
         .groupBy("__w__")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__wf__"))
         .select(
-            F.regexp_replace(F.col("__w__"), "(.)", sep + "$1").alias("__s__"),
+            F.regexp_replace(
+                F.col("__w__"), "(.)", sep + "$1" + sep
+            ).alias("__s__"),
             "__wf__",
         )
     )
@@ -921,11 +930,11 @@ def bpe_train_merges(
 
     cur = pin_frame(words, "checkpoint")
     merges: list[tuple] = []
-    syms = F.slice(
-        F.split(F.col("__s__"), sep),
-        2,
-        F.greatest(F.size(F.split(F.col("__s__"), sep)) - 1, F.lit(0)),
-    )
+    # split on the marker yields empties between/around the wrapped
+    # symbols ("", a, "", b, "") — symbols themselves are never empty
+    # (words are non-empty, merges concatenate), so filtering empties
+    # recovers exactly the symbol sequence
+    syms = F.filter(F.split(F.col("__s__"), sep), lambda x: x != F.lit(""))
     for step in range(1, k + 1):
         # zip_with PADS the shorter side with NULLs (it does not
         # truncate), so the last zip slot concats to NULL — compact it
@@ -953,7 +962,9 @@ def bpe_train_merges(
         cur = pin_frame(
             cur.select(
                 F.replace(
-                    F.col("__s__"), F.lit(sep + pr), F.lit(sep + left + right)
+                    F.col("__s__"),
+                    F.lit(sep + left + sep + sep + right + sep),
+                    F.lit(sep + left + right + sep),
                 ).alias("__s__"),
                 "__wf__",
             ),

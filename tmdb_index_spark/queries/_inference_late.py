@@ -1563,23 +1563,35 @@ WITH words AS (
     FROM documents) WHERE w <> '' GROUP BY w
 ),
 m0 AS (
-  SELECT regexp_replace(w, '(.)', chr(31) || '\\1', 'g') AS s, wf FROM words
+  SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s, wf
+  FROM words
 )"""
     ]
+    # Symbols are wrapped in the marker on BOTH sides (see
+    # bpe_train_merges: a prefix-only encoding fuses across symbol
+    # boundaries when the merge's right symbol is a prefix of a longer
+    # adjacent symbol). Splitting on the marker therefore yields empty
+    # strings between/around symbols — list_filter recovers the clean
+    # symbol sequence. The merge pattern re-wraps both symbols:
+    # chr(31)||L||chr(31)||chr(31)||R||chr(31) -> chr(31)||LR||chr(31).
     for r in range(1, k + 1):
         parts.append(f""",
 t{r} AS MATERIALIZED (
-  SELECT string_split(s, chr(31)) AS ss, s, wf FROM m{r - 1}),
+  SELECT list_filter(string_split(s, chr(31)), x -> x <> '') AS ss, s, wf
+  FROM m{r - 1}),
 p{r} AS (
   SELECT pr, SUM(wf)::BIGINT AS c FROM (
-    SELECT unnest(list_transform(generate_series(2, len(ss) - 1),
+    SELECT unnest(list_transform(generate_series(1, len(ss) - 1),
              i -> ss[i] || chr(31) || ss[i + 1])) AS pr, wf
     FROM t{r}) GROUP BY pr
 ),
 c{r} AS MATERIALIZED (SELECT pr, c FROM p{r} ORDER BY c DESC, pr ASC LIMIT 1),
 m{r} AS MATERIALIZED (
-  SELECT replace(s, chr(31) || (SELECT pr FROM c{r}),
-                 chr(31) || replace((SELECT pr FROM c{r}), chr(31), '')) AS s,
+  SELECT replace(s,
+                 chr(31) || replace((SELECT pr FROM c{r}), chr(31),
+                                    chr(31) || chr(31)) || chr(31),
+                 chr(31) || replace((SELECT pr FROM c{r}), chr(31), '')
+                         || chr(31)) AS s,
          wf
   FROM t{r}
 )""")
