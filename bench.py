@@ -158,6 +158,7 @@ EXTENDED_QUERIES = [
     "corpus_pipeline_stats",
     # round-10: k-round BPE merge trainer (chained-CTE static oracle)
     "bpe_merges_k",
+    "bpe_encoded_fertility",
     # round-6 late additions
     "dedup_segments_rebuild",
     "sliding_distinct_users",

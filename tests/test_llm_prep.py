@@ -695,3 +695,60 @@ def test_bpe_train_merges_matches_pure_python_reference(spark):
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
     got = [tuple(r) for r in bpe_train_merges(docs, k=6).collect()]
     assert got == ref_bpe(text, 6)
+
+
+def test_bpe_encode_reproduces_trainer_state_and_word_boundaries(spark):
+    from tmdb_index_spark.operators.llm_prep import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "newer newest new low")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train_merges(docs, k=4).collect()
+    ]
+    out = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    # after merges lo, low, ew, new: 'low'→[low], 'lower'→[low,e,r],
+    # 'lowest'→[low,e,s,t], 'newer'→[new,e,r], 'newest'→[new,e,s,t]
+    assert out[1] == ["low"] * 3 + ["low", "e", "r"] + ["low", "e", "s", "t"]
+    assert out[2] == ["new", "e", "r"] + ["new", "e", "s", "t"] + [
+        "new", "low",
+    ]
+
+
+def test_bpe_encode_never_merges_across_words(spark):
+    from tmdb_index_spark.operators.llm_prep import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "a b ab"), (2, "ba ab a")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_encode(docs, [("a", "b")]).collect()
+    }
+    # the trailing 'a' of one word never fuses with the next word's 'b'
+    assert out[1] == ["a", "b", "ab"]
+    assert out[2] == ["b", "a", "ab", "a"]
+
+
+def test_bpe_encode_validation_and_prefix_boundary(spark):
+    import pytest
+
+    from tmdb_index_spark.operators.llm_prep import bpe_encode
+
+    docs = spark.createDataFrame([(1, "xth")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="merge pair"):
+        bpe_encode(docs, [("a", "")])
+    with pytest.raises(ValueError, match="merge pair"):
+        bpe_encode(docs, [("a", "b c")])
+    # symbol-exact patterns: applying (t,h) then (x,t) to 'xth' gives
+    # [x, th] — the (x,t) merge must NOT fire inside [x, th]
+    out = bpe_encode(docs, [("t", "h"), ("x", "t")]).collect()
+    assert list(out[0]["bpe_tokens"]) == ["x", "th"]

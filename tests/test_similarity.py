@@ -983,3 +983,87 @@ def test_mmr_zero_norm_vector_and_duplicate_ids(spark):
     dup = pool.union(pool.filter(F.col("vec_id") == 1))
     with pytest.raises(ValueError, match="unique"):
         mmr_rerank(dup, k=2)
+
+
+# ------------------------------------------------- semantic regimes
+
+
+def test_semantic_dedup_two_level_regime_matches_flat(spark):
+    """Above two_level_cells the default routes assignment through the
+    hierarchical quantizer; with an exhaustive coarse probe the fine
+    centroids (same sample, same seed) and the assignment equal the
+    flat path, so the flag sets must be identical."""
+    from tmdb_index_spark.operators.similarity import (
+        fit_centroids,
+        semantic_dedup,
+        semantic_dedup_with_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        (r["vec_id"], r["cell"], r["keep"])
+        for r in semantic_dedup(
+            emb, 0.4, cells=20, two_level_cells=8, probe_coarse=10_000
+        ).collect()
+    }
+    flat = {
+        (r["vec_id"], r["cell"], r["keep"])
+        for r in semantic_dedup_with_centroids(
+            emb, fit_centroids(emb, 20), 0.4, assign_impl="pandas"
+        ).collect()
+    }
+    assert got == flat and len(got) == emb.count()
+
+
+def test_semantic_dedup_lsh_regime_past_fit_cap(spark):
+    """cells > max_sample must NOT silently clamp the k-means fit
+    (round-10 verdict): the default switches to sign-bit LSH cells
+    with a loud warning, and the election contract still holds against
+    an independent numpy recomputation of orthant cells + first-
+    occurrence election."""
+    import numpy as np
+    import pytest
+
+    from tmdb_index_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.warns(UserWarning, match="sign-bit LSH"):
+        out = semantic_dedup(emb, 0.4, cells=200, max_sample=100)
+    got = {(r["vec_id"], r["cell"], r["keep"]) for r in out.collect()}
+    assert len(got) == emb.count()
+
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["embedding"]) for r in rows], dtype="float64")
+    bits = 8  # ceil(log2(200))
+    cells = (np.float64(X[:, :bits]) >= 0).astype("int64") @ (
+        1 << np.arange(bits, dtype="int64")
+    )
+    nrm = np.sqrt((X * X).sum(axis=1))
+    S = np.round((X @ X.T) / np.outer(nrm, nrm), 4)
+    expect = set()
+    for j in range(len(ids)):
+        drop = any(
+            ids[i] < ids[j] and cells[i] == cells[j] and S[i, j] >= 0.4
+            for i in range(len(ids))
+        )
+        expect.add((int(ids[j]), int(cells[j]), not drop))
+    assert got == expect
+
+
+def test_fit_centroids_raises_past_sample_cap(spark):
+    """The silent k=min(k, sample) clamp is gone: asking the sampled
+    fit for more centroids than sample rows is a declared error, not a
+    hidden occupancy cliff."""
+    import pytest
+
+    from tmdb_index_spark.operators.similarity import (
+        fit_centroids,
+        fit_two_level_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_sample"):
+        fit_centroids(emb, 101, max_sample=100)
+    with pytest.raises(ValueError, match="max_sample"):
+        fit_two_level_centroids(emb, 101, 10, max_sample=100)

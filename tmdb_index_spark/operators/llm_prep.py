@@ -975,3 +975,58 @@ def bpe_train_merges(
         "step bigint, left_sym string, right_sym string, "
         "merged string, n_pairs bigint",
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned BPE merge table, in merge order, to the corpus —
+    the ENCODE half of the tokenizer loop (:func:`bpe_train_merges`
+    trains; this consumes the artifact, the reference's build-then-
+    query pattern, ``README.md:6-12``). ``merges`` is the ordered
+    ``[(left_sym, right_sym)]`` list (collect the trainer's tiny
+    k-row output with ``bounded_collect``). Adds ``out_col``: the
+    document's BPE token array, whitespace-word internal (merges never
+    cross word boundaries, matching the trainer's word-type counting).
+
+    Map-only, no UDF, no shuffle: each word is marker-wrapped exactly
+    as in training (``abc`` → ``\\x1fa\\x1f\\x1fb\\x1f\\x1fc\\x1f``),
+    words re-join on a single space (no merge pattern contains a space
+    or single-marker run, so patterns cannot straddle words), and the
+    ``k`` merges apply as ``k`` chained literal ``replace`` column
+    expressions — the same greedy left-to-right non-overlapping
+    scan the trainer used, so encode(train corpus) reproduces the
+    trainer's final symbol state exactly. Θ(corpus · k) flat work;
+    an external SQL engine reproduces the tokens verbatim from the
+    same replace chain.
+    """
+    sep = "\x1f"
+    for left, right in merges:
+        if not left or not right or sep in left + right or " " in left + right:
+            raise ValueError(
+                f"invalid merge pair ({left!r}, {right!r}): symbols must "
+                "be non-empty and contain neither the marker nor a space"
+            )
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(tokens(txt), lambda x: x != F.lit(""))
+    doc = F.array_join(
+        F.transform(
+            words,
+            lambda w: F.regexp_replace(w, "(.)", sep + "$1" + sep),
+        ),
+        " ",
+    )
+    for left, right in merges:
+        doc = F.replace(
+            doc,
+            F.lit(sep + left + sep + sep + right + sep),
+            F.lit(sep + left + right + sep),
+        )
+    toks = F.filter(
+        F.split(doc, sep),
+        lambda x: (x != F.lit("")) & (x != F.lit(" ")),
+    )
+    return df.withColumn(out_col, toks)

@@ -488,6 +488,16 @@ def fit_centroids(
 
     from tmdb_index_spark.operators.materialize import bounded_collect
 
+    if k > max_sample:
+        raise ValueError(
+            f"fit_centroids: k={k} exceeds the fit sample cap "
+            f"max_sample={max_sample} — a sampled k-means cannot supply "
+            "more centroids than sample rows, and silently clamping k "
+            "hides the occupancy cliff at scale (round-10 verdict). "
+            "Raise max_sample deliberately, or use fit-free sign-bit "
+            "LSH cells (signbit_buckets — semantic_dedup routes there "
+            "automatically)."
+        )
     # the fit sample is capped at max_sample by the limit; the bound
     # makes the cap enforced rather than assumed
     rows = bounded_collect(
@@ -670,6 +680,13 @@ def fit_two_level_centroids(
 
     from tmdb_index_spark.operators.materialize import bounded_collect
 
+    if cells > max_sample:
+        raise ValueError(
+            f"fit_two_level_centroids: cells={cells} exceeds the fit "
+            f"sample cap max_sample={max_sample} — the sampled fit "
+            "cannot supply more fine centroids than sample rows; raise "
+            "max_sample deliberately or use fit-free sign-bit LSH cells."
+        )
     # the fit sample is capped at max_sample by the limit; the bound
     # makes the cap enforced rather than assumed
     rows = bounded_collect(
@@ -1443,6 +1460,13 @@ def neardup_index_pairs(
 #: one Arrow batch.
 SEMANTIC_CELL_TARGET = 128
 
+#: Above this many cells, flat nearest-centroid assignment
+#: (Θ(N·cells·d)) dominates SemDeDup's runtime — the default routes
+#: through the two-level quantizer (Θ(N·√cells·d)) instead. 1024 keeps
+#: every sf-scale catalog fit on the flat path (oracle-stable) while
+#: capping the flat matmul at ~1024·d per vector.
+SEMANTIC_TWO_LEVEL_CELLS = 1024
+
 
 def semantic_cells(n: int) -> int:
     """Occupancy-constant SemDeDup cell count for an ``n``-vector
@@ -1462,6 +1486,9 @@ def semantic_dedup(
     max_sample: int = 10_000,
     seed: int = 13,
     impl: str = "pandas",
+    two_level_cells: int = SEMANTIC_TWO_LEVEL_CELLS,
+    probe_coarse: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, find cosine
@@ -1486,21 +1513,84 @@ def semantic_dedup(
     which is right for QUERY-probing but leaves dedup work at Θ(N^1.5)
     — was flipped in round 10 per the round-9 verdict; SemDeDup
     production configs likewise grow k linearly with corpus size.)
-    Assignment is map-only (literal centroid table, BLAS above
-    :data:`IVF_BLAS_ASSIGN_THRESHOLD`); scoring shuffles once on
-    ``cell``. Recall is within-cell by construction: near-dups split
-    across a cluster boundary are missed — the documented SemDeDup
-    trade.
+    Recall is within-cell by construction: near-dups split across a
+    cell boundary are missed — the documented SemDeDup trade.
 
-    The fit is the deterministic sampled k-means of
-    :func:`fit_centroids` (pure function of the first-``max_sample``
-    -by-id sample), so a SQL oracle re-runs the identical numpy fit
-    and embeds the centroids as literals — the
-    ``embedding_ivf_tuned_topk`` pattern.
+    With ``cells ∝ N``, the ASSIGNMENT stage is the scale hazard the
+    round-10 verdict called out: flat nearest-centroid assignment is
+    Θ(N·cells·d) = Θ(N²·d/target), and the sampled k-means fit cannot
+    supply more centroids than its ``max_sample`` rows at all (past
+    N ≈ target·max_sample the old code silently clamped ``k`` and
+    reverted election work toward Θ(N²/max_sample)). The default
+    therefore picks the assignment flavor BY REGIME — all three feed
+    the identical :func:`semantic_elect`:
+
+    * ``cells ≤ two_level_cells`` (default 1024): flat
+      :func:`fit_centroids` + :func:`ivf_assign` — map-only literal
+      centroid table, BLAS above :data:`IVF_BLAS_ASSIGN_THRESHOLD`.
+      This is the regime every fitted-literal oracle runs in, and its
+      behavior is unchanged.
+    * ``two_level_cells < cells ≤ max_sample``: hierarchical
+      :func:`fit_two_level_centroids` + :func:`two_level_ivf_assign`
+      with ``⌈√cells⌉`` coarse cells — assignment drops to
+      Θ(N·√cells·d); ``probe_coarse`` is the boundary-recall lever.
+    * ``cells > max_sample``: NO fit can supply that many centroids
+      (``fit_centroids`` now raises rather than silently clamping) —
+      switch to sign-bit LSH cells (:func:`signbit_buckets`, ``bits =
+      clamp(⌈log2 cells⌉, 1, dim)``), the :func:`neardup_index_pairs`
+      rule: fit-free, map-only Θ(N·bits) assignment, occupancy still
+      ~``SEMANTIC_CELL_TARGET`` in expectation, so the policy stays
+      linear at UNBOUNDED N. A loud warning records the regime switch
+      (cell semantics change from learned clusters to hyperplane
+      orthants; occupancy skew follows the data's sign-bit
+      correlations).
+
+    In the fitted regimes the fit is the deterministic sampled k-means
+    of :func:`fit_centroids` (pure function of the first-
+    ``max_sample``-by-id sample), so a SQL oracle re-runs the
+    identical numpy fit and embeds the centroids as literals — the
+    ``embedding_ivf_tuned_topk`` pattern; in the LSH regime the cell
+    id is itself a column expression any engine reproduces.
     """
+    import math
+
     n = n_estimate if n_estimate is not None else corpus.count()
     if cells is None:
         cells = semantic_cells(n)
+    if cells > max_sample:
+        import warnings
+
+        if dim is None:
+            row = corpus.select(vec_col).head()
+            dim = len(row[0]) if row and row[0] is not None else 1
+        bits = max(1, min(math.ceil(math.log2(max(cells, 2))), dim))
+        warnings.warn(
+            f"semantic_dedup: {cells} cells exceeds the k-means fit "
+            f"sample cap ({max_sample}) — switching to sign-bit LSH "
+            f"cells ({bits} bits, {2 ** bits} orthants). Cell "
+            "semantics change from learned clusters to coordinate-"
+            "sign orthants; raise max_sample to stay on k-means cells.",
+            stacklevel=2,
+        )
+        assigned = signbit_buckets(
+            corpus, bits, id_col, vec_col
+        ).withColumnRenamed("bucket", "cell")
+        return semantic_elect(
+            assigned, threshold, id_col=id_col, vec_col=vec_col, impl=impl
+        )
+    if cells > two_level_cells:
+        coarse = max(1, math.isqrt(cells))
+        coarse_c, fine_c, f2c = fit_two_level_centroids(
+            corpus, cells, coarse, id_col, vec_col,
+            max_sample=max_sample, seed=seed,
+        )
+        assigned = two_level_ivf_assign(
+            corpus, coarse_c, fine_c, f2c, id_col, vec_col,
+            probe_coarse=probe_coarse,
+        ).select(id_col, vec_col, "cell")
+        return semantic_elect(
+            assigned, threshold, id_col=id_col, vec_col=vec_col, impl=impl
+        )
     centroids = fit_centroids(
         corpus, cells, id_col, vec_col, max_sample=max_sample, seed=seed
     )
@@ -1535,11 +1625,34 @@ def semantic_dedup_with_centroids(
     line for line. Sims are rounded to 4 decimals before the
     threshold in BOTH impls — the family contract that absorbs
     BLAS-vs-fold ULP drift, so the two flag sets are identical."""
-    if impl not in ("pandas", "expr"):
-        raise ValueError(f"impl must be 'pandas' or 'expr', got {impl!r}")
     assigned = ivf_assign(
         corpus, centroids, id_col, vec_col, impl=assign_impl
     ).select(id_col, vec_col, "cell")
+    return semantic_elect(
+        assigned, threshold, id_col=id_col, vec_col=vec_col, impl=impl
+    )
+
+
+def semantic_elect(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "pandas",
+) -> DataFrame:
+    """The within-cell first-occurrence election shared by EVERY
+    SemDeDup assignment flavor (flat k-means cells, two-level
+    quantizer cells, sign-bit LSH cells): given ``(id, vector, cell)``
+    rows, flag ``keep = false`` iff some smaller-id vector in the same
+    cell is ``≥ threshold`` cosine-similar (sims rounded to 4 decimals
+    first — the family ULP contract). ``impl='pandas'`` elects per
+    cell in one Arrow batch (BLAS gram matrix — election work is
+    Θ(Σ occupancy²), so the ASSIGNMENT policy upstream is what holds
+    occupancy, and therefore total work, bounded); ``impl='expr'`` is
+    the engine-portable within-cell self-join twin a SQL oracle
+    mirrors line for line."""
+    if impl not in ("pandas", "expr"):
+        raise ValueError(f"impl must be 'pandas' or 'expr', got {impl!r}")
     if impl == "expr":
         base = assigned.select(
             F.col(id_col),
