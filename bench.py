@@ -156,6 +156,7 @@ EXTENDED_QUERIES = [
     # round-10: the end-to-end corpus-prep composite (quality → lang →
     # exact/LSH/semantic dedup → decontam → budget sample → pack)
     "corpus_pipeline_stats",
+    "corpus_ingest_stats",
     # round-10: k-round BPE merge trainer (chained-CTE static oracle)
     "bpe_merges_k",
     "bpe_encoded_fertility",

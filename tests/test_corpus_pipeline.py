@@ -149,3 +149,107 @@ def test_pin_frame_checkpoint_truncates_lineage(spark):
     assert "Range" not in plan
     assert out.count() == 94
     release_pins()
+
+
+# ------------------------------------------------ incremental ingest
+
+
+def _docs(spark, rows_):
+    return spark.createDataFrame(
+        rows_, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_ingest_two_batches_dedups_against_prior_survivors(spark):
+    """Batch-2 must dedup against batch-1's SURVIVORS (they were folded
+    into the index), and re-sent ids must update in place — the
+    reference's daily-incremental semantics. Near-dups here are cyclic
+    token rotations: identical shingle SETS (jaccard 1.0, every band
+    collides — detection is deterministic) but different text (so the
+    exact stages pass them through)."""
+    from tmdb_index_spark.operators.corpus_pipeline import (
+        ingest_corpus_batch,
+    )
+    from tmdb_index_spark.operators.materialize import release_pins
+
+    index0 = _docs(
+        spark,
+        [
+            (1, "fox quick brown fox quick brown", "en", "web"),
+            (2, "totally unrelated reference corpus text", "en", "web"),
+        ],
+    )
+    batch1 = _docs(
+        spark,
+        [
+            # exact dup of index doc 1's text -> exact_index_dup
+            (10, "fox quick brown fox quick brown", "en", "crawl"),
+            # novel -> kept
+            (11, "spark engine node spark engine node", "en", "crawl"),
+            # exact dup of 11 within the batch -> exact_batch_dup
+            (12, "spark engine node spark engine node", "en", "crawl"),
+            # rotation of index doc 1 -> near_index_dup
+            (13, "quick brown fox quick brown fox", "en", "crawl"),
+        ],
+    )
+    r1 = ingest_corpus_batch(index0, batch1)
+    s1 = r1["stats"].collect()[0].asDict()
+    assert s1 == {
+        "source": "crawl",
+        "n_batch": 4,
+        "n_exact_batch_dup": 1,
+        "n_exact_index_dup": 1,
+        "n_near_index_dup": 1,
+        "n_kept": 1,
+        "kept_rate": 0.25,
+    }
+    idx1 = r1["new_index"]
+    assert {r["doc_id"] for r in idx1.select("doc_id").collect()} == {
+        1, 2, 11,
+    }
+
+    batch2 = _docs(
+        spark,
+        [
+            # exact dup of batch-1 SURVIVOR 11 -> exact_index_dup
+            (20, "spark engine node spark engine node", "en", "crawl"),
+            # rotation of survivor 11 -> near_index_dup
+            (21, "engine node spark engine node spark", "en", "crawl"),
+            # novel -> kept
+            (22, "genuinely fresh unseen sentence entirely", "en", "crawl"),
+            # re-sent id 2 with new novel text -> kept, REPLACES in index
+            (2, "replacement text for document two", "en", "web"),
+        ],
+    )
+    r2 = ingest_corpus_batch(idx1, batch2)
+    s2 = {r["source"]: r.asDict() for r in r2["stats"].collect()}
+    assert s2["crawl"]["n_exact_index_dup"] == 1
+    assert s2["crawl"]["n_near_index_dup"] == 1
+    assert s2["crawl"]["n_kept"] == 1
+    assert s2["web"] == {
+        "source": "web",
+        "n_batch": 1,
+        "n_exact_batch_dup": 0,
+        "n_exact_index_dup": 0,
+        "n_near_index_dup": 0,
+        "n_kept": 1,
+        "kept_rate": 1.0,
+    }
+    idx2 = {r["doc_id"]: r["text"] for r in r2["new_index"].collect()}
+    assert set(idx2) == {1, 2, 11, 22}
+    assert idx2[2] == "replacement text for document two"  # upsert wins
+    release_pins()
+
+
+def test_ingest_batch_validation_empty_batch(spark):
+    from tmdb_index_spark.operators.corpus_pipeline import (
+        ingest_corpus_batch,
+    )
+    from tmdb_index_spark.operators.materialize import release_pins
+
+    index0 = _docs(spark, [(1, "some standing index text", "en", "web")])
+    empty = _docs(spark, [])
+    r = ingest_corpus_batch(index0, empty)
+    assert r["stats"].count() == 0
+    assert r["new_index"].count() == 1
+    release_pins()

@@ -24,6 +24,7 @@ __all__ = [
     "portable_hash60",
     "token_count",
     "quality_features",
+    "quality_micros",
     "lang_scores",
     "doc_fingerprint",
 ]
@@ -110,6 +111,33 @@ def quality_features(col: Column | str) -> dict[str, Column]:
             n_stop.cast("double") / F.greatest(n_words, F.lit(1)), 4
         ),
     }
+
+
+def quality_micros(col: Column | str) -> Column:
+    """Integer-micro quality score: stopword density minus punctuation
+    density, each FLOOR-quantized — identical double division then
+    FLOOR on every engine, so the score ranks without float-tie hazard.
+    THE single Python source of the recipe (round-10 advisor: the
+    composite, the standalone ``adaptive_quality_filter``, and their
+    SQL oracles each inlined a copy that could silently drift); the
+    SQL oracles mirror this text — change them together."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    t = tokens(c)
+    n_words = F.size(t)
+    n_chars = F.length(c)
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(t, lambda w: F.array_contains(stop, F.lower(w))))
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return (
+        F.floor(
+            F.lit(1e6) * n_stop.cast("double")
+            / F.greatest(n_words, F.lit(1)).cast("double")
+        )
+        - F.floor(
+            F.lit(1e6) * n_punct.cast("double")
+            / F.greatest(n_chars, F.lit(1)).cast("double")
+        )
+    ).cast("long")
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:

@@ -69,10 +69,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tmdb_index_spark.functions.text import (
-    LANG_MARKERS,
     portable_hash60,
+    quality_micros,
     token_count,
-    tokens,
 )
 from tmdb_index_spark.operators.dedup import dedup_keep_first
 from tmdb_index_spark.operators.dedup_text import minhash_lsh_pairs
@@ -90,7 +89,12 @@ from tmdb_index_spark.operators.similarity import (
     semantic_dedup_with_centroids,
 )
 
-__all__ = ["prepare_corpus", "corpus_pipeline_stats", "STAGE_NAMES"]
+__all__ = [
+    "prepare_corpus",
+    "corpus_pipeline_stats",
+    "ingest_corpus_batch",
+    "STAGE_NAMES",
+]
 
 #: Stage order of the composite — index = the ``stage`` column of the
 #: stats frame.
@@ -105,30 +109,6 @@ STAGE_NAMES: tuple[str, ...] = (
     "budget_sample",
     "pack",
 )
-
-
-def _quality_micros(text) -> F.Column:
-    """Integer-micro quality score: stopword density minus punctuation
-    density, each FLOOR-quantized (identical double division then FLOOR
-    on every engine — the ``adaptive_quality_filter`` recipe, shared
-    verbatim so composite and standalone stage can never drift)."""
-    c = F.coalesce(text, F.lit(""))
-    t = tokens(c)
-    n_words = F.size(t)
-    n_chars = F.length(c)
-    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
-    n_stop = F.size(F.filter(t, lambda w: F.array_contains(stop, F.lower(w))))
-    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
-    return (
-        F.floor(
-            F.lit(1e6) * n_stop.cast("double")
-            / F.greatest(n_words, F.lit(1)).cast("double")
-        )
-        - F.floor(
-            F.lit(1e6) * n_punct.cast("double")
-            / F.greatest(n_chars, F.lit(1)).cast("double")
-        )
-    ).cast("long")
 
 
 def prepare_corpus(
@@ -166,7 +146,7 @@ def prepare_corpus(
             token_count(F.coalesce(F.col(text_col), F.lit(""))).cast(
                 "long"
             ).alias("n_tokens"),
-            _quality_micros(F.col(text_col)).alias("__q__"),
+            quality_micros(F.col(text_col)).alias("__q__"),
         ),
         materialize,
         scratch_dir,
@@ -274,17 +254,24 @@ def prepare_corpus(
         F.col("avail_tokens").alias("__avail__"),
         F.floor(F.col("allocation")).cast("bigint").alias("__cap__"),
     )
-    # keep-rate in parts-per-million, exact integer division: a capped
-    # source (cap == avail) gets rate 1e6 → keeps everything
-    rate = F.when(F.col("__avail__") == 0, F.lit(1_000_000)).otherwise(
-        F.expr("(__cap__ * 1000000) div __avail__")
+    # keep-rate comparison in parts-per-million via EXACT integer
+    # cross-multiplication (hash_ppm · avail < cap · 1e6, DECIMAL —
+    # DuckDB's twin uses HUGEINT): the former bigint quotient
+    # ``(cap * 1e6) div avail`` overflows once a source's cap exceeds
+    # ~9.2e12 tokens, plausible at the module's 100 TB design point
+    # (round-10 advisor). A capped source (cap == avail) keeps
+    # everything; avail == 0 keeps vacuously.
+    hash_ppm = (
+        portable_hash60(F.col(id_col).cast("string")) % 1_000_000
+    ).cast("decimal(10,0)")
+    keep = (F.col("__avail__") == 0) | (
+        hash_ppm * F.col("__avail__").cast("decimal(20,0)")
+        < F.col("__cap__").cast("decimal(20,0)")
+        * F.lit(1_000_000).cast("decimal(10,0)")
     )
     s7 = pin_frame(
         s6.join(F.broadcast(caps), source_col)
-        .filter(
-            portable_hash60(F.col(id_col).cast("string")) % 1_000_000
-            < rate
-        )
+        .filter(keep)
         .drop("__avail__", "__cap__"),
         materialize,
         scratch_dir,
@@ -313,6 +300,144 @@ def prepare_corpus(
         ("budget_sample", s7),
     ]
     return {"stages": stages, "packed": packed, "caps": alloc}
+
+
+def ingest_corpus_batch(
+    index: DataFrame,
+    batch: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    materialize: str = "checkpoint",
+    scratch_dir: str | None = None,
+    broadcast_batch: bool = True,
+) -> dict:
+    """INCREMENTAL corpus ingestion — the daily-maintenance shape that
+    is the reference's defining trait (``process()`` folds each day's
+    changes into the standing index, ``tmdb_index.py:546-568``,
+    resume logic ``:220-238``), applied to corpus dedup: given the
+    standing ``index`` and a new ``batch`` of documents, admit only the
+    batch's NOVEL content and fold it in. Stages, in order:
+
+    1. **exact-within-batch** — keep the lowest id per
+       ``md5(text)`` inside the batch (a crawl batch re-sends its own
+       duplicates first).
+    2. **exact-vs-index** — anti-join the survivors' content hashes
+       against the index's (the index side is a hash-only projection;
+       at scale this is the classic bloom-then-verify join shape).
+    3. **near-vs-index** — :func:`~tmdb_index_spark.operators
+       .dedup_text.minhash_novelty_pairs` at ``jaccard_threshold``:
+       strictly batch×index candidates, the batch's band buckets
+       broadcast, the index NEVER shuffles for candidate generation.
+    4. **fold in** — :func:`~tmdb_index_spark.operators.upsert
+       .update_or_append` upserts the kept docs into the index
+       (re-sent ids are replaced, new ids append — the reference's
+       upsert semantics, so a re-crawled doc updates in place).
+
+    Returns ``{"new_index": frame, "kept": frame, "stats": frame}``;
+    ``stats`` is the per-source batch yield row — ``(source, n_batch,
+    n_exact_batch_dup, n_exact_index_dup, n_near_index_dup, n_kept,
+    kept_rate)`` — the number an ingestion pipeline alarms on when a
+    crawl source starts re-sending old content. ``batch`` must be
+    unique on ``id_col`` (the upsert contract). Batch-INTERNAL
+    near-dups are deliberately out of scope here: they are the batch
+    prep's job (:func:`prepare_corpus` stage 4); this composite's
+    contract is batch-vs-index novelty.
+
+    Scale shape: every stage is either map-only, a broadcast join
+    against batch-sized sides, or the novelty join whose index side
+    never shuffles; the one index-scale shuffle is the final upsert's
+    id partition (bucketed indexes use
+    :func:`~tmdb_index_spark.operators.upsert.update_or_append_join`
+    to avoid even that). The batch frame is pinned once
+    (``materialize``); stats consume only batch-sized frames.
+    """
+    from tmdb_index_spark.operators.dedup_text import minhash_novelty_pairs
+    from tmdb_index_spark.operators.upsert import update_or_append
+
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    b = pin_frame(
+        batch.withColumn("__h__", h), materialize, scratch_dir
+    )
+
+    # 1. exact within batch: lowest id per content hash
+    s1 = dedup_keep_first(b, keys=("__h__",), order=(F.col(id_col),))
+
+    # 2. exact vs index: content hash anti-join (index side projects to
+    # its distinct hash set — at scale a bloom-then-verify candidate)
+    idx_h = index.select(h.alias("__h__")).distinct()
+    s2 = pin_frame(
+        s1.join(idx_h, "__h__", "left_anti"), materialize, scratch_dir
+    )
+
+    # 3. near vs index: batch×index MinHash-LSH + exact-Jaccard verify
+    near = (
+        minhash_novelty_pairs(
+            index,
+            s2,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=jaccard_threshold,
+            broadcast_batch=broadcast_batch,
+        )
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    kept = pin_frame(
+        s2.join(near, id_col, "left_anti").drop("__h__"),
+        materialize,
+        scratch_dir,
+    )
+
+    # 4. fold the kept docs into the index (reference upsert semantics)
+    new_index = update_or_append(
+        index.withColumnRenamed(id_col, "id"),
+        kept.withColumnRenamed(id_col, "id"),
+    ).withColumnRenamed("id", id_col)
+
+    # per-source fate labels -> one yield row per source
+    f1 = s1.select(id_col).withColumn("__s1__", F.lit(1))
+    f2 = s2.select(id_col).withColumn("__s2__", F.lit(1))
+    f3 = kept.select(id_col).withColumn("__s3__", F.lit(1))
+    lab = (
+        b.select(id_col, source_col)
+        .join(f1, id_col, "left")
+        .join(f2, id_col, "left")
+        .join(f3, id_col, "left")
+    )
+    n = F.count(F.lit(1))
+    n_kept = F.sum(F.coalesce(F.col("__s3__"), F.lit(0)))
+    stats = lab.groupBy(source_col).agg(
+        n.cast("long").alias("n_batch"),
+        F.sum(F.when(F.col("__s1__").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_batch_dup"),
+        F.sum(
+            F.when(
+                F.col("__s1__").isNotNull() & F.col("__s2__").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_exact_index_dup"),
+        F.sum(
+            F.when(
+                F.col("__s2__").isNotNull() & F.col("__s3__").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_near_index_dup"),
+        n_kept.cast("long").alias("n_kept"),
+        F.round(n_kept.cast("double") / n.cast("double"), 4).alias(
+            "kept_rate"
+        ),
+    )
+    return {"new_index": new_index, "kept": kept, "stats": stats}
 
 
 def corpus_pipeline_stats(

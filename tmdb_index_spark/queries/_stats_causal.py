@@ -1067,30 +1067,17 @@ def adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (a naive ``row_number`` window partitioned by the ~20
     sources would sort data-proportional slices in single tasks), and
     the 20-row threshold frame broadcasts back for the keep count.
-    Score pieces mirror `_TEXT_QUALITY_SQL`'s recipe verbatim (the
-    tokenizer-drift lesson)."""
-    from tmdb_index_spark.functions.text import LANG_MARKERS, tokens
+    The score is :func:`~tmdb_index_spark.functions.text
+    .quality_micros` — the ONE shared Python source of the recipe the
+    corpus composite also calls (round-10 advisor: the previous
+    inlined copies could silently drift)."""
+    from tmdb_index_spark.functions.text import quality_micros
     from tmdb_index_spark.operators.ordering import grouped_rank
 
     docs = _t(spark, sf_dir, "documents")
-    c = F.coalesce(F.col("text"), F.lit(""))
-    t = tokens(c)
-    n_words = F.size(t)
-    n_chars = F.length(c)
-    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
-    n_stop = F.size(F.filter(t, lambda w: F.array_contains(stop, F.lower(w))))
-    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
-    score_q = (
-        F.floor(
-            F.lit(1e6) * n_stop.cast("double")
-            / F.greatest(n_words, F.lit(1)).cast("double")
-        )
-        - F.floor(
-            F.lit(1e6) * n_punct.cast("double")
-            / F.greatest(n_chars, F.lit(1)).cast("double")
-        )
-    ).cast("long")
-    scored = docs.select("doc_id", "source", score_q.alias("__q__"))
+    scored = docs.select(
+        "doc_id", "source", quality_micros("text").alias("__q__")
+    )
     ranked = grouped_rank(
         scored,
         "__q__",
@@ -1643,11 +1630,14 @@ caps AS (
   FROM wf, lev
 ),
 s7 AS (
+  -- exact cross-multiplied ppm keep rule (HUGEINT twin of the Spark
+  -- DECIMAL form): hash_ppm * avail < cap * 1e6 — no bigint quotient
+  -- to overflow at 100 TB caps
   SELECT s6.* FROM s6 JOIN caps c ON s6.source = c.source
-  WHERE ('0x' || substr(md5(CAST(s6.doc_id AS VARCHAR)), 1, 15))::BIGINT
-          % 1000000
-        < CASE WHEN c.avail = 0 THEN 1000000
-               ELSE (c.cap * 1000000) // c.avail END
+  WHERE c.avail = 0
+     OR CAST(('0x' || substr(md5(CAST(s6.doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 1000000 AS HUGEINT) * c.avail
+        < CAST(c.cap AS HUGEINT) * 1000000
 ),
 pk AS (
   SELECT source, doc_id % 8 AS shard, tok,

@@ -18,9 +18,22 @@ quadratically the way naive duplication would.
 
 Usage:
     PYTHONPATH=/root/repo python tools/make_scaled_sf.py \
-        [src_sf_dir] [dst_dir] [factor]
+        [src_sf_dir] [dst_dir] [factor] [emb_factor]
 
 Defaults: /root/testdata/sf0.1 -> /tmp/sf_scaled x10 (~sf1.0).
+
+``emb_factor`` (default = ``factor``) scales the embeddings table
+independently — the SemDeDup/ANN regime cliffs live at vector counts
+(1.28M for the k-means fit cap) far beyond where the text/fact tables
+are interesting. When ``emb_factor > factor`` the extra replicas get a
+per-replica cyclic COORDINATE ROLL (the embeddings analog of the
+documents Caesar rotation): a roll is a permutation, so norms and
+intra-replica similarity structure are preserved exactly while
+replicas decorrelate — sign-bit orthant occupancy measured ~uniform
+(max/mean ≈ 2.6 at 1000×14-bit) instead of the factor×-duplicate
+mega-cells verbatim replication would stack. Plain ``factor`` runs
+keep the historical as-is replication so older SCALE.md rows stay
+comparable; any ``emb_factor`` (even == factor) opts into rolls.
 """
 
 from __future__ import annotations
@@ -35,6 +48,7 @@ def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_scaled"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    emb_factor = int(sys.argv[4]) if len(sys.argv) > 4 else None
 
     from tmdb_index_spark.session import get_spark
 
@@ -105,13 +119,26 @@ def main() -> int:
         out = out.unionByName(b)
     out.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
 
-    # embeddings: id offset; vectors replicate as-is (cell populations
-    # grow factor×, the IVF stress case).
+    # embeddings: id offset; without emb_factor, vectors replicate
+    # as-is (cell populations grow factor×, the IVF stress case); with
+    # emb_factor, each replica's coordinates cyclically ROLL by rep%dim
+    # (norm- and structure-preserving decorrelation — see module doc).
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     max_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    if emb_factor is None:
+        ereps, rolled = reps, F.col("embedding")
+    else:
+        dim = len(emb.select("embedding").head()[0])
+        ereps = spark.range(emb_factor).select(F.col("id").alias("__rep__"))
+        shift = (F.col("__rep__") % dim).cast("int")
+        rolled = F.concat(
+            F.slice(F.col("embedding"), shift + 1, F.lit(dim) - shift),
+            F.slice(F.col("embedding"), 1, shift),
+        )
     (
-        emb.crossJoin(reps)
+        emb.crossJoin(ereps)
         .withColumn("vec_id", F.col("vec_id") + F.col("__rep__") * max_vec)
+        .withColumn("embedding", rolled)
         .drop("__rep__")
         .write.mode("overwrite")
         .parquet(f"{dst}/embeddings.parquet")
