@@ -278,7 +278,7 @@ def main() -> int:
         # corpus cache, ...) AND the whole SQL cache between passes so
         # no query is ever timed against its own still-warm state and
         # repeated passes don't accumulate storage.
-        release_pins()
+        release_pins(drop_all=True)
         spark.catalog.clearCache()
         this_pass: dict[str, float] = {}
         for name in names:

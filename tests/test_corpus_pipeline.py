@@ -154,7 +154,7 @@ def test_pin_frame_checkpoint_truncates_lineage(spark):
 # ------------------------------------------------ incremental ingest
 
 
-def _docs(spark, rows_):
+def _ing_docs(spark, rows_):
     return spark.createDataFrame(
         rows_, "doc_id long, text string, lang string, source string"
     )
@@ -172,14 +172,14 @@ def test_ingest_two_batches_dedups_against_prior_survivors(spark):
     )
     from tmdb_index_spark.operators.materialize import release_pins
 
-    index0 = _docs(
+    index0 = _ing_docs(
         spark,
         [
             (1, "fox quick brown fox quick brown", "en", "web"),
             (2, "totally unrelated reference corpus text", "en", "web"),
         ],
     )
-    batch1 = _docs(
+    batch1 = _ing_docs(
         spark,
         [
             # exact dup of index doc 1's text -> exact_index_dup
@@ -208,7 +208,7 @@ def test_ingest_two_batches_dedups_against_prior_survivors(spark):
         1, 2, 11,
     }
 
-    batch2 = _docs(
+    batch2 = _ing_docs(
         spark,
         [
             # exact dup of batch-1 SURVIVOR 11 -> exact_index_dup
@@ -247,8 +247,8 @@ def test_ingest_batch_validation_empty_batch(spark):
     )
     from tmdb_index_spark.operators.materialize import release_pins
 
-    index0 = _docs(spark, [(1, "some standing index text", "en", "web")])
-    empty = _docs(spark, [])
+    index0 = _ing_docs(spark, [(1, "some standing index text", "en", "web")])
+    empty = _ing_docs(spark, [])
     r = ingest_corpus_batch(index0, empty)
     assert r["stats"].count() == 0
     assert r["new_index"].count() == 1

@@ -58,3 +58,38 @@ def test_bloom_bitmap_rides_bounded_collect(spark):
     ).collect()
     got = {r["k"]: r["bloom_pass"] for r in flagged}
     assert got[7] is True  # member: never a false negative
+
+
+def test_release_pins_scoped_to_ledger(spark):
+    """Default release_pins frees EXACTLY the ledger's checkpoint RDD
+    blocks; a caller-owned localCheckpoint outside the ledger survives
+    (round-10 advisor: the sweep-everything default freed blocks with
+    no lineage left to recompute, so later use failed outright).
+    drop_all=True is the bench reset and sweeps the caller's too."""
+    from tmdb_index_spark.operators.materialize import (
+        pin_frame,
+        release_pins,
+    )
+
+    release_pins(drop_all=True)  # clean slate from other tests
+    sc = spark.sparkContext
+
+    mine = pin_frame(
+        spark.range(100).selectExpr("id", "id * 2 AS x"), "checkpoint"
+    )
+    assert mine.count() == 100  # materialize the ledger pin's blocks
+    caller = spark.range(50).selectExpr("id", "id * 3 AS y").localCheckpoint(
+        eager=True
+    )
+    assert caller.count() == 50
+    before = {int(k) for k in sc._jsc.getPersistentRDDs().keys()}
+    assert len(before) >= 2
+
+    release_pins()  # scoped: ledger only
+    after = {int(k) for k in sc._jsc.getPersistentRDDs().keys()}
+    assert len(after) == len(before) - 1
+    # the caller frame is still fully usable — its blocks were not freed
+    assert caller.count() == 50 and caller.agg({"y": "max"}).first()[0] == 147
+
+    release_pins(drop_all=True)  # the bench reset sweeps everything
+    assert len(sc._jsc.getPersistentRDDs()) == 0

@@ -124,7 +124,24 @@ def bounded_collect(df: DataFrame, bound: int, what: str) -> list:
     return rows
 
 
-def release_pins() -> int:
+def _checkpoint_rdd_id(df: DataFrame) -> int | None:
+    """The JVM RDD id behind a ``localCheckpoint``-pinned frame, or
+    None for non-checkpoint frames. A checkpointed Dataset's analyzed
+    plan is a ``LogicalRDD`` holding the exact internal RDD whose
+    blocks the checkpoint persisted — ``DataFrame.unpersist()`` cannot
+    reach it (it only clears the catalog cache entry), so scoped
+    release needs this id to free the blocks without sweeping
+    caller-owned persistence."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return None
+        return int(plan.rdd().id())
+    except Exception:  # plan shape drift / session gone — skip scoping
+        return None
+
+
+def release_pins(drop_all: bool = False) -> int:
     """Unpersist every frame pinned so far and delete local parquet
     scratch; returns the number of pins released. Call after the
     consumer of the pinned frames has fully materialized (collected /
@@ -134,18 +151,27 @@ def release_pins() -> int:
     the dropped blocks cannot be recomputed). Remote (``scheme://``)
     scratch dirs remain the caller's retention responsibility.
 
-    Also drops every still-persistent RDD via the JVM handle:
     ``DataFrame.unpersist()`` does NOT free ``localCheckpoint`` blocks
     (they belong to the checkpointed internal RDD, not the catalog
     cache), so checkpoint pins and the CC family's eager round
     checkpoints would otherwise accumulate until driver GC +
     ContextCleaner get around to them — two CC-family queries
     back-to-back at the 100× stress scale OOMed a 48 GB heap on
-    exactly those leftover blocks. This is the between-passes reset
-    (bench/stress call it next to ``spark.catalog.clearCache()``), so
-    dropping ALL persistent RDDs is its contract."""
+    exactly those leftover blocks. The default frees EXACTLY the
+    ledger's own checkpoint RDDs (ids read off each pinned frame's
+    ``LogicalRDD``) — persistence the CALLER created outside the
+    ledger survives, so a library call cannot yank a frame the caller
+    still needs (round-10 advisor: the previous sweep-everything
+    default broke caller-owned checkpoints outright, with no lineage
+    left to recompute them). ``drop_all=True`` is the bench/stress
+    between-passes reset: it additionally drops EVERY still-persistent
+    RDD in the session, callers' included."""
     n = len(_PINNED_FRAMES) + len(_SCRATCH_PATHS)
+    own_ids = set()
     for f in _PINNED_FRAMES:
+        rid = _checkpoint_rdd_id(f)
+        if rid is not None:
+            own_ids.add(rid)
         try:
             f.unpersist()
         except Exception:  # session already stopped — nothing to free
@@ -159,8 +185,9 @@ def release_pins() -> int:
         spark = SparkSession.getActiveSession()
         if spark is not None:
             jrdds = spark.sparkContext._jsc.getPersistentRDDs()
-            for jrdd in list(jrdds.values()):
-                jrdd.unpersist(False)
+            for rid, jrdd in list(jrdds.items()):
+                if drop_all or int(rid) in own_ids:
+                    jrdd.unpersist(False)
     except Exception:  # no active session / JVM gone — nothing to free
         pass
     return n

@@ -75,10 +75,14 @@ def main() -> int:
 
         stress_set = list(dict.fromkeys(BENCH_QUERIES + EXTENDED_QUERIES))
 
+    from tmdb_index_spark.operators.materialize import release_pins
+
     report: dict[str, dict[str, float]] = {}
     for name in stress_set:
+        release_pins(drop_all=True)
         spark.catalog.clearCache()
         t_small = _time(lambda: QUERIES[name](spark, small))
+        release_pins(drop_all=True)
         spark.catalog.clearCache()
         t_big = _time(lambda: QUERIES[name](spark, big))
         report[name] = {

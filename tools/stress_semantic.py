@@ -43,7 +43,7 @@ def _run(spark, sf_dir: str) -> tuple[float, int, str]:
         else ("two-level" if cells > SEMANTIC_TWO_LEVEL_CELLS else "flat")
     )
     spark.catalog.clearCache()
-    release_pins()
+    release_pins(drop_all=True)
     t0 = time.perf_counter()
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")  # the loud LSH switch, expected
