@@ -160,6 +160,8 @@ EXTENDED_QUERIES = [
     # round-10: k-round BPE merge trainer (chained-CTE static oracle)
     "bpe_merges_k",
     "bpe_encoded_fertility",
+    # round-11: PQ-code election payload for SemDeDup (SDC scoring)
+    "semantic_pq_dedup_flags",
     # round-6 late additions
     "dedup_segments_rebuild",
     "sliding_distinct_users",

@@ -136,6 +136,36 @@ def test_prepare_corpus_returns_survivor_frames(spark):
     assert not caps["sa"]["capped"]
 
 
+def test_prepare_corpus_pq_payload_matches_raw_on_exact_codes(spark):
+    """semantic_payload='pq': the election shuffle carries PQ codes
+    instead of vectors. On this corpus every embedding subvector is a
+    distinct codebook word (4 vectors, ks=16), so reconstruction is
+    exact and the per-stage yields must equal the raw payload's."""
+    raw = {
+        (r["stage"], r["docs_out"])
+        for r in corpus_pipeline_stats(
+            _docs(spark), _embeddings(spark)
+        ).collect()
+    }
+    pq = {
+        (r["stage"], r["docs_out"])
+        for r in corpus_pipeline_stats(
+            _docs(spark),
+            _embeddings(spark),
+            semantic_payload="pq",
+            pq_m=4,
+        ).collect()
+    }
+    assert pq == raw
+
+    import pytest
+
+    with pytest.raises(ValueError, match="semantic_payload"):
+        prepare_corpus(
+            _docs(spark), _embeddings(spark), semantic_payload="nope"
+        )
+
+
 def test_pin_frame_checkpoint_truncates_lineage(spark):
     from tmdb_index_spark.operators.materialize import pin_frame, release_pins
 

@@ -1,0 +1,128 @@
+"""Tests for the PQ-code election payload of SemDeDup
+(semantic_dedup_pq / semantic_elect_codes): flag parity with the raw
+election under exact reconstruction, duplicate-code collapse, and the
+codes-only shuffle payload claim."""
+
+from __future__ import annotations
+
+import pytest
+
+from tmdb_index_spark.operators.similarity import (
+    fit_pq,
+    pq_encode,
+    semantic_assign,
+    semantic_dedup,
+    semantic_dedup_pq,
+    semantic_elect,
+    semantic_elect_codes,
+)
+
+# d=8, m=4 (sub=2): every subspace slice is drawn from <= 4 distinct
+# 2-d subvectors, all with exactly-representable power-of-two
+# components, so (a) fit_pq's ks=16 codebooks cover every distinct
+# subvector -> reconstruction is EXACT, and (b) every dot/sum is exact
+# in float64 -> no ULP risk at the ROUND(...,4) boundary: the PQ
+# election must equal the raw election bit-for-bit.
+_SUBS = [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5], [0.25, 1.0]]
+
+
+def _corpus(spark, n=40):
+    rows = []
+    for i in range(n):
+        v = []
+        for j in range(4):
+            v.extend(_SUBS[(i * (j + 1) + i // 7) % 4])
+        rows.append((i, [float(x) for x in v]))
+    # exact duplicates to force real drops
+    rows.append((n, rows[0][1]))
+    rows.append((n + 1, rows[3][1]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_pq_election_matches_raw_under_exact_reconstruction(spark):
+    emb = _corpus(spark)
+    raw = {
+        (r["vec_id"], r["cell"], r["keep"])
+        for r in semantic_dedup(emb, threshold=0.9, cells=3).collect()
+    }
+    pq = {
+        (r["vec_id"], r["cell"], r["keep"])
+        for r in semantic_dedup_pq(emb, threshold=0.9, cells=3, m=4).collect()
+    }
+    assert pq == raw and len(pq) == emb.count()
+    assert any(not k for _, _, k in pq)  # the threshold really drops
+
+
+def test_elect_codes_contract_recomputed_independently(spark):
+    """Recompute the SDC election from reconstructed vectors in numpy
+    and compare the flag set."""
+    import numpy as np
+
+    emb = _corpus(spark)
+    assigned = semantic_assign(emb, 3, emb.count())
+    books = fit_pq(emb, m=4, ks=16)
+    coded = pq_encode(assigned, books, "vec_id", "embedding").select(
+        "vec_id", "cell", "codes"
+    )
+    got = {
+        (r["vec_id"], r["keep"])
+        for r in semantic_elect_codes(coded, 0.9, books).collect()
+    }
+
+    CB = np.array(
+        [[cv for _, cv in sorted(b, key=lambda t: t[0])] for b in books],
+        dtype="float64",
+    )
+    rows = coded.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    cells = {r["vec_id"]: r["cell"] for r in rows}
+    R = np.stack(
+        [
+            np.concatenate([CB[j][r["codes"][j]] for j in range(4)])
+            for r in rows
+        ]
+    )
+    nrm = np.sqrt((R * R).sum(axis=1))
+    S = np.round((R @ R.T) / np.outer(nrm, nrm), 4)
+    expect = set()
+    for b in range(len(ids)):
+        drop = any(
+            ids[a] < ids[b]
+            and cells[int(ids[a])] == cells[int(ids[b])]
+            and S[a, b] >= 0.9
+            for a in range(len(ids))
+        )
+        expect.add((int(ids[b]), not drop))
+    assert got == expect
+
+
+def test_duplicate_vectors_share_code_and_collapse(spark):
+    """Exact duplicates quantize to the same code word, score SDC
+    cosine 1.0, and the higher id drops even at threshold 1.0."""
+    emb = _corpus(spark, n=12)  # ids 12, 13 duplicate ids 0, 3
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup_pq(emb, threshold=1.0, cells=1, m=4).collect()
+    }
+    assert out[12] is False and out[13] is False
+    assert out[0] is True and out[3] is True
+
+
+def test_pq_shuffle_payload_is_codes_only(spark):
+    """The raw embedding column must NOT cross the per-cell election
+    shuffle: above the pq_encode MapInPandas node the plan carries only
+    (vec_id, cell, codes)."""
+    emb = _corpus(spark)
+    out = semantic_dedup_pq(emb, threshold=0.9, cells=3, m=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    head, _, _ = plan.partition("MapInPandas")
+    assert "FlatMapGroupsInPandas" in head and "Exchange" in head
+    assert "embedding" not in head
+
+
+def test_semantic_dedup_pq_validation(spark):
+    emb = _corpus(spark)
+    with pytest.raises(ValueError, match="subspaces"):
+        semantic_dedup_pq(emb, cells=2, m=3)  # 8 % 3 != 0

@@ -85,8 +85,12 @@ from tmdb_index_spark.operators.sampling import waterfill_allocation
 from tmdb_index_spark.operators.similarity import (
     IVF_BLAS_ASSIGN_THRESHOLD,
     fit_centroids,
+    fit_pq,
+    ivf_assign,
+    pq_encode,
     semantic_cells,
     semantic_dedup_with_centroids,
+    semantic_elect_codes,
 )
 
 __all__ = [
@@ -129,12 +133,26 @@ def prepare_corpus(
     shards: int = 8,
     materialize: str = "checkpoint",
     scratch_dir: str | None = None,
+    semantic_payload: str = "raw",
+    pq_m: int = 8,
+    pq_ks: int = 16,
 ) -> dict:
     """Run the full corpus-prep chain; returns ``{"stages": [(name,
     survivor_frame), ...], "packed": packed_frame, "caps":
     allocation_frame}``. Stage frames are pinned; call
     :func:`~tmdb_index_spark.operators.materialize.release_pins` after
-    the consumer materializes."""
+    the consumer materializes.
+
+    ``semantic_payload`` picks what the SemDeDup stage ships through
+    its per-cell shuffle: ``"raw"`` (default — the certified
+    oracle-mirrored election over full vectors) or ``"pq"`` (each
+    survivor embedding is product-quantized map-side and only the
+    8-int code word crosses the shuffle — ~16× smaller at d=64
+    float64; election scores pairs from codes alone via
+    :func:`~tmdb_index_spark.operators.similarity
+    .semantic_elect_codes`, the FAISS memory story for the 100 TB
+    composite). The PQ codebooks ride the same bounded deterministic
+    sample as the cell fit."""
     emb_id, emb_vec = "vec_id", "embedding"
 
     base = pin_frame(
@@ -201,21 +219,42 @@ def prepare_corpus(
 
     # 5. SemDeDup over survivors' embeddings; docs without one survive
     # (occupancy-constant cell count — the semantic_dedup rule)
+    if semantic_payload not in ("raw", "pq"):
+        raise ValueError(
+            f"semantic_payload must be 'raw' or 'pq', got "
+            f"{semantic_payload!r}"
+        )
     n_emb = embeddings.count()
     cents = fit_centroids(embeddings, semantic_cells(n_emb), emb_id, emb_vec)
     surv_emb = embeddings.join(
         s4.select(F.col(id_col).alias(emb_id)), emb_id
     )
-    flags = semantic_dedup_with_centroids(
-        surv_emb,
-        cents,
-        semantic_threshold,
-        id_col=emb_id,
-        vec_col=emb_vec,
-        assign_impl=(
-            "pandas" if n_emb >= IVF_BLAS_ASSIGN_THRESHOLD else "expr"
-        ),
-    )
+    assign_impl = "pandas" if n_emb >= IVF_BLAS_ASSIGN_THRESHOLD else "expr"
+    if semantic_payload == "pq":
+        # codebooks fit on the FULL embeddings table (like the cells:
+        # corpus-level structure, independent of upstream filters);
+        # only (id, cell, codes) crosses the per-cell shuffle
+        books = fit_pq(
+            embeddings, m=pq_m, ks=pq_ks, id_col=emb_id, vec_col=emb_vec
+        )
+        assigned = ivf_assign(
+            surv_emb, cents, emb_id, emb_vec, impl=assign_impl
+        )
+        coded = pq_encode(assigned, books, emb_id, emb_vec).select(
+            emb_id, "cell", "codes"
+        )
+        flags = semantic_elect_codes(
+            coded, semantic_threshold, books, id_col=emb_id
+        )
+    else:
+        flags = semantic_dedup_with_centroids(
+            surv_emb,
+            cents,
+            semantic_threshold,
+            id_col=emb_id,
+            vec_col=emb_vec,
+            assign_impl=assign_impl,
+        )
     sem_drop = flags.filter(~F.col("keep")).select(
         F.col(emb_id).alias(id_col)
     )

@@ -1552,11 +1552,45 @@ def semantic_dedup(
     ``embedding_ivf_tuned_topk`` pattern; in the LSH regime the cell
     id is itself a column expression any engine reproduces.
     """
-    import math
-
     n = n_estimate if n_estimate is not None else corpus.count()
     if cells is None:
         cells = semantic_cells(n)
+    assigned = semantic_assign(
+        corpus,
+        cells,
+        n,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_sample=max_sample,
+        seed=seed,
+        two_level_cells=two_level_cells,
+        probe_coarse=probe_coarse,
+        dim=dim,
+    )
+    return semantic_elect(
+        assigned, threshold, id_col=id_col, vec_col=vec_col, impl=impl
+    )
+
+
+def semantic_assign(
+    corpus: DataFrame,
+    cells: int,
+    n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_sample: int = 10_000,
+    seed: int = 13,
+    two_level_cells: int = SEMANTIC_TWO_LEVEL_CELLS,
+    probe_coarse: int = 1,
+    dim: int | None = None,
+) -> DataFrame:
+    """The regime-routing CELL ASSIGNMENT stage of :func:`semantic_dedup`
+    (see its docstring for the three regimes and why), factored out so
+    every SemDeDup election flavor — raw-vector :func:`semantic_elect`
+    and code-payload :func:`semantic_elect_codes` — shares the exact
+    same assignment policy. Returns ``(id_col, vec_col, cell)``."""
+    import math
+
     if cells > max_sample:
         import warnings
 
@@ -1572,11 +1606,10 @@ def semantic_dedup(
             "sign orthants; raise max_sample to stay on k-means cells.",
             stacklevel=2,
         )
-        assigned = signbit_buckets(
-            corpus, bits, id_col, vec_col
-        ).withColumnRenamed("bucket", "cell")
-        return semantic_elect(
-            assigned, threshold, id_col=id_col, vec_col=vec_col, impl=impl
+        return (
+            signbit_buckets(corpus, bits, id_col, vec_col)
+            .withColumnRenamed("bucket", "cell")
+            .select(id_col, vec_col, "cell")
         )
     if cells > two_level_cells:
         coarse = max(1, math.isqrt(cells))
@@ -1584,26 +1617,17 @@ def semantic_dedup(
             corpus, cells, coarse, id_col, vec_col,
             max_sample=max_sample, seed=seed,
         )
-        assigned = two_level_ivf_assign(
+        return two_level_ivf_assign(
             corpus, coarse_c, fine_c, f2c, id_col, vec_col,
             probe_coarse=probe_coarse,
         ).select(id_col, vec_col, "cell")
-        return semantic_elect(
-            assigned, threshold, id_col=id_col, vec_col=vec_col, impl=impl
-        )
     centroids = fit_centroids(
         corpus, cells, id_col, vec_col, max_sample=max_sample, seed=seed
     )
     assign_impl = "pandas" if n >= IVF_BLAS_ASSIGN_THRESHOLD else "expr"
-    return semantic_dedup_with_centroids(
-        corpus,
-        centroids,
-        threshold,
-        id_col=id_col,
-        vec_col=vec_col,
-        impl=impl,
-        assign_impl=assign_impl,
-    )
+    return ivf_assign(
+        corpus, centroids, id_col, vec_col, impl=assign_impl
+    ).select(id_col, vec_col, "cell")
 
 
 def semantic_dedup_with_centroids(
@@ -2074,6 +2098,152 @@ def pq_encode(
             yield out
 
     return df.select(*cols).mapInPandas(run, out_schema)
+
+
+def fit_pq(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 13,
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic sampled PQ codebook fit — :func:`fit_centroids`'
+    bounded-sample recipe (first ``max_sample`` rows by id, one
+    driver-side collect) feeding :func:`fit_pq_array`, so the fit is a
+    pure function of (sample bytes, m, ks, iters, seed) and an external
+    oracle builder reproduces the exact codebooks from the same parquet
+    sample."""
+    import numpy as np
+
+    from tmdb_index_spark.operators.materialize import bounded_collect
+
+    rows = bounded_collect(
+        df.select(id_col, vec_col).orderBy(id_col).limit(max_sample),
+        max_sample,
+        "PQ codebook fit sample",
+    )
+    X = np.array([list(r[1]) for r in rows], dtype="float64")
+    if len(X) == 0:
+        raise ValueError("fit_pq needs a non-empty corpus")
+    return fit_pq_array(X, m=m, ks=ks, iters=iters, seed=seed)
+
+
+def semantic_elect_codes(
+    coded: DataFrame,
+    threshold: float,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    code_col: str = "codes",
+) -> DataFrame:
+    """:func:`semantic_elect` reading candidate vectors from PQ CODES
+    only — symmetric distance computation (SDC, Jégou et al. 2011 §4):
+    ``sim(a, b) = Σ_j D_j[code_j(a), code_j(b)] / (‖â‖·‖b̂‖)`` where
+    ``D_j = CB_j·CB_jᵀ`` is the per-subspace centroid dot-product
+    table and ``â`` the reconstruction — every pairwise score is m
+    table lookups instead of d multiplies, and the frame crossing the
+    per-cell shuffle carries ``(id, cell, codes)`` — m small ints —
+    instead of the d-float vector (~16× smaller at d=64 float64,
+    m=8; the FAISS memory story for dedup at 100 TB). Input rows:
+    ``(id_col, cell, code_col)`` from :func:`pq_encode`. Flag
+    semantics are identical to :func:`semantic_elect` up to
+    quantization error: ``keep = false`` iff a smaller-id cell-mate's
+    SDC cosine (rounded to 4 decimals — the family ULP contract)
+    ``≥ threshold``; exact-duplicate vectors share a code word, score
+    1.0, and always collapse. When the codebooks reconstruct the
+    corpus exactly (every subvector is a codebook word, ``ks`` ≥
+    distinct subvectors), the flag set EQUALS the raw election's —
+    pinned by test."""
+    import pandas as pd
+
+    CB, cb_n2 = _codebook_arrays(codebooks)
+    m, ks, sub = CB.shape
+    # (m, ks, ks) SDC lookup tables + per-(sub, code) squared norms —
+    # the only non-code state the election needs; broadcast in-closure.
+    D = CB @ CB.transpose(0, 2, 1)
+
+    def elect(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ids = pdf[id_col].to_numpy(dtype="int64")
+        order = np.argsort(ids)
+        ids = ids[order]
+        C = np.stack(pdf[code_col].to_numpy()[order]).astype("int64")
+        # adot[a, b] = Σ_j D_j[C[a, j], C[b, j]] — m lookups per pair
+        n = len(ids)
+        adot = np.zeros((n, n), dtype="float64")
+        for j in range(m):
+            adot += D[j][C[:, j]][:, C[:, j]]
+        nrm = np.sqrt(cb_n2[np.arange(m)[None, :], C].sum(axis=1))
+        sims = np.round(adot / np.outer(nrm, nrm), 4)
+        smaller = ids[:, None] < ids[None, :]
+        dropped = ((sims >= threshold) & smaller).any(axis=0)
+        return pd.DataFrame(
+            {id_col: ids, "cell": pdf["cell"].iloc[0], "keep": ~dropped}
+        )
+
+    return (
+        coded.select(F.col(id_col), F.col("cell"), F.col(code_col))
+        .groupBy("cell")
+        .applyInPandas(elect, f"{id_col} long, cell long, keep boolean")
+    )
+
+
+def semantic_dedup_pq(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    cells: int | None = None,
+    n_estimate: int | None = None,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_sample: int = 10_000,
+    seed: int = 13,
+    two_level_cells: int = SEMANTIC_TWO_LEVEL_CELLS,
+    probe_coarse: int = 1,
+) -> DataFrame:
+    """:func:`semantic_dedup` with a PRODUCT-QUANTIZED election
+    payload: the same regime-routed cell assignment
+    (:func:`semantic_assign` — occupancy-constant ``cells = N/128``),
+    then each vector is PQ-encoded map-side (:func:`pq_encode`) and
+    the raw vector column is DROPPED before the per-cell shuffle, so
+    the only embedding bytes crossing the wire are the m-int code
+    words (~16× smaller than d=64 float64) and the election scores
+    pairs from the codes alone (:func:`semantic_elect_codes`). Both
+    fits ride the one bounded sample recipe, so a SQL oracle
+    reproduces centroids AND codebooks as literals — the
+    ``embedding_pq_topk`` fitted-literal pattern. The trade is
+    quantization error in the similarity (the SemDeDup paper's own
+    production setting tolerates approximate sims — the cells are
+    already approximate); the raw-payload twin is the exactness
+    referent."""
+    n = n_estimate if n_estimate is not None else corpus.count()
+    if cells is None:
+        cells = semantic_cells(n)
+    assigned = semantic_assign(
+        corpus,
+        cells,
+        n,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_sample=max_sample,
+        seed=seed,
+        two_level_cells=two_level_cells,
+        probe_coarse=probe_coarse,
+    )
+    books = fit_pq(
+        corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
+        max_sample=max_sample, seed=seed,
+    )
+    coded = pq_encode(assigned, books, id_col, vec_col).select(
+        id_col, "cell", "codes"
+    )
+    return semantic_elect_codes(
+        coded, threshold, books, id_col=id_col
+    )
 
 
 def ivfpq_topk(

@@ -1022,6 +1022,148 @@ FROM assigned
 """
 
 
+def semantic_pq_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup flags with a PRODUCT-QUANTIZED election payload
+    (extension: the FAISS memory story applied to dedup — Jégou et
+    al. 2011 SDC scoring inside Abbas et al. 2023 SemDeDup cells):
+    same occupancy-constant cell assignment as
+    ``semantic_dedup_flags``, but each vector crosses the per-cell
+    shuffle as its 8-subspace × 16-code PQ code word (~16× smaller
+    than the raw 64-dim float64 payload) and within-cell cosines are
+    read from the codes alone via per-subspace dot-product lookup
+    tables (:func:`~tmdb_index_spark.operators.similarity
+    .semantic_dedup_pq`). Election rule unchanged: drop iff a
+    smaller-id cell-mate's (rounded) SDC cosine ≥ 0.4. Both the
+    k-means cells and the per-subspace codebooks are deterministic
+    functions of the one bounded sample, so the oracle re-runs both
+    fits and embeds them as SQL literals
+    (:func:`_fitted_semantic_pq_oracle_sql`) — a FULL value row; the
+    raw-payload twin ``semantic_dedup_flags`` is the exactness
+    referent."""
+    from tmdb_index_spark.operators.similarity import semantic_dedup_pq
+
+    return semantic_dedup_pq(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def _fitted_semantic_pq_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    """Value-row oracle for ``semantic_pq_dedup_flags``: reproduce the
+    centroid AND per-subspace codebook fits outside Spark (same
+    parquet sample, same numpy cores, same seeds — the
+    :func:`_fitted_pq_oracle_sql` recipe), embed both as literals,
+    and express assignment, per-subspace code argmin (the
+    (dist, code) tie-break), and the SDC election — pairwise
+    sub-dots come from a codebook×codebook join so every similarity
+    is m lookups, exactly the engine's shape — in plain SQL."""
+    m, ks, threshold = 8, 16, 0.4
+    try:
+        import duckdb
+        import numpy as np
+
+        from tmdb_index_spark.operators.similarity import (
+            fit_kmeans_array,
+            fit_pq_array,
+            semantic_cells,
+        )
+
+        con = duckdb.connect()
+        path = f"{sf_dir}/embeddings.parquet"
+        n = con.sql(f"SELECT COUNT(*) FROM '{path}'").fetchone()[0]
+        if not n:
+            return None
+        sample = con.sql(
+            f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT 10000"
+        ).fetchall()
+        X = np.array([list(r[0]) for r in sample], dtype="float64")
+        # occupancy-constant cells — the operator's own semantic_cells
+        # rule, shared so the engines cannot disagree on the fit's k
+        cents = fit_kmeans_array(X, semantic_cells(n))
+        books = fit_pq_array(X, m=m, ks=ks)
+    except Exception:  # noqa: BLE001 — missing table → rows-only row
+        return None
+    dim = X.shape[1]
+    sub = dim // m
+    cent_values = ",\n    ".join(
+        "({}, [{}])".format(cid, ", ".join(repr(float(x)) for x in vec))
+        for cid, vec in cents
+    )
+    cb_values = ",\n    ".join(
+        "({}, {}, [{}])".format(
+            j, code, ", ".join(repr(float(x)) for x in vec)
+        )
+        for j, book in enumerate(books)
+        for code, vec in book
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT * FROM (VALUES
+    {cent_values}
+) AS t(cell, cv)),
+d AS (
+  SELECT vec_id, v, cell,
+         list_sum(list_transform(generate_series(1, {dim}),
+           i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS dist
+  FROM v CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, v, CAST(cell AS BIGINT) AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist ASC, cell ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+cb AS (SELECT * FROM (VALUES
+    {cb_values}
+) AS t(sub, code, cbv)),
+cdist AS (
+  SELECT a.vec_id, cb.sub, cb.code,
+         list_sum(list_transform(generate_series(1, {sub}),
+           i -> (a.v[cb.sub * {sub} + i] - cb.cbv[i])
+              * (a.v[cb.sub * {sub} + i] - cb.cbv[i]))) AS dist
+  FROM assigned a CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dist ASC, code ASC) AS rn
+    FROM cdist
+  ) WHERE rn = 1
+),
+pd AS (
+  SELECT a.sub, a.code AS ca, b.code AS cb2,
+         list_sum(list_transform(generate_series(1, {sub}),
+           i -> a.cbv[i] * b.cbv[i])) AS dot
+  FROM cb a JOIN cb b ON a.sub = b.sub
+),
+cbn AS (SELECT sub, code,
+               list_sum(list_transform(cbv, x -> x * x)) AS n2 FROM cb),
+nrm AS (
+  SELECT c.vec_id, SQRT(SUM(n.n2)) AS nrm
+  FROM codes c JOIN cbn n ON n.sub = c.sub AND n.code = c.code
+  GROUP BY 1
+),
+adot AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(p.dot) AS adot
+  FROM assigned a
+  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN codes ca ON ca.vec_id = a.vec_id
+  JOIN codes cb2 ON cb2.vec_id = b.vec_id AND cb2.sub = ca.sub
+  JOIN pd p ON p.sub = ca.sub AND p.ca = ca.code AND p.cb2 = cb2.code
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT d.id_b AS vec_id
+  FROM adot d
+  JOIN nrm na ON na.vec_id = d.id_a
+  JOIN nrm nb ON nb.vec_id = d.id_b
+  WHERE ROUND(d.adot / (na.nrm * nb.nrm), 4) >= {threshold}
+)
+SELECT vec_id, cell, (vec_id NOT IN (SELECT vec_id FROM dropped)) AS keep
+FROM assigned
+"""
+
+
 def embedding_pca_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA dimensionality reduction over the embedding corpus
     (extension: the embedding-space diagnostic a training pipeline runs
