@@ -63,7 +63,15 @@ def main() -> int:
     # every registered catalog query instead.
     import os
 
-    if os.environ.get("SPARK_GRAFT_STRESS_SET") == "full":
+    explicit = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
+    if explicit:
+        # explicit comma-list: the per-round targeted slices (e.g. the
+        # round-11 next-tier 100x sweep) name their set directly
+        stress_set = [q.strip() for q in explicit.split(",") if q.strip()]
+        unknown = [q for q in stress_set if q not in QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown stress queries: {unknown}")
+    elif os.environ.get("SPARK_GRAFT_STRESS_SET") == "full":
         stress_set = list(QUERIES)
     else:
         # Derived from bench's own lists (ADVICE r6: a hand-maintained
@@ -91,6 +99,14 @@ def main() -> int:
             "ratio": round(t_big / max(t_small, 1e-9), 1),
         }
         print(f"{name}: {t_small}s -> {t_big}s (x{report[name]['ratio']})")
+
+    if os.environ.get("SPARK_GRAFT_STRESS_LEVERS") == "0":
+        totals = {
+            "small_total": round(sum(r["small_sec"] for r in report.values() if "small_sec" in r), 2),
+            "big_total": round(sum(r["big_sec"] for r in report.values() if "big_sec" in r), 2),
+        }
+        print(json.dumps({"factor": factor, **totals, "queries": report}))
+        return 0
 
     # IVF scale lever: the catalog query keeps its FIXED pinned cells
     # (the documented failure mode — within-cell work quadratic in N);
