@@ -162,6 +162,12 @@ EXTENDED_QUERIES = [
     "bpe_encoded_fertility",
     # round-11: PQ-code election payload for SemDeDup (SDC scoring)
     "semantic_pq_dedup_flags",
+    # round-11: ExactSubstr maximal duplicated-span extraction
+    "exact_substr_spans",
+    # round-11: temperature-scaled mixture allocation with epoch caps
+    "temperature_mixture_allocation",
+    # round-11: self-tuned twin of the join-shaped LSH scale exhibit
+    "embedding_knn_join_tuned",
     # round-6 late additions
     "dedup_segments_rebuild",
     "sliding_distinct_users",

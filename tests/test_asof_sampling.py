@@ -420,3 +420,86 @@ def test_waterfill_even_split_no_caps(spark):
     assert all(v["allocation"] == 5.0 for v in got.values())
     assert all(v["water_level"] == 5.0 for v in got.values())
     assert not any(v["capped"] for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# temperature_allocation
+# ---------------------------------------------------------------------------
+
+
+def _ta(spark, avails, budget, temperature=2.0, epoch_cap=4):
+    from tmdb_index_spark.operators.sampling import temperature_allocation
+
+    rows = [(f"s{i}", a, budget) for i, a in enumerate(avails)]
+    df = spark.createDataFrame(
+        rows, "source string, avail long, __budget__ long"
+    )
+    return {
+        r["source"]: r.asDict()
+        for r in temperature_allocation(
+            df, "avail", temperature=temperature, epoch_cap=epoch_cap
+        ).collect()
+    }
+
+
+def test_temperature_proportional_when_uncapped(spark):
+    # T=1 -> weights are the availabilities themselves; a roomy epoch
+    # cap never binds, so shares are exactly proportional
+    got = _ta(spark, [1, 3], 2, temperature=1.0, epoch_cap=10)
+    assert got["s0"]["allocation"] == 0.5
+    assert got["s1"]["allocation"] == 1.5
+    assert not got["s0"]["capped"] and not got["s1"]["capped"]
+
+
+def test_temperature_hand_computed_pivot(spark):
+    # A=[100, 400, 2500], T=2 -> sqrt weights 10:20:50 (micros),
+    # epoch_cap=1 -> caps = avails, B=1000. Ratio-sorted s0, s1, s2:
+    # s0 fails (scale 1000/80 = 12.5 > r=10) -> capped at 100; pivot
+    # at s1 with scale 900/70 -> shares 900*(20/70), 900*(50/70).
+    got = _ta(spark, [100, 400, 2500], 1000, temperature=2.0, epoch_cap=1)
+    s = 900.0 / 70_000_000.0
+    assert got["s0"]["allocation"] == 100.0 and got["s0"]["capped"]
+    assert got["s1"]["allocation"] == round(s * 20_000_000, 4)
+    assert got["s2"]["allocation"] == round(s * 50_000_000, 4)
+    assert not got["s1"]["capped"] and not got["s2"]["capped"]
+    total = sum(v["allocation"] for v in got.values())
+    assert abs(total - 1000.0) < 1e-3
+
+
+def test_temperature_budget_exceeds_caps_and_zero_avail(spark):
+    got = _ta(spark, [10, 20, 0], 1000, temperature=2.0, epoch_cap=2)
+    assert got["s0"]["allocation"] == 20.0 and got["s0"]["capped"]
+    assert got["s1"]["allocation"] == 40.0 and got["s1"]["capped"]
+    assert got["s0"]["scale"] is None
+    assert got["s2"]["allocation"] == 0.0 and got["s2"]["capped"]
+    assert got["s2"]["avail_tokens"] == 0
+
+
+def test_temperature_unimax_is_waterfill_over_caps(spark):
+    # UniMax's own allocator is uniform refill over epoch caps: at a
+    # huge T the proportional rule degenerates toward uniform — pin the
+    # exact equivalence instead via waterfill(avail=cap).
+    from tmdb_index_spark.operators.sampling import waterfill_allocation
+
+    rows = [("a", 6, 10), ("b", 40, 10), ("c", 80, 10)]
+    df = spark.createDataFrame(
+        rows, "source string, avail long, __budget__ long"
+    )
+    capped = df.selectExpr(
+        "source", "avail * 2 AS avail", "__budget__"
+    )
+    wf = {
+        r["source"]: r["allocation"]
+        for r in waterfill_allocation(capped, "avail").collect()
+    }
+    # 3 groups, caps [12, 80, 160], B=10 -> nobody caps, level 10/3
+    assert all(abs(v - 10.0 / 3) < 1e-3 for v in wf.values())
+
+
+def test_temperature_validation(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="power of two"):
+        _ta(spark, [1, 2], 1, temperature=3.0)
+    with pytest.raises(ValueError, match="epoch_cap"):
+        _ta(spark, [1, 2], 1, epoch_cap=0)

@@ -752,3 +752,46 @@ def test_bpe_encode_validation_and_prefix_boundary(spark):
     # [x, th] — the (x,t) merge must NOT fire inside [x, th]
     out = bpe_encode(docs, [("t", "h"), ("x", "t")]).collect()
     assert list(out[0]["bpe_tokens"]) == ["x", "th"]
+
+
+def _span_docs(spark):
+    rows_ = [
+        (1, "a b c d e f"),            # exact dup of doc 2
+        (2, "a b c d e f"),            # -> one maximal span [0, 6)
+        (3, "q w a b c z1 z2"),        # shares 'a b c' at pos 2
+        (4, "m n o p m n o p"),        # WITHIN-doc repeat -> [0, 8)
+        (5, "a b c w1 w2 w3 w4 a b c"),  # two spans with a gap
+        (6, "x"),                      # < k tokens: no grams
+        (7, "u1 u2 u3 u4 u5"),         # no duplicated grams
+    ]
+    return spark.createDataFrame(rows_, "doc_id long, text string")
+
+
+def test_duplicated_span_ranges_merges_maximal_intervals(spark):
+    from tmdb_index_spark.operators.llm_prep import duplicated_span_ranges
+
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicated_span_ranges(_span_docs(spark), k=3).collect()
+    }
+    assert spans == {
+        (1, 0, 6, 6),   # every position duplicated by doc 2 -> merged
+        (2, 0, 6, 6),
+        (3, 2, 5, 3),   # the shared 'a b c' window only
+        (4, 0, 8, 8),   # within-doc repeat; adjacent windows merge
+        (5, 0, 3, 3),   # two islands separated by unique tokens
+        (5, 7, 10, 3),
+    }
+
+
+def test_duplicated_span_ranges_validation(spark):
+    from tmdb_index_spark.operators.llm_prep import duplicated_span_ranges
+
+    docs = _span_docs(spark)
+    with pytest.raises(ValueError, match="k must"):
+        duplicated_span_ranges(docs, k=0)
+    with pytest.raises(ValueError, match="min_count"):
+        duplicated_span_ranges(docs, min_count=1)
+    # min_count above every multiplicity ('a b c' occurs 5 times
+    # corpus-wide, everything else at most twice) -> no spans at all
+    assert duplicated_span_ranges(docs, k=3, min_count=6).count() == 0

@@ -613,6 +613,100 @@ def remove_duplicate_segments(
     )
 
 
+def duplicated_span_ranges(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """MAXIMAL duplicated-substring spans per document — the
+    ExactSubstr shape of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499): a position is
+    duplicated iff the ``k``-token window starting there occurs at
+    least ``min_count`` times anywhere in the corpus (another doc OR
+    another position of the same doc — the paper's definition), and
+    overlapping/adjacent duplicated windows merge into one maximal
+    span, the contiguous range an ExactSubstr cleaner would actually
+    cut. This is the positional complement of
+    :func:`dup_span_fraction` (a per-doc scalar signal over DISTINCT
+    spans) and :func:`remove_duplicate_segments` (fixed
+    non-overlapping segments): here the output is the merged
+    ``[start, end)`` token ranges themselves.
+
+    Plan shape: positional ``k``-grams are one Generate per doc
+    (n - k + 1 rows, each an O(k) hash of the window — linear in
+    corpus tokens); occurrence counts are a ``groupBy`` on the 60-bit
+    hash (partial-aggregated map-side, the Zipf head collapses before
+    the shuffle); the join back is on the same hash key; interval
+    merging is the gaps-and-islands window — running
+    ``max(pos + k)`` over earlier rows, island break where the
+    current window starts past it — PARTITIONED BY DOC, so the frame
+    is bounded by document length, never corpus length. Two narrow
+    shuffles + one per-doc window; nothing quadratic. Tokens are
+    whitespace tokens (``split(trim(text))``) and window identity is
+    ``portable_hash60`` of the space-joined window, so a DuckDB
+    oracle reproduces the span set bit-for-bit.
+
+    Returns one row per maximal span: ``(id_col, span_start,
+    span_end, span_tokens)`` with token positions 0-based and ``end``
+    exclusive. Docs with fewer than ``k`` tokens (or none duplicated)
+    emit no rows — the per-doc rollup with kept zero-rows belongs to
+    the caller (see the ``exact_substr_spans`` catalog query).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    txt = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    t = F.when(txt == "", F.array().cast("array<string>")).otherwise(
+        F.split(txt, r"\s+")
+    )
+    n = F.size(t)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: portable_hash60(
+                F.concat_ws(" ", F.slice(t, i + 1, k))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    pos = df.select(
+        F.col(id_col), F.posexplode(grams).alias("__pos__", "__h__")
+    )
+    cnt = pos.groupBy("__h__").agg(F.count(F.lit(1)).alias("__c__"))
+    dup = (
+        pos.join(cnt, "__h__")
+        .filter(F.col("__c__") >= min_count)
+        .select(id_col, "__pos__")
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos__")
+    prev_end = F.max(F.col("__pos__") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.withColumn(
+        "__brk__",
+        F.when(
+            prev_end.isNull() | (F.col("__pos__") > prev_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "__g__",
+        F.sum("__brk__").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return marked.groupBy(id_col, "__g__").agg(
+        F.min("__pos__").cast("long").alias("span_start"),
+        (F.max("__pos__") + k).cast("long").alias("span_end"),
+        (F.max("__pos__") + k - F.min("__pos__"))
+        .cast("long")
+        .alias("span_tokens"),
+    ).drop("__g__")
+
+
 def bpe_adjacent_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -29,6 +29,7 @@ __all__ = [
     "negative_pairs",
     "nucleus_filter",
     "waterfill_allocation",
+    "temperature_allocation",
 ]
 
 #: Granularity of split fractions (hash buckets).
@@ -451,3 +452,147 @@ def waterfill_allocation(
         .alias("capped"),
         F.round(level, 4).alias("water_level"),
     )
+
+
+def temperature_allocation(
+    df: DataFrame,
+    avail_col: str,
+    budget_col: str = "__budget__",
+    group_col: str = "source",
+    temperature: float = 2.0,
+    epoch_cap: int = 4,
+) -> DataFrame:
+    """Temperature-scaled token-budget allocation with per-group epoch
+    caps — the multilingual mixture rule of mT5/XLM-R (sample language
+    ``l`` proportional to ``A_l^(1/T)``) combined with UniMax's repeat
+    bound (Chung et al. 2023: never take more than ``epoch_cap``
+    epochs of a group's data; surplus re-floods the rest): allocate
+    the budget PROPORTIONAL TO WEIGHT ``w = A^(1/T)`` subject to
+    ``alloc ≤ cap = epoch_cap · A``, redistributing capped groups'
+    surplus proportionally among the uncapped. ``T = 1`` degenerates
+    to proportional-to-size (each group sampled at the same rate);
+    ``T → ∞`` approaches uniform — :func:`waterfill_allocation` is
+    exactly that limit (and UniMax's own allocator is the water-fill
+    over caps: ``waterfill_allocation`` with ``avail = epoch_cap·A``).
+
+    Closed form, no iteration — the proportional-refill pivot over
+    the ratio-sorted profile (generalizing the water-fill pivot):
+    sort groups by ``r_i = cap_i / w_i`` ascending; with cap-prefix
+    ``P_i`` and weight-suffix ``W_i = Σ_{j≥i} w_j``, the pivot is the
+    FIRST row where the remaining-proportional scale
+    ``s_i = (B - P_{i-1}) / W_i`` satisfies ``s_i ≤ r_i``; rows before
+    it are capped, rows from it on get ``s · w``. The qualifying
+    comparison is EXACT integer cross-multiplication in
+    DECIMAL(38, 0) — ``(B - P_{i-1}) · w_i ≤ cap_i · W_i`` — the same
+    overflow-proof rule as the composite's ppm sampler (requires
+    ``cap · Σw < 10^38``; at 25 T tokens/source and micro-weights
+    that is ~10^28).
+
+    Cross-engine determinism is why ``temperature`` must be a POWER OF
+    TWO: ``A^(1/2^k)`` is ``k`` nested square roots, and IEEE-754
+    ``sqrt`` is correctly rounded — bit-identical in every engine —
+    where a general ``pow(A, 1/T)`` is libm-dependent and could flip a
+    pivot comparison. Weights are quantized to integer micros
+    (``floor(1e6 · sqrt^k(A))``; ``T = 1`` uses ``A`` itself, already
+    integral), so every comparison after the sqrt chain is exact
+    integer arithmetic; the only doubles are the final ``s`` and
+    ``s·w`` (correctly-rounded division/multiplication — identical
+    everywhere).
+
+    One row per group in, one out: ``(group_col, avail_tokens,
+    cap_tokens, allocation, capped, scale)``; ``allocation`` rounded
+    to 4, ``scale`` is the pivot scale (NULL when the budget covers
+    every cap, i.e. every group is capped — the water-fill
+    convention). Zero-availability groups allocate 0 (capped). All
+    windows run over the GROUP-cardinality frame — bounded by
+    construction, the :func:`waterfill_allocation` scale argument.
+    """
+    import math
+
+    if epoch_cap < 1:
+        raise ValueError(f"epoch_cap must be >= 1, got {epoch_cap}")
+    k = round(math.log2(temperature)) if temperature > 0 else -1
+    if k < 0 or 2.0 ** k != temperature:
+        raise ValueError(
+            f"temperature must be a power of two (1, 2, 4, ...) so the "
+            f"weight A^(1/T) is a chain of correctly-rounded sqrts and "
+            f"reproduces bit-for-bit in any engine; got {temperature!r}"
+        )
+    base = df.select(
+        F.col(group_col),
+        F.col(avail_col).cast("bigint").alias("avail"),
+        F.col(budget_col).cast("bigint").alias("__b__"),
+    )
+    if k == 0:
+        wexpr = F.col("avail").cast("decimal(38,0)")
+    else:
+        s = F.col("avail").cast("double")
+        for _ in range(k):
+            s = F.sqrt(s)
+        wexpr = F.floor(s * F.lit(1e6)).cast("decimal(38,0)")
+    pos = base.filter(F.col("avail") > 0).select(
+        group_col,
+        "avail",
+        "__b__",
+        (F.col("avail") * F.lit(epoch_cap)).cast("bigint").alias("__cap__"),
+        wexpr.alias("__w__"),
+    )
+    # ratio sort: double division is correctly rounded, so the key is
+    # engine-identical; ties totally ordered by (avail, group)
+    ratio = F.col("__cap__").cast("double") / F.col("__w__").cast("double")
+    w = Window.orderBy(ratio, F.col("avail"), F.col(group_col))
+    whole = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pos.select(
+        group_col,
+        "avail",
+        "__cap__",
+        "__w__",
+        "__b__",
+        F.sum("__cap__").over(w).alias("__p__"),
+        F.sum("__w__").over(w).alias("__wp__"),
+        F.sum("__w__").over(whole).alias("__wt__"),
+    )
+    num = (F.col("__b__").cast("decimal(38,0)")
+           - (F.col("__p__") - F.col("__cap__")).cast("decimal(38,0)"))
+    den = F.col("__wt__") - (F.col("__wp__") - F.col("__w__"))
+    qualifies = num * F.col("__w__") <= F.col("__cap__").cast(
+        "decimal(38,0)"
+    ) * den
+    flagged = ranked.select(
+        group_col,
+        "avail",
+        "__cap__",
+        "__w__",
+        F.when(
+            qualifies, num.cast("double") / den.cast("double")
+        ).alias("__s__"),
+    )
+    # the true scale is the FIRST qualifying row's s; later qualifying
+    # rows' s only shrink (each skipped row's cap exceeds its
+    # proportional share at the pivot scale) — MAX selects the pivot's
+    scale = F.max("__s__").over(whole)
+    c = F.col("__cap__").cast("double")
+    share = scale * F.col("__w__").cast("double")
+    alloc = flagged.select(
+        group_col,
+        F.col("avail").alias("avail_tokens"),
+        F.col("__cap__").alias("cap_tokens"),
+        F.round(
+            F.when(scale.isNull(), c).otherwise(F.least(c, share)), 4
+        ).alias("allocation"),
+        F.when(scale.isNull(), F.lit(True)).otherwise(c <= share).alias(
+            "capped"
+        ),
+        F.round(scale, 6).alias("scale"),
+    )
+    zeros = base.filter(F.col("avail") <= 0).select(
+        group_col,
+        F.col("avail").alias("avail_tokens"),
+        F.lit(0).cast("bigint").alias("cap_tokens"),
+        F.lit(0.0).alias("allocation"),
+        F.lit(True).alias("capped"),
+        F.lit(None).cast("double").alias("scale"),
+    )
+    return alloc.unionByName(zeros)

@@ -1750,12 +1750,15 @@ def lsh_knn_join(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_bits: int = 8,
+    n_bits: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_probe: bool = True,
     broadcast_queries: bool = True,
     exclude_self: bool = False,
+    n_estimate: int | None = None,
+    target_bucket: int = LSH_TARGET_BUCKET,
+    dim: int | None = None,
 ) -> DataFrame:
     """Asymmetric ANN join: top-``k`` CORPUS neighbors for each row of a
     separate ``queries`` frame — the "label a query set against a big
@@ -1780,7 +1783,26 @@ def lsh_knn_join(
     Returns ``(query_id, neighbor_id, cos_sim, rank)``; ties break on
     neighbor id. Queries whose probed buckets hold no corpus vector
     emit no rows (same recall contract as the self-join paths).
+
+    ``n_bits=None`` self-tunes the bit count from the CORPUS size with
+    :func:`lsh_index_topk`'s rule — ``bits = clamp(⌈log2(N /
+    target_bucket)⌉, 1, dim)`` — holding mean bucket occupancy (and so
+    per-query candidate work) constant as the corpus grows. A FIXED
+    bit count is the measured scale failure mode for this join exactly
+    as for the self-join (SCALE.md round 11: the pinned-8-bit catalog
+    query ran 100× data in 50.6× time — N·N_q/2^bits candidate pairs
+    with both factors growing); production callers should tune. Pass
+    ``n_estimate``/``dim`` when known to skip the probe jobs.
     """
+    if n_bits is None:
+        import math
+
+        n = n_estimate if n_estimate is not None else corpus.count()
+        n_bits = max(1, math.ceil(math.log2(max(n, 2) / target_bucket)))
+        if dim is None:
+            row = corpus.select(vec_col).head()
+            dim = len(row[0]) if row and row[0] is not None else 1
+        n_bits = min(n_bits, dim)
     qb = signbit_buckets(queries, n_bits, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         _as_double(vec_col).alias("__qv__"),

@@ -744,6 +744,101 @@ FROM documents d LEFT JOIN per USING (doc_id)
 )
 
 
+def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring span extraction (extension: corpus
+    curation — the ExactSubstr dedup of Lee et al. 2022,
+    arXiv:2107.06499): a token position is duplicated iff its word
+    3-gram occurs ≥2 times ANYWHERE in the corpus (other docs or other
+    positions of the same doc), and overlapping duplicated windows
+    merge into maximal ``[start, end)`` ranges — the contiguous cuts
+    an ExactSubstr cleaner removes, where ``dup_span_quality`` only
+    scores a per-doc fraction over distinct spans. Reported per doc:
+    span count, duplicated-token total, and duplicated fraction (zero
+    rows kept). Positional grams are linear in corpus tokens; counts
+    partial-aggregate on the 60-bit hash; the interval merge is a
+    gaps-and-islands window PARTITIONED BY DOC (frame bounded by doc
+    length, never corpus length) —
+    :func:`~tmdb_index_spark.operators.llm_prep
+    .duplicated_span_ranges`. Fully static oracle: whitespace tokens +
+    the portable md5 hash on both engines."""
+    from tmdb_index_spark.operators.llm_prep import duplicated_span_ranges
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = duplicated_span_ranges(docs, k=3)
+    roll = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+    )
+    txt = F.trim(F.coalesce(F.col("text"), F.lit("")))
+    n_tokens = F.when(txt == "", F.lit(0)).otherwise(
+        F.size(F.split(txt, r"\s+"))
+    )
+    return (
+        docs.select("doc_id", n_tokens.cast("long").alias("n_tokens"))
+        .join(roll, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+_EXACT_SUBSTR_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = ''
+              THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(list_slice(ts, i, i + 2), ' ')), 1, 15))::BIGINT AS h
+  FROM t, UNNEST(generate_series(1, greatest(len(ts) - 2, 0))) AS u(i)
+),
+cnt AS (SELECT h, COUNT(*) AS c FROM pos GROUP BY 1),
+dup AS (SELECT p.doc_id, p.pos FROM pos p JOIN cnt USING (h) WHERE c >= 2),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + 3) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 3 AS e
+  FROM grp GROUP BY doc_id, g
+),
+roll AS (
+  SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(e - s) AS dup_tokens
+  FROM spans GROUP BY 1
+)
+SELECT t.doc_id,
+       len(t.ts)::BIGINT AS n_tokens,
+       COALESCE(r.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       COALESCE(r.dup_tokens, 0)::BIGINT AS dup_tokens,
+       ROUND(COALESCE(r.dup_tokens, 0) * 1.0 / GREATEST(len(t.ts), 1), 4) AS dup_frac
+FROM t LEFT JOIN roll r USING (doc_id)
+"""
+
+
 #: Mixture weights for the catalog query: a 3-source mixture over the
 #: 20 synthetic sources (unlisted sources get rate 0 — the operator's
 #: contract), with a fixed char budget so per-source rates stay < 1 at
@@ -864,6 +959,97 @@ FROM flagged, lev
 """
 
 
+def temperature_mixture_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled mixture allocation with epoch caps
+    (extension: the multilingual/data-mixing rule of mT5/XLM-R
+    sampling with UniMax's repeat bound, Chung et al. 2023): allocate
+    a quarter of the corpus's tokens across sources PROPORTIONAL TO
+    ``avail^(1/2)`` (T = 2 — rare sources get boosted shares), capped
+    at 2 epochs of any source, capped surplus re-flooding the rest
+    proportionally — `operators/sampling.py: temperature_allocation`'s
+    closed-form ratio-sort pivot, the proportional generalization of
+    ``mixture_budget_allocation``'s water-fill. Deterministic
+    cross-engine because sqrt is the one correctly-rounded power
+    (weights quantized to integer micros; the pivot comparison is
+    exact integer cross-multiplication — DECIMAL(38) here, HUGEINT in
+    the oracle); every window runs over the source-bounded frame."""
+    from tmdb_index_spark.functions.text import token_count
+    from tmdb_index_spark.operators.sampling import temperature_allocation
+
+    d = _t(spark, sf_dir, "documents")
+    per_src = d.select(
+        "source", token_count("text").cast("bigint").alias("__tok__")
+    ).groupBy("source").agg(F.sum("__tok__").alias("avail_tokens"))
+    budget = per_src.agg(
+        F.floor(F.sum("avail_tokens") / F.lit(4))
+        .cast("bigint")
+        .alias("__budget__")
+    )
+    frame = per_src.crossJoin(F.broadcast(budget))
+    return temperature_allocation(
+        frame,
+        "avail_tokens",
+        "__budget__",
+        "source",
+        temperature=2.0,
+        epoch_cap=2,
+    )
+
+
+_TEMPERATURE_ALLOC_SQL = """
+WITH per_src AS (
+  SELECT source,
+         SUM(len(regexp_extract_all(text,
+             '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT) AS avail
+  FROM documents GROUP BY source
+),
+b AS (SELECT CAST(FLOOR(SUM(avail) / 4) AS BIGINT) AS budget FROM per_src),
+pos AS (
+  SELECT source, avail, budget,
+         CAST(avail * 2 AS BIGINT) AS cap,
+         CAST(FLOOR(SQRT(CAST(avail AS DOUBLE)) * 1e6) AS HUGEINT) AS w
+  FROM per_src, b WHERE avail > 0
+),
+ranked AS (
+  SELECT source, avail, budget, cap, w,
+         SUM(cap) OVER (ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE),
+                        avail, source) AS p,
+         SUM(w) OVER (ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE),
+                      avail, source) AS wp,
+         SUM(w) OVER () AS wt
+  FROM pos
+),
+flagged AS (
+  SELECT source, avail, cap, w,
+         CASE WHEN (CAST(budget AS HUGEINT) - CAST(p - cap AS HUGEINT)) * w
+                   <= CAST(cap AS HUGEINT) * (wt - (wp - w))
+              THEN CAST(budget - (p - cap) AS DOUBLE)
+                   / CAST(wt - (wp - w) AS DOUBLE)
+         END AS s
+  FROM ranked
+),
+lev AS (SELECT MAX(s) AS scale FROM flagged)
+SELECT source,
+       CAST(avail AS BIGINT) AS avail_tokens,
+       CAST(cap AS BIGINT) AS cap_tokens,
+       ROUND(CASE WHEN scale IS NULL THEN CAST(cap AS DOUBLE)
+                  ELSE LEAST(CAST(cap AS DOUBLE),
+                             scale * CAST(w AS DOUBLE)) END, 4)
+         AS allocation,
+       CASE WHEN scale IS NULL THEN TRUE
+            ELSE CAST(cap AS DOUBLE) <= scale * CAST(w AS DOUBLE) END
+         AS capped,
+       ROUND(scale, 6) AS scale
+FROM flagged, lev
+UNION ALL
+SELECT source, CAST(avail AS BIGINT), CAST(0 AS BIGINT), 0.0, TRUE,
+       CAST(NULL AS DOUBLE)
+FROM per_src WHERE avail <= 0
+"""
+
+
 def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric ANN join (extension: similarity search): top-3 corpus
     neighbors for the label-0 query subset via the bucketed
@@ -901,6 +1087,70 @@ q AS (
 qp AS (
   SELECT DISTINCT vec_id, v, xor(bucket, m.mask) AS bucket
   FROM q, (SELECT UNNEST([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS mask) m
+),
+scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS_SQL} AS cos_sim
+  FROM qp q JOIN b c ON q.bucket = c.bucket
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC)::BIGINT
+              AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def embedding_knn_join_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-tuned asymmetric ANN join (extension: similarity-search
+    scale path): ``embedding_knn_join`` with the bit count derived
+    from the CORPUS row count — ``bits = clamp(ceil(log2(N / 32)), 1,
+    dim)`` — so per-query candidate work stays constant as both sides
+    grow. The pinned-8-bit twin above is the measured join-shaped
+    scale failure (SCALE.md round 11: 50.6× wall at 100× data —
+    N·N_q/256 candidate pairs); this is the certified lever, the
+    ``embedding_lsh_tuned_topk`` pattern applied to the join. The bit
+    rule is a deterministic function of ``COUNT(*)``, so the oracle
+    computes identical buckets (static SQL)."""
+    from tmdb_index_spark.operators.similarity import lsh_knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_knn_join(
+        corpus=emb,
+        queries=emb.filter(F.col("label") == 0),
+        k=3,
+        n_bits=None,
+        multi_probe=True,
+        exclude_self=True,
+        dim=64,
+    )
+
+
+_KNN_JOIN_TUNED_SQL = f"""
+WITH p AS (
+  SELECT LEAST(GREATEST(1, CAST(CEIL(LOG2(GREATEST(COUNT(*), 2) / 32.0)) AS BIGINT)), 64) AS nb
+  FROM embeddings
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+         list_sum(list_transform(generate_series(0, (SELECT nb FROM p) - 1),
+           i -> CASE WHEN v[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END))
+           AS bucket
+  FROM v
+),
+q AS (
+  SELECT b.vec_id, b.v, b.bucket
+  FROM b JOIN embeddings e ON b.vec_id = e.vec_id
+  WHERE e.label = 0
+),
+qp AS (
+  SELECT DISTINCT vec_id, v, xor(bucket, m.mask) AS bucket
+  FROM q, (SELECT UNNEST(list_concat([0::BIGINT],
+             list_transform(generate_series(0, (SELECT nb FROM p) - 1),
+                            i -> 1::BIGINT << i))) AS mask) m
 ),
 scored AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -112,6 +112,11 @@ WAIVERS = {
     ("value_rank_dist", "value"):
         "tie-stable fn: PERCENT_RANK/CUME_DIST give tied rows "
         "identical values; single pass, grouped sums invariant",
+    ("exact_substr_spans", "pos"):
+        "unique by construction: the pos CTE emits one k-gram row per "
+        "(doc_id, pos) and dup only equi-joins it to counts, so pos "
+        "is unique within every doc_id window partition of both the "
+        "break-flag and running-sum passes",
     ("upsert_keep_last", "prec"):
         "unique by construction: each id has at most one row per "
         "prec value (base UNION ALL filtered-updates)",
