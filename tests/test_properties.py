@@ -361,3 +361,45 @@ def test_survival_curve_is_coherent(spark):
     assert all(0 < s <= 1 for s in surv)
     assert all(a >= b for a, b in zip(surv, surv[1:]))
     assert all(r["n_converted"] <= r["n_at_risk"] for r in rows_)
+
+
+# ---------------------------------------------------------------------------
+# temperature_allocation: budget-conservation / cap / proportionality
+# algebra over randomized availability profiles
+# ---------------------------------------------------------------------------
+
+_profile = st.lists(
+    st.integers(min_value=0, max_value=5000),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(avails=_profile, budget=st.integers(min_value=0, max_value=30000),
+       t_pow=st.integers(min_value=0, max_value=2),
+       cap=st.integers(min_value=1, max_value=3))
+@_SETTINGS
+def test_temperature_allocation_invariants(spark, avails, budget, t_pow, cap):
+    from tmdb_index_spark.operators.sampling import temperature_allocation
+
+    data = [(f"s{i}", a, budget) for i, a in enumerate(avails)]
+    df = spark.createDataFrame(
+        data, "source string, avail long, __budget__ long"
+    )
+    got = temperature_allocation(
+        df, "avail", temperature=float(2 ** t_pow), epoch_cap=cap
+    ).collect()
+    assert len(got) == len(avails)
+    caps = {r["source"]: r["cap_tokens"] for r in got}
+    total = 0.0
+    for r in got:
+        # never above the epoch cap (4-decimal rounding slack)
+        assert r["allocation"] <= caps[r["source"]] + 1e-3
+        assert r["allocation"] >= 0.0
+        if r["capped"]:
+            # capped rows sit exactly at their cap (or at 0 avail)
+            assert r["allocation"] == float(caps[r["source"]])
+        total += r["allocation"]
+    # conservation: the budget is spent exactly, unless supply runs out
+    expect = min(float(budget), float(sum(a * cap for a in avails)))
+    assert abs(total - expect) < 1e-2 * max(len(avails), 1)
