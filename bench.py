@@ -168,6 +168,8 @@ EXTENDED_QUERIES = [
     "temperature_mixture_allocation",
     # round-11: self-tuned twin of the join-shaped LSH scale exhibit
     "embedding_knn_join_tuned",
+    # round-11: ExactSubstr removal (first occurrence survives)
+    "exact_substr_dedup",
     # round-6 late additions
     "dedup_segments_rebuild",
     "sliding_distinct_users",

@@ -795,3 +795,35 @@ def test_duplicated_span_ranges_validation(spark):
     # min_count above every multiplicity ('a b c' occurs 5 times
     # corpus-wide, everything else at most twice) -> no spans at all
     assert duplicated_span_ranges(docs, k=3, min_count=6).count() == 0
+
+
+def test_remove_duplicated_spans_first_occurrence_survives(spark):
+    from tmdb_index_spark.operators.llm_prep import remove_duplicated_spans
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_cut_tokens"], r["text_clean"])
+        for r in remove_duplicated_spans(_span_docs(spark), k=3).collect()
+    }
+    # doc 1 is the corpus-wide first occurrence of every duplicated
+    # window it contains -> untouched; its byte-dup doc 2 is FULLY cut
+    assert got[1] == (6, 0, "a b c d e f")
+    assert got[2] == (6, 6, "")           # kept with empty text
+    assert got[3] == (7, 3, "q w z1 z2")  # shared 'a b c' window cut
+    # within-doc repeat: the second 'm n o p' run is cut, first kept
+    assert got[4] == (8, 4, "m n o p")
+    assert got[5] == (10, 6, "w1 w2 w3 w4")
+    assert got[6] == (1, 0, "x")          # < k tokens: no grams, kept
+    assert got[7] == (5, 0, "u1 u2 u3 u4 u5")
+    # exactly one copy of every duplicated string survives
+    texts = [t for _, _, t in got.values()]
+    assert texts.count("a b c d e f") == 1 and texts.count("m n o p") == 1
+
+
+def test_remove_duplicated_spans_validation(spark):
+    from tmdb_index_spark.operators.llm_prep import remove_duplicated_spans
+
+    docs = _span_docs(spark)
+    with pytest.raises(ValueError, match="k must"):
+        remove_duplicated_spans(docs, k=0)
+    with pytest.raises(ValueError, match="min_count"):
+        remove_duplicated_spans(docs, min_count=1)

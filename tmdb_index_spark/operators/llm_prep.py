@@ -707,6 +707,126 @@ def duplicated_span_ranges(
     ).drop("__g__")
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """The REMOVAL counterpart of :func:`duplicated_span_ranges` — the
+    ExactSubstr cleaning step itself (Lee et al. 2022): every
+    duplicated ``k``-token window is cut from the corpus EXCEPT its
+    corpus-wide first occurrence (smallest ``(doc_id, pos)`` — the
+    same election as :func:`remove_duplicate_segments`, so exactly one
+    copy of every duplicated string survives, in the first document
+    that used it), and each document is rebuilt from its surviving
+    tokens in order. Windows are overlapping (unlike the fixed
+    segments), so this cuts duplication at ANY alignment, the reason
+    the paper's tool beats segment-level dedup.
+
+    A token is removed iff some CUT window covers it; tokens under a
+    kept-first window that no cut window covers survive. First
+    occurrence is elected on the packed key ``doc_id·2²⁰ + pos`` (one
+    exact BIGINT ``MIN`` per gram hash — engine-portable where a
+    struct-min is not), so documents must stay under 2²⁰ tokens —
+    raised loudly, not clamped.
+
+    Plan shape: positional grams and the per-hash election are the
+    :func:`duplicated_span_ranges` shuffles; cut windows explode to
+    covered token indices (≤ k rows per cut position, linear); the
+    rebuild is one per-doc aggregation over an anti-joined token
+    explode. Documents with no tokens produce no rows (mirror of
+    :func:`remove_duplicate_segments`).
+
+    Returns ``(id_col, n_tokens, n_cut_tokens, text_clean)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    txt = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    t = F.when(txt == "", F.array().cast("array<string>")).otherwise(
+        F.split(txt, r"\s+")
+    )
+    n = F.size(t)
+    # the bound check rides INSIDE the consumed column (a dropped
+    # assert-only column would be pruned before it ever evaluated):
+    # assert_true yields NULL when the bound holds, raises otherwise
+    n_checked = F.when(
+        F.assert_true(
+            n <= F.lit(1 << 20),
+            F.lit(
+                "remove_duplicated_spans: document exceeds 2^20 tokens —"
+                " the packed (doc_id, pos) election key would collide"
+            ),
+        ).isNull(),
+        n,
+    )
+    base = df.select(
+        F.col(id_col), t.alias("__t__"), n_checked.alias("__n__")
+    )
+    grams = F.when(
+        F.col("__n__") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.col("__n__") - k),
+            lambda i: portable_hash60(
+                F.concat_ws(" ", F.slice(F.col("__t__"), i + 1, k))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    pos = base.select(
+        F.col(id_col), F.posexplode(grams).alias("__pos__", "__h__")
+    ).withColumn(
+        "__key__", F.col(id_col) * F.lit(1 << 20) + F.col("__pos__")
+    )
+    agg = pos.groupBy("__h__").agg(
+        F.count(F.lit(1)).alias("__c__"),
+        F.min("__key__").alias("__first__"),
+    )
+    cut = (
+        pos.join(agg, "__h__")
+        .filter(
+            (F.col("__c__") >= min_count)
+            & (F.col("__key__") != F.col("__first__"))
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__pos__"), F.col("__pos__") + (k - 1))
+            ).alias("__i__"),
+        )
+        .distinct()
+    )
+    toks = base.filter(F.col("__n__") > 0).select(
+        F.col(id_col),
+        F.posexplode(F.col("__t__")).alias("__i__", "__tok__"),
+    )
+    kept = toks.join(cut, [id_col, "__i__"], "left_anti")
+    arr = F.array_sort(F.collect_list(F.struct("__i__", "__tok__")))
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__kept__"),
+        F.array_join(
+            F.transform(arr, lambda x: x["__tok__"]), " "
+        ).alias("__text__"),
+    )
+    # a fully-cut document is KEPT with text_clean = '' (the
+    # remove_duplicate_segments convention), hence the left join
+    return (
+        base.filter(F.col("__n__") > 0)
+        .select(id_col, "__n__")
+        .join(kept_agg, id_col, "left")
+        .select(
+            id_col,
+            F.col("__n__").cast("long").alias("n_tokens"),
+            (F.col("__n__") - F.coalesce(F.col("__kept__"), F.lit(0)))
+            .cast("long")
+            .alias("n_cut_tokens"),
+            F.coalesce(F.col("__text__"), F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 def bpe_adjacent_pairs(
     df: DataFrame,
     text_col: str = "text",

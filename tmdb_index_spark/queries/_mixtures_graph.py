@@ -839,6 +839,74 @@ FROM t LEFT JOIN roll r USING (doc_id)
 """
 
 
+def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (extension: corpus curation — the cleaning
+    step of Lee et al. 2022, completing ``exact_substr_spans``'
+    extraction): every duplicated word-3-gram window is cut except its
+    corpus-wide FIRST occurrence (smallest ``(doc_id, pos)`` packed
+    key), and each document is rebuilt from its surviving tokens —
+    overlapping windows, so duplication is cut at any alignment where
+    ``dedup_segments_rebuild`` only catches aligned fixed segments.
+    Output per non-empty doc: token count, cut count, rebuilt text
+    (fully-cut docs KEPT with empty text — the segment-dedup
+    convention). Linear positional grams, one exact BIGINT first-
+    occurrence election per gram hash, per-doc bounded rebuild —
+    :func:`~tmdb_index_spark.operators.llm_prep
+    .remove_duplicated_spans`. Fully static oracle."""
+    from tmdb_index_spark.operators.llm_prep import remove_duplicated_spans
+
+    return remove_duplicated_spans(_t(spark, sf_dir, "documents"), k=3)
+
+
+_EXACT_SUBSTR_DEDUP_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = ''
+              THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(list_slice(ts, i, i + 2), ' ')), 1, 15))::BIGINT AS h
+  FROM t, UNNEST(generate_series(1, greatest(len(ts) - 2, 0))) AS u(i)
+),
+agg AS (
+  SELECT h, COUNT(*) AS c, MIN(doc_id * 1048576 + pos) AS fk
+  FROM pos GROUP BY 1
+),
+cutpos AS (
+  SELECT p.doc_id, p.pos
+  FROM pos p JOIN agg a USING (h)
+  WHERE a.c >= 2 AND p.doc_id * 1048576 + p.pos <> a.fk
+),
+cut AS (
+  SELECT DISTINCT doc_id, q.i
+  FROM cutpos, UNNEST(generate_series(pos, pos + 2)) AS q(i)
+),
+toks AS (
+  SELECT doc_id, i - 1 AS i, ts[i] AS tok
+  FROM t, UNNEST(generate_series(1, len(ts))) AS u(i)
+),
+kept AS (
+  SELECT tk.doc_id, tk.i, tk.tok
+  FROM toks tk LEFT JOIN cut c ON c.doc_id = tk.doc_id AND c.i = tk.i
+  WHERE c.doc_id IS NULL
+),
+ka AS (
+  SELECT doc_id, COUNT(*) AS kc,
+         string_agg(tok, ' ' ORDER BY i) AS txt
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id,
+       len(t.ts)::BIGINT AS n_tokens,
+       (len(t.ts) - COALESCE(ka.kc, 0))::BIGINT AS n_cut_tokens,
+       COALESCE(ka.txt, '') AS text_clean
+FROM t LEFT JOIN ka USING (doc_id)
+WHERE len(t.ts) > 0
+"""
+
+
 #: Mixture weights for the catalog query: a 3-source mixture over the
 #: 20 synthetic sources (unlisted sources get rate 0 — the operator's
 #: contract), with a fixed char budget so per-source rates stay < 1 at
