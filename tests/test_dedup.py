@@ -93,6 +93,13 @@ def test_salted_join_matches_plain_join(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         salted_join(fact, dim, ["k"], how="full")
+    # the plan must NEVER broadcast the salted dim: the operator exists
+    # for the can't-broadcast case, but Catalyst sizes the exploded dim
+    # from its child's bytes and at 100x planned a 13 GiB broadcast
+    # that died on the 8 GiB hard limit (round-11 stress finding) —
+    # the shuffle_hash hint pins the shuffled hash join
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
 
 
 # ---------------------------------------------------------------------------

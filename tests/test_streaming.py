@@ -587,3 +587,67 @@ def test_heavy_hitters_capacity_validation(spark):
 
     with _pytest.raises(ValueError, match="capacity"):
         running_heavy_hitters(None, capacity=0)
+
+
+# ---------------------------------------------------------------------------
+# run_ingest_stream (streaming corpus ingestion)
+# ---------------------------------------------------------------------------
+
+
+def _ingest_words(prefix, n=30):
+    return " ".join(f"{prefix}{i:02d}" for i in range(n))
+
+
+def test_ingest_stream_folds_novel_content_only(spark, tmp_path):
+    from tmdb_index_spark.streaming.ingest import run_ingest_stream
+
+    batches = str(tmp_path / "doc_batches")
+    index = str(tmp_path / "corpus_index.parquet")
+    stats = str(tmp_path / "ingest_stats")
+    schema = "doc_id long, text string, source string"
+    ta, tb, tc = _ingest_words("a"), _ingest_words("b"), _ingest_words("c")
+
+    def _stream():
+        return spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("text", T.StringType()),
+                    T.StructField("source", T.StringType()),
+                ]
+            )
+        ).parquet(batches)
+
+    # batch 1: doc 3 is a byte-dup of doc 1 inside the batch
+    spark.createDataFrame(
+        [(1, ta, "s"), (2, tb, "s"), (3, ta, "s")], schema
+    ).coalesce(1).write.mode("append").parquet(batches)
+    run_ingest_stream(_stream(), index, stats, str(tmp_path / "ck1"))
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(index).collect()
+    ) == [1, 2]
+    s0 = spark.read.parquet(stats).filter("batch_id = 0").collect()[0]
+    assert (s0["n_batch"], s0["n_exact_batch_dup"], s0["n_kept"]) == (3, 1, 2)
+
+    # batch 2: 4 novel; 5 re-sends doc 1's exact content; 6 is a
+    # TOKEN-dup of doc 2 (double space -> md5 differs, shingles equal)
+    spark.createDataFrame(
+        [(4, tc, "s"), (5, ta, "s"), (6, tb.replace(" ", "  ", 1), "s")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(batches)
+    run_ingest_stream(_stream(), index, stats, str(tmp_path / "ck1"))
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(index).collect()
+    ) == [1, 2, 4]
+    s1 = spark.read.parquet(stats).filter("batch_id = 1").collect()[0]
+    assert s1["n_batch"] == 3
+    assert s1["n_exact_index_dup"] == 1   # doc 5
+    assert s1["n_near_index_dup"] == 1    # doc 6
+    assert s1["n_kept"] == 1              # doc 4
+
+    # full replay under a FRESH checkpoint: every document's content is
+    # already in the index, so the fold is a no-op fixpoint
+    run_ingest_stream(_stream(), index, stats, str(tmp_path / "ck2"))
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(index).collect()
+    ) == [1, 2, 4]

@@ -103,7 +103,15 @@ def salted_join(
     d = dim.withColumn(
         "__salt__", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    return s.join(d, [*on, "__salt__"], how).drop("__salt__")
+    # The dim is here BECAUSE it can't broadcast — but Catalyst sizes
+    # the exploded side from the child's file bytes, so at scale it
+    # happily plans a broadcast of n_salts x the dim and dies on the
+    # 8 GiB hard limit (found live by the 100x stress: a 13 GiB
+    # attempted broadcast at 60M lineitem rows). Pin the shuffled hash
+    # join the operator's contract assumes.
+    return s.join(d.hint("shuffle_hash"), [*on, "__salt__"], how).drop(
+        "__salt__"
+    )
 
 
 def skew_report(

@@ -1,0 +1,123 @@
+"""Streaming corpus ingestion — the reference's daily maintenance
+loop (``process()`` folds each day's changes into the standing index,
+``tmdb_index.py:546-568``) as a Structured Streaming job over
+DOCUMENT batches: every micro-batch runs the batch-vs-index novelty
+composite (:func:`~tmdb_index_spark.operators.corpus_pipeline
+.ingest_corpus_batch` — exact-within-batch dedup, content-hash
+anti-join vs the index, batch-broadcast MinHash-LSH novelty, upsert
+fold-in) and maintains TWO artifacts:
+
+* the standing corpus index at ``index_path`` (crash-safe
+  rename-aside swap — :func:`~tmdb_index_spark.streaming.windowed
+  .recover_and_swap`);
+* an append-only per-batch yield ledger under ``stats_path`` (one
+  partition directory per micro-batch id, overwritten on replay, so
+  at-least-once delivery re-lands the identical rows — the stats a
+  crawl-ingestion pipeline alarms on).
+
+Idempotence on replay: re-ingesting a drained batch finds its own
+content already in the index, every doc drops at the exact-vs-index
+stage, ``kept`` is empty, and ``update_or_append`` reaches the same
+fixpoint; the stats partition for that batch id is overwritten with
+the replayed (identical) rows.
+
+State lives in the PARQUET artifacts, not the state store — the
+index is unbounded corpus state, exactly what Spark's own docs route
+through ``foreachBatch``; the in-state-store alternative for the
+novelty half is :mod:`tmdb_index_spark.streaming.neardup`.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tmdb_index_spark.operators.corpus_pipeline import ingest_corpus_batch
+from tmdb_index_spark.operators.materialize import release_pins
+from tmdb_index_spark.streaming.windowed import recover_and_swap
+
+__all__ = ["run_ingest_stream"]
+
+
+def run_ingest_stream(
+    batches: DataFrame,
+    index_path: str,
+    stats_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seq_col: str | None = None,
+) -> None:
+    """Drain a stream of document batches into the standing corpus
+    index, admitting only novel content per micro-batch. With
+    ``Trigger.AvailableNow`` (default) this is the daily-cron
+    lifecycle: drain what exists, write index + stats, stop,
+    restartable from ``checkpoint_dir``.
+
+    Intra-batch duplicate ids resolve keep-last before the composite
+    runs (its contract requires ids unique within the batch); pass
+    ``seq_col`` for a replay-deterministic tie-break, exactly as
+    :func:`~tmdb_index_spark.streaming.windowed.run_upsert_stream`.
+    The very first batch ingests against an EMPTY index of the batch's
+    own schema — one code path, so batch 1's stats rows are real
+    (its within-batch duplicates still drop)."""
+    spark = batches.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        order = F.col(seq_col).desc() if seq_col else None
+        if order is None:
+            batch_df = batch_df.withColumn(
+                "__arrival__", F.monotonically_increasing_id()
+            )
+            order = F.col("__arrival__").desc()
+        w = Window.partitionBy(id_col).orderBy(order)
+        deduped = (
+            batch_df.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__", "__arrival__")
+        )
+
+        def build(index: DataFrame | None) -> DataFrame:
+            if index is None:
+                index = spark.createDataFrame([], deduped.schema)
+            out = ingest_corpus_batch(
+                index,
+                deduped,
+                text_col=text_col,
+                id_col=id_col,
+                source_col=source_col,
+                jaccard_threshold=jaccard_threshold,
+                num_hashes=num_hashes,
+                bands=bands,
+                materialize="cache",
+            )
+            # per-batch yield rows land BEFORE the index swap: a crash
+            # between the two replays the batch, which overwrites this
+            # partition with identical rows (idempotent)
+            out["stats"].write.mode("overwrite").parquet(
+                posixpath.join(stats_path, f"batch_id={batch_id}")
+            )
+            return out["new_index"]
+
+        try:
+            recover_and_swap(spark, index_path, build)
+        finally:
+            # frees exactly the ledger-owned cache pins the composite
+            # made for this batch (caller-owned caches survive)
+            release_pins()
+
+    writer = batches.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    writer.start().awaitTermination()

@@ -35,6 +35,7 @@ from tmdb_index_spark.operators.upsert import update_or_append
 
 __all__ = [
     "windowed_event_counts",
+    "recover_and_swap",
     "sessionize_stream",
     "run_upsert_stream",
     "attribute_outcomes",
@@ -192,6 +193,42 @@ def attribute_outcomes(
     )
 
 
+def recover_and_swap(spark, index_path: str, build) -> None:
+    """Crash-safe parquet-index maintenance shared by the
+    ``foreachBatch`` folds (:func:`run_upsert_stream`, the corpus
+    :func:`~tmdb_index_spark.streaming.ingest.run_ingest_stream`):
+    roll back a half-finished previous swap (``.old`` survives a crash
+    between rename-aside and rename-in), call ``build(index_frame)``
+    — ``index_frame`` is None on genuine bootstrap; any read/merge
+    failure must FAIL the batch, never except-and-bootstrap (that
+    shape overwrites the whole index with one batch's rows on a
+    transient IO error) — write the result to ``.staging`` (the plan
+    reads ``index_path``, so an in-place overwrite would read its own
+    output), then rename-aside + rename-in. No driver-side
+    materialization; index size is unbounded."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    cur, old, staging = (
+        hpath(index_path),
+        hpath(index_path + ".old"),
+        hpath(index_path + ".staging"),
+    )
+    if fs.exists(old):
+        if fs.exists(cur):
+            fs.delete(old, True)
+        else:
+            fs.rename(old, cur)
+    index = spark.read.parquet(index_path) if fs.exists(cur) else None
+    merged = build(index)
+    merged.write.mode("overwrite").parquet(index_path + ".staging")
+    if fs.exists(cur) and not fs.rename(cur, old):
+        raise IOError(f"failed to rename {cur} aside to {old}")
+    if not fs.rename(staging, cur):
+        raise IOError(f"failed to swap {staging} into {cur}")
+    fs.delete(old, True)
+
+
 def run_upsert_stream(
     batches: DataFrame,
     index_path: str,
@@ -241,42 +278,13 @@ def run_upsert_stream(
             .drop("__rn__", "__arrival__")
         )
 
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path
-        fs = hpath(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
-        cur, old, staging = (
-            hpath(index_path),
-            hpath(index_path + ".old"),
-            hpath(index_path + ".staging"),
+        recover_and_swap(
+            spark,
+            index_path,
+            lambda index: deduped
+            if index is None
+            else update_or_append(index, deduped),
         )
-
-        # Recover from a crash between rename-aside and rename-in:
-        # the previous index survives at .old — roll it back. If the
-        # index exists, .old is a completed swap's leftover — drop it.
-        if fs.exists(old):
-            if fs.exists(cur):
-                fs.delete(old, True)
-            else:
-                fs.rename(old, cur)
-
-        if fs.exists(cur):
-            # Any read/merge failure here must FAIL the batch: the
-            # except-and-bootstrap shape would overwrite the whole
-            # index with this batch's rows on a transient IO error.
-            index = spark.read.parquet(index_path)
-            merged = update_or_append(index, deduped)
-        else:
-            merged = deduped  # genuine first batch
-
-        # Stage-and-swap: the merge plan reads index_path, so write the
-        # result to a staging dir first. No driver-side materialization
-        # — index size is unbounded.
-        merged.write.mode("overwrite").parquet(index_path + ".staging")
-        if fs.exists(cur) and not fs.rename(cur, old):
-            raise IOError(f"failed to rename {cur} aside to {old}")
-        if not fs.rename(staging, cur):
-            raise IOError(f"failed to swap {staging} into {cur}")
-        fs.delete(old, True)
 
     writer = batches.writeStream.foreachBatch(merge).option(
         "checkpointLocation", checkpoint_dir

@@ -227,6 +227,56 @@ def main() -> int:
         f"(capacity 8, 4 micro-batches) — MG guarantees OK"
     )
 
+    # ---- 4. run_ingest_stream vs the batch composite, real docs ----
+    # Drain the documents table in two halves through the streaming
+    # corpus-ingestion fold, then verify the final index against the
+    # BATCH composite applied sequentially to the same two halves —
+    # stream/batch parity for the reference's daily-maintenance shape.
+    from tmdb_index_spark.operators.corpus_pipeline import (
+        ingest_corpus_batch,
+    )
+    from tmdb_index_spark.operators.materialize import release_pins
+    from tmdb_index_spark.streaming.ingest import run_ingest_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    doc_src = f"{scratch}/doc_batches"
+    half1.coalesce(1).write.mode("append").parquet(doc_src)
+    half2.coalesce(1).write.mode("append").parquet(doc_src)
+    run_ingest_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(doc_src),
+        f"{scratch}/corpus_index.parquet",
+        f"{scratch}/ingest_stats",
+        f"{scratch}/ckpt_ingest",
+    )
+    stream_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{scratch}/corpus_index.parquet")
+        .select("doc_id")
+        .collect()
+    )
+    empty = spark.createDataFrame([], docs.schema)
+    b1 = ingest_corpus_batch(empty, half1, materialize="cache")
+    b2 = ingest_corpus_batch(b1["new_index"], half2, materialize="cache")
+    batch_ids = sorted(
+        r["doc_id"] for r in b2["new_index"].select("doc_id").collect()
+    )
+    release_pins()
+    assert stream_ids == batch_ids, (
+        f"stream/batch ingest divergence: {len(stream_ids)} vs "
+        f"{len(batch_ids)} index rows"
+    )
+    n_stats = spark.read.parquet(f"{scratch}/ingest_stats").count()
+    assert n_stats > 0
+    print(
+        f"run_ingest_stream: {len(stream_ids)} index docs after 2 "
+        f"micro-batches — equals the sequential batch composite; "
+        f"{n_stats} per-source stats rows landed"
+    )
+
     shutil.rmtree(scratch, ignore_errors=True)
     print("STREAM DRIVE OK")
     return 0
