@@ -258,6 +258,7 @@ def test_registry_consistency(spark):
         "embedding_ivf_tuned_topk",
         "embedding_ivf2_topk",
         "semantic_dedup_flags",
+        "semantic_pq_dedup_flags",
         "embedding_pca_labels",
         "embedding_pq_topk",
         "ann_recall_eval",
@@ -267,6 +268,7 @@ def test_registry_consistency(spark):
         "embedding_ivf_tuned_topk",
         "embedding_ivf2_topk",
         "semantic_dedup_flags",
+        "semantic_pq_dedup_flags",
         "embedding_pca_labels",
         "embedding_pq_topk",
         "ann_recall_eval",
