@@ -170,6 +170,8 @@ EXTENDED_QUERIES = [
     "embedding_knn_join_tuned",
     # round-11: ExactSubstr removal (first occurrence survives)
     "exact_substr_dedup",
+    # round-11: pre-dedup text normalization audit
+    "text_normalization_stats",
     # round-6 late additions
     "dedup_segments_rebuild",
     "sliding_distinct_users",

@@ -687,3 +687,47 @@ def test_code_switch_hand_computed(spark, tmp_path):
     assert a["mixed_rate"] == round(1 / 3, 6)
     b = got["src_b"]
     assert (b["n_docs"], b["n_mixed"], b["mixed_rate"]) == (1, 0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# normalize_text / normalize_text_sql (one spec, two engines)
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_semantics_and_engine_parity(spark):
+    import duckdb
+
+    from tmdb_index_spark.functions.text import (
+        normalize_text,
+        normalize_text_sql,
+    )
+
+    rows_ = [
+        (1, "  “hi”…   there – ok\x01! "),
+        (2, "plain text stays"),
+        (3, None),
+        (4, "nb sp and\ttabs\nnewlines"),
+        (5, "don’t — break"),
+    ]
+    df = spark.createDataFrame(rows_, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", normalize_text("text").alias("n")
+        ).collect()
+    }
+    assert got[1] == '"hi"... there - ok!'
+    assert got[2] == "plain text stays"
+    assert got[3] == ""  # NULL in -> '' out
+    assert got[4] == "nb sp and tabs newlines"
+    assert got[5] == "don't - break"
+
+    # the SQL twin generated from the SAME spec computes identical
+    # strings in DuckDB
+    con = duckdb.connect()
+    expr = normalize_text_sql("text")
+    for doc_id, text in rows_:
+        sql_val = con.sql(
+            f"SELECT {expr} FROM (SELECT ? AS text)", params=[text]
+        ).fetchone()[0]
+        assert sql_val == got[doc_id], doc_id

@@ -20,6 +20,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens",
+    "normalize_text",
+    "normalize_text_sql",
+    "NORMALIZATION_STEPS",
     "word_shingles",
     "portable_hash60",
     "token_count",
@@ -40,6 +43,67 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "es": ("el", "la", "los", "que", "es", "una"),
     "zh": ("de", "shi", "le", "zai", "he", "you"),
 }
+
+
+#: Text-normalization recipe, ONE spec driving BOTH engines (the
+#: pca_projection_sql stance: a single source of truth generates the
+#: Spark Column chain and the DuckDB SQL expression, so the two can
+#: never drift). Steps, in order:
+#:   1. map unicode typography to ASCII (NBSP->space, curly quotes,
+#:      en/em dashes) — 1:1 via translate;
+#:   2. expand the ellipsis character to "...";
+#:   3. strip C0/DEL control characters (tab/newline survive into the
+#:      whitespace collapse);
+#:   4. collapse whitespace runs to one space; trim.
+#: Patterns stay in the ASCII-\s / explicit-range subset that Java
+#: regex and RE2 interpret identically.
+NORMALIZATION_STEPS: tuple[tuple[str, str, str], ...] = (
+    ("translate", "\u00a0\u2018\u2019\u201c\u201d\u2013\u2014", " ''\"\"--"),
+    ("replace_re", "\u2026", "..."),
+    ("replace_re", "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""),
+    ("replace_re", "\\s+", " "),
+    ("trim", "", ""),
+)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """C4/CCNet-style text normalization as pure column expressions —
+    the cleaning step that runs BEFORE any hash-based dedup (two docs
+    differing only in curly quotes or NBSP runs must collide): unicode
+    typography to ASCII, control characters stripped, whitespace
+    collapsed, trimmed. NULL in -> '' out (the corpus convention).
+    Generated from :data:`NORMALIZATION_STEPS`; the SQL twin
+    (:func:`normalize_text_sql`) is generated from the SAME spec."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    for kind, a, b in NORMALIZATION_STEPS:
+        if kind == "translate":
+            c = F.translate(c, a, b)
+        elif kind == "replace_re":
+            c = F.regexp_replace(c, a, b)
+        elif kind == "trim":
+            c = F.trim(c)
+    return c
+
+
+def normalize_text_sql(expr: str) -> str:
+    """The DuckDB spelling of :func:`normalize_text` over SQL
+    expression ``expr`` — generated from the same
+    :data:`NORMALIZATION_STEPS` spec, so the engines cannot drift."""
+    out = f"coalesce({expr}, '')"
+    for kind, a, b in NORMALIZATION_STEPS:
+        if kind == "translate":
+            qa = a.replace("'", "''")
+            qb = b.replace("'", "''")
+            out = f"translate({out}, '{qa}', '{qb}')"
+        elif kind == "replace_re":
+            # DuckDB single-quoted strings are NOT backslash-escaped:
+            # '\s+' reaches the regex engine as \s+ verbatim
+            qa = a.replace("'", "''")
+            qb = b.replace("'", "''")
+            out = f"regexp_replace({out}, '{qa}', '{qb}', 'g')"
+        elif kind == "trim":
+            out = f"trim({out})"
+    return out
 
 
 def tokens(col: Column | str) -> Column:

@@ -1037,6 +1037,60 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_normalization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization audit (extension: the C4/CCNet cleaning step
+    that runs BEFORE hash-based dedup — two documents differing only
+    in curly quotes, NBSP runs, or control characters must collide):
+    unicode typography → ASCII, control strip, whitespace collapse,
+    trim, as pure column expressions generated from ONE spec
+    (`functions/text.py: NORMALIZATION_STEPS`) whose SQL twin the
+    oracle evaluates verbatim — the `pca_projection_sql` one-text
+    stance applied to a regexp_replace chain. Reported per source:
+    docs, docs the normalization actually changed, chars in/out.
+    Map-only + one combinable groupBy."""
+    from tmdb_index_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    norm = normalize_text(F.col("text"))
+    return (
+        docs.select(
+            "source",
+            raw.alias("__raw__"),
+            norm.alias("__norm__"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("__norm__") != F.col("__raw__")).cast("int"))
+            .cast("long")
+            .alias("docs_changed"),
+            F.sum(F.length("__raw__")).cast("long").alias("chars_in"),
+            F.sum(F.length("__norm__")).cast("long").alias("chars_out"),
+        )
+    )
+
+
+def _text_normalization_sql() -> str:
+    from tmdb_index_spark.functions.text import normalize_text_sql
+
+    n = normalize_text_sql("text")
+    return f"""
+WITH t AS (
+  SELECT source, coalesce(text, '') AS raw, {n} AS norm FROM documents
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN norm <> raw THEN 1 ELSE 0 END)::BIGINT AS docs_changed,
+       SUM(length(raw))::BIGINT AS chars_in,
+       SUM(length(norm))::BIGINT AS chars_out
+FROM t GROUP BY source
+"""
+
+
+_TEXT_NORMALIZATION_SQL = _text_normalization_sql()
+
+
 _TEXT_QUALITY_SQL = """
 WITH t AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ts
