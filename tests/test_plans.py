@@ -243,17 +243,16 @@ def test_q10_topk_and_broadcast_dims(spark):
 def test_registry_consistency(spark):
     # every oracle points at a registered query; every query is a
     # callable with a docstring (the judge-facing contract). The STATIC
-    # rows-only set is the two engine-private sketches plus the five
-    # fitted-literal queries — but the latter carry DYNAMIC oracles
-    # (fitted centroid/component/codebook literals, rounds 7/9), so
-    # with those materialized only the sketches remain rows-only.
+    # rows-only set is exactly the fitted-literal queries — those carry
+    # DYNAMIC oracles (fitted centroid/component/codebook literals,
+    # rounds 7/9), so with them materialized NOTHING remains rows-only:
+    # round 12 replaced the last two engine-private sketches with
+    # portable expression-level sketches carrying static oracles.
     from tmdb_index_spark import queries as Q
 
     assert set(Q.ORACLES) <= set(Q.QUERIES)
     rows_only = set(Q.QUERIES) - set(Q.ORACLES)
     assert rows_only == {
-        "approx_distinct_users_daily",
-        "approx_value_quantiles",
         "corpus_pipeline_stats",
         "embedding_ivf_tuned_topk",
         "embedding_ivf2_topk",
@@ -274,10 +273,8 @@ def test_registry_consistency(spark):
         "ann_recall_eval",
     }
     with_dynamic = {**dict(Q.ORACLES), **Q.dynamic_oracles()}
-    assert set(Q.QUERIES) - set(with_dynamic) == {
-        "approx_distinct_users_daily",
-        "approx_value_quantiles",
-    }
+    assert set(Q.QUERIES) - set(with_dynamic) == set()
+    assert Q.ROWS_ONLY_QUERIES == {}
     for name, fn in Q.QUERIES.items():
         assert callable(fn), name
         assert (fn.__doc__ or "").strip(), f"{name} lacks a docstring"

@@ -1,26 +1,35 @@
-"""Quantitative error bounds for the sketch queries.
+"""Quantitative error bounds for the portable sketch queries.
 
-The two approx catalog entries are rows-only under the driver gate
-(HLL registers and quantile digests are engine-private, so no DuckDB
-oracle can hash-match them). These tests give them the quantitative
-check the gate can't: each sketch output must sit within its
-documented error envelope of the EXACT twin computed on the same data.
+Round 12 replaced the engine-private sketches (HLL++ digests, GK
+quantile sketches) with portable expression-level ones
+(`operators/sketches.py`) whose estimates a DuckDB oracle reproduces
+bit-for-bit — so the driver gate now hash-checks them.  These tests
+add what the hash check can't see: each estimate must sit within its
+documented error envelope of the EXACT twin on the same data, and the
+linear-counting / harmonic regime routing must behave.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from tmdb_index_spark import queries as Q
+from tmdb_index_spark.operators.sketches import (
+    hash_sample_pred,
+    portable_hll_distinct,
+)
 
 SF = "/root/testdata/sf0.01"
 
-#: approx_count_distinct runs at rsd=0.02; 3 standard deviations.
-HLL_REL_TOL = 0.06
+#: b=10 (1024 registers): ~3.2% rsd harmonic, few-% linear-counting;
+#: generous 3-sigma-ish envelope.
+HLL_REL_TOL = 0.10
 
-#: percentile_approx runs at accuracy=10_000 (rank error 1/10000);
-#: allow a generous ±1% RANK window around each requested quantile.
-QUANTILE_RANK_TOL = 0.01
+#: 1/4 Bernoulli sample, groups of ~2000 events -> ~500 sampled; rank
+#: se at the median ~ sqrt(.25/500) ~ 2.2%; allow ~3.5 sigma.
+QUANTILE_RANK_TOL = 0.08
 
 
 def test_approx_distinct_users_daily_within_hll_error(spark):
@@ -57,9 +66,58 @@ def test_approx_value_quantiles_within_rank_error(spark):
         vs = values[r["event_type"]]
         n = len(vs)
         assert r["n"] == n
+        # the sample is a fixed hash predicate: size is deterministic
+        # and should be ~n/4
+        assert 0.15 * n <= r["n_sampled"] <= 0.35 * n
         for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
             lo_rank = max(0, int((p - QUANTILE_RANK_TOL) * (n - 1)))
             hi_rank = min(n - 1, int((p + QUANTILE_RANK_TOL) * (n - 1)) + 1)
             assert vs[lo_rank] <= r[col] <= vs[hi_rank], (
                 r["event_type"], col, r[col], vs[lo_rank], vs[hi_rank],
             )
+
+
+def test_portable_hll_regimes_and_determinism(spark):
+    # small group -> linear-counting regime: near-exact; the estimate
+    # must also be IDENTICAL across runs/partitionings (pure function
+    # of the key set).
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 2).alias("g"),
+        F.when(F.col("id") % 2 == 0, F.col("id") % 50)
+        .otherwise(F.col("id"))
+        .alias("k"),
+    )
+    out = {
+        r["g"]: (r["approx_distinct"], r["n_rows"])
+        for r in portable_hll_distinct(df, "k", ["g"], b=10).collect()
+    }
+    # group 0: even ids mod 50 -> 25 distinct of 1000 rows; group 1:
+    # 1000 distinct
+    assert out[0][1] == 1000 and out[1][1] == 1000
+    assert abs(out[0][0] - 25) / 25 < 0.05
+    assert abs(out[1][0] - 1000) / 1000 < 0.10
+    out2 = {
+        r["g"]: (r["approx_distinct"], r["n_rows"])
+        for r in portable_hll_distinct(
+            df.repartition(7), "k", ["g"], b=10
+        ).collect()
+    }
+    assert out == out2
+
+
+def test_portable_hll_harmonic_regime(spark):
+    # enough distinct keys to exceed 2.5 * m (b=6 -> m=64, threshold
+    # 160): exercises the raw harmonic branch within its rsd envelope
+    # (1.04/8 = 13%; allow 3 sigma).
+    df = spark.range(0, 5000).select(F.lit(1).alias("g"), F.col("id").alias("k"))
+    row = portable_hll_distinct(df, "k", ["g"], b=6).collect()[0]
+    assert abs(row["approx_distinct"] - 5000) / 5000 < 3 * 1.04 / math.sqrt(64)
+
+
+def test_hash_sample_pred_is_deterministic_partition(spark):
+    df = spark.range(0, 10_000)
+    a = df.filter(hash_sample_pred(F.col("id"), 4)).count()
+    b = df.repartition(13).filter(hash_sample_pred(F.col("id"), 4)).count()
+    assert a == b
+    # ~1/4 +- loose binomial envelope
+    assert 2000 < a < 3000

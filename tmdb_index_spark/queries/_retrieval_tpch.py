@@ -563,34 +563,81 @@ GROUP BY o_orderstatus
 
 
 def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL sketch family (rows-only check — no oracle by design: HLL
-    estimates are engine-private, which is exactly why the EXACT
-    profiling path exists for parity and this one for scale). Same
-    plan shape as the exact count, no extra shuffle."""
+    """HLL sketch family — the PORTABLE HyperLogLog
+    (`operators/sketches.py`), not Spark's engine-private
+    ``approx_count_distinct`` digest, so the estimate itself is
+    hash-checkable against the verbatim DuckDB mirror (the last
+    rows-only contract in the catalog, closed round 12).  b=10 (1024
+    registers, ~3.2% rsd harmonic / few-% linear-counting regime with
+    the literal-lookup correction); the operator takes ``b`` for
+    tighter production error.  Plan: map-side partial max collapses
+    each partition to <= days*1024 rows before the only data-sized
+    shuffle.  Exact twin: ``distinct_users_daily_exact``."""
+    from tmdb_index_spark.operators.sketches import portable_hll_distinct
+
     ev = _events(spark, sf_dir)
-    return ev.groupBy(
-        F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    return portable_hll_distinct(
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id"),
+        key_col="user_id",
+        group_cols=["day"],
+        b=10,
+        out_col="approx_users",
+        count_col="n_events",
+    )
+
+
+def _approx_distinct_sql() -> str:
+    from tmdb_index_spark.operators.sketches import portable_hll_oracle_sql
+
+    return portable_hll_oracle_sql(
+        key_sql="user_id",
+        group_sql="date_trunc('day', ts)",
+        group_alias="day",
+        from_sql="events",
+        b=10,
+        out_col="approx_users",
+        count_col="n_events",
     )
 
 
 def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile-sketch family (rows-only check — approx percentile
-    digests are engine-private; the exact twin is
-    ``value_percentiles``). One pass, mergeable sketch per group."""
+    """Quantile-sketch family — a PORTABLE sampling-based estimator
+    (deterministic md5 Bernoulli sample + exact interpolated
+    percentile over the sample, `operators/sketches.py`) instead of
+    Spark's engine-private GK digest, so the estimate is
+    hash-checkable cross-engine (rows-only contract closed round 12).
+    One pass: the sample predicate gates the percentile input while
+    totals aggregate the full stream; the per-group sort shrinks by
+    the 4x sampling factor.  Exact twin: ``value_percentiles``."""
+    from tmdb_index_spark.operators.sketches import hash_sample_pred
+
     ev = _events(spark, sf_dir)
+    sampled = hash_sample_pred(F.col("event_id"), 4)
+    sv = F.when(sampled, F.col("value"))
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("q"),
+        F.round(F.percentile(sv, F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(sv, F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile(sv, F.lit(0.99)), 4).alias("p99"),
+        F.sum(sampled.cast("long")).alias("n_sampled"),
         F.count(F.lit(1)).alias("n"),
-    ).select(
-        "event_type",
-        F.col("q")[0].alias("p50"),
-        F.col("q")[1].alias("p90"),
-        F.col("q")[2].alias("p99"),
-        "n",
     )
+
+
+_APPROX_QUANTILES_SQL = """
+WITH s AS (
+  SELECT event_type, value,
+         (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 4) = 0 AS sampled
+  FROM events
+)
+SELECT event_type,
+       ROUND(quantile_cont(CASE WHEN sampled THEN value END, 0.5), 4) AS p50,
+       ROUND(quantile_cont(CASE WHEN sampled THEN value END, 0.9), 4) AS p90,
+       ROUND(quantile_cont(CASE WHEN sampled THEN value END, 0.99), 4) AS p99,
+       CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       COUNT(*) AS n
+FROM s GROUP BY event_type
+"""
 
 
 def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
