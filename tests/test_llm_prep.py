@@ -827,3 +827,26 @@ def test_remove_duplicated_spans_validation(spark):
         remove_duplicated_spans(docs, k=0)
     with pytest.raises(ValueError, match="min_count"):
         remove_duplicated_spans(docs, min_count=1)
+
+
+def test_remove_duplicated_spans_rejects_bad_doc_ids(spark):
+    # a negative doc_id breaks the smallest-(doc,pos) packed-key
+    # ordering; a non-numeric id yields NULL keys — both must fail
+    # LOUDLY (same consumed assert_true as the 2^20 token bound),
+    # never silently mis-cut
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from tmdb_index_spark.operators.llm_prep import remove_duplicated_spans
+
+    neg = spark.createDataFrame(
+        [(-1, "a b c a b c"), (2, "a b c d")], "doc_id long, text string"
+    )
+    with pytest.raises(SparkRuntimeException, match="non-negative"):
+        remove_duplicated_spans(neg, k=3).collect()
+    # non-numeric id: either the guard's curated message or ANSI
+    # cast's own error — both are loud failures, never silent NULL keys
+    nonnum = spark.createDataFrame(
+        [("docA", "a b c a b c")], "doc_id string, text string"
+    )
+    with pytest.raises(Exception, match="non-negative|cannot be cast"):
+        remove_duplicated_spans(nonnum, k=3).collect()

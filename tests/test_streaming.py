@@ -646,8 +646,19 @@ def test_ingest_stream_folds_novel_content_only(spark, tmp_path):
     assert s1["n_kept"] == 1              # doc 4
 
     # full replay under a FRESH checkpoint: every document's content is
-    # already in the index, so the fold is a no-op fixpoint
+    # already in the index, so the fold is a no-op fixpoint — this is
+    # the post-swap crash window (index updated, checkpoint gone)
     run_ingest_stream(_stream(), index, stats, str(tmp_path / "ck2"))
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(index).collect()
     ) == [1, 2, 4]
+    # and the yield ledger must SURVIVE the replay: the replayed batch
+    # (all 6 docs vs the already-updated index) would recompute
+    # zero-yield rows, but a committed batch partition is never
+    # overwritten, so batch 0 still reports its true first-run yields
+    s0_replay = spark.read.parquet(stats).filter("batch_id = 0").collect()[0]
+    assert (
+        s0_replay["n_batch"],
+        s0_replay["n_exact_batch_dup"],
+        s0_replay["n_kept"],
+    ) == (3, 1, 2)

@@ -155,6 +155,19 @@ def prepare_corpus(
     sample as the cell fit."""
     emb_id, emb_vec = "vec_id", "embedding"
 
+    # cheap argument validation up front: an invalid semantic_payload
+    # must fail BEFORE stages 1-4 pin frames and run counts/actions,
+    # not waste the whole upstream pipeline at stage 5
+    if semantic_payload not in ("raw", "pq"):
+        raise ValueError(
+            f"semantic_payload must be 'raw' or 'pq', got "
+            f"{semantic_payload!r}"
+        )
+    if pq_m < 1 or pq_ks < 2:
+        raise ValueError(
+            f"pq_m must be >= 1 and pq_ks >= 2, got m={pq_m}, ks={pq_ks}"
+        )
+
     base = pin_frame(
         docs.select(
             id_col,
@@ -218,12 +231,8 @@ def prepare_corpus(
     )
 
     # 5. SemDeDup over survivors' embeddings; docs without one survive
-    # (occupancy-constant cell count — the semantic_dedup rule)
-    if semantic_payload not in ("raw", "pq"):
-        raise ValueError(
-            f"semantic_payload must be 'raw' or 'pq', got "
-            f"{semantic_payload!r}"
-        )
+    # (occupancy-constant cell count — the semantic_dedup rule;
+    # semantic_payload validated at function entry)
     n_emb = embeddings.count()
     cents = fit_centroids(embeddings, semantic_cells(n_emb), emb_id, emb_vec)
     surv_emb = embeddings.join(

@@ -750,15 +750,31 @@ def remove_duplicated_spans(
         F.split(txt, r"\s+")
     )
     n = F.size(t)
-    # the bound check rides INSIDE the consumed column (a dropped
+    # the bound checks ride INSIDE the consumed column (a dropped
     # assert-only column would be pruned before it ever evaluated):
-    # assert_true yields NULL when the bound holds, raises otherwise
+    # assert_true yields NULL when the bound holds, raises otherwise.
+    # Both packed-key preconditions are guarded: token count <= 2^20
+    # AND doc_id non-null and >= 0 — a negative id breaks the
+    # smallest-(doc,pos) ordering and a null id (e.g. a non-numeric id
+    # column silently cast) would yield NULL keys and silently wrong
+    # cuts instead of this loud failure.
+    id_ok = F.col(id_col).try_cast("long").isNotNull() & (
+        F.col(id_col).try_cast("long") >= 0
+    )
     n_checked = F.when(
         F.assert_true(
-            n <= F.lit(1 << 20),
-            F.lit(
-                "remove_duplicated_spans: document exceeds 2^20 tokens —"
-                " the packed (doc_id, pos) election key would collide"
+            (n <= F.lit(1 << 20)) & id_ok,
+            F.concat(
+                F.lit(
+                    "remove_duplicated_spans: requires doc token count"
+                    " <= 2^20 and a non-null, non-negative numeric"
+                    f" {id_col} — the packed (doc_id, pos) election key"
+                    " would collide or misorder (doc_id="
+                ),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+                F.lit(", n_tokens="),
+                n.cast("string"),
+                F.lit(")"),
             ),
         ).isNull(),
         n,

@@ -975,13 +975,26 @@ def _fitted_semantic_dedup_oracle_sql(
         n = con.sql(f"SELECT COUNT(*) FROM '{path}'").fetchone()[0]
         if not n:
             return None
+        # regime guard: the oracle below reproduces the FLAT k-means
+        # cell regime only; semantic_assign routes to two-level IVF
+        # (cells > SEMANTIC_TWO_LEVEL_CELLS) or sign-bit LSH orthants
+        # (cells > the 10k fit cap) at larger corpora, where this SQL
+        # would diverge from the engine — emit a rows-only row instead
+        # of a mismatching oracle
+        from tmdb_index_spark.operators.similarity import (
+            SEMANTIC_TWO_LEVEL_CELLS,
+        )
+
+        cells = semantic_cells(n)
+        if cells > SEMANTIC_TWO_LEVEL_CELLS or cells > 10_000:
+            return None
         sample = con.sql(
             f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT 10000"
         ).fetchall()
         X = np.array([list(r[0]) for r in sample], dtype="float64")
         # occupancy-constant cells — MUST stay the operator's own
         # semantic_cells rule (round 10: flipped from √N)
-        cents = fit_kmeans_array(X, semantic_cells(n))
+        cents = fit_kmeans_array(X, cells)
     except Exception:  # noqa: BLE001 — missing table → rows-only row
         return None
     dim = X.shape[1]
@@ -1072,13 +1085,24 @@ def _fitted_semantic_pq_oracle_sql(
         n = con.sql(f"SELECT COUNT(*) FROM '{path}'").fetchone()[0]
         if not n:
             return None
+        # regime guard (mirrors _fitted_semantic_dedup_oracle_sql):
+        # this SQL reproduces the FLAT cell regime only — in the
+        # two-level-IVF or LSH-orthant regimes the engine's assignment
+        # differs, so emit a rows-only row rather than a wrong oracle
+        from tmdb_index_spark.operators.similarity import (
+            SEMANTIC_TWO_LEVEL_CELLS,
+        )
+
+        cells = semantic_cells(n)
+        if cells > SEMANTIC_TWO_LEVEL_CELLS or cells > 10_000:
+            return None
         sample = con.sql(
             f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT 10000"
         ).fetchall()
         X = np.array([list(r[0]) for r in sample], dtype="float64")
         # occupancy-constant cells — the operator's own semantic_cells
         # rule, shared so the engines cannot disagree on the fit's k
-        cents = fit_kmeans_array(X, semantic_cells(n))
+        cents = fit_kmeans_array(X, cells)
         books = fit_pq_array(X, m=m, ks=ks)
     except Exception:  # noqa: BLE001 — missing table → rows-only row
         return None

@@ -11,15 +11,24 @@ fold-in) and maintains TWO artifacts:
   rename-aside swap — :func:`~tmdb_index_spark.streaming.windowed
   .recover_and_swap`);
 * an append-only per-batch yield ledger under ``stats_path`` (one
-  partition directory per micro-batch id, overwritten on replay, so
-  at-least-once delivery re-lands the identical rows — the stats a
+  partition directory per micro-batch id — the stats a
   crawl-ingestion pipeline alarms on).
 
-Idempotence on replay: re-ingesting a drained batch finds its own
-content already in the index, every doc drops at the exact-vs-index
-stage, ``kept`` is empty, and ``update_or_append`` reaches the same
-fixpoint; the stats partition for that batch id is overwritten with
-the replayed (identical) rows.
+Idempotence on replay — both crash windows:
+
+* crash BEFORE the index swap: the replayed batch re-ingests against
+  the UNCHANGED index, recomputes identical stats rows, and the index
+  ``update_or_append`` reaches the same fixpoint.  (Its stats
+  partition, if it committed, already holds those identical rows, so
+  skipping the rewrite is also correct.)
+* crash AFTER the swap but before the streaming checkpoint commits:
+  the replayed batch re-ingests against the ALREADY-UPDATED index —
+  every doc drops at the exact-vs-index stage and the recomputed
+  stats would be zero-yield lies.  The ledger write therefore SKIPS
+  any batch partition that already carries a ``_SUCCESS`` marker: the
+  true yield rows written just before the swap survive the replay.
+  (Stats land strictly before the swap, so a committed partition can
+  never be mid-write when the swap exists.)
 
 State lives in the PARQUET artifacts, not the state store — the
 index is unbounded corpus state, exactly what Spark's own docs route
@@ -100,12 +109,17 @@ def run_ingest_stream(
                 bands=bands,
                 materialize="cache",
             )
-            # per-batch yield rows land BEFORE the index swap: a crash
-            # between the two replays the batch, which overwrites this
-            # partition with identical rows (idempotent)
-            out["stats"].write.mode("overwrite").parquet(
-                posixpath.join(stats_path, f"batch_id={batch_id}")
-            )
+            # per-batch yield rows land BEFORE the index swap, and
+            # NEVER overwrite an already-committed partition: a replay
+            # after a post-swap crash recomputes zero-yield rows (the
+            # index already holds the batch) which must not clobber the
+            # true ledger (module docstring, both crash windows).
+            part = posixpath.join(stats_path, f"batch_id={batch_id}")
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path
+            fs = hpath(part).getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(hpath(posixpath.join(part, "_SUCCESS"))):
+                out["stats"].write.mode("overwrite").parquet(part)
             return out["new_index"]
 
         try:
