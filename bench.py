@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "embedding_lsh_tuned_topk",
     "embedding_ivf_topk",
     "embedding_ivf_tuned_topk",
+    "embedding_ivf_multiprobe_tuned",
     "text_quality",
     "tfidf_terms",
     "bm25_search",

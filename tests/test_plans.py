@@ -254,6 +254,7 @@ def test_registry_consistency(spark):
     rows_only = set(Q.QUERIES) - set(Q.ORACLES)
     assert rows_only == {
         "corpus_pipeline_stats",
+        "embedding_ivf_multiprobe_tuned",
         "embedding_ivf_tuned_topk",
         "embedding_ivf2_topk",
         "semantic_dedup_flags",
@@ -264,6 +265,7 @@ def test_registry_consistency(spark):
     }
     assert set(Q.DYNAMIC_ORACLE_BUILDERS) == {
         "corpus_pipeline_stats",
+        "embedding_ivf_multiprobe_tuned",
         "embedding_ivf_tuned_topk",
         "embedding_ivf2_topk",
         "semantic_dedup_flags",

@@ -815,17 +815,112 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 def embedding_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-3 with query-side multi-probe (nprobe=2): each query
     searches its two nearest cells — the recall lever for boundary
-    vectors (extension: similarity-search scale path). Scoring runs
-    the cogrouped per-cell BLAS path (``impl='pandas'``, the default):
-    the round-9 full-catalog stress sweep measured the interpreted
-    expression spelling at 80× for 10× data — the per-pair 64-term
-    fold constant, not the pinned-cell candidate count (the same
-    pinned cells under BLAS track flat IVF's slope)."""
+    vectors (extension: similarity-search scale path). LABELLED
+    EXHIBIT (round 12, like ``embedding_lsh_topk``): the 16 cells are
+    PINNED literals, so per-cell occupancy grows linearly with N and
+    the within-cell quadratic dominates at scale (80.1× at 100× in
+    SCALE.md tier r11) — kept because fixed literal centroids are
+    what a static SQL oracle can mirror exactly; the production form
+    is ``embedding_ivf_multiprobe_tuned`` one entry down (cells =
+    √N, fitted centroids, dynamic oracle). Scoring runs the cogrouped
+    per-cell BLAS path (``impl='pandas'``, the default): the round-9
+    full-catalog stress sweep measured the interpreted expression
+    spelling at 80× for 10× data — the per-pair 64-term fold
+    constant, not the pinned-cell candidate count."""
     from tmdb_index_spark.operators.similarity import ivf_topk
 
     return ivf_topk(
         _t(spark, sf_dir, "embeddings"), _IVF_CENTROIDS, k=3, nprobe=2,
     )
+
+
+def embedding_ivf_multiprobe_tuned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Self-tuned IVF top-3 with query-side multi-probe (nprobe=2):
+    ``ivf_index_topk``'s √N-cell self-tuning (the production IVF
+    entry point — occupancy shrinks as N grows, unlike the pinned
+    16-cell exhibit above) with each query additionally probing its
+    second-nearest cell, the standard recall lever for
+    boundary-of-cell vectors.  Candidates stay in their ONE home cell
+    — multi-probe fans out the query side only, so candidate volume
+    grows ~nprobe× while the index never duplicates.  The oracle
+    re-runs the identical deterministic sampled k-means fit and
+    embeds the centroids as literals with the probe-rank <= 2 query
+    side (:func:`_fitted_ivf_multiprobe_oracle_sql`), the
+    ``embedding_ivf_tuned_topk`` recipe (extension:
+    similarity-search scale path)."""
+    from tmdb_index_spark.operators.similarity import ivf_index_topk
+
+    return ivf_index_topk(
+        _t(spark, sf_dir, "embeddings"), k=3, nprobe=2
+    )
+
+
+def _fitted_ivf_multiprobe_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    """Value-row oracle for ``embedding_ivf_multiprobe_tuned``: the
+    :func:`_fitted_ivf_oracle_sql` recipe (same parquet sample, same
+    numpy k-means core, same seed, centroids as literals) with the
+    multi-probe query side — every vector joins as a QUERY from its
+    two nearest cells (probe rank <= 2) against CANDIDATES in their
+    single home cell (probe rank = 1)."""
+    try:
+        import duckdb
+        import numpy as np
+
+        from tmdb_index_spark.operators.similarity import fit_kmeans_array
+
+        con = duckdb.connect()
+        path = f"{sf_dir}/embeddings.parquet"
+        n = con.sql(f"SELECT COUNT(*) FROM '{path}'").fetchone()[0]
+        if not n:
+            return None
+        sample = con.sql(
+            f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT 10000"
+        ).fetchall()
+        X = np.array([list(r[0]) for r in sample], dtype="float64")
+        cells = max(1, round(n ** 0.5))
+        cents = fit_kmeans_array(X, cells)
+    except Exception:  # noqa: BLE001 — missing table → rows-only row
+        return None
+    dim = X.shape[1]
+    values = ",\n    ".join(
+        "({}, [{}])".format(
+            cid, ", ".join(repr(float(x)) for x in vec)
+        )
+        for cid, vec in cents
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT * FROM (VALUES
+    {values}
+) AS t(cell, cv)),
+d AS (
+  SELECT vec_id, v, cell,
+         list_sum(list_transform(generate_series(1, {dim}),
+           i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS dist
+  FROM v CROSS JOIN cent
+),
+ranked AS (
+  SELECT vec_id, v, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, cell ASC) AS cr
+  FROM d
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
+  FROM (SELECT * FROM ranked WHERE cr <= 2) q
+  JOIN (SELECT * FROM ranked WHERE cr = 1) c ON q.cell = c.cell
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
 
 
 _IVF_MULTIPROBE_SQL = (
