@@ -128,6 +128,27 @@ def test_tfidf_broadcasts_df_no_hot_term_window(spark):
     assert "WindowGroupLimit" in p
 
 
+def test_tfidf_vocab_guard_falls_back_to_shuffle_hash(spark):
+    # Above the vocabulary-broadcast cap the dfreq side must plan as a
+    # ShuffledHashJoin (never SortMergeJoin, never a forced broadcast
+    # that dies on the 8 GiB limit at web-scale vocabularies — the
+    # same bug class the round-11 stress run caught in salted_join).
+    import warnings
+
+    from tmdb_index_spark.operators.ranking import tfidf_top_terms
+
+    docs = Q._t(spark, SF, "documents")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        df = tfidf_top_terms(docs, k=3, vocab_broadcast_max=1)
+        assert any("shuffle-hash" in str(x.message) for x in w)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # and the default mode still broadcasts (the companion assertion
+    # in test_tfidf_broadcasts_df_no_hot_term_window)
+
+
 def test_per_group_argmax_uses_window_group_limit(spark):
     # row_number()==1 per nation must push a per-partition group limit
     # below the shuffle (Spark 3.5+ InferWindowGroupLimit) — partial +

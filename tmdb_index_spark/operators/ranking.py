@@ -9,11 +9,14 @@ Spark-first design notes:
 
 * tokenization is a single vectorized ``regexp_extract_all`` (JVM
   codegen) — no Python in the hot path;
-* document frequency is a tiny relation (vocabulary-sized) and is
+* document frequency is a small relation (vocabulary-sized) and is
   broadcast back onto the term-frequency rows — no second shuffle of
-  the big side. A word vocabulary stays broadcastable far past 100 TB
-  of documents (~10M distinct words ≪ executor memory); if shingle
-  vocabularies are ranked instead, drop the hint and let AQE pick.
+  the big side. The broadcast is GUARDED, not assumed (round 12): a
+  clean word vocabulary stays well under the 10M-row cap at any
+  corpus scale, but noisy web corpora (typos, IDs, shingle
+  vocabularies) can exceed it, so ``tfidf_top_terms`` measures the
+  dfreq count and falls back to a plan-asserted shuffle-hash join
+  above ``vocab_broadcast_max``.
 * corpus-level scalars (N, avgdl) ride in via a broadcast cross join
   of a 1-row aggregate — never a driver-side ``collect``.
 
@@ -51,6 +54,15 @@ def term_frequencies(
     return toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
 
 
+#: vocabulary rows above which the per-term document-frequency
+#: relation stops being broadcast: a clean word vocabulary stays well
+#: under this at any corpus scale, but raw web-scale corpora can blow
+#: past 10M distinct "words" on typo/ID noise, and a forced broadcast
+#: then dies on the driver/broadcast limit exactly like the
+#: salted-join bug the round-11 stress program caught.
+VOCAB_BROADCAST_MAX = 10_000_000
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     text_col: str = "text",
@@ -58,6 +70,7 @@ def tfidf_top_terms(
     k: int = 5,
     materialize: str = "cache",
     scratch_dir: str | None = None,
+    vocab_broadcast_max: int = VOCAB_BROADCAST_MAX,
 ) -> DataFrame:
     """Top-``k`` TF-IDF terms per document.
 
@@ -66,20 +79,41 @@ def tfidf_top_terms(
     deterministic. Returns ``(id, term, tf, tfidf, rank)``.
 
     Document frequency is aggregated per term (a vocabulary-sized
-    relation, ≤~10M rows at any corpus scale) and BROADCAST-joined back
-    onto the term-frequency rows — the design the module docstring
-    promises. A window count partitioned by ``term`` would funnel every
-    tf row of a stopword through one task (a hot-key scale-killer at
-    100 TB); the broadcast join keeps the big side map-only after its
-    single groupBy shuffle. The compact ``(id, term, tf)`` frame feeds
-    two consumers (the df aggregate and the scoring join) and is pinned
-    so tokenization runs exactly once.
+    relation) and joined back onto the term-frequency rows. A window
+    count partitioned by ``term`` would funnel every tf row of a
+    stopword through one task (a hot-key scale-killer at 100 TB), so
+    the join is the design either way; the JOIN STRATEGY is guarded:
+    the dfreq side is BROADCAST while its measured row count is ≤
+    ``vocab_broadcast_max`` and falls back to a plan-asserted
+    shuffle-hash join above it (dfreq is uniform per-term rows — no
+    hot keys — so the fallback shuffles cleanly; only the broadcast
+    assumption, not the plan shape, was the hazard). The compact
+    ``(id, term, tf)`` frame feeds two consumers (the df aggregate and
+    the scoring join) and is pinned so tokenization runs exactly once;
+    dfreq is pinned too, so the guard's count doesn't recompute it.
     """
     tf = pin_frame(term_frequencies(docs, text_col, id_col), materialize, scratch_dir)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = pin_frame(
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")),
+        materialize,
+        scratch_dir,
+    )
+    n_vocab = dfreq.count()
+    if n_vocab <= vocab_broadcast_max:
+        df_side = F.broadcast(dfreq)
+    else:
+        import warnings
+
+        warnings.warn(
+            f"tfidf_top_terms: vocabulary has {n_vocab:,} terms "
+            f"(> broadcast cap {vocab_broadcast_max:,}) — falling back "
+            "to a shuffle-hash join for the document-frequency side",
+            stacklevel=2,
+        )
+        df_side = dfreq.hint("shuffle_hash")
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(df_side, "term")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
