@@ -137,6 +137,57 @@ def test_dq_checks_detect_planted_violations(spark):
     }
 
 
+def test_dq_multi_check_forms_match_singles(spark):
+    # the single-pass forms (check_unique_multi, check_scalars) must
+    # report the SAME numbers as their one-check-per-pass twins,
+    # including null-key grouping and composite keys
+    from tmdb_index_spark.operators.checks import (
+        check_non_null,
+        check_range,
+        check_scalars,
+        check_unique,
+        check_unique_multi,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 0.5, 7),
+            (1, "a", -0.1, None),
+            (1, "b", 0.2, 3),
+            (None, "a", 1.5, 3),
+            (None, "a", 0.9, None),
+            (2, None, 0.1, 5),
+        ],
+        "k long, g string, v double, w long",
+    )
+    multi = {
+        r.check: r.n_violations
+        for r in check_unique_multi(df, [["k"], ["k", "g"]]).collect()
+    }
+    singles = {
+        r.check: r.n_violations
+        for r in check_unique(df, ["k"])
+        .unionByName(check_unique(df, ["k", "g"]))
+        .collect()
+    }
+    # (1,a) twice and (None,a) twice -> null keys group like groupBy
+    assert multi == singles == {"unique(k)": 5, "unique(k,g)": 4}
+
+    scal = {
+        r.check: r.n_violations
+        for r in check_scalars(
+            df, non_null=["w"], ranges=[("v", 0.0, 1.0)]
+        ).collect()
+    }
+    singles2 = {
+        r.check: r.n_violations
+        for r in check_non_null(df, "w")
+        .unionByName(check_range(df, "v", 0.0, 1.0))
+        .collect()
+    }
+    assert scal == singles2 == {"non_null(w)": 2, "range(v)": 2}
+
+
 def test_dq_clean_table_reports_zero(spark):
     from tmdb_index_spark.operators.checks import check_range, check_unique, run_checks
 

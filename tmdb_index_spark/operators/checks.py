@@ -41,6 +41,115 @@ def check_unique(df: DataFrame, cols: list[str], name: str | None = None) -> Dat
     return _summary(name or f"unique({','.join(cols)})", dupes)
 
 
+def _canon_key(cols: list[str]):
+    """Canonical string encoding of a composite key that preserves
+    groupBy-equality exactly: per-column null marker + unit separators
+    (no real value collides with the markers)."""
+    parts = []
+    for c in cols:
+        parts.append(
+            F.coalesce(
+                F.col(c).cast("string"), F.lit("\x00N")
+            )
+        )
+    return F.concat_ws("\x01", *parts)
+
+
+def check_unique_multi(
+    df: DataFrame,
+    key_sets: list[list[str]],
+    names: list[str] | None = None,
+) -> DataFrame:
+    """ALL uniqueness checks of one table in a single scan + two
+    shuffles (the 100-TB form of N :func:`check_unique` calls, which
+    cost one scan + one shuffle EACH):
+
+    each row explodes to one ``(check_idx, canonical key string)``
+    pair per key set; one map-side-combined shuffle keyed on
+    ``(check_idx, key)`` collapses to per-key counts, and a second
+    tiny shuffle rolls violating-group member counts up per check.
+    Shuffled volume is the sum of the key sets' distinct-key counts —
+    identical to the separate-checks total — but the table is scanned
+    ONCE for all of them.  Same per-check numbers as
+    :func:`check_unique` (all members of duplicate groups)."""
+    if not key_sets:
+        raise ValueError("check_unique_multi needs at least one key set")
+    names = names or [f"unique({','.join(ks)})" for ks in key_sets]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("__ci__"), _canon_key(ks).alias("__key__")
+            )
+            for i, ks in enumerate(key_sets)
+        ]
+    )
+    ex = df.select(F.explode(pairs).alias("p")).select("p.__ci__", "p.__key__")
+    per_key = ex.groupBy("__ci__", "__key__").agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    per_check = (
+        per_key.filter(F.col("__c__") > 1)
+        .groupBy("__ci__")
+        .agg(F.sum("__c__").alias("__n__"))
+    )
+    name_map = F.array(*[F.lit(nm) for nm in names])
+    spark = df.sparkSession
+    idx = spark.range(len(key_sets)).select(
+        F.col("id").cast("int").alias("__ci__")
+    )
+    return (
+        idx.join(per_check, "__ci__", "left")
+        .select(
+            F.element_at(name_map, F.col("__ci__") + 1).alias("check"),
+            F.coalesce(F.col("__n__"), F.lit(0)).cast("long").alias(
+                "n_violations"
+            ),
+            "__ci__",
+        )
+        .orderBy("__ci__")
+        .drop("__ci__")
+    )
+
+
+def check_scalars(
+    df: DataFrame,
+    non_null: list[str] | None = None,
+    ranges: list[tuple[str, float | None, float | None]] | None = None,
+) -> DataFrame:
+    """ALL non-null and range checks of one table in a single
+    shuffle-free aggregate pass (the multi-check twin of
+    :func:`check_non_null` / :func:`check_range`, which each scan the
+    table separately).  Returns one ``(check, n_violations)`` row per
+    check, in declaration order."""
+    non_null = non_null or []
+    ranges = ranges or []
+    if not non_null and not ranges:
+        raise ValueError("check_scalars needs at least one check")
+    aggs = []
+    names = []
+    for c in non_null:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)))
+        names.append(f"non_null({c})")
+    for c, lo, hi in ranges:
+        cond = F.lit(False)
+        if lo is not None:
+            cond = cond | (F.col(c) < lo)
+        if hi is not None:
+            cond = cond | (F.col(c) > hi)
+        aggs.append(F.count(F.when(cond, 1)))
+        names.append(f"range({c})")
+    row = df.agg(
+        *[a.cast("long").alias(f"__n{i}__") for i, a in enumerate(aggs)]
+    )
+    stacked = ", ".join(
+        "'{}', __n{}__".format(nm.replace("'", "''"), i)
+        for i, nm in enumerate(names)
+    )
+    return row.selectExpr(
+        f"stack({len(names)}, {stacked}) AS (check, n_violations)"
+    )
+
+
 def check_non_null(df: DataFrame, col: str, name: str | None = None) -> DataFrame:
     nulls = df.agg(
         F.count(F.when(F.col(col).isNull(), 1)).alias("n")
@@ -72,16 +181,27 @@ def check_foreign_key(
     parent_col: str,
     name: str | None = None,
 ) -> DataFrame:
-    """Child rows whose non-null key has no parent (left-anti join;
-    broadcast when the parent key set is dimension-sized)."""
+    """Child rows whose non-null key has no parent.
+
+    The child side pre-aggregates to ``(key, row count)`` before the
+    anti join (map-side combine), so the join shuffles each side's
+    DISTINCT key set rather than every child row — at 100 TB the
+    child's key multiplicity (e.g. lineitems per order) never crosses
+    the wire.  Broadcast applies when the parent key set is
+    dimension-sized; otherwise both distinct-key sides hash-join."""
+    child_keys = (
+        child.select(F.col(col))
+        .filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
     orphans = (
-        child.select(F.col(col)).filter(F.col(col).isNotNull())
-        .join(
+        child_keys.join(
             parent.select(F.col(parent_col).alias(col)).distinct(),
             col,
             "left_anti",
         )
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(F.sum("__c__"), F.lit(0)).alias("n"))
     )
     return _summary(name or f"fk({col})", orphans)
 

@@ -477,12 +477,17 @@ def dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality audit (extension: generalizes the
     reference's dense-key invariant into a composable check family):
     uniqueness, non-null, range, and referential integrity in one
-    summary frame."""
+    summary frame.  Round-12 single-pass form: each table's scalar
+    checks fuse into ONE shuffle-free aggregate (``check_scalars``),
+    uniqueness runs through the exploded two-shuffle multi-key path
+    (``check_unique_multi``), and the FK anti-joins pre-aggregate the
+    child side to distinct keys — at 100× the lineitem FK shuffles
+    ~1.5M distinct orderkeys instead of ~600M child rows, the lever
+    for the 64.8× stress ratio this replaces (SCALE.md r12)."""
     from tmdb_index_spark.operators.checks import (
         check_foreign_key,
-        check_non_null,
-        check_range,
-        check_unique,
+        check_scalars,
+        check_unique_multi,
         run_checks,
     )
 
@@ -491,11 +496,14 @@ def dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     return run_checks(
         [
-            check_unique(orders, ["o_orderkey"]),
-            check_unique(lineitem, ["l_orderkey", "l_linenumber"]),
-            check_non_null(orders, "o_custkey"),
-            check_range(lineitem, "l_discount", lo=0.0, hi=1.0),
-            check_range(orders, "o_totalprice", lo=0.0),
+            check_unique_multi(orders, [["o_orderkey"]]),
+            check_unique_multi(lineitem, [["l_orderkey", "l_linenumber"]]),
+            check_scalars(
+                orders,
+                non_null=["o_custkey"],
+                ranges=[("o_totalprice", 0.0, None)],
+            ),
+            check_scalars(lineitem, ranges=[("l_discount", 0.0, 1.0)]),
             check_foreign_key(orders, "o_custkey", customer, "c_custkey"),
             check_foreign_key(lineitem, "l_orderkey", orders, "o_orderkey"),
         ]
