@@ -158,6 +158,7 @@ EXTENDED_QUERIES = [
     # exact/LSH/semantic dedup → decontam → budget sample → pack)
     "corpus_pipeline_stats",
     "corpus_ingest_stats",
+    "corpus_ingest_semantic_stats",
     # round-10: k-round BPE merge trainer (chained-CTE static oracle)
     "bpe_merges_k",
     "bpe_encoded_fertility",
@@ -165,6 +166,7 @@ EXTENDED_QUERIES = [
     "semantic_pq_dedup_flags",
     # round-11: ExactSubstr maximal duplicated-span extraction
     "exact_substr_spans",
+    "exact_substr_char_spans",
     # round-11: temperature-scaled mixture allocation with epoch caps
     "temperature_mixture_allocation",
     # round-11: self-tuned twin of the join-shaped LSH scale exhibit

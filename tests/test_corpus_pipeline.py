@@ -283,3 +283,85 @@ def test_ingest_batch_validation_empty_batch(spark):
     assert r["stats"].count() == 0
     assert r["new_index"].count() == 1
     release_pins()
+
+
+def test_ingest_semantic_stage_catches_paraphrase_missed_by_minhash(spark):
+    """The round-12 semantic novelty stage: batch 2 contains a
+    PARAPHRASE-grade near-dup of an indexed doc — completely disjoint
+    token set (shingle Jaccard 0, so MinHash passes it) but a
+    near-identical embedding — which must drop at stage 3b and be
+    counted in n_semantic_index_dup; a genuinely novel doc with an
+    unrelated embedding must survive the same stage."""
+    import numpy as np
+
+    from tmdb_index_spark.operators.corpus_pipeline import (
+        ingest_corpus_batch,
+    )
+    from tmdb_index_spark.operators.materialize import release_pins
+
+    rng = np.random.RandomState(7)
+    dim = 64
+    idx_vecs = rng.randn(40, dim)
+    idx_rows = [
+        (i, f"indexed document number {i} body token{i}a token{i}b", "en", "web")
+        for i in range(40)
+    ]
+    index = _ing_docs(spark, idx_rows)
+
+    # paraphrase of doc 3: disjoint words, embedding = doc 3's + tiny
+    # noise (cos ~ 0.999); novel doc: its own random direction
+    para_vec = idx_vecs[3] + 0.01 * rng.randn(dim)
+    # pick the first seeded direction that is genuinely far from EVERY
+    # index vector (40 random vectors in 16 dims leave little room, so
+    # search deterministically instead of hoping)
+    novel_vec = None
+    for s in range(200):
+        cand = np.random.RandomState(1000 + s).randn(dim)
+        cos = idx_vecs @ cand / (
+            np.linalg.norm(idx_vecs, axis=1) * np.linalg.norm(cand)
+        )
+        if np.abs(cos).max() < 0.4:
+            novel_vec = cand
+            break
+    assert novel_vec is not None
+
+    batch = _ing_docs(
+        spark,
+        [
+            (100, "rewritten phrasing entirely different surface form", "en", "crawl"),
+            (101, "fresh unrelated content about something else", "en", "crawl"),
+        ],
+    )
+    emb_rows = [(int(i), [float(x) for x in idx_vecs[i]]) for i in range(40)]
+    emb_rows += [
+        (100, [float(x) for x in para_vec]),
+        (101, [float(x) for x in novel_vec]),
+    ]
+    emb = spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<double>"
+    )
+
+    r = ingest_corpus_batch(
+        index, batch, embeddings=emb, semantic_threshold=0.6
+    )
+    s = r["stats"].collect()[0].asDict()
+    assert s == {
+        "source": "crawl",
+        "n_batch": 2,
+        "n_exact_batch_dup": 0,
+        "n_exact_index_dup": 0,
+        "n_near_index_dup": 0,
+        "n_semantic_index_dup": 1,
+        "n_kept": 1,
+        "kept_rate": 0.5,
+    }
+    kept_ids = {x["doc_id"] for x in r["kept"].collect()}
+    assert kept_ids == {101}
+    # the paraphrase must NOT be in the new index; the novel doc must
+    new_ids = {x["doc_id"] for x in r["new_index"].select("doc_id").collect()}
+    assert 100 not in new_ids and 101 in new_ids
+    # and WITHOUT the semantic stage the paraphrase sails through —
+    # the stage is what catches it
+    r0 = ingest_corpus_batch(index, batch)
+    assert {x["doc_id"] for x in r0["kept"].collect()} == {100, 101}
+    release_pins()

@@ -850,3 +850,35 @@ def test_remove_duplicated_spans_rejects_bad_doc_ids(spark):
     )
     with pytest.raises(Exception, match="non-negative|cannot be cast"):
         remove_duplicated_spans(nonnum, k=3).collect()
+
+
+def test_char_mode_catches_intra_token_duplication_token_mode_misses(spark):
+    # the duplicated substring "foo.bar(baz_qux)" (16 chars) is
+    # embedded INSIDE different whitespace tokens in the two docs —
+    # token n-grams at any k see different tokens and miss it; char
+    # windows catch it at the right offset in each doc
+    from tmdb_index_spark.operators.llm_prep import duplicated_span_ranges
+
+    docs = spark.createDataFrame(
+        [
+            (1, "xxfoo.bar(baz_qux)yy alpha words here"),
+            (2, "prefix aafoo.bar(baz_qux)bb other text"),
+        ],
+        "doc_id long, text string",
+    )
+    token_spans = duplicated_span_ranges(docs, k=2, unit="token").collect()
+    assert token_spans == []
+    char_spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in duplicated_span_ranges(docs, k=16, unit="char").collect()
+    }
+    # doc 1: "foo.bar(baz_qux)" starts at char 2; doc 2: at char 9
+    assert char_spans == {1: (2, 18), 2: (9, 25)}
+
+
+def test_duplicated_span_ranges_rejects_bad_unit(spark):
+    from tmdb_index_spark.operators.llm_prep import duplicated_span_ranges
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unit"):
+        duplicated_span_ranges(docs, unit="byte")

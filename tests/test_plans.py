@@ -274,6 +274,7 @@ def test_registry_consistency(spark):
     assert set(Q.ORACLES) <= set(Q.QUERIES)
     rows_only = set(Q.QUERIES) - set(Q.ORACLES)
     assert rows_only == {
+        "corpus_ingest_semantic_stats",
         "corpus_pipeline_stats",
         "embedding_ivf_multiprobe_tuned",
         "embedding_ivf_tuned_topk",
@@ -285,6 +286,7 @@ def test_registry_consistency(spark):
         "ann_recall_eval",
     }
     assert set(Q.DYNAMIC_ORACLE_BUILDERS) == {
+        "corpus_ingest_semantic_stats",
         "corpus_pipeline_stats",
         "embedding_ivf_multiprobe_tuned",
         "embedding_ivf_tuned_topk",
@@ -1086,3 +1088,27 @@ def test_no_shadowed_module_names_in_queries():
         defs.update(set(names))
     cross = {n for n, c in defs.items() if c > 1}
     assert not cross, f"name defined in multiple part modules: {sorted(cross)}"
+
+
+# ---- round-12: streaming keep-last determinism lint --------------------
+
+
+def test_streaming_order_lint_passes_and_has_teeth(tmp_path):
+    # Current streaming sources must pass (every
+    # monotonically_increasing_id call site carries the DELTAS.md #6
+    # marker), and an undocumented call site must be flagged.
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from streaming_order_lint import lint
+
+    assert lint("/root/repo/tmdb_index_spark/streaming") == []
+    bad = tmp_path / "streamingmod"
+    bad.mkdir()
+    (bad / "newfold.py").write_text(
+        "def merge(df):\n"
+        "    df = df.withColumn('a', F.monotonically_increasing_id())\n"
+        "    return df\n"
+    )
+    problems = lint(str(bad))
+    assert len(problems) == 1 and "newfold.py:2" in problems[0]

@@ -363,6 +363,12 @@ def ingest_corpus_batch(
     materialize: str = "checkpoint",
     scratch_dir: str | None = None,
     broadcast_batch: bool = True,
+    embeddings: DataFrame | None = None,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
+    semantic_threshold: float | None = None,
+    pq_m: int = 8,
+    pq_ks: int = 16,
 ) -> dict:
     """INCREMENTAL corpus ingestion — the daily-maintenance shape that
     is the reference's defining trait (``process()`` folds each day's
@@ -381,6 +387,17 @@ def ingest_corpus_batch(
        .dedup_text.minhash_novelty_pairs` at ``jaccard_threshold``:
        strictly batch×index candidates, the batch's band buckets
        broadcast, the index NEVER shuffles for candidate generation.
+    3b. **semantic-vs-index** (optional, round 12) — when
+       ``embeddings`` and ``semantic_threshold`` are given:
+       :func:`~tmdb_index_spark.operators.similarity.pq_novelty_ids`
+       drops MinHash survivors whose embedding is a PQ-coded SDC
+       cosine ≥ threshold of ANY same-cell index vector — the
+       paraphrase-grade rewrites token-level MinHash admits.
+       Centroids and PQ codebooks fit on the INDEX side's bounded
+       deterministic sample (the standing structure); both sides
+       assign + encode map-only, the batch codes broadcast, the index
+       never shuffles — the stage inherits stage 3's asymmetric
+       contract.  Skipped on bootstrap (empty index).
     4. **fold in** — :func:`~tmdb_index_spark.operators.upsert
        .update_or_append` upserts the kept docs into the index
        (re-sent ids are replaced, new ids append — the reference's
@@ -389,12 +406,13 @@ def ingest_corpus_batch(
     Returns ``{"new_index": frame, "kept": frame, "stats": frame}``;
     ``stats`` is the per-source batch yield row — ``(source, n_batch,
     n_exact_batch_dup, n_exact_index_dup, n_near_index_dup, n_kept,
-    kept_rate)`` — the number an ingestion pipeline alarms on when a
-    crawl source starts re-sending old content. ``batch`` must be
-    unique on ``id_col`` (the upsert contract). Batch-INTERNAL
-    near-dups are deliberately out of scope here: they are the batch
-    prep's job (:func:`prepare_corpus` stage 4); this composite's
-    contract is batch-vs-index novelty.
+    kept_rate)``, plus ``n_semantic_index_dup`` (before ``n_kept``)
+    when stage 3b is enabled — the number an ingestion pipeline
+    alarms on when a crawl source starts re-sending old content.
+    ``batch`` must be unique on ``id_col`` (the upsert contract).
+    Batch-INTERNAL near-dups are deliberately out of scope here: they
+    are the batch prep's job (:func:`prepare_corpus` stage 4); this
+    composite's contract is batch-vs-index novelty.
 
     Scale shape: every stage is either map-only, a broadcast join
     against batch-sized sides, or the novelty join whose index side
@@ -437,11 +455,56 @@ def ingest_corpus_batch(
         .select(F.col("batch_id").alias(id_col))
         .distinct()
     )
-    kept = pin_frame(
+    s3 = pin_frame(
         s2.join(near, id_col, "left_anti").drop("__h__"),
         materialize,
         scratch_dir,
     )
+
+    # 3b. semantic vs index (optional): PQ-coded SDC novelty — catches
+    # paraphrase-grade rewrites MinHash misses; index side map-only
+    semantic = embeddings is not None and semantic_threshold is not None
+    if semantic:
+        from tmdb_index_spark.operators.similarity import (
+            fit_centroids,
+            fit_pq,
+            pq_novelty_ids,
+            semantic_cells,
+        )
+
+        idx_emb = embeddings.join(
+            index.select(F.col(id_col).alias(emb_id_col)), emb_id_col
+        )
+        n_idx = idx_emb.count()
+        if n_idx > 0:
+            cents = fit_centroids(
+                idx_emb, semantic_cells(n_idx), emb_id_col, emb_vec_col
+            )
+            books = fit_pq(
+                idx_emb, m=pq_m, ks=pq_ks,
+                id_col=emb_id_col, vec_col=emb_vec_col,
+            )
+            bat_emb = embeddings.join(
+                s3.select(F.col(id_col).alias(emb_id_col)), emb_id_col
+            )
+            sem_dups = pq_novelty_ids(
+                idx_emb,
+                bat_emb,
+                semantic_threshold,
+                cents,
+                books,
+                id_col=emb_id_col,
+                vec_col=emb_vec_col,
+            ).withColumnRenamed(emb_id_col, id_col)
+            kept = pin_frame(
+                s3.join(sem_dups, id_col, "left_anti"),
+                materialize,
+                scratch_dir,
+            )
+        else:
+            kept = s3
+    else:
+        kept = s3
 
     # 4. fold the kept docs into the index (reference upsert semantics)
     new_index = update_or_append(
@@ -452,16 +515,18 @@ def ingest_corpus_batch(
     # per-source fate labels -> one yield row per source
     f1 = s1.select(id_col).withColumn("__s1__", F.lit(1))
     f2 = s2.select(id_col).withColumn("__s2__", F.lit(1))
-    f3 = kept.select(id_col).withColumn("__s3__", F.lit(1))
+    f3 = s3.select(id_col).withColumn("__s3__", F.lit(1))
+    f4 = kept.select(id_col).withColumn("__s4__", F.lit(1))
     lab = (
         b.select(id_col, source_col)
         .join(f1, id_col, "left")
         .join(f2, id_col, "left")
         .join(f3, id_col, "left")
+        .join(f4, id_col, "left")
     )
     n = F.count(F.lit(1))
-    n_kept = F.sum(F.coalesce(F.col("__s3__"), F.lit(0)))
-    stats = lab.groupBy(source_col).agg(
+    n_kept = F.sum(F.coalesce(F.col("__s4__"), F.lit(0)))
+    aggs = [
         n.cast("long").alias("n_batch"),
         F.sum(F.when(F.col("__s1__").isNull(), 1).otherwise(0))
         .cast("long")
@@ -480,11 +545,24 @@ def ingest_corpus_batch(
         )
         .cast("long")
         .alias("n_near_index_dup"),
+    ]
+    if semantic:
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("__s3__").isNotNull() & F.col("__s4__").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_semantic_index_dup")
+        )
+    aggs += [
         n_kept.cast("long").alias("n_kept"),
         F.round(n_kept.cast("double") / n.cast("double"), 4).alias(
             "kept_rate"
         ),
-    )
+    ]
+    stats = lab.groupBy(source_col).agg(*aggs)
     return {"new_index": new_index, "kept": kept, "stats": stats}
 
 

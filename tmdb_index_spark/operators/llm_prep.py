@@ -619,6 +619,7 @@ def duplicated_span_ranges(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_count: int = 2,
+    unit: str = "token",
 ) -> DataFrame:
     """MAXIMAL duplicated-substring spans per document — the
     ExactSubstr shape of Lee et al. 2022 ("Deduplicating Training Data
@@ -648,11 +649,25 @@ def duplicated_span_ranges(
     ``portable_hash60`` of the space-joined window, so a DuckDB
     oracle reproduces the span set bit-for-bit.
 
+    ``unit`` picks the window granularity.  The default ``"token"``
+    hashes whitespace-token ``k``-grams — a documented delta from Lee
+    et al.'s byte-level suffix-array semantics: duplication INSIDE a
+    word or spanning punctuation is invisible to it.  ``unit="char"``
+    closes that gap: windows are raw ``k``-character substrings of the
+    untrimmed text (positions = 0-based char offsets), so an id, URL,
+    or code fragment duplicated mid-token is caught at any alignment.
+    Same hash / count / island machinery; the cost delta is rows per
+    doc — one per character instead of one per token (~5× at English
+    word lengths), still linear, still Zipf-head partial-aggregated
+    before the shuffle.
+
     Returns one row per maximal span: ``(id_col, span_start,
-    span_end, span_tokens)`` with token positions 0-based and ``end``
-    exclusive. Docs with fewer than ``k`` tokens (or none duplicated)
-    emit no rows — the per-doc rollup with kept zero-rows belongs to
-    the caller (see the ``exact_substr_spans`` catalog query).
+    span_end, span_tokens)`` with 0-based positions (tokens or chars
+    per ``unit``) and ``end`` exclusive. Docs with fewer than ``k``
+    units (or none duplicated) emit no rows — the per-doc rollup with
+    kept zero-rows belongs to the caller (see the
+    ``exact_substr_spans`` / ``exact_substr_char_spans`` catalog
+    queries).
     """
     from pyspark.sql import Window
 
@@ -660,20 +675,33 @@ def duplicated_span_ranges(
         raise ValueError(f"k must be >= 1, got {k}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    txt = F.trim(F.coalesce(F.col(text_col), F.lit("")))
-    t = F.when(txt == "", F.array().cast("array<string>")).otherwise(
-        F.split(txt, r"\s+")
-    )
-    n = F.size(t)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: portable_hash60(
-                F.concat_ws(" ", F.slice(t, i + 1, k))
+    if unit not in ("token", "char"):
+        raise ValueError(f"unit must be 'token' or 'char', got {unit!r}")
+    if unit == "char":
+        s = F.coalesce(F.col(text_col), F.lit(""))
+        n = F.length(s)
+        grams = F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: portable_hash60(s.substr(i + F.lit(1), F.lit(k))),
             ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+        ).otherwise(F.array().cast("array<long>"))
+    else:
+        txt = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+        t = F.when(txt == "", F.array().cast("array<string>")).otherwise(
+            F.split(txt, r"\s+")
+        )
+        n = F.size(t)
+        grams = F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: portable_hash60(
+                    F.concat_ws(" ", F.slice(t, i + 1, k))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
     pos = df.select(
         F.col(id_col), F.posexplode(grams).alias("__pos__", "__h__")
     )

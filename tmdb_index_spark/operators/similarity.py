@@ -63,6 +63,7 @@ __all__ = [
     "pca_projection_sql",
     "fit_pq_array",
     "pq_encode",
+    "pq_novelty_ids",
     "ivfpq_topk",
     "ivfpq_index_topk",
     "mmr_rerank",
@@ -2516,4 +2517,77 @@ def mmr_rerank(
     return out.select(
         "rank", id_col, "relevance",
         F.round(F.col("mmr_score"), 4).alias("mmr_score"),
+    )
+
+
+def pq_novelty_ids(
+    index_emb: DataFrame,
+    batch_emb: DataFrame,
+    threshold: float,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_impl: str = "expr",
+) -> DataFrame:
+    """Batch ids whose embedding is a SEMANTIC duplicate of something
+    already in the index — the :func:`~tmdb_index_spark.operators
+    .dedup_text.minhash_novelty_pairs` shape applied to PQ codes
+    (extension: incremental SemDeDup for ingestion).
+
+    Both sides are cell-assigned (:func:`ivf_assign`, literal
+    centroids, map-only) and PQ-encoded (:func:`pq_encode`, map-only);
+    the batch's ``(id, cell, codes)`` rows BROADCAST and probe the
+    index stream per cell, so the index side never shuffles — its
+    vectors reduce to m-int code words map-side and only broadcast-
+    join lookups touch them.  Pair scoring is symmetric-distance SDC
+    (Jégou et al. 2011 §4) as a pure COLUMN EXPRESSION: the
+    per-subspace centroid dot tables ``D_j = CB_j·CB_jᵀ`` and squared
+    norms ride the plan as literal arrays, so each pair costs m
+    ``element_at`` lookups — no Python, no shuffle, and a SQL oracle
+    reproduces every score from the same literals.  Returns distinct
+    ``(id_col)`` batch ids with rounded SDC cosine ≥ ``threshold``
+    against ANY same-cell index vector.
+    """
+    CB, cb_n2 = _codebook_arrays(codebooks)
+    m, ks, sub = CB.shape
+    D = CB @ CB.transpose(0, 2, 1)  # (m, ks, ks)
+
+    idx = pq_encode(
+        ivf_assign(index_emb, centroids, id_col, vec_col, impl=assign_impl),
+        codebooks,
+        id_col,
+        vec_col,
+    ).select(F.col(id_col).alias("__iid__"), "cell", F.col("codes").alias("__ic__"))
+    bat = pq_encode(
+        ivf_assign(batch_emb, centroids, id_col, vec_col, impl=assign_impl),
+        codebooks,
+        id_col,
+        vec_col,
+    ).select(F.col(id_col).alias("__bid__"), "cell", F.col("codes").alias("__bc__"))
+
+    d_lits = [
+        F.array(*[F.lit(float(x)) for x in D[j].reshape(-1)]) for j in range(m)
+    ]
+    n_lits = [
+        F.array(*[F.lit(float(x)) for x in cb_n2[j]]) for j in range(m)
+    ]
+    adot = None
+    na2 = None
+    nb2 = None
+    for j in range(m):
+        ca = F.element_at(F.col("__ic__"), j + 1)
+        cb = F.element_at(F.col("__bc__"), j + 1)
+        term = F.element_at(d_lits[j], ca * ks + cb + 1)
+        ta = F.element_at(n_lits[j], ca + 1)
+        tb = F.element_at(n_lits[j], cb + 1)
+        adot = term if adot is None else adot + term
+        na2 = ta if na2 is None else na2 + ta
+        nb2 = tb if nb2 is None else nb2 + tb
+    sim = F.round(adot / (F.sqrt(na2) * F.sqrt(nb2)), 4)
+    return (
+        idx.join(F.broadcast(bat), "cell")
+        .filter(sim >= F.lit(threshold))
+        .select(F.col("__bid__").alias(id_col))
+        .distinct()
     )

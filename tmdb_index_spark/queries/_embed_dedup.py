@@ -298,7 +298,11 @@ def corpus_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest_corpus_batch(index, batch)["stats"]
 
 
-_INGEST_SQL = (
+#: stages 1-3 of the ingest oracle (shingles → minhash bands → exact
+#: within-batch → exact-vs-index → near-vs-index) — shared between the
+#: plain `_INGEST_SQL` and the round-12 semantic variant, which appends
+#: the PQ-coded SDC novelty stage before the label rollup.
+_INGEST_STAGES_SQL = (
     _DUCK_SHINGLES
     + """, sig AS (
   SELECT doc_id, """
@@ -346,7 +350,12 @@ _INGEST_SQL = (
   JOIN sizes na ON batch_id = na.doc_id
   JOIN sizes nb ON index_id = nb.doc_id
   WHERE ROUND(c * 1.0 / (na.n + nb.n - c), 4) >= 0.5
-), lab AS (
+)"""
+)
+
+_INGEST_SQL = (
+    _INGEST_STAGES_SQL
+    + """, lab AS (
   SELECT b0.doc_id, b0.source,
          s1.doc_id IS NOT NULL AS in1,
          s2.doc_id IS NOT NULL AS in2,
@@ -370,6 +379,231 @@ SELECT source,
 FROM lab GROUP BY source
 """
 )
+
+
+def corpus_ingest_semantic_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ingestion WITH the semantic novelty stage (round
+    12, extension: incremental SemDeDup): the ``corpus_ingest_stats``
+    composite plus stage 3b — MinHash survivors whose embedding is a
+    PQ-coded SDC cosine ≥ 0.4 of any same-cell index vector also drop
+    (the paraphrase-grade rewrites token MinHash admits).  Centroids
+    and PQ codebooks fit on the INDEX side's bounded deterministic
+    sample; both sides assign + encode map-only, the batch codes
+    broadcast, the index never shuffles
+    (:func:`~tmdb_index_spark.operators.similarity.pq_novelty_ids`).
+    The oracle re-runs both fits and extends the static ingest SQL
+    with the literal-table SDC stage
+    (:func:`_fitted_ingest_semantic_oracle_sql`).  Adds
+    ``n_semantic_index_dup`` to the yield row."""
+    from tmdb_index_spark.operators.corpus_pipeline import (
+        ingest_corpus_batch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    index = docs.filter(F.col("doc_id") % 7 != 3)
+    return ingest_corpus_batch(
+        index,
+        batch,
+        embeddings=emb,
+        semantic_threshold=0.4,
+    )["stats"]
+
+
+def _fitted_ingest_semantic_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    """Value-row oracle for ``corpus_ingest_semantic_stats``: stages
+    1-3 reuse the static ingest SQL verbatim
+    (:data:`_INGEST_STAGES_SQL`); stage 3b re-runs the centroid + PQ
+    codebook fits outside Spark on the SAME index-side sample (the
+    :func:`_fitted_semantic_pq_oracle_sql` recipe, restricted to
+    ``embeddings ⋈ index docs``), embeds both as literals, and scores
+    batch-survivor × same-cell index pairs by SDC (codebook×codebook
+    dot join — every similarity is m lookups, the engine's shape)."""
+    m, ks, threshold = 8, 16, 0.4
+    try:
+        import duckdb
+        import numpy as np
+
+        from tmdb_index_spark.operators.similarity import (
+            SEMANTIC_TWO_LEVEL_CELLS,
+            fit_kmeans_array,
+            fit_pq_array,
+            semantic_cells,
+        )
+
+        con = duckdb.connect()
+        epath = f"{sf_dir}/embeddings.parquet"
+        dpath = f"{sf_dir}/documents.parquet"
+        idx_emb_sql = (
+            f"SELECT e.vec_id, e.embedding FROM '{epath}' e "
+            f"JOIN '{dpath}' d ON e.vec_id = d.doc_id "
+            "WHERE d.doc_id % 7 <> 3"
+        )
+        n_idx = con.sql(
+            f"SELECT COUNT(*) FROM ({idx_emb_sql})"
+        ).fetchone()[0]
+        if not n_idx:
+            return None
+        cells = semantic_cells(n_idx)
+        # flat-regime guard (the _fitted_semantic_* convention): the
+        # engine's fit_centroids is the flat path here by construction,
+        # but the 10k fit cap still applies
+        if cells > SEMANTIC_TWO_LEVEL_CELLS or cells > 10_000:
+            return None
+        sample = con.sql(
+            f"SELECT embedding FROM ({idx_emb_sql}) "
+            "ORDER BY vec_id LIMIT 10000"
+        ).fetchall()
+        X = np.array([list(r[0]) for r in sample], dtype="float64")
+        cents = fit_kmeans_array(X, cells)
+        books = fit_pq_array(X, m=m, ks=ks)
+    except Exception:  # noqa: BLE001 — missing table → rows-only row
+        return None
+    dim = X.shape[1]
+    sub = dim // m
+    cent_values = ",\n    ".join(
+        "({}, [{}])".format(cid, ", ".join(repr(float(x)) for x in vec))
+        for cid, vec in cents
+    )
+    cb_values = ",\n    ".join(
+        "({}, {}, [{}])".format(
+            j, code, ", ".join(repr(float(x)) for x in vec)
+        )
+        for j, book in enumerate(books)
+        for code, vec in book
+    )
+    return (
+        _INGEST_STAGES_SQL
+        + f""", s3ids AS (
+  SELECT s2.doc_id FROM s2 LEFT JOIN dup ON s2.doc_id = dup.batch_id
+  WHERE dup.batch_id IS NULL
+), iv AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+  FROM embeddings e JOIN documents d2 ON e.vec_id = d2.doc_id
+  WHERE d2.doc_id % 7 <> 3
+), bv AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+  FROM embeddings e JOIN s3ids s ON e.vec_id = s.doc_id
+), cent AS (SELECT * FROM (VALUES
+    {cent_values}
+) AS t(cell, cv)),
+ai AS (
+  SELECT vec_id, v, CAST(cell AS BIGINT) AS cell FROM (
+    SELECT iv.vec_id, iv.v, cent.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY iv.vec_id
+             ORDER BY list_sum(list_transform(generate_series(1, {dim}),
+                       i -> (v[i] - cv[i]) * (v[i] - cv[i]))) ASC,
+                      cent.cell ASC) AS rn
+    FROM iv CROSS JOIN cent
+  ) WHERE rn = 1
+),
+ab AS (
+  SELECT vec_id, v, CAST(cell AS BIGINT) AS cell FROM (
+    SELECT bv.vec_id, bv.v, cent.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY bv.vec_id
+             ORDER BY list_sum(list_transform(generate_series(1, {dim}),
+                       i -> (v[i] - cv[i]) * (v[i] - cv[i]))) ASC,
+                      cent.cell ASC) AS rn
+    FROM bv CROSS JOIN cent
+  ) WHERE rn = 1
+),
+cb AS (SELECT * FROM (VALUES
+    {cb_values}
+) AS t(sub, code, cbv)),
+ci AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT a.vec_id, cb.sub, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id, cb.sub
+             ORDER BY list_sum(list_transform(generate_series(1, {sub}),
+                       i -> (a.v[cb.sub * {sub} + i] - cb.cbv[i])
+                          * (a.v[cb.sub * {sub} + i] - cb.cbv[i]))) ASC,
+                      cb.code ASC) AS rn
+    FROM ai a CROSS JOIN cb
+  ) WHERE rn = 1
+),
+cbb AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT b.vec_id, cb.sub, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id, cb.sub
+             ORDER BY list_sum(list_transform(generate_series(1, {sub}),
+                       i -> (b.v[cb.sub * {sub} + i] - cb.cbv[i])
+                          * (b.v[cb.sub * {sub} + i] - cb.cbv[i]))) ASC,
+                      cb.code ASC) AS rn
+    FROM ab b CROSS JOIN cb
+  ) WHERE rn = 1
+),
+pd AS (
+  SELECT a.sub, a.code AS ca, b.code AS cb2,
+         list_sum(list_transform(generate_series(1, {sub}),
+           i -> a.cbv[i] * b.cbv[i])) AS dot
+  FROM cb a JOIN cb b ON a.sub = b.sub
+),
+cbn AS (SELECT sub, code,
+               list_sum(list_transform(cbv, x -> x * x)) AS n2 FROM cb),
+ni AS (
+  SELECT c.vec_id, SQRT(SUM(n.n2)) AS nrm
+  FROM ci c JOIN cbn n ON n.sub = c.sub AND n.code = c.code
+  GROUP BY 1
+),
+nbn AS (
+  SELECT c.vec_id, SQRT(SUM(n.n2)) AS nrm
+  FROM cbb c JOIN cbn n ON n.sub = c.sub AND n.code = c.code
+  GROUP BY 1
+),
+adot AS (
+  SELECT b.vec_id AS bid, a.vec_id AS iid, SUM(p.dot) AS adot
+  FROM ai a
+  JOIN ab b ON a.cell = b.cell
+  JOIN ci ca ON ca.vec_id = a.vec_id
+  JOIN cbb cb2 ON cb2.vec_id = b.vec_id AND cb2.sub = ca.sub
+  JOIN pd p ON p.sub = ca.sub AND p.ca = ca.code AND p.cb2 = cb2.code
+  GROUP BY 1, 2
+),
+semdup AS (
+  SELECT DISTINCT d.bid AS doc_id
+  FROM adot d
+  JOIN ni na ON na.vec_id = d.iid
+  JOIN nbn nb2 ON nb2.vec_id = d.bid
+  WHERE ROUND(d.adot / (na.nrm * nb2.nrm), 4) >= {threshold}
+),
+lab AS (
+  SELECT b0.doc_id, b0.source,
+         s1.doc_id IS NOT NULL AS in1,
+         s2.doc_id IS NOT NULL AS in2,
+         (s2.doc_id IS NOT NULL AND dup.batch_id IS NULL) AS in3,
+         (s2.doc_id IS NOT NULL AND dup.batch_id IS NULL
+          AND semdup.doc_id IS NULL) AS in4
+  FROM b0
+  LEFT JOIN s1 ON b0.doc_id = s1.doc_id
+  LEFT JOIN s2 ON b0.doc_id = s2.doc_id
+  LEFT JOIN dup ON b0.doc_id = dup.batch_id
+  LEFT JOIN semdup ON b0.doc_id = semdup.doc_id
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_batch,
+       SUM(CASE WHEN NOT in1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_exact_batch_dup,
+       SUM(CASE WHEN in1 AND NOT in2 THEN 1 ELSE 0 END)::BIGINT
+         AS n_exact_index_dup,
+       SUM(CASE WHEN in2 AND NOT in3 THEN 1 ELSE 0 END)::BIGINT
+         AS n_near_index_dup,
+       SUM(CASE WHEN in3 AND NOT in4 THEN 1 ELSE 0 END)::BIGINT
+         AS n_semantic_index_dup,
+       SUM(CASE WHEN in4 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       ROUND(SUM(CASE WHEN in4 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4)
+         AS kept_rate
+FROM lab GROUP BY source
+"""
+    )
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -839,6 +839,90 @@ FROM t LEFT JOIN roll r USING (doc_id)
 """
 
 
+def exact_substr_char_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring spans at CHARACTER granularity
+    (extension: corpus curation — round 12, closing the documented
+    token-window delta to Lee et al. 2022's byte-level semantics): a
+    char position is duplicated iff the raw 16-char window starting
+    there occurs ≥2 times anywhere in the corpus — so ids, URLs, and
+    code fragments duplicated INSIDE whitespace tokens or spanning
+    punctuation are caught at any alignment, which the token-gram twin
+    ``exact_substr_spans`` is blind to (pinned by test). Same linear
+    positional-gram + gaps-and-islands machinery
+    (:func:`~tmdb_index_spark.operators.llm_prep
+    .duplicated_span_ranges` with ``unit='char'``); rows per doc are
+    chars, not tokens (~5× — the cost of byte-grade sensitivity).
+    Fully static oracle: raw substrings + the portable md5 hash."""
+    from tmdb_index_spark.operators.llm_prep import duplicated_span_ranges
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = duplicated_span_ranges(docs, k=16, unit="char")
+    roll = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_chars"),
+    )
+    n_chars = F.length(F.coalesce(F.col("text"), F.lit("")))
+    return (
+        docs.select("doc_id", n_chars.cast("long").alias("n_chars"))
+        .join(roll, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.coalesce(F.col("dup_chars"), F.lit(0))
+            .cast("long")
+            .alias("dup_chars"),
+            F.round(
+                F.coalesce(F.col("dup_chars"), F.lit(0))
+                / F.greatest(F.col("n_chars"), F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+_EXACT_SUBSTR_CHAR_SQL = """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+pos AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(substr(s, i, 16)), 1, 15))::BIGINT AS h
+  FROM d, UNNEST(generate_series(1, greatest(length(s) - 15, 0))) AS u(i)
+),
+cnt AS (SELECT h, COUNT(*) AS c FROM pos GROUP BY 1),
+dup AS (SELECT p.doc_id, p.pos FROM pos p JOIN cnt USING (h) WHERE c >= 2),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + 16) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 16 AS e
+  FROM grp GROUP BY doc_id, g
+),
+roll AS (
+  SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(e - s) AS dup_chars
+  FROM spans GROUP BY 1
+)
+SELECT d.doc_id,
+       length(d.s)::BIGINT AS n_chars,
+       COALESCE(r.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       COALESCE(r.dup_chars, 0)::BIGINT AS dup_chars,
+       ROUND(COALESCE(r.dup_chars, 0) * 1.0 / GREATEST(length(d.s), 1), 4)
+         AS dup_frac
+FROM d LEFT JOIN roll r USING (doc_id)
+"""
+
+
 def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr REMOVAL (extension: corpus curation — the cleaning
     step of Lee et al. 2022, completing ``exact_substr_spans``'

@@ -267,6 +267,9 @@ def run_upsert_stream(
 
         order = F.col(seq_col).desc() if seq_col else None
         if order is None:
+            # DELTAS.md #6: arrival-order fallback — winner is
+            # arbitrary under task retries; pass seq_col for a
+            # replay-deterministic election
             batch_df = batch_df.withColumn(
                 "__arrival__", F.monotonically_increasing_id()
             )
