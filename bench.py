@@ -175,6 +175,8 @@ EXTENDED_QUERIES = [
     "exact_substr_dedup",
     # round-11: pre-dedup text normalization audit
     "text_normalization_stats",
+    # round-12: tokenize-and-mix corpus→training-batches composite
+    "tokenize_and_mix_stats",
     # round-6 late additions
     "dedup_segments_rebuild",
     "sliding_distinct_users",

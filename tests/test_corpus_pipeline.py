@@ -365,3 +365,132 @@ def test_ingest_semantic_stage_catches_paraphrase_missed_by_minhash(spark):
     r0 = ingest_corpus_batch(index, batch)
     assert {x["doc_id"] for x in r0["kept"].collect()} == {100, 101}
     release_pins()
+
+
+# ---------------------------------------------------------------------------
+# tokenize_and_mix (round-12: the corpus→training-batches final stage)
+# ---------------------------------------------------------------------------
+
+_TM_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d")]
+
+
+def _bpe_count(text: str, merges=None) -> int:
+    """Independent reference BPE: greedy left-to-right non-overlapping
+    replace per merge, in merge order, within whitespace words."""
+    merges = _TM_MERGES if merges is None else merges
+    total = 0
+    for word in text.split():
+        syms = list(word)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        total += len(syms)
+    return total
+
+
+def test_tokenize_and_mix_chain_semantics(spark):
+    from tmdb_index_spark.operators.corpus_pipeline import tokenize_and_mix
+
+    texts = {
+        1: "the thin hand and then",
+        2: "tin than the and",
+        3: "north east north east north",
+        4: "the and the and the and",
+        5: "earth north thin",
+        6: "ant and tan and",
+    }
+    docs = spark.createDataFrame(
+        [(i, "s0", t) for i, t in texts.items()],
+        "doc_id long, source string, text string",
+    )
+    res = tokenize_and_mix(
+        docs, _TM_MERGES, budget_den=2, capacity=8, shards=2
+    )
+
+    # 1. encode: real BPE counts, verified against an independent
+    #    per-word greedy merger
+    enc = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in res["encoded"].select("doc_id", "n_bpe_tokens").collect()
+    }
+    assert enc == {i: _bpe_count(t) for i, t in texts.items()}
+    avail = sum(enc.values())
+
+    # 2. single source ⇒ the temperature pivot degenerates to
+    #    alloc = budget = floor(avail / 2) (uncapped at epoch_cap=2)
+    alloc_rows = res["alloc"].collect()
+    assert len(alloc_rows) == 1
+    assert alloc_rows[0]["avail_tokens"] == avail
+    assert alloc_rows[0]["allocation"] == float(avail // 2)
+    assert not alloc_rows[0]["capped"]
+
+    # 3. sample: membership is exactly the portable md5-bucket rule at
+    #    rate alloc/avail (w̄ = 1 for a single source)
+    cap = avail // 2
+    keep_buckets = int(min(1.0, float(cap) * 1.0 / avail) * 10_000)
+    expected_kept = {
+        i
+        for i in texts
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 10_000
+        < keep_buckets
+    }
+    kept = {r["doc_id"] for r in res["sampled"].select("doc_id").collect()}
+    assert kept == expected_kept
+    assert kept  # the fixture must actually exercise the keep branch
+
+    # 4. pack: bins assigned on the BPE costs (first-token rule) within
+    #    (source, doc_id % shards) streams ordered by doc_id
+    packed = res["packed"].select(
+        "doc_id", "n_tokens", "shard", "bin"
+    ).collect()
+    assert {r["doc_id"] for r in packed} == expected_kept
+    for r in packed:
+        assert r["n_tokens"] == enc[r["doc_id"]]  # BPE, not whitespace
+        assert r["shard"] == r["doc_id"] % 2
+    for shard in (0, 1):
+        start = 0
+        for r in sorted(
+            (r for r in packed if r["shard"] == shard),
+            key=lambda r: r["doc_id"],
+        ):
+            assert r["bin"] == start // 8
+            start += r["n_tokens"]
+
+
+def test_tokenize_and_mix_empty_corpus(spark):
+    from tmdb_index_spark.operators.corpus_pipeline import tokenize_and_mix
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, source string, text string"
+    )
+    res = tokenize_and_mix(empty, _TM_MERGES)
+    assert res["packed"].count() == 0
+    assert res["alloc"].count() == 0
+
+
+def test_prepare_corpus_merges_switches_packing_to_bpe_costs(spark):
+    docs, emb = _docs(spark), _embeddings(spark)
+    out = prepare_corpus(
+        docs, emb, capacity=16, shards=2, merges=_TM_MERGES
+    )
+    assert "mix_alloc" in out and "mix_sampled" in out
+    survivors = {
+        r["doc_id"]
+        for r in out["stages"][-1][1].select("doc_id").collect()
+    }
+    packed = out["packed"].select("doc_id", "text", "n_tokens").collect()
+    # the mixture gate only narrows the stage-7 survivor set
+    assert {r["doc_id"] for r in packed} <= survivors
+    for r in packed:  # bins are costed in REAL BPE tokens
+        assert r["n_tokens"] == _bpe_count(r["text"])

@@ -227,6 +227,26 @@ def test_pack_null_text_counts_zero_tokens(spark):
     assert got[8]["bin"] == 0
 
 
+def test_pack_cost_col_overrides_text_counting(spark):
+    from tmdb_index_spark.operators.llm_prep import pack_sequences
+
+    df = spark.createDataFrame(
+        # caller-supplied costs disagree with the 2-word texts on
+        # purpose; a NULL cost packs as 0 (the NULL-text convention)
+        [(0, "s", "a b", 3), (8, "s", "c d", None), (16, "s", "e f", 2)],
+        "doc_id long, source string, text string, bpe long",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            df, capacity=4, shards=1, cost_col="bpe"
+        ).collect()
+    }
+    assert [got[i]["n_tokens"] for i in (0, 8, 16)] == [3, 0, 2]
+    # starts 0, 3, 3 at capacity 4 -> bins 0, 0, 0; next start would be 5
+    assert [got[i]["bin"] for i in (0, 8, 16)] == [0, 0, 0]
+
+
 # ---------------------------------------------------------------------------
 # unigram_logprob
 # ---------------------------------------------------------------------------

@@ -95,6 +95,7 @@ from tmdb_index_spark.operators.similarity import (
 
 __all__ = [
     "prepare_corpus",
+    "tokenize_and_mix",
     "corpus_pipeline_stats",
     "ingest_corpus_batch",
     "STAGE_NAMES",
@@ -136,6 +137,10 @@ def prepare_corpus(
     semantic_payload: str = "raw",
     pq_m: int = 8,
     pq_ks: int = 16,
+    merges: list[tuple[str, str]] | None = None,
+    mix_temperature: float = 2.0,
+    mix_epoch_cap: int = 2,
+    mix_budget_den: int = 4,
 ) -> dict:
     """Run the full corpus-prep chain; returns ``{"stages": [(name,
     survivor_frame), ...], "packed": packed_frame, "caps":
@@ -152,7 +157,15 @@ def prepare_corpus(
     :func:`~tmdb_index_spark.operators.similarity
     .semantic_elect_codes`, the FAISS memory story for the 100 TB
     composite). The PQ codebooks ride the same bounded deterministic
-    sample as the cell fit."""
+    sample as the cell fit.
+
+    ``merges`` (a BPE merge table — :func:`~tmdb_index_spark.operators
+    .llm_prep.bpe_train_merges` output pairs) switches the final stage
+    to the :func:`tokenize_and_mix` composite: survivors are BPE-
+    encoded, temperature-mixed (``mix_temperature`` /
+    ``mix_epoch_cap`` / ``mix_budget_den``) and packed on REAL token
+    counts; the result dict gains ``mix_alloc`` / ``mix_sampled`` and
+    ``packed`` holds the tokenizer-costed bins."""
     emb_id, emb_vec = "vec_id", "embedding"
 
     # cheap argument validation up front: an invalid semantic_payload
@@ -347,7 +360,161 @@ def prepare_corpus(
         ("decontam", s6),
         ("budget_sample", s7),
     ]
-    return {"stages": stages, "packed": packed, "caps": alloc}
+    out = {"stages": stages, "packed": packed, "caps": alloc}
+    if merges is not None:
+        # tokenize-and-mix final stage (round-11 verdict #9): re-cost
+        # the curated survivors in REAL BPE tokens and run the
+        # token-level mixing gate + packing on those counts. Stage 7's
+        # water-fill stays the doc-curation budget (whitespace-token
+        # costed); this stage is the tokenizer-time mixture a real
+        # pipeline runs after curation — the two gates compose, they
+        # don't compete. `packed` is REPLACED (bins now hold
+        # ``capacity`` BPE tokens — the unit the trainer consumes).
+        mix = tokenize_and_mix(
+            s7.drop("n_tokens"),
+            merges,
+            text_col=text_col,
+            id_col=id_col,
+            source_col=source_col,
+            temperature=mix_temperature,
+            epoch_cap=mix_epoch_cap,
+            budget_den=mix_budget_den,
+            capacity=capacity,
+            shards=shards,
+        )
+        out["packed"] = mix["packed"]
+        out["mix_alloc"] = mix["alloc"]
+        out["mix_sampled"] = mix["sampled"]
+    return out
+
+
+def tokenize_and_mix(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    temperature: float = 2.0,
+    epoch_cap: int = 2,
+    budget_den: int = 4,
+    capacity: int = 256,
+    shards: int = 8,
+    max_sources: int = 100_000,
+) -> dict:
+    """Tokenize-and-mix composite — the final corpus→training-batches
+    stage of a pretraining pipeline (the reference's build-then-consume
+    artifact story, ``tmdb_index.py:546-568`` / ``README.md:6-12``,
+    applied to the tokenizer loop): encode the curated corpus with a
+    LEARNED BPE merge table, temperature-allocate a token budget
+    across sources over the REAL token counts, deterministically
+    sample each source at its allocated rate, and concat-and-chunk
+    the survivors into ``capacity``-token training bins. Chains the
+    four certified operators end-to-end:
+
+    1. :func:`~tmdb_index_spark.operators.llm_prep.bpe_encode`
+       (``merges`` — collect :func:`bpe_train_merges`'s k-row output,
+       or pin a fixed vocabulary artifact) → per-doc ``n_bpe_tokens``.
+       Map-only chained literal replaces, no UDF, no shuffle.
+    2. :func:`~tmdb_index_spark.operators.sampling
+       .temperature_allocation` over per-source BPE-token availability
+       (budget = total // ``budget_den``): the mT5/UniMax mixture rule
+       — rare sources boosted by ``avail^(1/T)``, no source repeated
+       past ``epoch_cap`` epochs.
+    3. :func:`~tmdb_index_spark.operators.sampling.mixture_sample`
+       with the allocation as INTEGER weights (``floor(allocation)``,
+       budget = their sum — so each source's keep rate lands at
+       ``alloc/avail``, clamped at 1; epochs past the first are the
+       trainer's loop, not extra rows). Weights ride the plan as a
+       literal CASE chain; membership is the portable hash-bucket
+       rule — stable across engines, reruns, partitionings.
+    4. :func:`~tmdb_index_spark.operators.llm_prep.pack_sequences`
+       with ``cost_col="n_bpe_tokens"`` — bins are packed on the REAL
+       BPE counts the trainer consumes, not the whitespace proxy.
+
+    Scale shape: one map-only encode pass over the corpus; the
+    allocation runs on the |sources|-row frame (collected under
+    :func:`bounded_collect`'s declared ``max_sources`` bound — the
+    only driver-side rows); sampling is a broadcast-rates filter (the
+    corpus never shuffles); packing's one shuffle is the (source,
+    shard) window, sharded to cluster width. Determinism: every
+    comparison downstream of the correctly-rounded sqrt chain is
+    exact-integer or single-division double — an external SQL engine
+    reproduces bins bit-for-bit (the ``tokenize_and_mix_stats``
+    oracle).
+
+    Returns ``{"encoded": per-doc frame with n_bpe_tokens, "alloc":
+    temperature_allocation output, "sampled": kept docs, "packed":
+    binned docs (n_tokens = BPE count, shard, bin)}``.
+    """
+    from tmdb_index_spark.operators.llm_prep import bpe_encode
+    from tmdb_index_spark.operators.materialize import bounded_collect
+    from tmdb_index_spark.operators.sampling import (
+        mixture_sample,
+        temperature_allocation,
+    )
+
+    enc = (
+        bpe_encode(docs, list(merges), text_col=text_col, out_col="__bpe__")
+        .withColumn("n_bpe_tokens", F.size("__bpe__").cast("long"))
+        .drop("__bpe__")
+    )
+    per_src = enc.groupBy(source_col).agg(
+        F.sum("n_bpe_tokens").cast("bigint").alias("avail_tokens")
+    )
+    budget = per_src.agg(
+        F.floor(F.sum("avail_tokens") / F.lit(budget_den))
+        .cast("bigint")
+        .alias("__budget__")
+    )
+    alloc = temperature_allocation(
+        per_src.crossJoin(F.broadcast(budget)),
+        "avail_tokens",
+        group_col=source_col,
+        temperature=temperature,
+        epoch_cap=epoch_cap,
+    )
+    # integer caps: floor of the (rounded-to-4) allocation — exactly
+    # reproducible in SQL as FLOOR(ROUND(alloc, 4)). Weights and their
+    # sum are Python ints, so mixture_sample's normalization is one
+    # correctly-rounded double division per source — engine-identical.
+    cap_rows = bounded_collect(
+        alloc.select(
+            F.col(source_col),
+            F.floor(F.col("allocation")).cast("bigint").alias("__cap__"),
+        ),
+        max_sources,
+        "tokenize_and_mix per-source allocation table",
+    )
+    weights = {r[source_col]: int(r["__cap__"]) for r in cap_rows}
+    total_cap = sum(weights.values())
+    if weights and total_cap > 0:
+        sampled = mixture_sample(
+            enc,
+            source_col=source_col,
+            cost_col="n_bpe_tokens",
+            key=id_col,
+            weights=weights,
+            budget=float(total_cap),
+        )
+    else:
+        # empty corpus / all-empty texts: nothing to mix
+        sampled = enc.filter(F.lit(False))
+    packed = pack_sequences(
+        sampled,
+        text_col=text_col,
+        id_col=id_col,
+        group_col=source_col,
+        capacity=capacity,
+        shards=shards,
+        cost_col="n_bpe_tokens",
+    )
+    return {
+        "encoded": enc,
+        "alloc": alloc,
+        "sampled": sampled,
+        "packed": packed,
+    }
 
 
 def ingest_corpus_batch(

@@ -235,13 +235,17 @@ def pack_sequences(
     group_col: str | None = "source",
     capacity: int = 256,
     shards: int | None = None,
+    cost_col: str | None = None,
 ) -> DataFrame:
     """Assign each document to a training chunk (concat-and-chunk).
 
     Documents are ordered by ``id_col`` within ``(group_col, shard)``
     where ``shard = id % shards``; a doc belongs to the chunk containing
     its first token: ``floor(exclusive_running_token_sum / capacity)``.
-    Appends ``n_tokens`` (BPE-ish count), ``shard`` and ``bin``.
+    Appends ``n_tokens`` (BPE-ish count of ``text_col``, or the
+    caller's precomputed ``cost_col`` — e.g. real BPE token counts
+    from :func:`bpe_encode`, the tokenize-and-mix composite's path),
+    ``shard`` and ``bin``.
 
     Sharding keeps every window partition ~|group|/shards docs, so the
     sort-within-partition stays parallel at 100 TB; `shards` trades
@@ -267,7 +271,11 @@ def pack_sequences(
     )
     # coalesce: size(regexp_extract_all(NULL)) is -1 under Spark's
     # sizeOfNull legacy default, which would corrupt the running sum.
-    tok = token_count(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
+    tok = (
+        F.coalesce(F.col(cost_col), F.lit(0)).cast("long")
+        if cost_col
+        else token_count(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
+    )
     out = df.withColumn("__tok__", tok).withColumn("__shard__", shard)
     start = F.sum("__tok__").over(w) - F.col("__tok__")
     return (

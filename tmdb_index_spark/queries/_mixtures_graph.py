@@ -1959,3 +1959,208 @@ FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
 # ---------------------------------------------------------------------------
 
 
+
+#: Fixed BPE merge table for the tokenize-and-mix composite — a PINNED
+#: vocabulary artifact (the reference's build-then-consume pattern,
+#: ``README.md:6-12``: train once, every consumer applies the frozen
+#: table). Chained merges exercise ordering: t+h→th→the, i+n→in→ing,
+#: a+n→an→and. Fixed so the oracle is fully static at every SF.
+_TRAIN_MIX_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("an", "d"),
+    ("in", "g"),
+)
+
+
+def tokenize_and_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-and-mix composite (extension: the final corpus→
+    training-batches stage — round-11 verdict #9): BPE-encode the
+    corpus with the pinned 8-merge table, temperature-allocate a
+    quarter-of-corpus token budget across sources over the REAL BPE
+    counts (T=2, 2-epoch UniMax cap), deterministically hash-sample
+    each source at its allocated rate, and concat-and-chunk survivors
+    into 256-BPE-token training bins — `operators/corpus_pipeline.py:
+    tokenize_and_mix` chaining the four certified operators
+    (`bpe_encode` → `temperature_allocation` → `mixture_sample` →
+    `pack_sequences` on ``cost_col``). One row per source: availability
+    and integer allocation beside the realized sample (docs/tokens
+    kept, bins produced, mean bin fill). Scale: one map-only encode
+    pass, |sources|-row allocation, broadcast-rates filter (the corpus
+    never shuffles), sharded packing windows."""
+    from tmdb_index_spark.operators.corpus_pipeline import tokenize_and_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    res = tokenize_and_mix(
+        docs,
+        list(_TRAIN_MIX_MERGES),
+        temperature=2.0,
+        epoch_cap=2,
+        budget_den=4,
+        capacity=256,
+        shards=8,
+    )
+    nbins = F.countDistinct(F.col("shard"), F.col("bin"))
+    agg = res["packed"].groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("__nk__"),
+        F.sum("n_tokens").cast("long").alias("__kt__"),
+        nbins.cast("long").alias("__nb__"),
+    )
+    return (
+        res["alloc"]
+        .join(agg, "source", "left")
+        .select(
+            "source",
+            F.col("avail_tokens").alias("avail_bpe_tokens"),
+            F.floor(F.col("allocation")).cast("long").alias("alloc_tokens"),
+            "capped",
+            F.coalesce("__nk__", F.lit(0)).cast("long").alias("n_docs_kept"),
+            F.coalesce("__kt__", F.lit(0))
+            .cast("long")
+            .alias("kept_bpe_tokens"),
+            F.coalesce("__nb__", F.lit(0)).cast("long").alias("n_bins"),
+            F.when(
+                F.col("__nb__") > 0,
+                F.round(
+                    F.col("__kt__") * F.lit(1.0)
+                    / (F.col("__nb__") * F.lit(256)),
+                    4,
+                ),
+            ).alias("avg_bin_fill"),
+        )
+    )
+
+
+def _tokenize_mix_sql(
+    merges: tuple[tuple[str, str], ...],
+    budget_den: int = 4,
+    epoch_cap: int = 2,
+    capacity: int = 256,
+    shards: int = 8,
+) -> str:
+    """Static oracle for ``tokenize_and_mix_stats``: the bpe_encode
+    replace chain over the pinned merge table (token count read off
+    the marker arithmetic — two chr(31) per token), the temperature-
+    allocation pivot (HUGEINT cross-multiplication — the certified
+    ``temperature_mixture_allocation`` shape), integer caps as mixture
+    weights normalized exactly as `operators/sampling.py:
+    mixture_sample` (cap/Σcap and B·w̄/tot are single correctly-rounded
+    double divisions of exact integers — engine-identical), the
+    md5-bucket keep rule, and the pack window."""
+    chain = "s"
+    for left, right in merges:
+        pat = (
+            f"chr(31) || '{left}' || chr(31) || chr(31) || "
+            f"'{right}' || chr(31)"
+        )
+        chain = f"replace({chain}, {pat}, chr(31) || '{left}{right}' || chr(31))"
+    return f"""
+WITH enc0 AS (
+  SELECT doc_id, source,
+         array_to_string(list_transform(
+           list_filter(
+             regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+             x -> x <> ''),
+           w -> regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')),
+           ' ') AS s
+  FROM documents
+),
+enc AS (
+  SELECT doc_id, source,
+         CAST((len(s2) - len(replace(s2, chr(31), ''))) // 2 AS BIGINT) AS nb
+  FROM (SELECT doc_id, source, {chain} AS s2 FROM enc0)
+),
+per_src AS (SELECT source, SUM(nb)::BIGINT AS avail FROM enc GROUP BY source),
+b AS (SELECT CAST(FLOOR(SUM(avail) / {budget_den}) AS BIGINT) AS budget
+      FROM per_src),
+pos AS (
+  SELECT source, avail, budget,
+         CAST(avail * {epoch_cap} AS BIGINT) AS cap,
+         CAST(FLOOR(SQRT(CAST(avail AS DOUBLE)) * 1e6) AS HUGEINT) AS w
+  FROM per_src, b WHERE avail > 0
+),
+ranked AS (
+  SELECT source, avail, budget, cap, w,
+         SUM(cap) OVER (ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE),
+                        avail, source) AS p,
+         SUM(w) OVER (ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE),
+                      avail, source) AS wp,
+         SUM(w) OVER () AS wt
+  FROM pos
+),
+flagged AS (
+  SELECT source, avail, cap, w,
+         CASE WHEN (CAST(budget AS HUGEINT) - CAST(p - cap AS HUGEINT)) * w
+                   <= CAST(cap AS HUGEINT) * (wt - (wp - w))
+              THEN CAST(budget - (p - cap) AS DOUBLE)
+                   / CAST(wt - (wp - w) AS DOUBLE)
+         END AS s
+  FROM ranked
+),
+lev AS (SELECT MAX(s) AS scale FROM flagged),
+alloc AS (
+  SELECT source, avail,
+         CAST(FLOOR(ROUND(
+           CASE WHEN scale IS NULL THEN CAST(cap AS DOUBLE)
+                ELSE LEAST(CAST(cap AS DOUBLE), scale * CAST(w AS DOUBLE))
+           END, 4)) AS BIGINT) AS capt,
+         CASE WHEN scale IS NULL THEN TRUE
+              ELSE CAST(cap AS DOUBLE) <= scale * CAST(w AS DOUBLE) END
+           AS capped
+  FROM flagged, lev
+  UNION ALL
+  SELECT source, avail, CAST(0 AS BIGINT), TRUE
+  FROM per_src WHERE avail <= 0
+),
+tc AS (SELECT SUM(capt) AS tcap FROM alloc),
+rates AS (
+  SELECT t.source,
+         CAST(FLOOR(LEAST(1.0,
+           CAST(tcap AS DOUBLE)
+           * (CAST(a.capt AS DOUBLE) / CAST(tcap AS DOUBLE))
+           / t.tot) * 10000) AS BIGINT) AS keep
+  FROM (SELECT source, SUM(CAST(nb AS DOUBLE)) AS tot
+        FROM enc GROUP BY source) t
+  JOIN alloc a USING (source), tc
+),
+kept AS (
+  SELECT e.doc_id, e.source, e.nb
+  FROM enc e JOIN rates r USING (source)
+  WHERE ('0x' || substr(md5(CAST(e.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % 10000 < r.keep
+),
+c AS (
+  SELECT source, doc_id % {shards} AS shard, nb,
+         SUM(nb) OVER (PARTITION BY source, doc_id % {shards}
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - nb AS strt
+  FROM kept
+),
+pk AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs_kept,
+         SUM(nb)::BIGINT AS kept_bpe_tokens,
+         COUNT(DISTINCT (shard, bin))::BIGINT AS n_bins
+  FROM (SELECT source, shard, nb,
+               floor(strt / {capacity})::BIGINT AS bin FROM c)
+  GROUP BY source
+)
+SELECT a.source,
+       a.avail AS avail_bpe_tokens,
+       a.capt AS alloc_tokens,
+       a.capped,
+       COALESCE(pk.n_docs_kept, 0)::BIGINT AS n_docs_kept,
+       COALESCE(pk.kept_bpe_tokens, 0)::BIGINT AS kept_bpe_tokens,
+       COALESCE(pk.n_bins, 0)::BIGINT AS n_bins,
+       CASE WHEN pk.n_bins > 0
+            THEN ROUND(pk.kept_bpe_tokens * 1.0 / (pk.n_bins * {capacity}), 4)
+       END AS avg_bin_fill
+FROM alloc a LEFT JOIN pk USING (source)
+"""
+
+
+_TOKENIZE_MIX_SQL = _tokenize_mix_sql(_TRAIN_MIX_MERGES)

@@ -117,6 +117,11 @@ WAIVERS = {
         "(doc_id, pos) and dup only equi-joins it to counts, so pos "
         "is unique within every doc_id window partition of both the "
         "break-flag and running-sum passes",
+    ("exact_substr_char_spans", "pos"):
+        "unique by construction: same shape as exact_substr_spans — "
+        "the pos CTE emits one 16-char-window row per (doc_id, pos) "
+        "and dup only equi-joins it to counts, so pos is unique "
+        "within every doc_id window partition",
     ("upsert_keep_last", "prec"):
         "unique by construction: each id has at most one row per "
         "prec value (base UNION ALL filtered-updates)",
