@@ -177,6 +177,8 @@ EXTENDED_QUERIES = [
     "text_normalization_stats",
     # round-12: tokenize-and-mix corpus→training-batches composite
     "tokenize_and_mix_stats",
+    # round-12: portable-HLL uniqueness audit (dq_summary's scale twin)
+    "dq_uniqueness_approx",
     # round-6 late additions
     "dedup_segments_rebuild",
     "sliding_distinct_users",

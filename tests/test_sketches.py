@@ -121,3 +121,53 @@ def test_hash_sample_pred_is_deterministic_partition(spark):
     assert a == b
     # ~1/4 +- loose binomial envelope
     assert 2000 < a < 3000
+
+
+def test_tuned_sample_denom_next_power_of_two(spark):
+    from tmdb_index_spark.operators.sketches import tuned_sample_denom
+
+    cases = [
+        (0, 4), (1, 4), (100, 4), (400, 4),      # q <= min_denom
+        (401, 8), (799, 8), (800, 8),            # q in (4, 8]
+        (1600, 16),                              # q exactly a power of two
+        (1601, 32),                              # one past it
+        (100_000, 1024),                         # q = 1000 -> 1024
+    ]
+    df = spark.createDataFrame([(n,) for n, _ in cases], "n long")
+    got = {
+        r["n"]: r["d"]
+        for r in df.select(
+            "n", tuned_sample_denom(F.col("n"), 100).alias("d")
+        ).collect()
+    }
+    for n, want in cases:
+        assert got[n] == want, (n, got[n], want)
+
+
+def test_check_unique_hll_estimates_and_is_partition_invariant(spark):
+    from tmdb_index_spark.operators.checks import check_unique_hll
+
+    # 600 distinct composite keys, the first 100 duplicated 3x
+    rows = [(i % 600, (i % 600) % 7, i) for i in range(600)]
+    rows += [(k, k % 7, 10_000 + k) for k in range(100) for _ in range(2)]
+    df = spark.createDataFrame(rows, "a long, b int, payload long")
+
+    out = check_unique_hll(df, ["a", "b"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["check"] == "unique(a,b)"
+    assert r["n_rows"] == 800
+    assert abs(r["approx_unique"] - 600) <= 0.10 * 600
+
+    # the estimate is a pure function of the key set: repartitioning
+    # must not move it by even an ulp
+    again = check_unique_hll(df.repartition(13), ["a", "b"]).collect()[0]
+    assert again["approx_unique"] == r["approx_unique"]
+
+    # NULL key components flow through the canonical encoding (same
+    # scheme as the exact checks) instead of dropping the row
+    with_null = df.withColumn(
+        "a", F.when(F.col("payload") == 0, None).otherwise(F.col("a"))
+    )
+    rn = check_unique_hll(with_null, ["a", "b"]).collect()[0]
+    assert rn["n_rows"] == 800

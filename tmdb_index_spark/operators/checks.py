@@ -150,6 +150,49 @@ def check_scalars(
     )
 
 
+def check_unique_hll(
+    df: DataFrame,
+    cols: list[str],
+    b: int = 10,
+    name: str | None = None,
+) -> DataFrame:
+    """The 100-TB form of a uniqueness check: the exact variants
+    (:func:`check_unique` / :func:`check_unique_multi`) must shuffle
+    every DISTINCT key — for a near-candidate key that is the whole
+    table across the wire (the round-12 stress point: the lineitem
+    composite-key check alone was 158 of ``dq_summary``'s 164 s at
+    100× data).  This twin estimates the distinct count with the
+    PORTABLE HyperLogLog (:func:`~tmdb_index_spark.operators.sketches
+    .portable_hll_distinct`, ±~2% at b=10): only ``2^b`` partial-max
+    register rows per partition cross the wire, so cost is one scan +
+    a constant-size shuffle at ANY table size — and the estimate is
+    bit-reproducible in a second engine, so the check stays
+    value-auditable (unlike ``approx_count_distinct``).
+
+    Returns one row: ``(check, approx_unique double, n_rows bigint)``
+    — report the CARDINALITY beside the row count rather than a
+    pseudo-exact violation count, because subtracting a ±2% estimate
+    from an exact count would fabricate precision (an exact-looking
+    ``n_violations`` that can be negative).  Composite keys use the
+    same canonical null-marker encoding as the exact checks, so the
+    two twins audit the identical key function.
+    """
+    from tmdb_index_spark.operators.sketches import portable_hll_distinct
+
+    tagged = df.select(
+        F.lit(name or f"unique({','.join(cols)})").alias("check"),
+        _canon_key(cols).alias("__key__"),
+    )
+    return portable_hll_distinct(
+        tagged,
+        "__key__",
+        ["check"],
+        b=b,
+        out_col="approx_unique",
+        count_col="n_rows",
+    )
+
+
 def check_non_null(df: DataFrame, col: str, name: str | None = None) -> DataFrame:
     nulls = df.agg(
         F.count(F.when(F.col(col).isNull(), 1)).alias("n")

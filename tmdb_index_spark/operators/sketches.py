@@ -61,6 +61,7 @@ __all__ = [
     "HLL_CAP",
     "hll_alpha",
     "hash_sample_pred",
+    "tuned_sample_denom",
     "portable_hll_distinct",
     "portable_hll_oracle_sql",
 ]
@@ -92,15 +93,59 @@ def _lc_table(m: int) -> list[float]:
     return [m * math.log(m / v) for v in range(1, m)]
 
 
-def hash_sample_pred(key: Column, denom: int, seed: int = 0) -> Column:
+def hash_sample_pred(
+    key: Column, denom: int | Column, seed: int = 0
+) -> Column:
     """Deterministic 1/denom Bernoulli sample predicate: true iff the
     portable 60-bit md5 hash of ``key`` (cast to string) is 0 mod
-    ``denom``.  DuckDB mirror::
+    ``denom`` (an int, or a Column — e.g. the data-derived
+    :func:`tuned_sample_denom`).  DuckDB mirror::
 
         (CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))
               AS BIGINT) % denom) = 0
     """
-    return F.pmod(portable_hash60(key.cast("string"), seed), F.lit(denom)) == 0
+    d = F.lit(denom) if isinstance(denom, int) else denom
+    return F.pmod(portable_hash60(key.cast("string"), seed), d) == 0
+
+
+def tuned_sample_denom(
+    n: Column, target: int, min_denom: int = 4
+) -> Column:
+    """Self-tuned sampling denominator: the smallest power of two
+    ``>= max(min_denom, ceil(n / target))`` — so a 1/denom hash sample
+    of an ``n``-row stream lands BETWEEN ``target/2`` and ``target``
+    rows (never above), no matter how large ``n`` grows.  The sketch
+    family's occupancy-constant rule (``bits = f(COUNT(*))`` in the
+    tuned LSH/IVF paths) applied to sampling: a FIXED denominator's
+    sample grows linearly with the data, and any downstream exact
+    computation over it (a per-group sorted percentile buffer, a
+    driver collect) silently inherits that linear growth — the
+    round-12 ``approx_value_quantiles`` 31.5×-at-100× lesson.
+
+    Portable by the same no-transcendental trick as the HLL rho: the
+    next power of two is ``2^bitlen(q - 1)`` with bitlen read off the
+    base-2 string (``log2`` is libm-dependent and could flip ``ceil``
+    at exact powers of two).  All-integer inputs, so the one double
+    division (``floor((n + target - 1) / target)``) cannot misround
+    across an integer boundary.  DuckDB mirror (q = the same floor)::
+
+        CASE WHEN q <= {min_denom} THEN CAST({min_denom} AS BIGINT)
+             ELSE CAST(POW(2, length(bin(q - 1))) AS BIGINT) END
+    """
+    if target < 1 or min_denom < 1:
+        raise ValueError(
+            f"target and min_denom must be >= 1, got {target}, {min_denom}"
+        )
+    q = F.floor(
+        (n.cast("bigint") + F.lit(target - 1)) / F.lit(target)
+    ).cast("bigint")
+    bitlen = F.length(F.conv((q - 1).cast("string"), 10, 2))
+    # 2^bitlen via POW-then-cast: exact in double far past any real
+    # denominator (the portable_hll_distinct register-term idiom)
+    nextpow = F.pow(F.lit(2.0), bitlen.cast("double")).cast("bigint")
+    return F.when(
+        q <= F.lit(min_denom), F.lit(min_denom).cast("bigint")
+    ).otherwise(nextpow)
 
 
 def portable_hll_distinct(

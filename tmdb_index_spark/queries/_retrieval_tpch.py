@@ -540,6 +540,65 @@ SELECT 'fk(l_orderkey)',
 """
 
 
+def dq_uniqueness_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-backed uniqueness audit (extension: the declared 100-TB
+    path for ``dq_summary``'s heavy checks): the exact composite-key
+    check must shuffle every distinct key — at 100× data the lineitem
+    check alone was 158 of the audit's 164 s (SCALE.md r12) — while
+    this twin estimates each key's cardinality with the PORTABLE
+    HyperLogLog (`operators/checks.py: check_unique_hll`): one scan
+    per table, a 2^10-register shuffle regardless of size, and an
+    estimate a second engine reproduces bit-for-bit.  One row per
+    audited key: (check, approx_unique, n_rows)."""
+    from tmdb_index_spark.operators.checks import check_unique_hll
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return check_unique_hll(orders, ["o_orderkey"]).unionByName(
+        check_unique_hll(lineitem, ["l_orderkey", "l_linenumber"])
+    )
+
+
+def _dq_unique_approx_sql() -> str:
+    """Static oracle for ``dq_uniqueness_approx``: one portable-HLL
+    block per audited key (same hash, registers, and literal
+    linear-counting lookup as the engine), the composite key encoded
+    with the exact checks' canonical null-marker scheme."""
+    from tmdb_index_spark.operators.sketches import portable_hll_oracle_sql
+
+    blocks = []
+    for nm, key, tbl in [
+        (
+            "unique(o_orderkey)",
+            "coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'N')",
+            "orders",
+        ),
+        (
+            "unique(l_orderkey,l_linenumber)",
+            "concat_ws(chr(1), "
+            "coalesce(CAST(l_orderkey AS VARCHAR), chr(0) || 'N'), "
+            "coalesce(CAST(l_linenumber AS VARCHAR), chr(0) || 'N'))",
+            "lineitem",
+        ),
+    ]:
+        # the alias is double-quoted: bare ``check`` is a DuckDB
+        # reserved word and fails to parse as a plain identifier
+        b = portable_hll_oracle_sql(
+            key_sql=key,
+            group_sql=f"'{nm}'",
+            group_alias='"check"',
+            from_sql=tbl,
+            b=10,
+            out_col="approx_unique",
+            count_col="n_rows",
+        )
+        blocks.append(f"SELECT * FROM (\n{b}\n)")
+    return "\nUNION ALL\n".join(blocks)
+
+
+_DQ_UNIQUE_APPROX_SQL = _dq_unique_approx_sql()
+
+
 def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof salted fact-to-dimension join (extension: the
     hot-key join path when the dimension can't broadcast). The salt
@@ -614,29 +673,59 @@ def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile over the sample, `operators/sketches.py`) instead of
     Spark's engine-private GK digest, so the estimate is
     hash-checkable cross-engine (rows-only contract closed round 12).
-    One pass: the sample predicate gates the percentile input while
-    totals aggregate the full stream; the per-group sort shrinks by
-    the 4x sampling factor.  Exact twin: ``value_percentiles``."""
-    from tmdb_index_spark.operators.sketches import hash_sample_pred
+    The denominator is SELF-TUNED (`tuned_sample_denom`: smallest
+    power of two landing the sample in (100k, 200k] rows) because the
+    exact percentile over the sample has only |event_types|-way
+    parallelism — a fixed 1/4 rate grew the per-group sort buffers
+    linearly and measured 31.5× at 100× data; the bounded sample holds
+    them constant.  One pass after the 1-row count: the sample
+    predicate gates the percentile input while totals aggregate the
+    full stream.  Exact twin: ``value_percentiles``."""
+    from tmdb_index_spark.operators.sketches import (
+        hash_sample_pred,
+        tuned_sample_denom,
+    )
 
     ev = _events(spark, sf_dir)
-    sampled = hash_sample_pred(F.col("event_id"), 4)
+    den = ev.agg(F.count(F.lit(1)).alias("__n__")).select(
+        tuned_sample_denom(F.col("__n__"), 200_000).alias("__den__")
+    )
+    # materialize the predicate as a PROJECTED column before the
+    # aggregate: four aggregate expressions reference it, and inside
+    # aggregate buffers Catalyst does not share the subexpression —
+    # the inline form measured 4 md5 evaluations per row (33.7 s at
+    # 100×, exactly 4× the one-hash pass)
+    sampled = F.col("__sampled__")
     sv = F.when(sampled, F.col("value"))
-    return ev.groupBy("event_type").agg(
-        F.round(F.percentile(sv, F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile(sv, F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile(sv, F.lit(0.99)), 4).alias("p99"),
-        F.sum(sampled.cast("long")).alias("n_sampled"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        ev.crossJoin(F.broadcast(den))
+        .withColumn(
+            "__sampled__",
+            hash_sample_pred(F.col("event_id"), F.col("__den__")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile(sv, F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile(sv, F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile(sv, F.lit(0.99)), 4).alias("p99"),
+            F.sum(sampled.cast("long")).alias("n_sampled"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
 
 
 _APPROX_QUANTILES_SQL = """
-WITH s AS (
+WITH den AS (
+  SELECT CASE WHEN q <= 4 THEN CAST(4 AS BIGINT)
+              ELSE CAST(POW(2, length(bin(q - 1))) AS BIGINT) END AS denom
+  FROM (SELECT CAST(FLOOR((COUNT(*) + 199999) / 200000.0) AS BIGINT) AS q
+        FROM events)
+),
+s AS (
   SELECT event_type, value,
          (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
-               AS BIGINT) % 4) = 0 AS sampled
-  FROM events
+               AS BIGINT) % denom) = 0 AS sampled
+  FROM events, den
 )
 SELECT event_type,
        ROUND(quantile_cont(CASE WHEN sampled THEN value END, 0.5), 4) AS p50,
