@@ -172,3 +172,71 @@ def test_token_edit1_plan_has_no_cartesian(spark):
     plan = token_edit1_pairs(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_preagg_grouping_matches_direct_forms(spark):
+    from pyspark.sql import functions as F
+
+    from tmdb_index_spark.operators.skew import preagg_grouping
+
+    # includes a REAL NULL dim value: grouping_id must separate it
+    # from subtotal NULLs in both forms
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0),
+         (None, "y", 8.0), ("a", "x", 16.0)],
+        "f string, s string, v double",
+    )
+    partials = {
+        "total": (F.sum("v"), F.sum("total")),
+        "n": (F.count(F.lit(1)), F.sum("n")),
+    }
+
+    def key(rows_):
+        return sorted(
+            (str(r["f"]), str(r["s"]), r["total"], r["n"], r["gid"])
+            for r in rows_
+        )
+
+    for mode, direct in [
+        ("rollup", df.rollup("f", "s")),
+        ("cube", df.cube("f", "s")),
+    ]:
+        got = preagg_grouping(
+            df, ["f", "s"], partials, mode=mode, grouping_id_col="gid"
+        ).collect()
+        exp = direct.agg(
+            F.sum("v").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("long").alias("gid"),
+        ).collect()
+        assert key(got) == key(exp), mode
+
+    sets = [["f"], ["s"], []]
+    got = preagg_grouping(
+        df, ["f", "s"], partials, mode="sets", sets=sets,
+        grouping_id_col="gid",
+    ).collect()
+    exp = df.groupingSets(sets, "f", "s").agg(
+        F.sum("v").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.grouping_id().cast("long").alias("gid"),
+    ).collect()
+    assert key(got) == key(exp)
+
+
+def test_preagg_grouping_expand_runs_over_compact_frame(spark):
+    from pyspark.sql import functions as F
+
+    from tmdb_index_spark.operators.skew import preagg_grouping
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0)], "f string, s string, v double"
+    )
+    plan = preagg_grouping(
+        df, ["f", "s"], {"total": (F.sum("v"), F.sum("total"))}
+    )._jdf.queryExecution().executedPlan().toString()
+    # the Expand node must sit ABOVE the finest-grain aggregate: in
+    # the top-down plan print, an Aggregate appears BELOW Expand
+    expand_at = plan.index("Expand")
+    below_expand = plan[expand_at:]
+    assert "HashAggregate" in below_expand or "SortAggregate" in below_expand

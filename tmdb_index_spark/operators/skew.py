@@ -25,7 +25,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["two_phase_count_distinct", "salted_agg", "salted_join", "skew_report"]
+__all__ = [
+    "two_phase_count_distinct",
+    "salted_agg",
+    "salted_join",
+    "preagg_grouping",
+    "skew_report",
+]
 
 
 def two_phase_count_distinct(
@@ -69,6 +75,61 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[p2.alias(name) for name, (_, p2) in partials.items()]
     )
+
+
+def preagg_grouping(
+    df: DataFrame,
+    dims: Sequence[str],
+    partials: dict[str, tuple[Column, Column]],
+    mode: str = "rollup",
+    sets: Sequence[Sequence[str]] | None = None,
+    grouping_id_col: str | None = None,
+) -> DataFrame:
+    """ROLLUP / CUBE / GROUPING SETS with the Expand blowup paid on
+    the pre-aggregated frame instead of the raw table.
+
+    Spark plans grouping-set aggregations as Expand → partial agg:
+    every input row is REPLICATED once per grouping set before any
+    aggregation happens, so a 3-set rollup pushes 3× the table through
+    the aggregate — the measured cost of the direct form at 100× data
+    was 2.9× the two-phase one (SCALE.md round 12: ``rollup_revenue``
+    62.6 → 21.4 s). This helper aggregates ONCE at the finest grain
+    (the full ``dims`` tuple — a frame no larger than the dims'
+    value-combination count), then runs the grouping-set expansion
+    over that compact frame, where the 3× replication is free.
+
+    ``partials`` follows :func:`salted_agg`'s contract: output name →
+    (phase-1 partial aggregate over the raw rows, phase-2 merge over
+    the partials, referring to phase-1 names). Only algebraic
+    aggregates merge this way — decompose AVG into sum+count
+    yourself, and note a COUNT merge is ``F.sum(name)`` (on an EMPTY
+    input the grand-total row then carries NULL where the direct form
+    says 0 — coalesce in the merge if that row matters).
+
+    ``mode``: ``"rollup"``, ``"cube"``, or ``"sets"`` (pass ``sets``).
+    ``grouping_id_col`` appends ``F.grouping_id()`` (cast long) in
+    phase 2 — identical to the direct form's because both expand over
+    the same ``dims``. NULL dim values are preserved exactly: they
+    form their own phase-1 cells and roll up like any other value,
+    and ``grouping_id`` is what separates them from subtotal NULLs.
+    """
+    phase1 = df.groupBy(*dims).agg(
+        *[p1.alias(name) for name, (p1, _) in partials.items()]
+    )
+    if mode == "rollup":
+        grouped = phase1.rollup(*dims)
+    elif mode == "cube":
+        grouped = phase1.cube(*dims)
+    elif mode == "sets":
+        if sets is None:
+            raise ValueError("mode='sets' requires the sets argument")
+        grouped = phase1.groupingSets([list(s) for s in sets], *dims)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    merges = [p2.alias(name) for name, (_, p2) in partials.items()]
+    if grouping_id_col:
+        merges.append(F.grouping_id().cast("long").alias(grouping_id_col))
+    return grouped.agg(*merges)
 
 
 def salted_join(

@@ -248,14 +248,28 @@ GROUP BY event_type
 
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping over (returnflag, linestatus): subtotals + grand
-    total in one pass (grouping-set aggregation family)."""
+    total (grouping-set aggregation family).  Two-phase form
+    (`operators/skew.py: preagg_grouping`): Spark expands every raw
+    row once per grouping set BEFORE partial aggregation, so the
+    direct rollup pushes 3× the table through the aggregate — here the
+    table collapses to its ~6 (flag, status) cells first and the
+    Expand runs over those (measured 62.6 → 21.4 s at 100×, SCALE.md
+    r12). DECIMAL partials re-merge exactly, so results are
+    bit-identical to the direct form (same oracle)."""
+    from tmdb_index_spark.operators.skew import preagg_grouping
+
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
+    return preagg_grouping(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_price": (
+                F.sum(_dec("l_extendedprice")),
+                F.sum("sum_price").cast("double"),
+            ),
+            "n_rows": (F.count(F.lit(1)), F.sum("n_rows")),
+        },
+        mode="rollup",
     )
 
 
