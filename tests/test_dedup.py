@@ -240,3 +240,50 @@ def test_preagg_grouping_expand_runs_over_compact_frame(spark):
     expand_at = plan.index("Expand")
     below_expand = plan[expand_at:]
     assert "HashAggregate" in below_expand or "SortAggregate" in below_expand
+
+
+def test_dedup_extreme_matches_window_forms(spark):
+    from pyspark.sql import functions as F
+
+    from tmdb_index_spark.operators.dedup import (
+        dedup_extreme,
+        dedup_keep_first,
+        dedup_keep_last,
+    )
+
+    # ties on ts within a user are broken by the unique event_id —
+    # exactly the total-order precondition both forms require
+    rows = [
+        (1, 10, "a", 100), (1, 11, "b", 100), (1, 12, "c", 99),
+        (2, 20, "d", 50), (2, 21, "e", 60),
+        (3, 30, "f", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts long"
+    ).repartition(5)
+
+    def key(frame):
+        return sorted(map(tuple, frame.collect()))
+
+    first_w = dedup_keep_first(
+        df, keys=("user_id",), order=(F.col("ts"), F.col("event_id"))
+    )
+    last_w = dedup_keep_last(
+        df, keys=("user_id",), order=(F.col("ts"), F.col("event_id"))
+    )
+    first_a = dedup_extreme(
+        df, ("user_id",), ("ts", "event_id"), mode="first"
+    ).select(*df.columns)
+    last_a = dedup_extreme(
+        df, ("user_id",), ("ts", "event_id"), mode="last"
+    ).select(*df.columns)
+    assert key(first_a) == key(first_w)
+    assert key(last_a) == key(last_w)
+
+    # the whole point: no window, and a MAP-SIDE partial combine so
+    # the shuffle ships one candidate per (key, map partition) instead
+    # of every row (the sorts that remain are per-partition by the
+    # bare group key — SortAggregate's own requirement)
+    plan = first_a._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min_by" in plan

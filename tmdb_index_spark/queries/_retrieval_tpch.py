@@ -738,22 +738,19 @@ FROM s GROUP BY event_type
 
 
 def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FIRST_VALUE/LAST_VALUE window breadth: each customer's first and
-    most recent order value over the full-partition frame (values pass
-    through untouched — no arithmetic to diverge)."""
+    """FIRST_VALUE/LAST_VALUE semantics, aggregate form: each
+    customer's first and most recent order value. The (o_orderdate,
+    o_orderkey) order is total and non-null, so first/last over the
+    full-partition frame ARE per-key MIN_BY/MAX_BY of the order tuple
+    — one map-side-combined aggregate instead of a full-table sort
+    window plus DISTINCT (the `dedup_extreme` rationale; measured
+    numbers in SCALE.md r12). Values pass through untouched — no
+    arithmetic to diverge."""
     orders = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return (
-        orders.select(
-            F.col("o_custkey").alias("custkey"),
-            F.first_value("o_totalprice").over(w).alias("first_price"),
-            F.last_value("o_totalprice").over(w).alias("last_price"),
-        )
-        .distinct()
+    okey = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.min_by(F.col("o_totalprice"), okey).alias("first_price"),
+        F.max_by(F.col("o_totalprice"), okey).alias("last_price"),
     )
 
 

@@ -497,10 +497,17 @@ FROM dense LEFT JOIN ev ON dense.id = ev.event_id
 
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-last dedup with explicit order (D2/D3): newest event per
-    user, ties broken on event_id."""
+    user, ties broken on event_id.  Aggregate form
+    (`operators/dedup.py: dedup_extreme` — the (ts, event_id) order is
+    total and non-null, so the winner is a per-key MAX_BY: map-side
+    combine collapses each partition to one candidate per user before
+    the shuffle, where the window form shuffled every event row and
+    sorted by (user, ts, id); measured numbers in SCALE.md r12)."""
+    from tmdb_index_spark.operators.dedup import dedup_extreme
+
     ev = _events(spark, sf_dir)
-    return dedup_keep_last(
-        ev, keys=("user_id",), order=(F.col("ts"), F.col("event_id"))
+    return dedup_extreme(
+        ev, keys=("user_id",), order_cols=("ts", "event_id"), mode="last"
     ).select("user_id", "event_id", "event_type", "ts")
 
 
@@ -514,10 +521,13 @@ SELECT user_id, event_id, event_type, ts FROM (
 
 def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first dedup with explicit order (D4): earliest event per
-    user."""
+    user.  Aggregate form — the `latest_event_per_user` rationale with
+    MIN_BY (measured 20.0 → 9.5 s at 100×, SCALE.md r12)."""
+    from tmdb_index_spark.operators.dedup import dedup_extreme
+
     ev = _events(spark, sf_dir)
-    return dedup_keep_first(
-        ev, keys=("user_id",), order=(F.col("ts"), F.col("event_id"))
+    return dedup_extreme(
+        ev, keys=("user_id",), order_cols=("ts", "event_id"), mode="first"
     ).select("user_id", "event_id", "event_type", "ts")
 
 
