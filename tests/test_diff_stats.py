@@ -241,3 +241,86 @@ def test_fd_profile_requires_candidates(spark):
     df = spark.createDataFrame([(1, 2)], "x int, y int")
     with _pytest.raises(ValueError):
         fd_profile(df, [])
+
+
+def test_canon_key_marker_bytes_do_not_collide(spark):
+    """The canonical composite-key encoding escapes its own marker
+    bytes (round-12 advisor): values containing the unit separator or
+    the null marker must not make distinct keys encode identically —
+    check_unique_multi agrees with check_unique's raw groupBy."""
+    from tmdb_index_spark.operators.checks import (
+        check_unique,
+        check_unique_multi,
+    )
+
+    rows = [
+        ("a\x01b", "c"),      # separator inside a value
+        ("a", "b\x01c"),      # ... shifted across the boundary
+        ("\x00N", "y"),       # value EQUAL to the null marker ...
+        (None, "y"),          # ... vs an actual NULL
+        ("\x02e", "\x02"),    # raw escape bytes
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    exact = check_unique(df, ["a", "b"]).collect()[0]["n_violations"]
+    multi = check_unique_multi(df, [["a", "b"]]).collect()[0][
+        "n_violations"
+    ]
+    assert exact == 0 and multi == 0
+    # genuinely equal keys still collide after escaping
+    df2 = df.union(spark.createDataFrame([rows[0]], "a string, b string"))
+    assert (
+        check_unique_multi(df2, [["a", "b"]]).collect()[0]["n_violations"]
+        == 2
+    )
+
+
+def test_canon_key_sql_mirror_matches_spark(spark):
+    """canon_key_sql is the byte-exact DuckDB mirror of _canon_key:
+    the portable-HLL uniqueness audit hash-matches its oracle even on
+    marker-byte-bearing values."""
+    import duckdb
+    import pandas as pd
+
+    from tmdb_index_spark.operators.checks import (
+        canon_key_sql,
+        check_unique_hll,
+    )
+    from tmdb_index_spark.operators.sketches import portable_hll_oracle_sql
+
+    rows = [
+        ("a\x01b", "c"),
+        ("a", "b\x01c"),
+        (None, "\x00N"),
+        ("\x02e", None),
+        ("v", "w"),
+        ("v", "w"),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = check_unique_hll(df, ["a", "b"]).collect()[0]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["a", "b"]))
+    sql = portable_hll_oracle_sql(
+        key_sql=canon_key_sql(["a", "b"]),
+        group_sql="'unique(a,b)'",
+        group_alias='"check"',
+        from_sql="t",
+        b=10,
+        out_col="approx_unique",
+        count_col="n_rows",
+    )
+    o = con.sql(sql).fetchall()[0]
+    assert (o[1], o[2]) == (got["approx_unique"], got["n_rows"])
+    assert got["n_rows"] == 6
+
+
+def test_check_scalars_metacharacter_column_names(spark):
+    """Check labels are typed literals, not SQL-literal splices
+    (round-12 advisor): a quote/backslash in a column name flows
+    through verbatim."""
+    from tmdb_index_spark.operators.checks import check_scalars
+
+    df = spark.range(3).toDF("id").withColumnRenamed("id", "it's\\col")
+    out = check_scalars(df, non_null=["it's\\col"]).collect()
+    assert len(out) == 1
+    assert out[0]["check"] == "non_null(it's\\col)"
+    assert out[0]["n_violations"] == 0

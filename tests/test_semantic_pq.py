@@ -126,3 +126,28 @@ def test_semantic_dedup_pq_validation(spark):
     emb = _corpus(spark)
     with pytest.raises(ValueError, match="subspaces"):
         semantic_dedup_pq(emb, cells=2, m=3)  # 8 % 3 != 0
+
+
+def test_pq_novelty_zero_norm_reconstruction_is_novel(spark):
+    """Zero-norm PQ reconstructions are ALWAYS NOVEL by contract
+    (round-12 advisor): the guarded cosine denominator scores such
+    pairs NULL, which fails the threshold filter deliberately."""
+    from tmdb_index_spark.operators.similarity import pq_novelty_ids
+
+    cents = [(0, [0.0, 0.0])]
+    books = [[(0, [0.0, 0.0]), (1, [1.0, 1.0])]]
+    idx = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    bat = spark.createDataFrame(
+        [(10, [0.01, 0.0]), (11, [0.9, 1.1])],
+        "vec_id long, embedding array<double>",
+    )
+    got = sorted(
+        r["vec_id"]
+        for r in pq_novelty_ids(idx, bat, 0.5, cents, books).collect()
+    )
+    # 11 codes to the [1,1] word on both sides -> SDC sim 1.0 -> dup;
+    # 10 codes to the all-zero word -> zero norm -> novel by contract
+    assert got == [11]

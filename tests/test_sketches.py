@@ -171,3 +171,35 @@ def test_check_unique_hll_estimates_and_is_partition_invariant(spark):
     )
     rn = check_unique_hll(with_null, ["a", "b"]).collect()[0]
     assert rn["n_rows"] == 800
+
+
+def test_portable_hll_null_keys_follow_count_distinct(spark):
+    """NULL keys hit no register (count-distinct semantics, round-12
+    advisor) but still count in n_rows; an all-NULL group estimates 0
+    — and the DuckDB oracle mirror agrees bit-for-bit."""
+    import duckdb
+    import pandas as pd
+
+    from tmdb_index_spark.operators.sketches import portable_hll_oracle_sql
+
+    rows = [("a", str(i % 40) if i % 5 else None) for i in range(200)]
+    rows += [("b", None)] * 25
+    df = spark.createDataFrame(rows, "g string, k string")
+    got = {
+        r["g"]: (r["approx_distinct"], r["n_rows"])
+        for r in portable_hll_distinct(df, "k", ["g"], b=10).collect()
+    }
+    exact_a = (
+        df.filter("g = 'a'").select("k").na.drop().distinct().count()
+    )
+    assert got["a"][1] == 200  # nulls still counted as rows
+    assert abs(got["a"][0] - exact_a) / exact_a < 0.05  # LC regime
+    assert got["b"] == (0.0, 25)  # all-null group -> zero distinct
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["g", "k"]))
+    sql = portable_hll_oracle_sql(
+        key_sql="k", group_sql="g", group_alias="g", from_sql="t", b=10
+    )
+    oracle = {r[0]: (r[1], r[2]) for r in con.sql(sql).fetchall()}
+    assert oracle == got

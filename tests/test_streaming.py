@@ -662,3 +662,56 @@ def test_ingest_stream_folds_novel_content_only(spark, tmp_path):
         s0_replay["n_exact_batch_dup"],
         s0_replay["n_kept"],
     ) == (3, 1, 2)
+
+
+def test_ingest_ledger_survives_replay_without_success_markers(
+    spark, tmp_path
+):
+    """The ledger's replay guard keys on its OWN ``_LEDGER_SUCCESS``
+    sentinel, not the committer's ``_SUCCESS`` (round-12 advisor): with
+    ``marksuccessfuljobs`` disabled, a post-swap replay must still skip
+    committed partitions instead of overwriting the true yield rows
+    with zero-yield recomputations."""
+    import os
+
+    from tmdb_index_spark.streaming.ingest import run_ingest_stream
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    old = hconf.get(key)
+    hconf.set(key, "false")
+    try:
+        batches = str(tmp_path / "doc_batches")
+        index = str(tmp_path / "corpus_index.parquet")
+        stats = str(tmp_path / "ingest_stats")
+        ta, tb = _ingest_words("a"), _ingest_words("b")
+        spark.createDataFrame(
+            [(1, ta, "s"), (2, tb, "s"), (3, ta, "s")],
+            "doc_id long, text string, source string",
+        ).coalesce(1).write.mode("append").parquet(batches)
+
+        def _stream():
+            return spark.readStream.schema(
+                "doc_id long, text string, source string"
+            ).parquet(batches)
+
+        run_ingest_stream(_stream(), index, stats, str(tmp_path / "ck1"))
+        part = os.path.join(stats, "batch_id=0")
+        # the committer config took effect AND our sentinel landed
+        assert not os.path.exists(os.path.join(part, "_SUCCESS"))
+        assert os.path.exists(os.path.join(part, "_LEDGER_SUCCESS"))
+        # post-swap replay under a fresh checkpoint: all content already
+        # indexed -> recomputed stats would be zero-yield lies; the
+        # committed partition must survive untouched
+        run_ingest_stream(_stream(), index, stats, str(tmp_path / "ck2"))
+        s0 = spark.read.parquet(stats).filter("batch_id = 0").collect()[0]
+        assert (s0["n_batch"], s0["n_exact_batch_dup"], s0["n_kept"]) == (
+            3,
+            1,
+            2,
+        )
+    finally:
+        if old is None:
+            hconf.unset(key)
+        else:
+            hconf.set(key, old)

@@ -41,18 +41,54 @@ def check_unique(df: DataFrame, cols: list[str], name: str | None = None) -> Dat
     return _summary(name or f"unique({','.join(cols)})", dupes)
 
 
+#: Escape byte of the canonical key encoding: values are rewritten so
+#: the raw null marker (``\x00``) and separator (``\x01``) can never
+#: appear inside an escaped value — the encoding is injective even for
+#: adversarial strings containing the marker bytes (round-12 advisor:
+#: unescaped, ``('a\x01b', 'c')`` and ``('a', 'b\x01c')`` collided).
+_CANON_ESC = "\x02"
+
+
+def _esc_value(col):
+    """Prefix-free escape: ``\x02``→``\x02e``, ``\x00``→``\x02z``,
+    ``\x01``→``\x02u`` (escape byte first, so introduced pairs are
+    never re-escaped). Decoding is unambiguous, hence injective."""
+    out = F.replace(col, F.lit(_CANON_ESC), F.lit(_CANON_ESC + "e"))
+    out = F.replace(out, F.lit("\x00"), F.lit(_CANON_ESC + "z"))
+    return F.replace(out, F.lit("\x01"), F.lit(_CANON_ESC + "u"))
+
+
 def _canon_key(cols: list[str]):
     """Canonical string encoding of a composite key that preserves
-    groupBy-equality exactly: per-column null marker + unit separators
-    (no real value collides with the markers)."""
+    groupBy-equality exactly: per-column ESCAPED value or null marker,
+    unit-separator-joined.  Escaping (:func:`_esc_value`) guarantees no
+    real value collides with the ``\x00N`` marker or the ``\x01``
+    separator, so the encoding is injective for any input strings."""
     parts = []
     for c in cols:
         parts.append(
             F.coalesce(
-                F.col(c).cast("string"), F.lit("\x00N")
+                _esc_value(F.col(c).cast("string")), F.lit("\x00N")
             )
         )
     return F.concat_ws("\x01", *parts)
+
+
+def canon_key_sql(cols: list[str]) -> str:
+    """The DuckDB mirror of :func:`_canon_key` — same escape chain,
+    marker, and separator, so a portable-sketch oracle hashes the
+    identical key bytes."""
+
+    def esc(c: str) -> str:
+        v = f"CAST({c} AS VARCHAR)"
+        v = f"replace({v}, chr(2), chr(2) || 'e')"
+        v = f"replace({v}, chr(0), chr(2) || 'z')"
+        return f"replace({v}, chr(1), chr(2) || 'u')"
+
+    parts = [f"coalesce({esc(c)}, chr(0) || 'N')" for c in cols]
+    if len(parts) == 1:
+        return parts[0]
+    return "concat_ws(chr(1), " + ", ".join(parts) + ")"
 
 
 def check_unique_multi(
@@ -141,12 +177,21 @@ def check_scalars(
     row = df.agg(
         *[a.cast("long").alias(f"__n{i}__") for i, a in enumerate(aggs)]
     )
-    stacked = ", ".join(
-        "'{}', __n{}__".format(nm.replace("'", "''"), i)
-        for i, nm in enumerate(names)
+    # typed-Column unpivot (explode of literal-name structs) instead of
+    # a selectExpr stack(): check names need no SQL-literal escaping, so
+    # a quote (or any other metacharacter) in a column name can't
+    # corrupt the label or break the parse (round-12 advisor)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(nm).alias("check"),
+                F.col(f"__n{i}__").alias("n_violations"),
+            )
+            for i, nm in enumerate(names)
+        ]
     )
-    return row.selectExpr(
-        f"stack({len(names)}, {stacked}) AS (check, n_violations)"
+    return row.select(F.explode(pairs).alias("__p__")).select(
+        "__p__.check", "__p__.n_violations"
     )
 
 

@@ -2548,6 +2548,13 @@ def pq_novelty_ids(
     reproduces every score from the same literals.  Returns distinct
     ``(id_col)`` batch ids with rounded SDC cosine ≥ ``threshold``
     against ANY same-cell index vector.
+
+    Zero-norm reconstructions (a vector whose codes all point at
+    all-zero codebook centroids) are ALWAYS NOVEL by contract: the
+    cosine denominator is guarded explicitly, so such a pair scores
+    NULL and fails the threshold filter deliberately rather than via
+    an accidental division result (round-12 advisor); the SQL oracle
+    carries the identical guard.
     """
     CB, cb_n2 = _codebook_arrays(codebooks)
     m, ks, sub = CB.shape
@@ -2584,7 +2591,10 @@ def pq_novelty_ids(
         adot = term if adot is None else adot + term
         na2 = ta if na2 is None else na2 + ta
         nb2 = tb if nb2 is None else nb2 + tb
-    sim = F.round(adot / (F.sqrt(na2) * F.sqrt(nb2)), 4)
+    sim = F.when(
+        (na2 > F.lit(0.0)) & (nb2 > F.lit(0.0)),
+        F.round(adot / (F.sqrt(na2) * F.sqrt(nb2)), 4),
+    )
     return (
         idx.join(F.broadcast(bat), "cell")
         .filter(sim >= F.lit(threshold))

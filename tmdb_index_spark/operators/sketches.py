@@ -164,6 +164,12 @@ def portable_hll_distinct(
     register) partial-max — at most ``groups * 2^b`` rows cross the
     wire — then the per-group estimate over exact BIGINT register
     sums, with the literal-lookup linear-counting correction.
+
+    NULL keys follow count-distinct semantics (round-12 advisor): a
+    NULL key hits no register (it previously landed in a phantom
+    NULL-index register row that biased both the register sum and the
+    empty-register count), but its rows still count in ``count_col``.
+    A group whose keys are ALL NULL estimates 0 distinct.
     """
     m = 1 << b
     w = 60 - b
@@ -173,10 +179,15 @@ def portable_hll_distinct(
     )
     rest = F.expr(f"__hll_h__ DIV {m}")
     bitlen = F.length(F.conv(rest.cast("string"), 10, 2))
-    rho = F.least(
-        F.lit(HLL_CAP),
-        F.when(rest == F.lit(0), F.lit(w + 1)).otherwise(
-            F.lit(w) - bitlen + F.lit(1)
+    # least() IGNORES nulls, so the null-hash guard must sit OUTSIDE it
+    # — otherwise a NULL key silently got rho = HLL_CAP
+    rho = F.when(
+        F.col("__hll_h__").isNotNull(),
+        F.least(
+            F.lit(HLL_CAP),
+            F.when(rest == F.lit(0), F.lit(w + 1)).otherwise(
+                F.lit(w) - bitlen + F.lit(1)
+            ),
         ),
     )
     regs = (
@@ -193,12 +204,18 @@ def portable_hll_distinct(
     )
     # exact integer register sum: hit registers contribute
     # 2^(CAP - M_j), the (m - hit) empty registers contribute 2^CAP.
+    # count(__hll_idx__) counts only REAL (non-null-key) registers; the
+    # NULL-index row's term is NULL, so sum() skips it, and coalesce
+    # covers the all-NULL-keys group (no real registers at all).
     term = F.expr(f"CAST(POW(2, {HLL_CAP} - __hll_m__) AS BIGINT)")
     numer = hll_alpha(m) * m * m * float(2**HLL_CAP)
+    hit = F.count("__hll_idx__")
     agg = regs.groupBy(*group_cols).agg(
-        (F.sum(term) + (F.lit(m) - F.count(F.lit(1))) * F.lit(2**HLL_CAP))
-        .alias("__hll_s__"),
-        (F.lit(m) - F.count(F.lit(1))).alias("__hll_v__"),
+        (
+            F.coalesce(F.sum(term), F.lit(0))
+            + (F.lit(m) - hit) * F.lit(2**HLL_CAP)
+        ).alias("__hll_s__"),
+        (F.lit(m) - hit).alias("__hll_v__"),
         F.sum("__hll_n__").alias(count_col),
     )
     e_raw = F.lit(numer) / F.col("__hll_s__").cast("double")
@@ -206,7 +223,7 @@ def portable_hll_distinct(
         F.array(*[F.lit(x) for x in _lc_table(m)]),
         F.col("__hll_v__").cast("int"),
     )
-    est = F.when(
+    est = F.when(F.col("__hll_v__") == F.lit(m), F.lit(0.0)).when(
         (e_raw <= F.lit(2.5 * m)) & (F.col("__hll_v__") >= F.lit(1)), lc
     ).otherwise(e_raw)
     return agg.select(
@@ -225,9 +242,10 @@ def portable_hll_oracle_sql(
 ) -> str:
     """The DuckDB mirror of :func:`portable_hll_distinct`: the SAME
     hash, register split, clamp, integer register sum, and literal
-    linear-counting lookup, step for step, so the two engines agree
-    bit-for-bit.  ``key_sql`` / ``group_sql`` are SQL expressions over
-    ``from_sql``."""
+    linear-counting lookup, step for step — including the NULL-key
+    rule (NULL keys hit no register but still count in ``count_col``)
+    — so the two engines agree bit-for-bit.  ``key_sql`` /
+    ``group_sql`` are SQL expressions over ``from_sql``."""
     m = 1 << b
     w = 60 - b
     numer = repr(hll_alpha(m) * m * m * float(2**HLL_CAP))
@@ -240,22 +258,24 @@ WITH __hll_h AS (
   FROM {from_sql}
 ), __hll_r AS (
   SELECT {group_alias}, h % {m} AS idx,
-         LEAST({HLL_CAP}, CASE WHEN h // {m} = 0 THEN {w + 1}
-                  ELSE {w} - length(bin(h // {m})) + 1 END) AS rho
+         CASE WHEN h IS NULL THEN NULL
+              ELSE LEAST({HLL_CAP}, CASE WHEN h // {m} = 0 THEN {w + 1}
+                  ELSE {w} - length(bin(h // {m})) + 1 END) END AS rho
   FROM __hll_h
 ), __hll_reg AS (
   SELECT {group_alias}, idx, MAX(rho) AS mreg, COUNT(*) AS n
   FROM __hll_r GROUP BY {group_alias}, idx
 ), __hll_agg AS (
   SELECT {group_alias},
-         SUM(CAST(POW(2, {HLL_CAP} - mreg) AS BIGINT))
-           + ({m} - COUNT(*)) * {2**HLL_CAP} AS s,
-         {m} - COUNT(*) AS v,
+         COALESCE(SUM(CAST(POW(2, {HLL_CAP} - mreg) AS BIGINT)), 0)
+           + ({m} - COUNT(idx)) * {2**HLL_CAP} AS s,
+         {m} - COUNT(idx) AS v,
          CAST(SUM(n) AS BIGINT) AS {count_col}
   FROM __hll_reg GROUP BY {group_alias}
 )
 SELECT {group_alias},
-       ROUND(CASE WHEN {numer} / CAST(s AS DOUBLE) <= {repr(2.5 * m)}
+       ROUND(CASE WHEN v = {m} THEN 0.0
+                  WHEN {numer} / CAST(s AS DOUBLE) <= {repr(2.5 * m)}
                    AND v >= 1
                   THEN [{lc}][CAST(v AS INT)]
                   ELSE {numer} / CAST(s AS DOUBLE) END, 4) AS {out_col},

@@ -573,7 +573,8 @@ semdup AS (
   FROM adot d
   JOIN ni na ON na.vec_id = d.iid
   JOIN nbn nb2 ON nb2.vec_id = d.bid
-  WHERE ROUND(d.adot / (na.nrm * nb2.nrm), 4) >= {threshold}
+  WHERE na.nrm > 0 AND nb2.nrm > 0
+    AND ROUND(d.adot / (na.nrm * nb2.nrm), 4) >= {threshold}
 ),
 lab AS (
   SELECT b0.doc_id, b0.source,

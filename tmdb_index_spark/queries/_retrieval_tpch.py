@@ -564,20 +564,15 @@ def _dq_unique_approx_sql() -> str:
     block per audited key (same hash, registers, and literal
     linear-counting lookup as the engine), the composite key encoded
     with the exact checks' canonical null-marker scheme."""
+    from tmdb_index_spark.operators.checks import canon_key_sql
     from tmdb_index_spark.operators.sketches import portable_hll_oracle_sql
 
     blocks = []
     for nm, key, tbl in [
-        (
-            "unique(o_orderkey)",
-            "coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'N')",
-            "orders",
-        ),
+        ("unique(o_orderkey)", canon_key_sql(["o_orderkey"]), "orders"),
         (
             "unique(l_orderkey,l_linenumber)",
-            "concat_ws(chr(1), "
-            "coalesce(CAST(l_orderkey AS VARCHAR), chr(0) || 'N'), "
-            "coalesce(CAST(l_linenumber AS VARCHAR), chr(0) || 'N'))",
+            canon_key_sql(["l_orderkey", "l_linenumber"]),
             "lineitem",
         ),
     ]:

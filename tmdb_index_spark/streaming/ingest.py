@@ -28,7 +28,12 @@ Idempotence on replay — both crash windows:
   any batch partition that already carries a ``_SUCCESS`` marker: the
   true yield rows written just before the swap survive the replay.
   (Stats land strictly before the swap, so a committed partition can
-  never be mid-write when the swap exists.)
+  never be mid-write when the swap exists.)  The committed marker is
+  an EXPLICIT ``_LEDGER_SUCCESS`` sentinel this module writes itself
+  — not the committer's ``_SUCCESS``, which vanishes when a
+  deployment disables ``mapreduce.fileoutputcommitter
+  .marksuccessfuljobs`` and would silently re-open the exact replay
+  hole this guard closes (round-12 advisor).
 
 State lives in the PARQUET artifacts, not the state store — the
 index is unbounded corpus state, exactly what Spark's own docs route
@@ -122,8 +127,15 @@ def run_ingest_stream(
             jvm = spark._jvm
             hpath = jvm.org.apache.hadoop.fs.Path
             fs = hpath(part).getFileSystem(spark._jsc.hadoopConfiguration())
-            if not fs.exists(hpath(posixpath.join(part, "_SUCCESS"))):
+            sentinel = hpath(posixpath.join(part, "_LEDGER_SUCCESS"))
+            if not fs.exists(sentinel):
                 out["stats"].write.mode("overwrite").parquet(part)
+                # own sentinel, written only after the parquet commit:
+                # independent of the committer's marksuccessfuljobs
+                # setting (module docstring).  A crash between the two
+                # writes replays pre-swap, where the recomputed rows
+                # are identical and the rewrite is harmless.
+                fs.createNewFile(sentinel)
             return out["new_index"]
 
         try:
