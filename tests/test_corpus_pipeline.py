@@ -494,3 +494,121 @@ def test_prepare_corpus_merges_switches_packing_to_bpe_costs(spark):
     assert {r["doc_id"] for r in packed} <= survivors
     for r in packed:  # bins are costed in REAL BPE tokens
         assert r["n_tokens"] == _bpe_count(r["text"])
+
+
+# ---------------------------------------------------------------------------
+# ann_store (round-13: persisted, versioned ANN model artifacts)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_model_save_load_roundtrip_and_torn_rejection(spark, tmp_path):
+    from tmdb_index_spark.operators.ann_store import (
+        ann_model_fingerprint,
+        load_ann_model,
+        save_ann_model,
+    )
+
+    cents = [(0, [0.0, 1.0]), (1, [2.0, 3.0])]
+    books = [[(0, [0.5]), (1, [1.5])], [(0, [2.5]), (1, [3.5])]]
+    path = str(tmp_path / "ann_model.parquet")
+    meta = save_ann_model(
+        spark, path, cents, books, fit_id=1, n_fit=40, pq_m=2, pq_ks=2
+    )
+    assert meta["cells"] == 2 and meta["fit_id"] == 1
+    got = load_ann_model(spark, path)
+    assert got is not None
+    assert got["centroids"] == cents
+    assert got["codebooks"] == books
+    assert got["meta"] == meta
+    assert meta["fit_md5"] == ann_model_fingerprint(cents, books)
+
+    # absent path -> None (cold cache, not an error)
+    assert load_ann_model(spark, str(tmp_path / "nope")) is None
+
+    # torn artifact (a model piece missing) -> rejected wholesale
+    df = spark.read.parquet(path)
+    df.filter("kind <> 'pq'").write.mode("overwrite").parquet(
+        str(tmp_path / "torn.parquet")
+    )
+    assert load_ann_model(spark, str(tmp_path / "torn.parquet")) is None
+
+
+def test_ann_model_stale_occupancy_rule():
+    """Refit when the current index size wants >= 2x (or <= 1/2x) the
+    fitted cell count under the shared semantic_cells rule."""
+    from tmdb_index_spark.operators.ann_store import ann_model_stale
+
+    meta1 = {"cells": 1}
+    assert not ann_model_stale(meta1, 40)     # want 1 cell: fresh
+    assert not ann_model_stale(meta1, 150)    # want 1 cell: fresh
+    assert ann_model_stale(meta1, 256)        # want 2 cells: grew 2x
+    meta4 = {"cells": 4}
+    assert not ann_model_stale(meta4, 512)    # want 4: fresh
+    assert ann_model_stale(meta4, 128)        # want 1, 2*1 <= 4: shrank
+
+
+def test_ingest_ann_model_artifact_reuse_and_refit(spark, tmp_path):
+    """Two semantic batches against the same model_path: batch 1 fits
+    and persists fit_id 1; batch 2 RELOADS it (reused flag, identical
+    fingerprint — zero refit work) and produces the same novelty
+    verdicts; a parameter change that invalidates the artifact refits
+    and bumps fit_id."""
+    import numpy as np
+
+    from tmdb_index_spark.operators.corpus_pipeline import (
+        ingest_corpus_batch,
+    )
+    from tmdb_index_spark.operators.materialize import release_pins
+
+    rng = np.random.RandomState(11)
+    dim = 16
+    idx_vecs = rng.randn(30, dim)
+    index = _ing_docs(
+        spark,
+        [(i, f"indexed doc {i} tok{i}x tok{i}y", "en", "web") for i in range(30)],
+    )
+    emb_rows = [(int(i), [float(x) for x in idx_vecs[i]]) for i in range(30)]
+    # batch 1: a paraphrase of doc 5 (same direction + tiny noise);
+    # batch 2: a paraphrase of doc 7
+    emb_rows += [
+        (200, [float(x) for x in idx_vecs[5] + 0.01 * rng.randn(dim)]),
+        (201, [float(x) for x in idx_vecs[7] + 0.01 * rng.randn(dim)]),
+    ]
+    emb = spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<double>"
+    )
+    mp = str(tmp_path / "ann_model.parquet")
+
+    b1 = _ing_docs(spark, [(200, "totally different words alpha", "en", "c")])
+    r1 = ingest_corpus_batch(
+        index, b1, embeddings=emb, semantic_threshold=0.6, model_path=mp
+    )
+    assert r1["ann_model"]["reused"] is False
+    assert r1["ann_model"]["fit_id"] == 1
+    assert {x["doc_id"] for x in r1["kept"].collect()} == set()  # para drops
+
+    b2 = _ing_docs(spark, [(201, "other surface form beta", "en", "c")])
+    r2 = ingest_corpus_batch(
+        r1["new_index"], b2, embeddings=emb, semantic_threshold=0.6,
+        model_path=mp,
+    )
+    # index unchanged in size class -> the stored fit is reused verbatim
+    assert r2["ann_model"]["reused"] is True
+    assert r2["ann_model"]["fit_id"] == 1
+    assert r2["ann_model"]["fit_md5"] == r1["ann_model"]["fit_md5"]
+    assert {x["doc_id"] for x in r2["kept"].collect()} == set()
+
+    # a pq geometry change invalidates the artifact -> refit, version 2
+    r3 = ingest_corpus_batch(
+        r1["new_index"], b2, embeddings=emb, semantic_threshold=0.6,
+        model_path=mp, pq_m=4,
+    )
+    assert r3["ann_model"]["reused"] is False
+    assert r3["ann_model"]["fit_id"] == 2
+    assert r3["ann_model"]["pq_m"] == 4
+    # without model_path the composite still works (refit-per-call)
+    r4 = ingest_corpus_batch(
+        r1["new_index"], b2, embeddings=emb, semantic_threshold=0.6
+    )
+    assert r4["ann_model"] is None
+    release_pins()

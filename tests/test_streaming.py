@@ -715,3 +715,127 @@ def test_ingest_ledger_survives_replay_without_success_markers(
             hconf.unset(key)
         else:
             hconf.set(key, old)
+
+
+def test_ingest_stream_semantic_stage_parity_and_model_reuse(
+    spark, tmp_path
+):
+    """Round-13 capability parity: the streaming ingest wrapper runs
+    the batch composite's semantic (PQ/SDC) novelty stage per
+    micro-batch — a paraphrase-grade near-dup (disjoint tokens, so
+    MinHash admits it; near-identical embedding) of already-indexed
+    content must drop at stage 3b, with stats equal to the sequential
+    batch composite's — and the persisted ANN model artifact survives
+    a post-swap replay without refitting."""
+    import numpy as np
+
+    from tmdb_index_spark.operators.ann_store import load_ann_model
+    from tmdb_index_spark.operators.corpus_pipeline import (
+        ingest_corpus_batch,
+    )
+    from tmdb_index_spark.operators.materialize import release_pins
+    from tmdb_index_spark.streaming.ingest import run_ingest_stream
+
+    rng = np.random.RandomState(3)
+    dim = 16
+    vecs = rng.randn(5, dim)
+    schema = "doc_id long, text string, source string"
+    batch1 = [
+        (i, f"first wave document {i} alpha{i} beta{i} gamma{i}", "s")
+        for i in range(5)
+    ]
+    # doc 10: paraphrase of doc 2 (disjoint tokens, embedding = doc
+    # 2's + tiny noise); doc 11: genuinely novel direction
+    novel = None
+    for s in range(200):
+        cand = np.random.RandomState(500 + s).randn(dim)
+        cos = vecs @ cand / (
+            np.linalg.norm(vecs, axis=1) * np.linalg.norm(cand)
+        )
+        if np.abs(cos).max() < 0.4:
+            novel = cand
+            break
+    assert novel is not None
+    batch2 = [
+        (10, "rephrased rendition using wholly other terms", "s"),
+        (11, "unrelated fresh subject matter entirely", "s"),
+    ]
+    emb_rows = [(i, [float(x) for x in vecs[i]]) for i in range(5)]
+    emb_rows += [
+        (10, [float(x) for x in vecs[2] + 0.01 * rng.randn(dim)]),
+        (11, [float(x) for x in novel]),
+    ]
+    emb = spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<double>"
+    )
+
+    batches = str(tmp_path / "doc_batches")
+    index = str(tmp_path / "corpus_index.parquet")
+    stats = str(tmp_path / "ingest_stats")
+    mp = str(tmp_path / "ann_model.parquet")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(batches)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(batches)
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(batches)
+        )
+
+    run_ingest_stream(
+        _stream(), index, stats, str(tmp_path / "ck1"),
+        embeddings=emb, semantic_threshold=0.6, model_path=mp,
+    )
+    got_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(index).collect()
+    )
+    assert got_ids == [0, 1, 2, 3, 4, 11]  # 10 dropped at stage 3b
+    s1 = spark.read.parquet(stats).filter("batch_id = 1").collect()[0]
+    assert s1["n_semantic_index_dup"] == 1
+    assert s1["n_near_index_dup"] == 0  # MinHash did NOT catch it
+    assert s1["n_kept"] == 1
+    # bootstrap batch fit nothing (empty index); batch 2 fit v1
+    model = load_ann_model(spark, mp)
+    assert model is not None and model["meta"]["fit_id"] == 1
+
+    # sequential batch-composite parity on the same two batches
+    empty = spark.createDataFrame([], schema)
+    b1 = ingest_corpus_batch(
+        empty, spark.createDataFrame(batch1, schema),
+        embeddings=emb, semantic_threshold=0.6, materialize="cache",
+    )
+    b2 = ingest_corpus_batch(
+        b1["new_index"], spark.createDataFrame(batch2, schema),
+        embeddings=emb, semantic_threshold=0.6, materialize="cache",
+    )
+    assert sorted(
+        r["doc_id"] for r in b2["new_index"].select("doc_id").collect()
+    ) == got_ids
+    seq = b2["stats"].collect()[0]
+    for c in (
+        "n_batch", "n_exact_batch_dup", "n_exact_index_dup",
+        "n_near_index_dup", "n_semantic_index_dup", "n_kept",
+    ):
+        assert s1[c] == seq[c], (c, s1[c], seq[c])
+    release_pins()
+
+    # post-swap replay (fresh checkpoint): index is a fixpoint, the
+    # ledger survives, and the stored model is REUSED (fit_id stays 1)
+    run_ingest_stream(
+        _stream(), index, stats, str(tmp_path / "ck2"),
+        embeddings=emb, semantic_threshold=0.6, model_path=mp,
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(index).collect()
+    ) == got_ids
+    s1_replay = spark.read.parquet(stats).filter("batch_id = 1").collect()[0]
+    assert s1_replay["n_semantic_index_dup"] == 1
+    assert s1_replay["n_kept"] == 1
+    model2 = load_ann_model(spark, mp)
+    assert model2["meta"]["fit_id"] == 1
+    assert model2["meta"]["fit_md5"] == model["meta"]["fit_md5"]

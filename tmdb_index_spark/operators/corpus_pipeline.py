@@ -536,6 +536,7 @@ def ingest_corpus_batch(
     semantic_threshold: float | None = None,
     pq_m: int = 8,
     pq_ks: int = 16,
+    model_path: str | None = None,
 ) -> dict:
     """INCREMENTAL corpus ingestion — the daily-maintenance shape that
     is the reference's defining trait (``process()`` folds each day's
@@ -570,7 +571,21 @@ def ingest_corpus_batch(
        (re-sent ids are replaced, new ids append — the reference's
        upsert semantics, so a re-crawled doc updates in place).
 
-    Returns ``{"new_index": frame, "kept": frame, "stats": frame}``;
+    ``model_path`` (round 13) persists the stage-3b fit as a
+    VERSIONED parquet artifact (:mod:`~tmdb_index_spark.operators
+    .ann_store`): the first semantic batch fits and saves; later
+    batches RELOAD the stored centroids + codebooks instead of
+    refitting — zero fit sample collects, zero k-means jobs, and
+    literal-identical cell assignments across the reuse window — and
+    refit (bumping ``fit_id``) only when the occupancy rule trips
+    (:func:`~tmdb_index_spark.operators.ann_store.ann_model_stale`)
+    or the stored ``pq_m``/``pq_ks`` no longer match.  This is what
+    makes daily-cadence incremental SemDeDup viable on a 100 TB
+    index; the reference analog is its resume-from-artifact loop
+    (``tmdb_index.py:241-256``).
+
+    Returns ``{"new_index": frame, "kept": frame, "stats": frame,
+    "ann_model": meta-dict + "reused" flag or None}``;
     ``stats`` is the per-source batch yield row — ``(source, n_batch,
     n_exact_batch_dup, n_exact_index_dup, n_near_index_dup, n_kept,
     kept_rate)``, plus ``n_semantic_index_dup`` (before ``n_kept``)
@@ -631,7 +646,13 @@ def ingest_corpus_batch(
     # 3b. semantic vs index (optional): PQ-coded SDC novelty — catches
     # paraphrase-grade rewrites MinHash misses; index side map-only
     semantic = embeddings is not None and semantic_threshold is not None
+    ann_model: dict | None = None
     if semantic:
+        from tmdb_index_spark.operators.ann_store import (
+            ann_model_stale,
+            load_ann_model,
+            save_ann_model,
+        )
         from tmdb_index_spark.operators.similarity import (
             fit_centroids,
             fit_pq,
@@ -644,13 +665,45 @@ def ingest_corpus_batch(
         )
         n_idx = idx_emb.count()
         if n_idx > 0:
-            cents = fit_centroids(
-                idx_emb, semantic_cells(n_idx), emb_id_col, emb_vec_col
+            spark = index.sparkSession
+            stored = (
+                load_ann_model(spark, model_path) if model_path else None
             )
-            books = fit_pq(
-                idx_emb, m=pq_m, ks=pq_ks,
-                id_col=emb_id_col, vec_col=emb_vec_col,
+            reuse = (
+                stored is not None
+                and stored["meta"]["pq_m"] == pq_m
+                and stored["meta"]["pq_ks"] == pq_ks
+                and not ann_model_stale(stored["meta"], n_idx)
             )
+            if reuse:
+                cents = stored["centroids"]
+                books = stored["codebooks"]
+                ann_model = dict(stored["meta"], reused=True)
+            else:
+                cents = fit_centroids(
+                    idx_emb, semantic_cells(n_idx), emb_id_col, emb_vec_col
+                )
+                books = fit_pq(
+                    idx_emb, m=pq_m, ks=pq_ks,
+                    id_col=emb_id_col, vec_col=emb_vec_col,
+                )
+                if model_path:
+                    fit_id = (
+                        stored["meta"]["fit_id"] + 1 if stored else 1
+                    )
+                    ann_model = dict(
+                        save_ann_model(
+                            spark,
+                            model_path,
+                            cents,
+                            books,
+                            fit_id=fit_id,
+                            n_fit=n_idx,
+                            pq_m=pq_m,
+                            pq_ks=pq_ks,
+                        ),
+                        reused=False,
+                    )
             bat_emb = embeddings.join(
                 s3.select(F.col(id_col).alias(emb_id_col)), emb_id_col
             )
@@ -730,7 +783,12 @@ def ingest_corpus_batch(
         ),
     ]
     stats = lab.groupBy(source_col).agg(*aggs)
-    return {"new_index": new_index, "kept": kept, "stats": stats}
+    return {
+        "new_index": new_index,
+        "kept": kept,
+        "stats": stats,
+        "ann_model": ann_model,
+    }
 
 
 def corpus_pipeline_stats(

@@ -4,8 +4,9 @@ loop (``process()`` folds each day's changes into the standing index,
 DOCUMENT batches: every micro-batch runs the batch-vs-index novelty
 composite (:func:`~tmdb_index_spark.operators.corpus_pipeline
 .ingest_corpus_batch` — exact-within-batch dedup, content-hash
-anti-join vs the index, batch-broadcast MinHash-LSH novelty, upsert
-fold-in) and maintains TWO artifacts:
+anti-join vs the index, batch-broadcast MinHash-LSH novelty, optional
+PQ/SDC semantic novelty with a persisted cross-batch model artifact,
+upsert fold-in) and maintains TWO artifacts:
 
 * the standing corpus index at ``index_path`` (crash-safe
   rename-aside swap — :func:`~tmdb_index_spark.streaming.windowed
@@ -68,6 +69,13 @@ def run_ingest_stream(
     num_hashes: int = 16,
     bands: int = 4,
     seq_col: str | None = None,
+    embeddings: DataFrame | None = None,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
+    semantic_threshold: float | None = None,
+    pq_m: int = 8,
+    pq_ks: int = 16,
+    model_path: str | None = None,
 ) -> None:
     """Drain a stream of document batches into the standing corpus
     index, admitting only novel content per micro-batch. With
@@ -81,7 +89,22 @@ def run_ingest_stream(
     :func:`~tmdb_index_spark.streaming.windowed.run_upsert_stream`.
     The very first batch ingests against an EMPTY index of the batch's
     own schema — one code path, so batch 1's stats rows are real
-    (its within-batch duplicates still drop)."""
+    (its within-batch duplicates still drop).
+
+    ``embeddings`` + ``semantic_threshold`` (round 13) enable the
+    composite's OPTIONAL stage 3b per micro-batch — PQ-coded SDC
+    novelty vs the standing index, the paraphrase-grade near-dups
+    token-level MinHash admits — restoring full capability parity
+    with the batch composite (a stream-fed pipeline previously
+    admitted what the batch path dropped).  ``embeddings`` is a
+    STATIC frame joined inside ``foreachBatch`` (batch context), so
+    per-batch semantics, stats columns (``n_semantic_index_dup``),
+    and replay idempotence are exactly the batch composite's.  Pass
+    ``model_path`` to persist the stage-3b fit as a versioned
+    artifact reused across micro-batches (:mod:`~tmdb_index_spark
+    .operators.ann_store`) — at streaming cadence the refit-per-batch
+    alternative pays a driver-side sample collect + k-means per
+    trigger for an identical model."""
     spark = batches.sparkSession
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -117,6 +140,13 @@ def run_ingest_stream(
                 num_hashes=num_hashes,
                 bands=bands,
                 materialize="cache",
+                embeddings=embeddings,
+                emb_id_col=emb_id_col,
+                emb_vec_col=emb_vec_col,
+                semantic_threshold=semantic_threshold,
+                pq_m=pq_m,
+                pq_ks=pq_ks,
+                model_path=model_path,
             )
             # per-batch yield rows land BEFORE the index swap, and
             # NEVER overwrite an already-committed partition: a replay

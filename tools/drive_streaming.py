@@ -277,6 +277,115 @@ def main() -> int:
         f"{n_stats} per-source stats rows landed"
     )
 
+    # ---- 5. streaming semantic novelty parity (round 13) ----
+    # Same two-half drive as #4, but with the PQ/SDC semantic stage on
+    # and a SYNTHETIC paraphrase planted in batch 2: token-disjoint
+    # text (MinHash admits it) whose embedding is a batch-1 doc's plus
+    # tiny noise (cos ~ 0.9999).  The streamed index + per-batch
+    # n_semantic_index_dup stats must equal the sequential batch
+    # composite's, the paraphrase must drop at stage 3b, and the
+    # persisted ANN model artifact must be the batch-2 fit (v1).
+    from tmdb_index_spark.operators.ann_store import load_ann_model
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    h1_ids = {r["doc_id"] for r in half1.select("doc_id").collect()}
+    donor = next(
+        r
+        for r in emb.orderBy("vec_id").limit(200).collect()
+        if r["vec_id"] in h1_ids
+    )
+    synth_id = int(
+        docs.agg(F.max("doc_id")).collect()[0][0]
+    ) + 1000
+    synth_vec = [float(x) + 1e-4 for x in donor["embedding"]]
+    emb_all = emb.unionByName(
+        spark.createDataFrame(
+            [(synth_id, synth_vec)],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    tmpl = half2.limit(1).collect()[0].asDict()
+    tmpl.update(
+        doc_id=synth_id,
+        text="qq ww ee rr tt yy uu ii oo pp synthetic paraphrase tokens",
+    )
+    synth_doc = spark.createDataFrame([tmpl], docs.schema)
+    batch2 = half2.unionByName(synth_doc)
+
+    sem_src = f"{scratch}/sem_batches"
+    half1.coalesce(1).write.mode("append").parquet(sem_src)
+    batch2.coalesce(1).write.mode("append").parquet(sem_src)
+    sem_index = f"{scratch}/sem_index.parquet"
+    sem_stats = f"{scratch}/sem_stats"
+    model_path = f"{scratch}/ann_model.parquet"
+    run_ingest_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sem_src),
+        sem_index,
+        sem_stats,
+        f"{scratch}/ckpt_sem",
+        embeddings=emb_all,
+        semantic_threshold=0.9,
+        model_path=model_path,
+    )
+    sem_stream_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(sem_index).select("doc_id").collect()
+    )
+    assert synth_id not in sem_stream_ids, (
+        "the planted paraphrase must drop at the semantic stage"
+    )
+    ledger = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(sem_stats)
+        .groupBy("batch_id")
+        .agg(
+            F.sum("n_semantic_index_dup").alias("n_sem"),
+            F.sum("n_near_index_dup").alias("n_near"),
+            F.sum("n_kept").alias("n_kept"),
+        )
+        .collect()
+    }
+    assert ledger[1]["n_sem"] >= 1, "batch 2 must report the semantic drop"
+    model = load_ann_model(spark, model_path)
+    assert model is not None and model["meta"]["fit_id"] == 1
+
+    sb1 = ingest_corpus_batch(
+        empty, half1, materialize="cache",
+        embeddings=emb_all, semantic_threshold=0.9,
+    )
+    sb2 = ingest_corpus_batch(
+        sb1["new_index"], batch2, materialize="cache",
+        embeddings=emb_all, semantic_threshold=0.9,
+    )
+    sem_batch_ids = sorted(
+        r["doc_id"] for r in sb2["new_index"].select("doc_id").collect()
+    )
+    seq_stats = sb2["stats"].agg(
+        F.sum("n_semantic_index_dup").alias("n_sem"),
+        F.sum("n_near_index_dup").alias("n_near"),
+        F.sum("n_kept").alias("n_kept"),
+    ).collect()[0]
+    release_pins()
+    assert sem_stream_ids == sem_batch_ids, (
+        f"semantic stream/batch index divergence: {len(sem_stream_ids)} "
+        f"vs {len(sem_batch_ids)} rows"
+    )
+    for c in ("n_sem", "n_near", "n_kept"):
+        assert ledger[1][c] == seq_stats[c], (
+            c, ledger[1][c], seq_stats[c],
+        )
+    print(
+        f"run_ingest_stream(semantic): {len(sem_stream_ids)} index docs, "
+        f"planted paraphrase dropped at stage 3b "
+        f"(batch-2 n_semantic_index_dup={ledger[1]['n_sem']}, "
+        f"n_kept={ledger[1]['n_kept']}) — equals the sequential batch "
+        f"composite; ANN model artifact v{model['meta']['fit_id']} persisted"
+    )
+
     shutil.rmtree(scratch, ignore_errors=True)
     print("STREAM DRIVE OK")
     return 0
