@@ -245,6 +245,8 @@ EXTENDED_QUERIES = [
     "purchase_did_estimate",
     # round-7 additions
     "embedding_ivf2_topk",
+    # round-13 additions
+    "embedding_ivf2_multiprobe_tuned",
     "order_anova_by_priority",
     "event_dow_chisq",
     "purchase_mannwhitney",

@@ -279,6 +279,7 @@ def test_registry_consistency(spark):
         "embedding_ivf_multiprobe_tuned",
         "embedding_ivf_tuned_topk",
         "embedding_ivf2_topk",
+        "embedding_ivf2_multiprobe_tuned",
         "semantic_dedup_flags",
         "semantic_pq_dedup_flags",
         "embedding_pca_labels",
@@ -291,6 +292,7 @@ def test_registry_consistency(spark):
         "embedding_ivf_multiprobe_tuned",
         "embedding_ivf_tuned_topk",
         "embedding_ivf2_topk",
+        "embedding_ivf2_multiprobe_tuned",
         "semantic_dedup_flags",
         "semantic_pq_dedup_flags",
         "embedding_pca_labels",

@@ -1067,3 +1067,56 @@ def test_fit_centroids_raises_past_sample_cap(spark):
         fit_centroids(emb, 101, max_sample=100)
     with pytest.raises(ValueError, match="max_sample"):
         fit_two_level_centroids(emb, 101, 10, max_sample=100)
+
+
+def test_ivf2_probe_assign_rank1_is_assignment_and_recall_improves(spark):
+    """Round-13 fine-level multi-probe: probe rank 1 must equal the
+    two-level assignment cell for every vector (the probe set always
+    contains the home cell), each query carries nprobe distinct probed
+    cells, and nprobe=2 recall vs brute-force top-1 is at least the
+    single-probe path's on the same fitted index."""
+    from tmdb_index_spark.operators.similarity import (
+        brute_force_topk,
+        fit_two_level_centroids,
+        ivf2_index_topk,
+        ivf2_probe_assign,
+        two_level_ivf_assign,
+    )
+
+    emb = _rand_emb(spark, n=150)
+    cells, coarse = 28, 5  # ~150^(2/3), sqrt
+    cc, fine, f2c = fit_two_level_centroids(emb, cells, coarse)
+    assigned = {
+        r["vec_id"]: r["cell"]
+        for r in two_level_ivf_assign(
+            emb, cc, fine, f2c, probe_coarse=2
+        ).collect()
+    }
+    probes = ivf2_probe_assign(
+        emb, cc, fine, f2c, probe_coarse=2, nprobe=2
+    ).collect()
+    by_q: dict = {}
+    for r in probes:
+        by_q.setdefault(r["vec_id"], {})[r["probe_rank"]] = r["cell"]
+    assert set(by_q) == set(assigned)
+    for q, ranks in by_q.items():
+        assert ranks[1] == assigned[q], (q, ranks, assigned[q])
+        assert len(set(ranks.values())) == len(ranks)  # distinct cells
+
+    brute = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(emb, emb, k=1).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            r["query_id"]: r["neighbor_id"]
+            for r in ivf2_index_topk(
+                emb, k=1, n_estimate=150, probe_coarse=2, nprobe=nprobe
+            ).collect()
+            if r["rank"] == 1
+        }
+        return sum(got.get(q) == n for q, n in brute.items()) / len(brute)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1, (r1, r2)

@@ -1047,6 +1047,123 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
+def embedding_ivf2_multiprobe_tuned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-level IVF top-3 with FINE-level query-side multi-probe
+    (probe_coarse=2, nprobe=2) — round 13's recall lever on the
+    beyond-flat ANN path: flat multi-probe lives in the Θ(N^1.5)
+    family (its tuned twin measured 20.8× at 100×), while the
+    hierarchical index is Θ(N^(4/3)) — so this is the shape that keeps
+    BOTH the scale exponent and the boundary-recall lever.  Queries
+    search their two nearest fine cells among the probed coarse
+    cells' members (:func:`~tmdb_index_spark.operators.similarity
+    .ivf2_probe_assign` — exact sequential folds, probe set always
+    contains the home cell); candidates stay in their ONE home cell,
+    so candidate volume grows ~nprobe× and the index never
+    duplicates.  The oracle re-runs the identical deterministic
+    two-stage fit and expresses probe ranking + scoring over literal
+    centroid tables (extension: similarity-search scale path)."""
+    from tmdb_index_spark.operators.similarity import ivf2_index_topk
+
+    return ivf2_index_topk(
+        _t(spark, sf_dir, "embeddings"), k=3, probe_coarse=2, nprobe=2
+    )
+
+
+def _fitted_ivf2_multiprobe_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    """Value-row oracle for ``embedding_ivf2_multiprobe_tuned``: the
+    :func:`_fitted_ivf2_oracle_sql` recipe (same parquet sample, same
+    two-level numpy fit, coarse + fine centroid literals, two-stage
+    fold distances) with the multi-probe query side — every vector
+    joins as a QUERY from its two nearest probed fine cells (fine
+    probe rank <= 2) against CANDIDATES in their single home cell
+    (rank 1)."""
+    probe_coarse, nprobe = 2, 2
+    try:
+        import duckdb
+        import numpy as np
+
+        from tmdb_index_spark.operators.similarity import (
+            two_level_from_sample,
+        )
+
+        con = duckdb.connect()
+        path = f"{sf_dir}/embeddings.parquet"
+        n = con.sql(f"SELECT COUNT(*) FROM '{path}'").fetchone()[0]
+        if not n:
+            return None
+        sample = con.sql(
+            f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT 10000"
+        ).fetchall()
+        X = np.array([list(r[0]) for r in sample], dtype="float64")
+        cells = max(1, min(round(n ** (2.0 / 3.0)), 10_000))
+        coarse = max(1, round(cells ** 0.5))
+        cc, fine, f2c = two_level_from_sample(X, cells, coarse)
+    except Exception:  # noqa: BLE001 — missing table → rows-only row
+        return None
+    dim = X.shape[1]
+    used = set(f2c.values())
+    cvals = ",\n    ".join(
+        "({}, [{}])".format(cid, ", ".join(repr(float(x)) for x in vec))
+        for cid, vec in cc
+        if int(cid) in used
+    )
+    fvals = ",\n    ".join(
+        "({}, {}, [{}])".format(
+            fid, f2c[int(fid)], ", ".join(repr(float(x)) for x in vec)
+        )
+        for fid, vec in fine
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ccent AS (SELECT * FROM (VALUES
+    {cvals}
+) AS t(ccell, ccv)),
+fcent AS (SELECT * FROM (VALUES
+    {fvals}
+) AS t(cell, ccell, cv)),
+dc AS (
+  SELECT vec_id, v, ccell,
+         list_sum(list_transform(generate_series(1, {dim}),
+           i -> (v[i] - ccv[i]) * (v[i] - ccv[i]))) AS cdist
+  FROM v CROSS JOIN ccent
+),
+probed AS (
+  SELECT vec_id, v, ccell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist ASC, ccell ASC) AS pr
+    FROM dc
+  ) WHERE pr <= {probe_coarse}
+),
+df_ AS (
+  SELECT p.vec_id, p.v, f.cell,
+         list_sum(list_transform(generate_series(1, {dim}),
+           i -> (p.v[i] - f.cv[i]) * (p.v[i] - f.cv[i]))) AS dist
+  FROM probed p JOIN fcent f ON f.ccell = p.ccell
+),
+ranked AS (
+  SELECT vec_id, v, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, cell ASC) AS rn
+  FROM df_
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
+  FROM (SELECT * FROM ranked WHERE rn <= {nprobe}) q
+  JOIN (SELECT * FROM ranked WHERE rn = 1) c ON q.cell = c.cell
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 def embedding_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-3 with query-side multi-probe (nprobe=2): each query
     searches its two nearest cells — the recall lever for boundary
