@@ -324,3 +324,43 @@ def test_check_scalars_metacharacter_column_names(spark):
     assert len(out) == 1
     assert out[0]["check"] == "non_null(it's\\col)"
     assert out[0]["n_violations"] == 0
+
+
+def test_check_unique_multi_gate_routes_to_hll(spark):
+    """Round-13 scale gate: past max_exact_rows the uniqueness checks
+    route to the portable-HLL twin and surface with ITS schema; below
+    it (or with the default None) the exact path is untouched; a mixed
+    run_checks unions by name with NULLs marking the other kind."""
+    from tmdb_index_spark.operators.checks import (
+        check_non_null,
+        check_unique_multi,
+        run_checks,
+    )
+
+    rows = [(i % 80, i % 7, i) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, g int, v long")
+
+    exact = check_unique_multi(df, [["k"]], max_exact_rows=1000)
+    assert exact.columns == ["check", "n_violations"]
+    # keys 0..19 appear twice (i and i+80), 20..79 once -> 40 members
+    assert exact.collect()[0]["n_violations"] == 40
+
+    approx = check_unique_multi(
+        df, [["k"], ["k", "g"]], max_exact_rows=50
+    )
+    assert approx.columns == ["check", "approx_unique", "n_rows"]
+    got = {r["check"]: r for r in approx.collect()}
+    assert set(got) == {"unique(k)", "unique(k,g)"}
+    assert got["unique(k)"]["n_rows"] == 100
+    assert abs(got["unique(k)"]["approx_unique"] - 80) <= 8
+
+    mixed = run_checks([exact, check_non_null(df, "v"), approx]).collect()
+    by_check = {}
+    for r in mixed:
+        by_check.setdefault(r["check"], []).append(r)
+    # exact rows: n_violations set, estimate columns NULL
+    ex = by_check["non_null(v)"][0]
+    assert ex["n_violations"] == 0 and ex["approx_unique"] is None
+    # approx rows: the reverse
+    ap = by_check["unique(k,g)"][0]
+    assert ap["n_violations"] is None and ap["approx_unique"] is not None

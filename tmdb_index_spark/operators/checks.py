@@ -95,6 +95,7 @@ def check_unique_multi(
     df: DataFrame,
     key_sets: list[list[str]],
     names: list[str] | None = None,
+    max_exact_rows: int | None = None,
 ) -> DataFrame:
     """ALL uniqueness checks of one table in a single scan + two
     shuffles (the 100-TB form of N :func:`check_unique` calls, which
@@ -107,9 +108,31 @@ def check_unique_multi(
     Shuffled volume is the sum of the key sets' distinct-key counts —
     identical to the separate-checks total — but the table is scanned
     ONCE for all of them.  Same per-check numbers as
-    :func:`check_unique` (all members of duplicate groups)."""
+    :func:`check_unique` (all members of duplicate groups).
+
+    ``max_exact_rows`` (round 13) is the scale gate: exactness must
+    ship every distinct key, so for a near-candidate key the check is
+    the whole table across the wire — the round-12 100× stress point
+    (the lineitem composite-key check alone was 158 of ``dq_summary``'s
+    164 s).  When set and the table's row count exceeds it, every key
+    set routes to the sketch twin (:func:`check_unique_hll`, one scan
+    + a constant 2^10-register shuffle at any size) and the returned
+    rows carry ITS schema — ``(check, approx_unique, n_rows)`` instead
+    of ``(check, n_violations)`` — so a consumer can always tell an
+    estimate from an exact count by the columns alone.  ``None``
+    (default) keeps the exact path unconditionally: exactness stays
+    available opt-in at any scale."""
     if not key_sets:
         raise ValueError("check_unique_multi needs at least one key set")
+    if max_exact_rows is not None and df.count() > max_exact_rows:
+        out = check_unique_hll(df, key_sets[0], name=(names or [None])[0])
+        for i, ks in enumerate(key_sets[1:], start=1):
+            out = out.unionByName(
+                check_unique_hll(
+                    df, ks, name=names[i] if names else None
+                )
+            )
+        return out
     names = names or [f"unique({','.join(ks)})" for ks in key_sets]
     pairs = F.array(
         *[
@@ -295,11 +318,18 @@ def check_foreign_key(
 
 
 def run_checks(checks: list[DataFrame]) -> DataFrame:
-    """Union per-check summaries into one ``(check, n_violations)``
-    frame — the per-batch audit artifact."""
+    """Union per-check summaries into one audit frame — the per-batch
+    audit artifact.  All-exact checks produce the classic ``(check,
+    n_violations)`` frame; when a gated uniqueness check routed to the
+    sketch twin (:func:`check_unique_multi` ``max_exact_rows``), its
+    ``(check, approx_unique, n_rows)`` rows union in by name and the
+    other rows carry NULLs there — the column set itself says which
+    rows are estimates."""
     if not checks:
         raise ValueError("run_checks needs at least one check")
-    return reduce(DataFrame.unionByName, checks)
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), checks
+    )
 
 
 def fd_profile(

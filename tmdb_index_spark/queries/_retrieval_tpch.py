@@ -473,6 +473,16 @@ GROUP BY 1
 """
 
 
+#: dq_summary's uniqueness-gate threshold: exact uniqueness ships every
+#: distinct key across the wire, so past this row count the audit
+#: routes to the portable-HLL twin (constant-size register shuffle)
+#: and the rows become estimates with their own schema.  10M keeps
+#: every certified scale (sf0.1 lineitem ~600k rows) exact while the
+#: 100× stress tier (60M lineitem rows — the measured 158-of-164-s
+#: stage, SCALE.md r12) crosses it.
+DQ_MAX_EXACT_UNIQUE_ROWS = 10_000_000
+
+
 def dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality audit (extension: generalizes the
     reference's dense-key invariant into a composable check family):
@@ -483,7 +493,17 @@ def dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``check_unique_multi``), and the FK anti-joins pre-aggregate the
     child side to distinct keys — at 100× the lineitem FK shuffles
     ~1.5M distinct orderkeys instead of ~600M child rows, the lever
-    for the 64.8× stress ratio this replaces (SCALE.md r12)."""
+    for the 64.8× stress ratio this replaces (SCALE.md r12).
+
+    Round 13 gates the uniqueness checks at
+    :data:`DQ_MAX_EXACT_UNIQUE_ROWS` rows: below it (every certified
+    oracle scale) they are exact — identical rows, identical static
+    oracle; past it they route to the portable-HLL twin and surface as
+    ``(check, approx_unique, n_rows)`` rows (NULL ``n_violations``),
+    so the audit stays one-scan-per-table at any size instead of
+    shuffling a whole near-candidate key column.  Exactness at scale
+    stays available by calling ``check_unique_multi`` directly with
+    ``max_exact_rows=None``."""
     from tmdb_index_spark.operators.checks import (
         check_foreign_key,
         check_scalars,
@@ -496,8 +516,14 @@ def dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     return run_checks(
         [
-            check_unique_multi(orders, [["o_orderkey"]]),
-            check_unique_multi(lineitem, [["l_orderkey", "l_linenumber"]]),
+            check_unique_multi(
+                orders, [["o_orderkey"]],
+                max_exact_rows=DQ_MAX_EXACT_UNIQUE_ROWS,
+            ),
+            check_unique_multi(
+                lineitem, [["l_orderkey", "l_linenumber"]],
+                max_exact_rows=DQ_MAX_EXACT_UNIQUE_ROWS,
+            ),
             check_scalars(
                 orders,
                 non_null=["o_custkey"],
