@@ -902,3 +902,139 @@ def test_duplicated_span_ranges_rejects_bad_unit(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="unit"):
         duplicated_span_ranges(docs, unit="byte")
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr window-granularity contract (DELTAS.md #10, round 13)
+# ---------------------------------------------------------------------------
+
+
+def _span_docs(spark, unit, k, dup_units, ctx_a, ctx_b):
+    """Two docs sharing exactly the ``dup_units`` region, embedded in
+    globally-unique context units."""
+    if unit == "token":
+        t1 = " ".join(ctx_a[: len(ctx_a) // 2] + dup_units + ctx_a[len(ctx_a) // 2:])
+        t2 = " ".join(ctx_b[: len(ctx_b) // 2] + dup_units + ctx_b[len(ctx_b) // 2:])
+    else:
+        t1 = "".join(ctx_a[: len(ctx_a) // 2] + dup_units + ctx_a[len(ctx_a) // 2:])
+        t2 = "".join(ctx_b[: len(ctx_b) // 2] + dup_units + ctx_b[len(ctx_b) // 2:])
+    return spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string"
+    )
+
+
+@pytest.mark.parametrize("unit,k", [("token", 4), ("char", 4)])
+def test_exact_substr_minimum_detectable_span(spark, unit, k):
+    """DELTAS #10(a): a duplicated region of exactly k units is the
+    MINIMUM detectable span — k units is found at its exact position,
+    k-1 units in otherwise-unique context emits no rows at all."""
+    from tmdb_index_spark.operators.llm_prep import duplicated_span_ranges
+
+    if unit == "token":
+        dup = [f"dup{i}" for i in range(k)]
+        ctx_a = [f"ua{i}" for i in range(4)]
+        ctx_b = [f"ub{i}" for i in range(4)]
+    else:
+        dup = list("WXYZ")
+        ctx_a = list("abcd")
+        ctx_b = list("ghij")
+    df = _span_docs(spark, unit, k, dup, ctx_a, ctx_b)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicated_span_ranges(
+            df, k=k, unit=unit
+        ).collect()
+    }
+    # region sits after the 2-unit context prefix in both docs
+    assert got == {(1, 2, 2 + k, k), (2, 2, 2 + k, k)}
+
+    short = _span_docs(spark, unit, k, dup[: k - 1], ctx_a, ctx_b)
+    assert (
+        duplicated_span_ranges(short, k=k, unit=unit).count() == 0
+    ), "a k-1-unit duplicate must be invisible at window size k"
+
+
+@pytest.mark.parametrize("unit,k", [("token", 3), ("char", 3)])
+def test_exact_substr_minimum_detectable_span_boundaries(spark, unit, k):
+    """DELTAS #10(b): an isolated m>=k region is recovered exactly;
+    ADJACENT duplicated regions merge into one span while a single
+    unique unit between them splits two; periodic self-repeats merge
+    into one span ending at (last duplicated window start) + k."""
+    from tmdb_index_spark.operators.llm_prep import duplicated_span_ranges
+
+    mk = (lambda us: " ".join(us)) if unit == "token" else "".join
+    U = (lambda p, n: [f"{p}{i}" for i in range(n)]) if unit == "token" \
+        else (lambda p, n: [chr(ord(p) + i) for i in range(n)])
+
+    # exact recovery: m = k + 2 duplicated units after 2 unique ones
+    dup = U("d", k + 2) if unit == "token" else list("VWXYZ")
+    df = spark.createDataFrame(
+        [
+            (1, mk(U("a", 2) + dup + U("e", 2) if unit == "token"
+                   else list("ab") + dup + list("ef"))),
+            (2, mk(U("g", 2) + dup + U("j", 2) if unit == "token"
+                   else list("gh") + dup + list("jk"))),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in duplicated_span_ranges(df, k=k, unit=unit).collect()
+    }
+    assert spans == {1: (2, 2 + k + 2), 2: (2, 2 + k + 2)}
+
+    # adjacency merge vs 1-unit split: doc 1 holds region A then
+    # region B; A duplicates into doc 2, B into doc 3
+    A = U("p", k) if unit == "token" else list("LMN")
+    B = U("q", k) if unit == "token" else list("RST")
+    gap = [U("z", 1)[0]] if unit == "token" else ["z"]
+    adjacent = spark.createDataFrame(
+        [
+            (1, mk(A + B)),
+            (2, mk(U("m", 2) + A + U("n", 2) if unit == "token"
+                   else list("01") + A + list("23"))),
+            (3, mk(U("s", 2) + B + U("t", 2) if unit == "token"
+                   else list("45") + B + list("67"))),
+        ],
+        "doc_id long, text string",
+    )
+    doc1 = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicated_span_ranges(adjacent, k=k, unit=unit)
+        .filter("doc_id = 1")
+        .collect()
+    )
+    assert doc1 == [(0, 2 * k)], "adjacent regions must merge"
+
+    split = spark.createDataFrame(
+        [
+            (1, mk(A + gap + B)),
+            (2, mk(U("m", 2) + A + U("n", 2) if unit == "token"
+                   else list("01") + A + list("23"))),
+            (3, mk(U("s", 2) + B + U("t", 2) if unit == "token"
+                   else list("45") + B + list("67"))),
+        ],
+        "doc_id long, text string",
+    )
+    doc1s = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicated_span_ranges(split, k=k, unit=unit)
+        .filter("doc_id = 1")
+        .collect()
+    )
+    assert doc1s == [(0, k), (k + 1, 2 * k + 1)], (
+        "one unique unit between regions must split the spans"
+    )
+
+    # periodic self-repeat (min_count met WITHIN one doc): every
+    # window duplicated -> one span covering the whole text, ending at
+    # last window start + k
+    per = ["p", "q"] * 4  # 8 units, period 2
+    solo = spark.createDataFrame(
+        [(1, mk(per))], "doc_id long, text string"
+    )
+    rows = duplicated_span_ranges(solo, k=k, unit=unit).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    n_units = len(per)
+    assert (r["span_start"], r["span_end"]) == (0, (n_units - k) + k)

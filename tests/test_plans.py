@@ -1114,3 +1114,77 @@ def test_streaming_order_lint_passes_and_has_teeth(tmp_path):
     )
     problems = lint(str(bad))
     assert len(problems) == 1 and "newfold.py:2" in problems[0]
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-oracle regime guards (round 13)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", sorted(Q.DYNAMIC_ORACLE_BUILDERS))
+def test_dynamic_oracle_builder_missing_table_returns_rows_only(name):
+    """EVERY dynamic-oracle builder must degrade to rows-only (return
+    None, never raise) when its tables are unreadable — the universal
+    regime precondition.  A future builder that raises or emits SQL
+    against absent tables would silently diverge from the driver's
+    fallback contract; this walk catches it at registration."""
+    build = Q.DYNAMIC_ORACLE_BUILDERS[name]
+    assert build("/nonexistent/sf_dir_regime_guard") is None
+
+
+@pytest.fixture(scope="module")
+def oversized_sf_dir(tmp_path_factory):
+    """A synthetic sf dir whose embeddings table is big enough that
+    semantic_cells(n) exceeds SEMANTIC_TWO_LEVEL_CELLS — the flat
+    regime every fitted-literal semantic oracle is valid in."""
+    import duckdb
+
+    from tmdb_index_spark.operators.similarity import (
+        SEMANTIC_CELL_TARGET,
+        SEMANTIC_TWO_LEVEL_CELLS,
+    )
+
+    n = (SEMANTIC_TWO_LEVEL_CELLS + 2) * SEMANTIC_CELL_TARGET
+    d = tmp_path_factory.mktemp("oversized_sf")
+    con = duckdb.connect()
+    con.sql(
+        f"""
+        COPY (SELECT i AS vec_id,
+                     [0.1 * (i % 7), 0.2 * (i % 5),
+                      0.3 * (i % 3), 0.4 * (i % 2)]::FLOAT[] AS embedding,
+                     (i % 4)::INT AS label
+              FROM range({n}) t(i))
+        TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.sql(
+        f"""
+        COPY (SELECT i AS doc_id, 'doc text ' || i AS text,
+                     'en' AS lang, 'web' AS source,
+                     10::BIGINT AS n_chars
+              FROM range({n}) t(i))
+        TO '{d}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "corpus_ingest_semantic_stats",
+        "semantic_dedup_flags",
+        "semantic_pq_dedup_flags",
+    ],
+)
+def test_semantic_oracle_builders_guard_nonflat_regime(
+    name, oversized_sf_dir
+):
+    """The semantic fitted-literal builders are valid only in the flat
+    k-means regime (cells <= SEMANTIC_TWO_LEVEL_CELLS and <= the 10k
+    fit-sample cap): past it the ENGINE would route to two-level /
+    sign-bit cells and a flat-fit oracle would diverge.  On an
+    oversized corpus each builder must return None (rows-only row),
+    not SQL."""
+    assert name in Q.DYNAMIC_ORACLE_BUILDERS
+    assert Q.DYNAMIC_ORACLE_BUILDERS[name](oversized_sf_dir) is None
