@@ -247,6 +247,7 @@ EXTENDED_QUERIES = [
     "embedding_ivf2_topk",
     # round-13 additions
     "embedding_ivf2_multiprobe_tuned",
+    "pipeline_daily_cycle",
     "order_anova_by_priority",
     "event_dow_chisq",
     "purchase_mannwhitney",

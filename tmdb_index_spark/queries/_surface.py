@@ -802,6 +802,199 @@ LEFT JOIN (SELECT DISTINCT o_custkey, TRUE AS has_orders FROM orders) f
 """
 
 
+def pipeline_daily_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE full daily maintenance cycle of the reference's flagship
+    ``process()`` lifecycle (``tmdb_index.py:546-568``) folded through
+    the REAL operators as a single composite — the round-13 stretch
+    closing the loop on grading the ENGINE's core loop, not just its
+    stages, at scale.  Steps, each the certified operator the
+    single-stage catalog queries exercise in isolation:
+
+    1. **changes → upsert** (C2): yesterday's index (orders sans the
+       ``% 11`` ids) absorbs one day's feed — re-priced ``% 10`` ids
+       update in place, the ``% 11`` ids append
+       (:func:`~tmdb_index_spark.operators.upsert.update_or_append`).
+    2. **align** (C1): dense 0..max(id) materialization — absent ids
+       become null rows (:func:`~tmdb_index_spark.operators.upsert
+       .align_id_col`), exactly the reference's ``align_id_col``.
+    3. **export flag** (C4/J3): broadcast the day's export id set
+       (distinct lineitem orderkeys) onto the index, absent → false —
+       the ``update_export_flag`` join+fill shape
+       (``pipeline.py:109``).
+    4. **work selection + fetch + second upsert** (D9/D10/C5): the
+       first 100 never-fetched ids (the aligned null rows) via
+       :func:`~tmdb_index_spark.operators.selection
+       .select_backfill_candidates` and the 100 stalest via
+       :func:`select_refresh_candidates`; their deterministic
+       "fetched" rows (price = id/2, fresh ``retrieved_at``) upsert
+       back in — the fetched frame lacks ``in_export``, so the J2
+       enrichment carry-forward inside ``update_or_append`` is
+       exercised too.
+    5. **validate + summarize** (C9/A7/C7): the dense-key invariant as
+       one aggregate pass over the final index plus per-step counts.
+
+    Returns ONE summary row: ``(n_index, n_changes, n_after_upsert,
+    n_aligned, n_exported, n_backfill, n_refresh, n_final, dense_ok,
+    refetched_price_sum)`` — order-insensitive, DECIMAL-exact, fully
+    static-oracle-checkable.  Scale shape: two id-partition upsert
+    shuffles + the dense-range join (the lifecycle's intrinsic cost),
+    one broadcast flag join, two TakeOrderedAndProject selections;
+    the summary consumes only 1-row aggregates."""
+    from functools import reduce
+
+    from tmdb_index_spark.operators.selection import (
+        select_backfill_candidates,
+        select_refresh_candidates,
+    )
+    from tmdb_index_spark.operators.upsert import align_id_col
+
+    orders = _t(spark, sf_dir, "orders")
+    idx = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").cast("timestamp").alias("retrieved_at"),
+    )
+    changes = orders.filter(
+        (F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 11 == 0)
+    ).select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("price"),
+        F.lit("1998-12-01").cast("timestamp").alias("retrieved_at"),
+    )
+    after1 = update_or_append(idx, changes)
+    aligned = align_id_col(after1)
+    export = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("id"))
+        .distinct()
+        .withColumn("in_export", F.lit(True))
+    )
+    flagged = aligned.join(F.broadcast(export), "id", "left").withColumn(
+        "in_export", F.coalesce(F.col("in_export"), F.lit(False))
+    )
+    backfill = select_backfill_candidates(flagged, 100).select("id")
+    refresh = select_refresh_candidates(flagged, 100).select("id")
+    # disjoint by construction: backfill ids have NULL retrieved_at
+    # (aligned filler rows), refresh ids non-NULL — the upsert's
+    # unique-on-id contract holds without a dedup
+    fetched = backfill.unionByName(refresh).select(
+        "id",
+        (F.col("id") * F.lit(0.5)).alias("price"),
+        F.lit("2024-01-02").cast("timestamp").alias("retrieved_at"),
+    )
+    final = update_or_append(flagged, fetched)
+
+    def one(df, col):
+        return df.agg(F.count(F.lit(1)).cast("long").alias(col))
+
+    validate = final.agg(
+        F.count(F.lit(1)).cast("long").alias("n_final"),
+        (
+            (F.sum(F.col("id").isNull().cast("int")) == 0)
+            & (F.min("id") == 0)
+            & (F.max("id") == F.count(F.lit(1)) - 1)
+            & (F.count_distinct("id") == F.count(F.lit(1)))
+        ).alias("dense_ok"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("retrieved_at")
+                    == F.lit("2024-01-02").cast("timestamp"),
+                    F.col("price"),
+                ).otherwise(F.lit(0.0)).cast("decimal(18,2)")
+            ).cast("double"),
+            2,
+        ).alias("refetched_price_sum"),
+    )
+    parts = [
+        one(idx, "n_index"),
+        one(changes, "n_changes"),
+        one(after1, "n_after_upsert"),
+        one(aligned, "n_aligned"),
+        flagged.agg(
+            F.sum(F.col("in_export").cast("int")).cast("long").alias(
+                "n_exported"
+            )
+        ),
+        one(backfill, "n_backfill"),
+        one(refresh, "n_refresh"),
+        validate,
+    ]
+    return reduce(lambda a, b: a.crossJoin(b), parts)
+
+
+_DAILY_CYCLE_SQL = """
+WITH idx AS (
+  SELECT o_orderkey AS id, o_totalprice AS price,
+         o_orderdate::TIMESTAMP AS retrieved_at
+  FROM orders WHERE o_orderkey % 11 <> 0
+),
+changes AS (
+  SELECT o_orderkey AS id, o_totalprice + 1000.0 AS price,
+         TIMESTAMP '1998-12-01' AS retrieved_at
+  FROM orders WHERE o_orderkey % 10 = 0 OR o_orderkey % 11 = 0
+),
+up1 AS (
+  SELECT COALESCE(c.id, i.id) AS id,
+         CASE WHEN c.id IS NOT NULL THEN c.price ELSE i.price END AS price,
+         CASE WHEN c.id IS NOT NULL THEN c.retrieved_at
+              ELSE i.retrieved_at END AS retrieved_at
+  FROM idx i FULL OUTER JOIN changes c ON i.id = c.id
+),
+dense AS (
+  SELECT UNNEST(generate_series(0, (SELECT MAX(id) FROM up1))) AS id
+),
+aligned AS (
+  SELECT d.id, u.price, u.retrieved_at
+  FROM dense d LEFT JOIN up1 u ON d.id = u.id
+),
+exp AS (SELECT DISTINCT l_orderkey AS id FROM lineitem),
+flagged AS (
+  SELECT a.id, a.price, a.retrieved_at, (e.id IS NOT NULL) AS in_export
+  FROM aligned a LEFT JOIN exp e ON a.id = e.id
+),
+backfill AS (
+  SELECT id FROM flagged WHERE retrieved_at IS NULL ORDER BY id LIMIT 100
+),
+refresh AS (
+  SELECT id FROM (
+    SELECT id FROM flagged WHERE retrieved_at IS NOT NULL
+    ORDER BY retrieved_at ASC, id ASC LIMIT 100
+  )
+),
+fetched AS (
+  SELECT id, id * 0.5 AS price, TIMESTAMP '2024-01-02' AS retrieved_at
+  FROM (SELECT id FROM backfill UNION ALL SELECT id FROM refresh)
+),
+final AS (
+  SELECT COALESCE(f.id, g.id) AS id,
+         CASE WHEN f.id IS NOT NULL THEN f.price ELSE g.price END AS price,
+         CASE WHEN f.id IS NOT NULL THEN f.retrieved_at
+              ELSE g.retrieved_at END AS retrieved_at,
+         g.in_export
+  FROM flagged g FULL OUTER JOIN fetched f ON g.id = f.id
+)
+SELECT
+  (SELECT COUNT(*) FROM idx)::BIGINT AS n_index,
+  (SELECT COUNT(*) FROM changes)::BIGINT AS n_changes,
+  (SELECT COUNT(*) FROM up1)::BIGINT AS n_after_upsert,
+  (SELECT COUNT(*) FROM aligned)::BIGINT AS n_aligned,
+  (SELECT SUM(CASE WHEN in_export THEN 1 ELSE 0 END)
+   FROM flagged)::BIGINT AS n_exported,
+  (SELECT COUNT(*) FROM backfill)::BIGINT AS n_backfill,
+  (SELECT COUNT(*) FROM refresh)::BIGINT AS n_refresh,
+  (SELECT COUNT(*) FROM final)::BIGINT AS n_final,
+  (SELECT SUM(CASE WHEN id IS NULL THEN 1 ELSE 0 END) = 0
+          AND MIN(id) = 0 AND MAX(id) = COUNT(*) - 1
+          AND COUNT(DISTINCT id) = COUNT(*)
+   FROM final) AS dense_ok,
+  (SELECT ROUND(CAST(SUM(CASE WHEN retrieved_at = TIMESTAMP '2024-01-02'
+                              THEN price ELSE 0.0 END::DECIMAL(18,2))
+                     AS DOUBLE), 2)
+   FROM final) AS refetched_price_sum
+"""
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute-gap sessions per user via lag + running
     sum — the window-function twin of streaming session windows."""
