@@ -287,3 +287,51 @@ def test_dedup_extreme_matches_window_forms(spark):
     plan = first_a._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_min_by" in plan
+
+
+def test_minhash_novelty_precomputed_index_bands(spark):
+    """Round-13 persisted-band contract: (a) passing the index side's
+    precomputed (index_id, band, key) frame yields EXACTLY the pairs
+    the recompute path finds — the banding is a pure function of the
+    text bytes; (b) the stored bands are authoritative — an empty band
+    frame yields no candidates even though the texts match."""
+    from tmdb_index_spark.operators.dedup_text import (
+        minhash_band_buckets,
+        minhash_novelty_pairs,
+    )
+
+    words = lambda p, n=30: " ".join(f"{p}{i:02d}" for i in range(n))  # noqa: E731
+    index = spark.createDataFrame(
+        [(i, words(chr(97 + i))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, words("b").replace(" ", "  ", 1)),  # token-dup of doc 1
+            (101, words("zz")),                        # novel
+        ],
+        "doc_id long, text string",
+    )
+    base = sorted(
+        map(tuple, minhash_novelty_pairs(index, batch).collect())
+    )
+    assert base and {p[0] for p in base} == {100}
+
+    pre = minhash_band_buckets(index, out_id="index_id")
+    got = sorted(
+        map(
+            tuple,
+            minhash_novelty_pairs(
+                index, batch, index_bands=pre
+            ).collect(),
+        )
+    )
+    assert got == base
+
+    empty_bands = pre.filter("1 = 0")
+    assert (
+        minhash_novelty_pairs(
+            index, batch, index_bands=empty_bands
+        ).count()
+        == 0
+    )

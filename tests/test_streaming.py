@@ -839,3 +839,88 @@ def test_ingest_stream_semantic_stage_parity_and_model_reuse(
     model2 = load_ann_model(spark, mp)
     assert model2["meta"]["fit_id"] == 1
     assert model2["meta"]["fit_md5"] == model["meta"]["fit_md5"]
+
+
+def test_ingest_stream_band_sidecar_parity_and_staleness(spark, tmp_path):
+    """Round-13 persisted band sidecar: with bands_path the streamed
+    index + stats are identical to the recompute path, the sidecar's
+    meta fingerprint binds it to the CURRENT index artifact (so a
+    stale or re-parameterized sidecar is rejected, never trusted), and
+    incremental maintenance replaces exactly the kept ids' rows."""
+    from tmdb_index_spark.operators.dedup_text import minhash_band_buckets
+    from tmdb_index_spark.streaming.ingest import (
+        _listing_fingerprint,
+        _load_band_sidecar,
+        run_ingest_stream,
+    )
+
+    schema = "doc_id long, text string, source string"
+    ta, tb, tc = _ingest_words("a"), _ingest_words("b"), _ingest_words("c")
+    batches = str(tmp_path / "doc_batches")
+    # batch 1: docs 1,2 (3 an exact dup); batch 2: 4 novel, 5 exact
+    # re-send of 1, 6 a token-dup of 2 (caught only via MinHash bands)
+    spark.createDataFrame(
+        [(1, ta, "s"), (2, tb, "s"), (3, ta, "s")], schema
+    ).coalesce(1).write.mode("append").parquet(batches)
+    spark.createDataFrame(
+        [(4, tc, "s"), (5, ta, "s"), (6, tb.replace(" ", "  ", 1), "s")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(batches)
+
+    def _run(index, stats, ck, **kw):
+        run_ingest_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(batches),
+            index, stats, ck, **kw,
+        )
+
+    index_b = str(tmp_path / "idx_bands.parquet")
+    stats_b = str(tmp_path / "st_bands")
+    bp = str(tmp_path / "bands.parquet")
+    _run(index_b, stats_b, str(tmp_path / "ck_b"), bands_path=bp)
+
+    index_p = str(tmp_path / "idx_plain.parquet")
+    stats_p = str(tmp_path / "st_plain")
+    _run(index_p, stats_p, str(tmp_path / "ck_p"))
+
+    ids_b = sorted(
+        r["doc_id"] for r in spark.read.parquet(index_b).collect()
+    )
+    ids_p = sorted(
+        r["doc_id"] for r in spark.read.parquet(index_p).collect()
+    )
+    assert ids_b == ids_p == [1, 2, 4]
+    s1b = spark.read.parquet(stats_b).filter("batch_id = 1").collect()[0]
+    s1p = spark.read.parquet(stats_p).filter("batch_id = 1").collect()[0]
+    for c in ("n_batch", "n_exact_index_dup", "n_near_index_dup", "n_kept"):
+        assert s1b[c] == s1p[c], (c, s1b[c], s1p[c])
+    assert s1b["n_near_index_dup"] == 1  # doc 6 caught from STORED bands
+
+    # the sidecar equals a from-scratch banding of the final index and
+    # its fingerprint matches the live index artifact
+    fp = _listing_fingerprint(spark, index_b)
+    side = _load_band_sidecar(spark, bp, fp, 16, 4)
+    assert side is not None
+    expect = sorted(
+        map(
+            tuple,
+            minhash_band_buckets(
+                spark.read.parquet(index_b), out_id="index_id"
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, side.collect())) == expect
+
+    # staleness: wrong fingerprint or banding params -> rejected
+    assert _load_band_sidecar(spark, bp, "not-the-fp", 16, 4) is None
+    assert _load_band_sidecar(spark, bp, fp, 32, 4) is None
+    assert _load_band_sidecar(spark, bp, fp, 16, 8) is None
+
+    # replay under a fresh checkpoint: fixpoint index, sidecar still
+    # consistent with the (re-swapped) artifact
+    _run(index_b, stats_b, str(tmp_path / "ck_b2"), bands_path=bp)
+    fp2 = _listing_fingerprint(spark, index_b)
+    side2 = _load_band_sidecar(spark, bp, fp2, 16, 4)
+    assert side2 is not None
+    assert sorted(map(tuple, side2.collect())) == expect

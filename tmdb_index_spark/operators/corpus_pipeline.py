@@ -537,6 +537,7 @@ def ingest_corpus_batch(
     pq_m: int = 8,
     pq_ks: int = 16,
     model_path: str | None = None,
+    index_bands: DataFrame | None = None,
 ) -> dict:
     """INCREMENTAL corpus ingestion — the daily-maintenance shape that
     is the reference's defining trait (``process()`` folds each day's
@@ -622,7 +623,12 @@ def ingest_corpus_batch(
         s1.join(idx_h, "__h__", "left_anti"), materialize, scratch_dir
     )
 
-    # 3. near vs index: batch×index MinHash-LSH + exact-Jaccard verify
+    # 3. near vs index: batch×index MinHash-LSH + exact-Jaccard verify.
+    # ``index_bands`` (round 13) is the persisted band sidecar of the
+    # STANDING index — when given, the full-index text re-hash (the
+    # dominant per-batch cost of the daily loop) is skipped; results
+    # are identical because the banding is a pure function of the
+    # text bytes (run_ingest_stream maintains + validates the sidecar)
     near = (
         minhash_novelty_pairs(
             index,
@@ -633,6 +639,7 @@ def ingest_corpus_batch(
             bands=bands,
             threshold=jaccard_threshold,
             broadcast_batch=broadcast_batch,
+            index_bands=index_bands,
         )
         .select(F.col("batch_id").alias(id_col))
         .distinct()

@@ -46,6 +46,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_novelty_pairs",
+    "minhash_band_buckets",
     "simhash64",
     "simhash_neardup_pairs",
     "group_shingle_jaccard",
@@ -817,6 +818,55 @@ def group_shingle_jaccard(
         )
     )
 
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    out_id: str = "doc_id",
+) -> DataFrame:
+    """One ``(out_id, band, key)`` row per LSH band per document — the
+    banded-signature projection :func:`minhash_novelty_pairs` joins
+    on, exposed (round 13) so the STANDING side of an incremental
+    ingestion can be persisted as a sidecar artifact and reused across
+    batches instead of re-hashing the whole index text every time (the
+    md5 map cost is the measured floor of every sketch path).  Pure
+    function of the text bytes and parameters, so persisted and
+    recomputed rows are interchangeable.  Docs whose text yields no
+    shingles are dropped here (their NULL minhashes would all share
+    the empty band key)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_structs = F.expr(
+        "array(%s)"
+        % ",".join(
+            "named_struct('band',%d,'key',concat_ws(',',%s))"
+            % (
+                b,
+                ",".join(
+                    f"minhash_{b * rows_per_band + r}"
+                    for r in range(rows_per_band)
+                ),
+            )
+            for b in range(bands)
+        )
+    )
+    return (
+        sig.filter(F.col("minhash_0").isNotNull())
+        .select(
+            F.col(id_col).alias(out_id),
+            F.explode(band_structs).alias("bk"),
+        )
+        .select(
+            out_id,
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+    )
+
+
 def minhash_novelty_pairs(
     index_df: DataFrame,
     batch_df: DataFrame,
@@ -827,6 +877,7 @@ def minhash_novelty_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     broadcast_batch: bool = True,
+    index_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric batch-vs-index MinHash-LSH near-dup join — the
     INCREMENTAL-ingestion shape: an existing corpus index and a new
@@ -846,48 +897,40 @@ def minhash_novelty_pairs(
     shingles are filtered before banding: their NULL minhashes would
     otherwise all share the empty band key and cross-pair every empty
     batch doc with every empty index doc before the verify stage
-    discards them anyway.
+    discards them anyway.  The exact-Jaccard verify shingles ONLY the
+    candidate index docs (round 13 — a broadcast semi-join on the
+    batch-bounded candidate id set reaches the parquet scan as an id
+    filter): the previous spelling exploded EVERY index doc into
+    shingles per batch, a cost that dwarfs the scan itself at corpus
+    scale.
+
+    ``index_bands`` (round 13) short-circuits the index side of
+    candidate generation with a PRECOMPUTED ``(index_id, band, key)``
+    frame (:func:`minhash_band_buckets` output, e.g. the persisted
+    sidecar :func:`~tmdb_index_spark.streaming.ingest
+    .run_ingest_stream` maintains): the full-index text re-hash —
+    the dominant per-batch cost of the daily-maintenance loop — is
+    skipped entirely.  Results are identical by construction (the
+    banding is a pure function of the text bytes).
 
     Returns ``(batch_id, index_id, jaccard)`` for verified pairs with
     Jaccard >= ``threshold``.
     """
-    rows_per_band = num_hashes // bands
-
-    def _buckets(df: DataFrame, out_id: str) -> DataFrame:
-        sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
-        band_structs = F.expr(
-            "array(%s)"
-            % ",".join(
-                "named_struct('band',%d,'key',concat_ws(',',%s))"
-                % (
-                    b,
-                    ",".join(
-                        f"minhash_{b * rows_per_band + r}"
-                        for r in range(rows_per_band)
-                    ),
-                )
-                for b in range(bands)
-            )
-        )
-        return (
-            sig.filter(F.col("minhash_0").isNotNull())
-            .select(
-                F.col(id_col).alias(out_id),
-                F.explode(band_structs).alias("bk"),
-            )
-            .select(
-                out_id,
-                F.col("bk.band").alias("band"),
-                F.col("bk.key").alias("key"),
-            )
-        )
-
-    bb = _buckets(batch_df, "batch_id")
+    bb = minhash_band_buckets(
+        batch_df, text_col, id_col, n, num_hashes, bands, out_id="batch_id"
+    )
     if broadcast_batch:
         bb = F.broadcast(bb)
+    ib = (
+        index_bands
+        if index_bands is not None
+        else minhash_band_buckets(
+            index_df, text_col, id_col, n, num_hashes, bands,
+            out_id="index_id",
+        )
+    )
     cand = (
-        _buckets(index_df, "index_id")
-        .join(bb, ["band", "key"])
+        ib.join(bb, ["band", "key"])
         .select("batch_id", "index_id")
         .distinct()
     )
@@ -896,7 +939,13 @@ def minhash_novelty_pairs(
         "__sh__",
         F.col("__n__").alias("__na__"),
     )
-    sb = _shingle_frame(index_df, text_col, id_col, n).select(
+    idx_cand = index_df.join(
+        F.broadcast(
+            cand.select(F.col("index_id").alias(id_col)).distinct()
+        ),
+        id_col,
+    )
+    sb = _shingle_frame(idx_cand, text_col, id_col, n).select(
         F.col("__id__").alias("index_id"),
         "__sh__",
         F.col("__n__").alias("__nb__"),

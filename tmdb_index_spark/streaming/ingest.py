@@ -56,6 +56,62 @@ from tmdb_index_spark.streaming.windowed import recover_and_swap
 __all__ = ["run_ingest_stream"]
 
 
+def _listing_fingerprint(spark, path: str) -> str | None:
+    """md5 over the sorted (name, length, mtime) listing of a parquet
+    artifact directory — changes on every rename-in swap, so it
+    identifies WHICH index version a sidecar was built against without
+    touching the data itself (an FS metadata op, not a scan)."""
+    import hashlib
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    p = hpath(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    entries = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        entries.append(
+            (
+                st.getPath().getName(),
+                int(st.getLen()),
+                int(st.getModificationTime()),
+            )
+        )
+    h = hashlib.md5()
+    for e in sorted(entries):
+        h.update(repr(e).encode())
+    return h.hexdigest()
+
+
+def _load_band_sidecar(
+    spark, bands_path: str, index_fp: str | None, num_hashes: int, bands: int
+):
+    """The persisted ``(index_id, band, key)`` sidecar, or ``None``
+    unless its meta row matches BOTH the current index fingerprint and
+    the banding parameters — a stale, torn, or re-parameterized
+    sidecar must silently fall back to the recompute path, never feed
+    wrong candidates."""
+    if index_fp is None:
+        return None
+    try:
+        meta = spark.read.parquet(bands_path + ".meta").collect()
+        if len(meta) != 1:
+            return None
+        m = meta[0]
+        if (
+            m["fp"] != index_fp
+            or m["num_hashes"] != num_hashes
+            or m["bands"] != bands
+        ):
+            return None
+        return spark.read.parquet(bands_path)
+    except Exception:  # noqa: BLE001 — absent/torn -> recompute
+        return None
+
+
 def run_ingest_stream(
     batches: DataFrame,
     index_path: str,
@@ -76,6 +132,7 @@ def run_ingest_stream(
     pq_m: int = 8,
     pq_ks: int = 16,
     model_path: str | None = None,
+    bands_path: str | None = None,
 ) -> None:
     """Drain a stream of document batches into the standing corpus
     index, admitting only novel content per micro-batch. With
@@ -104,7 +161,23 @@ def run_ingest_stream(
     artifact reused across micro-batches (:mod:`~tmdb_index_spark
     .operators.ann_store`) — at streaming cadence the refit-per-batch
     alternative pays a driver-side sample collect + k-means per
-    trigger for an identical model."""
+    trigger for an identical model.
+
+    ``bands_path`` (round 13) persists the MinHash novelty stage's
+    INDEX-side band signatures the same way: without it, every
+    micro-batch re-shingles and re-md5s the entire standing index —
+    at 100 TB and daily cadence, the loop's dominant cost.  The
+    sidecar holds one ``(index_id, band, key)`` row per band per
+    indexed doc plus a meta row binding it to the index artifact's
+    listing fingerprint and banding parameters; each batch loads it
+    only when the fingerprint matches the CURRENT index (a stale,
+    torn, or re-parameterized sidecar silently falls back to the
+    recompute path — a crash anywhere between the index swap and the
+    sidecar swap can therefore never feed wrong candidates), updates
+    it incrementally after the swap (kept ids' rows replaced,
+    everything else untouched), and stamps the post-swap fingerprint
+    last.  Results are bit-identical with and without the sidecar —
+    the banding is a pure function of the text bytes."""
     spark = batches.sparkSession
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -127,6 +200,17 @@ def run_ingest_stream(
             .drop("__rn__", "__arrival__")
         )
 
+        stored_bands = None
+        if bands_path:
+            stored_bands = _load_band_sidecar(
+                spark,
+                bands_path,
+                _listing_fingerprint(spark, index_path),
+                num_hashes,
+                bands,
+            )
+        state: dict = {}
+
         def build(index: DataFrame | None) -> DataFrame:
             if index is None:
                 index = spark.createDataFrame([], deduped.schema)
@@ -147,7 +231,26 @@ def run_ingest_stream(
                 pq_m=pq_m,
                 pq_ks=pq_ks,
                 model_path=model_path,
+                index_bands=stored_bands,
             )
+            if bands_path:
+                from tmdb_index_spark.operators.dedup_text import (
+                    minhash_band_buckets,
+                )
+
+                # materialize the kept ids + their band rows BEFORE the
+                # index swap: their lineage reads index_path, which the
+                # swap replaces (localCheckpoint truncates the lineage,
+                # so no post-swap recompute can chase the old files)
+                state["kept_ids"] = (
+                    out["kept"]
+                    .select(F.col(id_col).alias("index_id"))
+                    .localCheckpoint(True)
+                )
+                state["kept_bands"] = minhash_band_buckets(
+                    out["kept"], text_col, id_col, 3, num_hashes, bands,
+                    out_id="index_id",
+                ).localCheckpoint(True)
             # per-batch yield rows land BEFORE the index swap, and
             # NEVER overwrite an already-committed partition: a replay
             # after a post-swap crash recomputes zero-yield rows (the
@@ -170,6 +273,40 @@ def run_ingest_stream(
 
         try:
             recover_and_swap(spark, index_path, build)
+            if bands_path:
+                # maintain the band sidecar AFTER the index swap, with
+                # the same rename-aside machinery; the meta fingerprint
+                # (post-swap listing) lands LAST, so a crash anywhere
+                # in between leaves a sidecar the next batch rejects
+                # and recomputes — never one it wrongly trusts
+                def build_bands(old: DataFrame | None) -> DataFrame:
+                    if stored_bands is not None and old is not None:
+                        return old.join(
+                            state["kept_ids"], "index_id", "left_anti"
+                        ).unionByName(state["kept_bands"])
+                    from tmdb_index_spark.operators.dedup_text import (
+                        minhash_band_buckets,
+                    )
+
+                    return minhash_band_buckets(
+                        spark.read.parquet(index_path),
+                        text_col, id_col, 3, num_hashes, bands,
+                        out_id="index_id",
+                    )
+
+                recover_and_swap(spark, bands_path, build_bands)
+                spark.createDataFrame(
+                    [
+                        (
+                            _listing_fingerprint(spark, index_path),
+                            num_hashes,
+                            bands,
+                        )
+                    ],
+                    "fp string, num_hashes int, bands int",
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    bands_path + ".meta"
+                )
         finally:
             # frees exactly the ledger-owned cache pins the composite
             # made for this batch (caller-owned caches survive)

@@ -330,6 +330,7 @@ def main() -> int:
         embeddings=emb_all,
         semantic_threshold=0.9,
         model_path=model_path,
+        bands_path=f"{scratch}/bands.parquet",
     )
     sem_stream_ids = sorted(
         r["doc_id"]
@@ -383,7 +384,8 @@ def main() -> int:
         f"planted paraphrase dropped at stage 3b "
         f"(batch-2 n_semantic_index_dup={ledger[1]['n_sem']}, "
         f"n_kept={ledger[1]['n_kept']}) — equals the sequential batch "
-        f"composite; ANN model artifact v{model['meta']['fit_id']} persisted"
+        f"composite; ANN model artifact v{model['meta']['fit_id']} + "
+        f"MinHash band sidecar persisted"
     )
 
     shutil.rmtree(scratch, ignore_errors=True)
