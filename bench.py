@@ -248,6 +248,7 @@ EXTENDED_QUERIES = [
     # round-13 additions
     "embedding_ivf2_multiprobe_tuned",
     "pipeline_daily_cycle",
+    "embedding_pq_multiprobe_tuned",
     "order_anova_by_priority",
     "event_dow_chisq",
     "purchase_mannwhitney",

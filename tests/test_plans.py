@@ -284,6 +284,7 @@ def test_registry_consistency(spark):
         "semantic_pq_dedup_flags",
         "embedding_pca_labels",
         "embedding_pq_topk",
+        "embedding_pq_multiprobe_tuned",
         "ann_recall_eval",
     }
     assert set(Q.DYNAMIC_ORACLE_BUILDERS) == {
@@ -297,6 +298,7 @@ def test_registry_consistency(spark):
         "semantic_pq_dedup_flags",
         "embedding_pca_labels",
         "embedding_pq_topk",
+        "embedding_pq_multiprobe_tuned",
         "ann_recall_eval",
     }
     with_dynamic = {**dict(Q.ORACLES), **Q.dynamic_oracles()}

@@ -151,3 +151,44 @@ def test_pq_novelty_zero_norm_reconstruction_is_novel(spark):
     # 11 codes to the [1,1] word on both sides -> SDC sim 1.0 -> dup;
     # 10 codes to the all-zero word -> zero norm -> novel by contract
     assert got == [11]
+
+
+def test_ivfpq_multiprobe_recall_and_determinism(spark):
+    """Round-13 nprobe on the PQ path: multi-probe output keeps the
+    family contract (rank per query, rounded sims, id tie-break), is
+    deterministic across rebuilds, and ADC recall vs brute-force
+    cosine top-1 is at least the single-probe path's."""
+    from tmdb_index_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_index_topk,
+    )
+
+    emb = _corpus(spark)
+
+    def run(nprobe):
+        return ivfpq_index_topk(
+            emb, k=2, m=4, ks=4, cells=4, nprobe=nprobe
+        )
+
+    rows = run(2).collect()
+    assert set(run(2).columns) == {
+        "query_id", "neighbor_id", "adc_sim", "rank"
+    }
+    assert all(r["rank"] in (1, 2) for r in rows)
+    again = run(2).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    brute = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(emb, emb, k=1).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            r["query_id"]: r["neighbor_id"]
+            for r in run(nprobe).collect()
+            if r["rank"] == 1
+        }
+        return sum(got.get(q) == n for q, n in brute.items()) / len(brute)
+
+    assert recall(2) >= recall(1)

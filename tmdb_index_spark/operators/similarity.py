@@ -2394,6 +2394,94 @@ def semantic_dedup_pq(
     )
 
 
+def _multiprobe_adc_topk_pandas(
+    queries: DataFrame,
+    coded: DataFrame,
+    k: int,
+    CB,
+    cb_n2,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Multi-probe ADC scoring as a cogrouped per-cell lookup-table
+    pass — :func:`_multiprobe_topk_pandas`'s shape with
+    :func:`ivfpq_topk`'s code-word candidates: ``queries`` carries
+    each vector once per probed cell (:func:`ivf_probe_assign`, exact
+    vectors), ``coded`` each vector's PQ code word in its single home
+    cell.  Per cell: one (m × ks) lookup table per probing query, code
+    lookups for the cell's members, per-cell top-``k`` emitted; the
+    global top-``k`` finishes over ≤ nprobe·k rows per query.  Sims
+    rounded to 4 decimals BEFORE selection, ties on lower neighbor id
+    (the family contract)."""
+    import numpy as np
+    import pandas as pd
+
+    m, ks, sub = CB.shape
+    empty = pd.DataFrame(
+        {"query_id": [], "neighbor_id": [], "adc_sim": []}
+    ).astype(
+        {"query_id": "int64", "neighbor_id": "int64", "adc_sim": "float64"}
+    )
+
+    def cell_adc(qdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qdf) == 0 or len(cdf) == 0:
+            return empty
+        qids = qdf[id_col].to_numpy(dtype="int64")
+        cids = cdf[id_col].to_numpy(dtype="int64")
+        Q = np.stack(
+            [np.asarray(v, dtype="float64") for v in qdf[vec_col]]
+        )
+        C = np.stack(
+            [np.asarray(c, dtype="int64") for c in cdf["codes"]]
+        )
+        T = np.einsum("nms,mks->nmk", Q.reshape(len(qdf), m, sub), CB)
+        adot = np.zeros((len(qdf), len(cdf)), dtype="float64")
+        for j in range(m):
+            adot += T[:, j, :][:, C[:, j]]
+        cnorm = np.sqrt(cb_n2[np.arange(m)[None, :], C].sum(axis=1))
+        qnorm = np.sqrt((Q * Q).sum(axis=1))
+        sims = np.round(adot / np.outer(qnorm, cnorm), 4)
+        id_order = np.argsort(cids)
+        qs, nbrs, vals = [], [], []
+        for row in range(len(qids)):
+            cand = id_order[cids[id_order] != qids[row]]
+            if len(cand) == 0:
+                continue
+            top = cand[np.argsort(-sims[row, cand], kind="stable")][:k]
+            qs.append(np.full(len(top), qids[row]))
+            nbrs.append(cids[top])
+            vals.append(sims[row, top])
+        if not qs:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(qs),
+                "neighbor_id": np.concatenate(nbrs),
+                "adc_sim": np.concatenate(vals),
+            }
+        )
+
+    cand = (
+        queries.select("cell", id_col, vec_col)
+        .groupBy("cell")
+        .cogroup(coded.select("cell", id_col, "codes").groupBy("cell"))
+        .applyInPandas(
+            cell_adc,
+            schema="query_id long, neighbor_id long, adc_sim double",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_sim", "rank")
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -2402,6 +2490,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_impl: str = "pandas",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-PQ top-``k`` self-join — the FAISS ``IVFPQ`` shape: IVF
     cells bound the candidate set (never all-pairs), PQ code words
@@ -2422,7 +2511,14 @@ def ivfpq_topk(
     only shuffle is the per-cell grouping. Candidate work is N²/cells
     like flat IVF (cells=√N keeps it Θ(N^1.5)) — PQ's contribution is
     the ~32× smaller candidate payload crossing that shuffle and the
-    table-lookup scoring, not asymptotics."""
+    table-lookup scoring, not asymptotics.
+
+    ``nprobe > 1`` (round 13) completes the ANN recall-lever matrix:
+    each query additionally searches its ``nprobe`` nearest cells
+    (:func:`ivf_probe_assign` — exact folds, same ranking the flat
+    multi-probe oracle mirrors) while candidate code words stay in
+    their one home cell; scoring runs the cogrouped ADC pass
+    (:func:`_multiprobe_adc_topk_pandas`)."""
     import numpy as np
     import pandas as pd
 
@@ -2432,6 +2528,11 @@ def ivfpq_topk(
     m, ks, sub = CB.shape
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, impl=assign_impl)
     coded = pq_encode(assigned, codebooks, id_col, vec_col)
+    if nprobe > 1:
+        q = ivf_probe_assign(corpus, centroids, nprobe, id_col, vec_col)
+        return _multiprobe_adc_topk_pandas(
+            q, coded, k, CB, cb_n2, id_col, vec_col
+        )
 
     empty = pd.DataFrame(
         {"query_id": [], "neighbor_id": [], "adc_sim": [], "rank": []}
@@ -2497,6 +2598,7 @@ def ivfpq_index_topk(
     vec_col: str = "embedding",
     max_sample: int = 10_000,
     seed: int = 13,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Self-tuning IVF-PQ: ``cells = round(√N)`` (the flat-IVF rule)
     plus per-subspace codebooks, BOTH fit from ONE bounded
@@ -2525,6 +2627,7 @@ def ivfpq_index_topk(
     return ivfpq_topk(
         corpus, centroids, codebooks, k=k,
         id_col=id_col, vec_col=vec_col, assign_impl=assign_impl,
+        nprobe=nprobe,
     )
 
 

@@ -1872,6 +1872,144 @@ SELECT query_id, neighbor_id, adc_sim, rank FROM (
 """
 
 
+def embedding_pq_multiprobe_tuned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-PQ top-3 with query-side multi-probe (nprobe=2) — round 13
+    completes the ANN recall-lever matrix: flat IVF and the two-level
+    index both carry ``nprobe``; this adds it to the memory-bounded
+    PQ path, where the candidate side is read from ~32×-compressed
+    code words (ADC scoring).  Queries probe their two nearest cells
+    via the exact-fold ranking (:func:`~tmdb_index_spark.operators
+    .similarity.ivf_probe_assign`); candidate codes stay in their one
+    home cell; per-cell scoring is the cogrouped lookup-table ADC
+    pass.  Oracle: the :func:`_fitted_pq_oracle_sql` recipe with the
+    probe-rank <= 2 query side (extension: similarity-search scale
+    path)."""
+    from tmdb_index_spark.operators.similarity import ivfpq_index_topk
+
+    return ivfpq_index_topk(
+        _t(spark, sf_dir, "embeddings"), k=3, nprobe=2
+    )
+
+
+def _fitted_pq_multiprobe_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    """Value-row oracle for ``embedding_pq_multiprobe_tuned``: the
+    :func:`_fitted_pq_oracle_sql` recipe (both fits re-run from the
+    same parquet sample, centroid + codebook literals, SQL cell
+    assignment / PQ encoding / ADC scoring) with the multi-probe query
+    side — every vector joins as a QUERY from its two nearest cells
+    (probe rank <= 2) against code-word CANDIDATES in their single
+    home cell (rank 1)."""
+    m, ks, k, nprobe = 8, 16, 3, 2
+    try:
+        import duckdb
+        import numpy as np
+
+        from tmdb_index_spark.operators.similarity import (
+            fit_kmeans_array,
+            fit_pq_array,
+        )
+
+        con = duckdb.connect()
+        path = f"{sf_dir}/embeddings.parquet"
+        n = con.sql(f"SELECT COUNT(*) FROM '{path}'").fetchone()[0]
+        if not n:
+            return None
+        sample = con.sql(
+            f"SELECT embedding FROM '{path}' ORDER BY vec_id LIMIT 10000"
+        ).fetchall()
+        X = np.array([list(r[0]) for r in sample], dtype="float64")
+        cells = max(1, round(n ** 0.5))
+        cents = fit_kmeans_array(X, cells)
+        books = fit_pq_array(X, m=m, ks=ks)
+    except Exception:  # noqa: BLE001 — missing table → rows-only row
+        return None
+    dim = X.shape[1]
+    sub = dim // m
+    cent_values = ",\n    ".join(
+        "({}, [{}])".format(cid, ", ".join(repr(float(x)) for x in vec))
+        for cid, vec in cents
+    )
+    cb_values = ",\n    ".join(
+        "({}, {}, [{}])".format(
+            j, code, ", ".join(repr(float(x)) for x in vec)
+        )
+        for j, book in enumerate(books)
+        for code, vec in book
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT * FROM (VALUES
+    {cent_values}
+) AS t(cell, cv)),
+d AS (
+  SELECT vec_id, v, cell,
+         list_sum(list_transform(generate_series(1, {dim}),
+           i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS dist
+  FROM v CROSS JOIN cent
+),
+ranked AS (
+  SELECT vec_id, v, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, cell ASC) AS rn
+  FROM d
+),
+assigned AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
+cb AS (SELECT * FROM (VALUES
+    {cb_values}
+) AS t(sub, code, cbv)),
+cdist AS (
+  SELECT a.vec_id, cb.sub, cb.code,
+         list_sum(list_transform(generate_series(1, {sub}),
+           i -> (a.v[cb.sub * {sub} + i] - cb.cbv[i])
+              * (a.v[cb.sub * {sub} + i] - cb.cbv[i]))) AS dist
+  FROM assigned a CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dist ASC, code ASC) AS rn
+    FROM cdist
+  ) WHERE rn = 1
+),
+cbn AS (SELECT sub, code,
+               list_sum(list_transform(cbv, x -> x * x)) AS n2 FROM cb),
+cnorm AS (
+  SELECT c.vec_id, SQRT(SUM(n.n2)) AS cnorm
+  FROM codes c JOIN cbn n ON n.sub = c.sub AND n.code = c.code
+  GROUP BY 1
+),
+qn AS (SELECT vec_id,
+              SQRT(list_sum(list_transform(v, x -> x * x))) AS qnorm
+       FROM assigned),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM(list_sum(list_transform(generate_series(1, {sub}),
+           i -> q.v[cd.sub * {sub} + i] * cb.cbv[i]))) AS adot
+  FROM (SELECT * FROM ranked WHERE rn <= {nprobe}) q
+  JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+  JOIN codes cd ON cd.vec_id = c.vec_id
+  JOIN cb ON cb.sub = cd.sub AND cb.code = cd.code
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         ROUND(d.adot / (q.qnorm * n.cnorm), 4) AS adc_sim
+  FROM dots d
+  JOIN qn q ON q.vec_id = d.query_id
+  JOIN cnorm n ON n.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, adc_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_sim DESC, neighbor_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index-quality evaluation (extension: similarity-search eval
     harness — the recall@k sweep every production ANN deployment runs
