@@ -909,7 +909,7 @@ def test_duplicated_span_ranges_rejects_bad_unit(spark):
 # ---------------------------------------------------------------------------
 
 
-def _span_docs(spark, unit, k, dup_units, ctx_a, ctx_b):
+def _contract_span_docs(spark, unit, k, dup_units, ctx_a, ctx_b):
     """Two docs sharing exactly the ``dup_units`` region, embedded in
     globally-unique context units."""
     if unit == "token":
@@ -938,7 +938,7 @@ def test_exact_substr_minimum_detectable_span(spark, unit, k):
         dup = list("WXYZ")
         ctx_a = list("abcd")
         ctx_b = list("ghij")
-    df = _span_docs(spark, unit, k, dup, ctx_a, ctx_b)
+    df = _contract_span_docs(spark, unit, k, dup, ctx_a, ctx_b)
     got = {
         (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
         for r in duplicated_span_ranges(
@@ -948,7 +948,7 @@ def test_exact_substr_minimum_detectable_span(spark, unit, k):
     # region sits after the 2-unit context prefix in both docs
     assert got == {(1, 2, 2 + k, k), (2, 2, 2 + k, k)}
 
-    short = _span_docs(spark, unit, k, dup[: k - 1], ctx_a, ctx_b)
+    short = _contract_span_docs(spark, unit, k, dup[: k - 1], ctx_a, ctx_b)
     assert (
         duplicated_span_ranges(short, k=k, unit=unit).count() == 0
     ), "a k-1-unit duplicate must be invisible at window size k"
