@@ -612,3 +612,49 @@ def test_ingest_ann_model_artifact_reuse_and_refit(spark, tmp_path):
     )
     assert r4["ann_model"] is None
     release_pins()
+
+
+def test_prepare_corpus_model_artifact_reuse(spark, tmp_path):
+    """prepare_corpus(model_path=...) persists the SemDeDup fit like
+    the ingestion composite: build 1 fits + saves v1 (centroid-only
+    under the raw payload), build 2 over the same embedding space
+    reuses it verbatim with identical stage yields; the pq payload
+    refuses a centroid-only artifact and refits with codebooks."""
+    from tmdb_index_spark.operators.corpus_pipeline import prepare_corpus
+    from tmdb_index_spark.operators.materialize import release_pins
+
+    docs, emb = _docs(spark), _embeddings(spark)
+    mp = str(tmp_path / "corpus_ann.parquet")
+
+    def yields(out):
+        return [
+            (name, frame.count()) for name, frame in out["stages"]
+        ]
+
+    r1 = prepare_corpus(docs, emb, materialize="cache", model_path=mp)
+    assert r1["ann_model"]["reused"] is False
+    assert r1["ann_model"]["fit_id"] == 1
+    assert r1["ann_model"]["pq_m"] == 0  # centroid-only (raw payload)
+    y1 = yields(r1)
+    release_pins()
+
+    r2 = prepare_corpus(docs, emb, materialize="cache", model_path=mp)
+    assert r2["ann_model"]["reused"] is True
+    assert r2["ann_model"]["fit_id"] == 1
+    assert yields(r2) == y1  # identical stage yields from the reuse
+    release_pins()
+
+    # the pq payload cannot reuse a centroid-only artifact -> v2
+    r3 = prepare_corpus(
+        docs, emb, materialize="cache", model_path=mp,
+        semantic_payload="pq", pq_m=2, pq_ks=4,
+    )
+    assert r3["ann_model"]["reused"] is False
+    assert r3["ann_model"]["fit_id"] == 2
+    assert r3["ann_model"]["pq_m"] == 2
+    release_pins()
+
+    # without model_path nothing is persisted or reported
+    r4 = prepare_corpus(docs, emb, materialize="cache")
+    assert r4["ann_model"] is None
+    release_pins()

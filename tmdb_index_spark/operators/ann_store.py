@@ -199,11 +199,16 @@ def _collect_model(df: DataFrame) -> dict | None:
     # uniform per-book size, NOT against pq_ks: a tiny fit sample
     # legitimately yields fewer than the requested ks codes (k-means
     # clamps k to the sample size).
+    # a centroid-only artifact (pq_m == 0 — e.g. prepare_corpus with
+    # the raw election payload) is legal; a torn one (meta promises
+    # books the rows lack) is not
     if len(cents) != meta["cells"]:
         return None
-    if len(books) != meta["pq_m"] or not books:
+    if len(books) != meta["pq_m"]:
         return None
-    if any(len(b) == 0 or len(b) != len(books[0]) for b in books):
+    if books and any(
+        len(b) == 0 or len(b) != len(books[0]) for b in books
+    ):
         return None
     if ann_model_fingerprint(cents, books) != meta["fit_md5"]:
         return None

@@ -141,10 +141,12 @@ def prepare_corpus(
     mix_temperature: float = 2.0,
     mix_epoch_cap: int = 2,
     mix_budget_den: int = 4,
+    model_path: str | None = None,
 ) -> dict:
     """Run the full corpus-prep chain; returns ``{"stages": [(name,
     survivor_frame), ...], "packed": packed_frame, "caps":
-    allocation_frame}``. Stage frames are pinned; call
+    allocation_frame, "ann_model": artifact meta + reused flag or
+    None}``. Stage frames are pinned; call
     :func:`~tmdb_index_spark.operators.materialize.release_pins` after
     the consumer materializes.
 
@@ -158,6 +160,16 @@ def prepare_corpus(
     .semantic_elect_codes`, the FAISS memory story for the 100 TB
     composite). The PQ codebooks ride the same bounded deterministic
     sample as the cell fit.
+
+    ``model_path`` (round 13, the :func:`ingest_corpus_batch` recipe)
+    persists the SemDeDup stage's fit as a versioned artifact
+    (:mod:`~tmdb_index_spark.operators.ann_store`): repeated corpus
+    builds over the same embedding space — the weekly re-curation
+    cadence — reload the stored centroids (and codebooks under
+    ``semantic_payload="pq"``) instead of refitting, with the same
+    occupancy-rule staleness and parameter-mismatch refit triggers.
+    With the ``"raw"`` payload the artifact is centroid-only
+    (``pq_m=0``).
 
     ``merges`` (a BPE merge table — :func:`~tmdb_index_spark.operators
     .llm_prep.bpe_train_merges` output pairs) switches the final stage
@@ -245,9 +257,40 @@ def prepare_corpus(
 
     # 5. SemDeDup over survivors' embeddings; docs without one survive
     # (occupancy-constant cell count — the semantic_dedup rule;
-    # semantic_payload validated at function entry)
+    # semantic_payload validated at function entry).  model_path makes
+    # the fit a persisted, versioned artifact reused across corpus
+    # builds (docstring); a fresh matching artifact skips BOTH fits.
+    from tmdb_index_spark.operators.ann_store import (
+        ann_model_stale,
+        load_ann_model,
+        save_ann_model,
+    )
+
     n_emb = embeddings.count()
-    cents = fit_centroids(embeddings, semantic_cells(n_emb), emb_id, emb_vec)
+    need_pq = semantic_payload == "pq"
+    stored = (
+        load_ann_model(docs.sparkSession, model_path)
+        if model_path
+        else None
+    )
+    reuse = (
+        stored is not None
+        and not ann_model_stale(stored["meta"], n_emb)
+        and (
+            not need_pq
+            or (
+                stored["meta"]["pq_m"] == pq_m
+                and stored["meta"]["pq_ks"] == pq_ks
+                and bool(stored["codebooks"])
+            )
+        )
+    )
+    if reuse:
+        cents = stored["centroids"]
+    else:
+        cents = fit_centroids(
+            embeddings, semantic_cells(n_emb), emb_id, emb_vec
+        )
     surv_emb = embeddings.join(
         s4.select(F.col(id_col).alias(emb_id)), emb_id
     )
@@ -256,9 +299,13 @@ def prepare_corpus(
         # codebooks fit on the FULL embeddings table (like the cells:
         # corpus-level structure, independent of upstream filters);
         # only (id, cell, codes) crosses the per-cell shuffle
-        books = fit_pq(
-            embeddings, m=pq_m, ks=pq_ks, id_col=emb_id, vec_col=emb_vec
-        )
+        if reuse:
+            books = stored["codebooks"]
+        else:
+            books = fit_pq(
+                embeddings, m=pq_m, ks=pq_ks,
+                id_col=emb_id, vec_col=emb_vec,
+            )
         assigned = ivf_assign(
             surv_emb, cents, emb_id, emb_vec, impl=assign_impl
         )
@@ -277,6 +324,25 @@ def prepare_corpus(
             vec_col=emb_vec,
             assign_impl=assign_impl,
         )
+    if reuse:
+        ann_model = dict(stored["meta"], reused=True)
+    elif model_path:
+        fit_id = stored["meta"]["fit_id"] + 1 if stored else 1
+        ann_model = dict(
+            save_ann_model(
+                docs.sparkSession,
+                model_path,
+                cents,
+                books if need_pq else [],
+                fit_id=fit_id,
+                n_fit=n_emb,
+                pq_m=pq_m if need_pq else 0,
+                pq_ks=pq_ks if need_pq else 0,
+            ),
+            reused=False,
+        )
+    else:
+        ann_model = None
     sem_drop = flags.filter(~F.col("keep")).select(
         F.col(emb_id).alias(id_col)
     )
@@ -360,7 +426,12 @@ def prepare_corpus(
         ("decontam", s6),
         ("budget_sample", s7),
     ]
-    out = {"stages": stages, "packed": packed, "caps": alloc}
+    out = {
+        "stages": stages,
+        "packed": packed,
+        "caps": alloc,
+        "ann_model": ann_model,
+    }
     if merges is not None:
         # tokenize-and-mix final stage (round-11 verdict #9): re-cost
         # the curated survivors in REAL BPE tokens and run the
