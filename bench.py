@@ -249,6 +249,7 @@ EXTENDED_QUERIES = [
     "embedding_ivf2_multiprobe_tuned",
     "pipeline_daily_cycle",
     "embedding_pq_multiprobe_tuned",
+    "ann_recall_eval_multiprobe",
     "order_anova_by_priority",
     "event_dow_chisq",
     "purchase_mannwhitney",

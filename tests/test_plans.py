@@ -286,6 +286,7 @@ def test_registry_consistency(spark):
         "embedding_pq_topk",
         "embedding_pq_multiprobe_tuned",
         "ann_recall_eval",
+        "ann_recall_eval_multiprobe",
     }
     assert set(Q.DYNAMIC_ORACLE_BUILDERS) == {
         "corpus_ingest_semantic_stats",
@@ -300,6 +301,7 @@ def test_registry_consistency(spark):
         "embedding_pq_topk",
         "embedding_pq_multiprobe_tuned",
         "ann_recall_eval",
+        "ann_recall_eval_multiprobe",
     }
     with_dynamic = {**dict(Q.ORACLES), **Q.dynamic_oracles()}
     assert set(Q.QUERIES) - set(with_dynamic) == set()

@@ -2010,6 +2010,122 @@ SELECT query_id, neighbor_id, adc_sim, rank FROM (
 """
 
 
+def ann_recall_eval_multiprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@3 of the three MULTI-PROBE index families (round 13 —
+    the eval harness extended to the full recall-lever matrix): flat
+    IVF, two-level IVF, and IVF-PQ, each at ``nprobe=2``, against
+    exact cosine ground truth on the same deterministic bounded query
+    sample as :func:`ann_recall_eval` (``vec_id % 50 = 0 AND vec_id <
+    100000`` — exact work stays |sample|·N, linear in N).  Same
+    integer-exact recall arithmetic; the oracle COMPOSES the three
+    fitted-literal index oracles as subqueries (each reproduces its
+    deterministic fit from the same parquet sample), so every approx
+    set — and hence the recall — hash-matches across engines."""
+    from tmdb_index_spark.operators.similarity import (
+        ivf2_index_topk,
+        ivf_index_topk,
+        ivfpq_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    in_sample = (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 100_000)
+    sampled = emb.filter(in_sample)
+    exact = brute_force_topk(emb, sampled, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    nq = sampled.agg(F.count(F.lit(1)).alias("n_queries"))
+
+    def _hits(name: str, approx: DataFrame) -> DataFrame:
+        return (
+            approx.filter(
+                (F.col("query_id") % 50 == 0)
+                & (F.col("query_id") < 100_000)
+            )
+            .join(F.broadcast(exact), ["query_id", "neighbor_id"], "leftsemi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(name).alias("index_name"), "n_hits")
+        )
+
+    per_index = (
+        _hits("ivf_multiprobe", ivf_index_topk(emb, k=3, nprobe=2))
+        .unionByName(
+            _hits(
+                "ivf2_multiprobe",
+                ivf2_index_topk(emb, k=3, probe_coarse=2, nprobe=2),
+            )
+        )
+        .unionByName(
+            _hits("pq_multiprobe", ivfpq_index_topk(emb, k=3, nprobe=2))
+        )
+    )
+    return per_index.join(F.broadcast(nq)).select(
+        "index_name",
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(
+            F.col("n_hits") / (F.lit(3.0) * F.col("n_queries")), 6
+        ).alias("recall_at_3"),
+    )
+
+
+def _ann_recall_multiprobe_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    """Value-row oracle for ``ann_recall_eval_multiprobe``: exact
+    top-3 over the sampled queries plus the THREE fitted-literal
+    multi-probe oracles embedded verbatim as subqueries (CTEs are
+    legal inside DuckDB subqueries and scoped per subquery, so each
+    index pipeline keeps its own ``v``/``cent``/... names); recall
+    joins each approx set to the exact set.  Returns None when any
+    component builder degrades (missing table / non-flat regime) —
+    the whole eval then falls back to rows-only, never to a partially
+    mirrored oracle."""
+    flat = _fitted_ivf_multiprobe_oracle_sql(sf_dir)
+    two = _fitted_ivf2_multiprobe_oracle_sql(sf_dir)
+    pq = _fitted_pq_multiprobe_oracle_sql(sf_dir)
+    if not (flat and two and pq):
+        return None
+    legs = ", ".join(
+        f"""
+hits_{name} AS (
+  SELECT '{name}' AS index_name, COUNT(*) AS n_hits
+  FROM (
+    SELECT query_id, neighbor_id FROM ({sql}) __a
+    WHERE query_id % 50 = 0 AND query_id < 100000
+  ) __f
+  JOIN exact e USING (query_id, neighbor_id)
+)"""
+        for name, sql in [
+            ("ivf_multiprobe", flat),
+            ("ivf2_multiprobe", two),
+            ("pq_multiprobe", pq),
+        ]
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT * FROM v WHERE vec_id % 50 = 0 AND vec_id < 100000),
+nq AS (SELECT COUNT(*) AS n_queries FROM qs),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_COS_SQL} DESC, c.vec_id ASC) AS rn
+    FROM qs q CROSS JOIN v c WHERE q.vec_id <> c.vec_id
+  ) WHERE rn <= 3
+), {legs}
+SELECT index_name, CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       ROUND(n_hits / (3.0 * n_queries), 6) AS recall_at_3
+FROM (
+  SELECT * FROM hits_ivf_multiprobe
+  UNION ALL SELECT * FROM hits_ivf2_multiprobe
+  UNION ALL SELECT * FROM hits_pq_multiprobe
+) h CROSS JOIN nq
+"""
+
+
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index-quality evaluation (extension: similarity-search eval
     harness — the recall@k sweep every production ANN deployment runs
