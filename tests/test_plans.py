@@ -862,20 +862,92 @@ def test_catalog_window_funnel_lint(spark):
     # Every catalog query must be free of data-proportional window
     # funnels (unpartitioned or dim-only-partitioned WindowExec over a
     # frame that grows with data) — the lint that would have caught all
-    # four round-6 weak queries, now a standing gate.
+    # four round-6 weak queries, now a standing gate. Each iteration
+    # is ISOLATED (release_pins + clearCache, the stress_scale recipe):
+    # a build-time pin from one query must not substitute an
+    # InMemoryTableScan into a later query's audited plan (round-13:
+    # rolling_backtest_mae's pinned daily rollup leaked into
+    # conformal_revenue_interval and turned this gate red). The same
+    # loop enforces the pin-hygiene invariant: after the gates' reset,
+    # a query build must leave ZERO persistent RDDs behind (an
+    # unledgered localCheckpoint would survive every standing gate).
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
+    from pin_lint import build_pin_leaks, reset_session_pins
     from window_lint import audit_window_funnels
 
     bad = {}
+    leaks = {}
     for name, fn in Q.QUERIES.items():
         if name in _WINDOW_LINT_ALLOW:
             continue
+        reset_session_pins(spark)
         findings = audit_window_funnels(fn(spark, SF))
         if findings:
             bad[name] = findings
+        left = build_pin_leaks(spark)
+        if left:
+            leaks[name] = left
+    reset_session_pins(spark)
     assert not bad, f"window funnels: {bad}"
+    assert not leaks, f"pin leaks the standing gates cannot clear: {leaks}"
+
+
+def test_window_lint_judges_through_leaked_cache(spark):
+    # Regression teeth for the round-13 red gate: build
+    # rolling_backtest_mae (whose build-time pin caches the daily
+    # rollup), do NOT clear, then audit conformal_revenue_interval —
+    # Catalyst substitutes the pinned rollup as an InMemoryTableScan
+    # into conformal's plan, and the lint must judge the CACHED plan
+    # (a bounded calendar aggregate), not treat the cache as a raw
+    # scan. Before the fix this exact sequence flipped the gate red.
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from pin_lint import reset_session_pins
+    from window_lint import audit_window_funnels
+
+    reset_session_pins(spark)
+    try:
+        Q.QUERIES["rolling_backtest_mae"](spark, SF)
+        df = Q.QUERIES["conformal_revenue_interval"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the leak must actually be present for the teeth to bite
+        assert "InMemoryTableScan" in plan
+        assert audit_window_funnels(df) == []
+    finally:
+        reset_session_pins(spark)
+
+
+def test_pin_lint_teeth(spark):
+    # A LEDGERED pin (pin_frame) is cleared by the standing-gate reset
+    # → no leak; an UNLEDGERED localCheckpoint survives it → flagged.
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from pin_lint import build_pin_leaks, reset_session_pins
+
+    from tmdb_index_spark.operators.materialize import (
+        pin_frame,
+        release_pins,
+    )
+    from pyspark.sql import functions as F
+
+    reset_session_pins(spark)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    rollup = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    try:
+        pin_frame(rollup, materialize="checkpoint").count()
+        assert build_pin_leaks(spark) == []
+        leaked = rollup.localCheckpoint(eager=False)  # bypasses ledger
+        leaked.count()
+        findings = build_pin_leaks(spark)
+        assert findings and "outside the ledger" in findings[0]
+    finally:
+        release_pins(drop_all=True)
+        spark.catalog.clearCache()
+    assert build_pin_leaks(spark) == []
 
 
 # ---- round-7 new analytics queries ------------------------------------

@@ -41,10 +41,17 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from tmdb_index_spark.operators.materialize import release_pins
+
     failures = []
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        # isolate: a build-time pin from an earlier query must not
+        # substitute its cached plan into this one — the gate should
+        # execute the same physical plan the lint/bench audited
+        release_pins()
+        spark.catalog.clearCache()
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001

@@ -76,6 +76,15 @@ def _name_of(expr_str: str) -> str:
     return m.group(1) if m else expr_str
 
 
+def _cached_plan(node):
+    """The physical plan an ``InMemoryTableScanExec`` reads, or None
+    when the JVM shape is unreadable (plan-API drift)."""
+    try:
+        return node.relation().cachedPlan()
+    except Exception:
+        return None
+
+
 def _children(node):
     cls = node.getClass().getSimpleName()
     # AQE and query-stage wrappers hide their subtree from children()
@@ -85,6 +94,13 @@ def _children(node):
         return [node.plan()]
     if cls == "ReusedExchangeExec":
         return [node.child()]
+    if cls == "InMemoryTableScanExec":
+        # A cache substitution (a pin, the caller's own or one leaked
+        # from an earlier build in the same session — the round-13 red
+        # gate) must not hide the frame it pinned: judge the CACHED
+        # plan, both for boundedness and for funnels inside it.
+        cp = _cached_plan(node)
+        return [cp] if cp is not None else []
     ch = node.children()
     return [ch.apply(i) for i in range(ch.size())]
 
@@ -127,8 +143,20 @@ def _input_is_data_proportional(node) -> bool:
         # upward — the documented top-k pattern. The downstream window
         # sorts k·P rows, not data.
         return False
-    if "Scan" in cls or "InMemoryTableScan" in cls:
-        return True  # raw table / pinned data frame
+    if "InMemoryTableScan" in cls:
+        # pinned frame: boundedness is a property of the plan BENEATH
+        # the cache, not of the cache itself — a pinned calendar
+        # rollup stays bounded (round-13 false alarm:
+        # conformal_revenue_interval flagged because a leaked pin from
+        # rolling_backtest_mae substituted an InMemoryTableScan for
+        # its bounded daily aggregate). Unreadable cache → raw-scan
+        # conservative.
+        cp = _cached_plan(node)
+        if cp is None:
+            return True
+        return _input_is_data_proportional(cp)
+    if "Scan" in cls:
+        return True  # raw table
     kids = _children(node)
     if not kids:
         # leaf that isn't a scan: range, local relation, reused
