@@ -243,6 +243,32 @@ def test_fd_profile_requires_candidates(spark):
         fd_profile(df, [])
 
 
+def test_check_unique_multi_names_and_known_count(spark):
+    """Round-13 ADVICE hardening: a names list that doesn't pair up
+    with key_sets raises up front (the gated path would IndexError,
+    the exact path would silently drop names), and a caller-supplied
+    ``n_rows`` decides the scale gate without an extra count() job."""
+    import pytest as _pytest
+
+    from tmdb_index_spark.operators.checks import check_unique_multi
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k int, g string"
+    )
+    with _pytest.raises(ValueError, match="names has 1"):
+        check_unique_multi(df, [["k"], ["k", "g"]], names=["only-one"])
+    # n_rows above the gate → sketch schema, below → exact schema;
+    # neither path may trigger a count() (we pass the decision in)
+    est = check_unique_multi(
+        df, [["k"]], max_exact_rows=2, n_rows=3
+    )
+    assert "approx_unique" in est.columns
+    exact = check_unique_multi(
+        df, [["k"]], max_exact_rows=5, n_rows=3
+    )
+    assert exact.collect()[0]["n_violations"] == 2
+
+
 def test_canon_key_marker_bytes_do_not_collide(spark):
     """The canonical composite-key encoding escapes its own marker
     bytes (round-12 advisor): values containing the unit separator or

@@ -847,6 +847,44 @@ def test_ivfpq_index_topk_contract_and_determinism(spark):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_ivfpq_zero_norm_vectors_emit_no_nan_rows(spark):
+    # A zero-norm query or a code word reconstructing to zero has no
+    # defined cosine: the pair must emit NO row (round-13 ADVICE — an
+    # unguarded 0/0 NaN ranks ABOVE every real candidate in the
+    # engines' descending order and diverges from the oracle), in both
+    # the single-probe and the multi-probe ADC paths.
+    import math
+
+    from tmdb_index_spark.operators.similarity import ivfpq_topk
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 1.0]),
+        (1, [0.9, 0.1, 0.1, 0.9]),
+        (2, [0.0, 1.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero-norm query AND neighbor
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    # a codebook containing the zero word, so id 3 reconstructs to a
+    # zero-norm code word (cnorm == 0) as well as having qnorm == 0
+    book = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0])]
+    for nprobe in (1, 2):
+        rows = ivfpq_topk(
+            df,
+            [(0, [1.0, 0.0, 0.0, 1.0]), (1, [0.0, 1.0, 1.0, 0.0])],
+            [book, book],
+            k=3,
+            nprobe=nprobe,
+        ).collect()
+        assert rows, f"nprobe={nprobe}: real pairs must still emit"
+        assert all(
+            r["query_id"] != 3 and r["neighbor_id"] != 3 for r in rows
+        ), f"nprobe={nprobe}: zero-norm pairs must emit no row"
+        assert all(
+            r["adc_sim"] is not None and not math.isnan(r["adc_sim"])
+            for r in rows
+        )
+
+
 def test_ivfpq_validation(spark):
     import numpy as np
     import pytest

@@ -717,6 +717,45 @@ def test_ingest_ledger_survives_replay_without_success_markers(
             hconf.set(key, old)
 
 
+def test_ingest_ledger_accepts_legacy_success_marker(spark, tmp_path):
+    """Upgrade compatibility (round-13 ADVICE): a stats partition
+    committed by a pre-``_LEDGER_SUCCESS`` version of the loop carries
+    only the committer's ``_SUCCESS`` marker — a post-upgrade replay of
+    that batch must treat it as committed rather than overwrite its
+    true yield rows with zero-yield recomputations."""
+    import os
+
+    from tmdb_index_spark.streaming.ingest import run_ingest_stream
+
+    batches = str(tmp_path / "doc_batches")
+    index = str(tmp_path / "corpus_index.parquet")
+    stats = str(tmp_path / "ingest_stats")
+    ta, tb = _ingest_words("a"), _ingest_words("b")
+    spark.createDataFrame(
+        [(1, ta, "s"), (2, tb, "s"), (3, ta, "s")],
+        "doc_id long, text string, source string",
+    ).coalesce(1).write.mode("append").parquet(batches)
+
+    def _stream():
+        return spark.readStream.schema(
+            "doc_id long, text string, source string"
+        ).parquet(batches)
+
+    run_ingest_stream(_stream(), index, stats, str(tmp_path / "ck1"))
+    part = os.path.join(stats, "batch_id=0")
+    # rewrite history: the partition looks like a pre-upgrade commit
+    # (committer _SUCCESS present, ledger sentinel absent)
+    os.remove(os.path.join(part, "_LEDGER_SUCCESS"))
+    open(os.path.join(part, "_SUCCESS"), "w").close()
+    run_ingest_stream(_stream(), index, stats, str(tmp_path / "ck2"))
+    s0 = spark.read.parquet(stats).filter("batch_id = 0").collect()[0]
+    assert (s0["n_batch"], s0["n_exact_batch_dup"], s0["n_kept"]) == (
+        3,
+        1,
+        2,
+    )
+
+
 def test_ingest_stream_semantic_stage_parity_and_model_reuse(
     spark, tmp_path
 ):

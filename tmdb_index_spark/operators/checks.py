@@ -96,6 +96,7 @@ def check_unique_multi(
     key_sets: list[list[str]],
     names: list[str] | None = None,
     max_exact_rows: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """ALL uniqueness checks of one table in a single scan + two
     shuffles (the 100-TB form of N :func:`check_unique` calls, which
@@ -121,18 +122,34 @@ def check_unique_multi(
     of ``(check, n_violations)`` — so a consumer can always tell an
     estimate from an exact count by the columns alone.  ``None``
     (default) keeps the exact path unconditionally: exactness stays
-    available opt-in at any scale."""
+    available opt-in at any scale.
+
+    ``n_rows`` lets a caller that already counted the table (an audit
+    composite counts once for several checks) decide the gate without
+    the extra ``count()`` action this function would otherwise run per
+    call (round-13 ADVICE)."""
     if not key_sets:
         raise ValueError("check_unique_multi needs at least one key set")
-    if max_exact_rows is not None and df.count() > max_exact_rows:
-        out = check_unique_hll(df, key_sets[0], name=(names or [None])[0])
-        for i, ks in enumerate(key_sets[1:], start=1):
-            out = out.unionByName(
-                check_unique_hll(
-                    df, ks, name=names[i] if names else None
-                )
+    if names is not None and len(names) != len(key_sets):
+        raise ValueError(
+            f"names has {len(names)} entries for {len(key_sets)} key "
+            f"sets — the gated (sketch) path would IndexError and the "
+            f"exact path would silently drop names"
+        )
+    if max_exact_rows is not None:
+        if n_rows is None:
+            n_rows = df.count()
+        if n_rows > max_exact_rows:
+            out = check_unique_hll(
+                df, key_sets[0], name=(names or [None])[0]
             )
-        return out
+            for i, ks in enumerate(key_sets[1:], start=1):
+                out = out.unionByName(
+                    check_unique_hll(
+                        df, ks, name=names[i] if names else None
+                    )
+                )
+            return out
     names = names or [f"unique({','.join(ks)})" for ks in key_sets]
     pairs = F.array(
         *[

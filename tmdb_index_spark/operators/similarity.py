@@ -2440,11 +2440,21 @@ def _multiprobe_adc_topk_pandas(
             adot += T[:, j, :][:, C[:, j]]
         cnorm = np.sqrt(cb_n2[np.arange(m)[None, :], C].sum(axis=1))
         qnorm = np.sqrt((Q * Q).sum(axis=1))
-        sims = np.round(adot / np.outer(qnorm, cnorm), 4)
+        # a zero-norm query or reconstruction has no defined cosine:
+        # the pair emits NO row (NaN from 0/0 would rank ABOVE every
+        # real candidate in Spark's and DuckDB's descending order while
+        # numpy's per-cell argsort ranks it below — the pq_novelty_ids
+        # divergence class, round-13 ADVICE). Oracle mirrors with
+        # qnorm > 0 AND cnorm > 0.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round(adot / np.outer(qnorm, cnorm), 4)
+        valid = np.outer(qnorm > 0, cnorm > 0)
         id_order = np.argsort(cids)
         qs, nbrs, vals = [], [], []
         for row in range(len(qids)):
-            cand = id_order[cids[id_order] != qids[row]]
+            cand = id_order[
+                (cids[id_order] != qids[row]) & valid[row, id_order]
+            ]
             if len(cand) == 0:
                 continue
             top = cand[np.argsort(-sims[row, cand], kind="stable")][:k]
@@ -2560,18 +2570,27 @@ def ivfpq_topk(
             adot += T[:, j, :][:, C[:, j]]
         cnorm = np.sqrt(cb_n2[np.arange(m)[None, :], C].sum(axis=1))
         qnorm = np.sqrt((V * V).sum(axis=1))
-        sims = np.round(adot / np.outer(qnorm, cnorm), 4)
-        np.fill_diagonal(sims, -np.inf)
+        # zero-norm guard: same no-row contract as the multi-probe
+        # path (see _multiprobe_adc_topk_pandas) — 0/0 NaN would sort
+        # ABOVE real candidates in the engines' descending order
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round(adot / np.outer(qnorm, cnorm), 4)
+        valid = np.outer(qnorm > 0, cnorm > 0)
+        np.fill_diagonal(valid, False)
         kk = min(k, n - 1)
         id_order = np.argsort(ids)
         qs, nbrs, vals, ranks = [], [], [], []
         for row in range(n):
-            cand = id_order[id_order != row]
+            cand = id_order[valid[row, id_order]]
+            if len(cand) == 0:
+                continue
             order = cand[np.argsort(-sims[row, cand], kind="stable")][:kk]
-            qs.append(np.full(kk, ids[row]))
+            qs.append(np.full(len(order), ids[row]))
             nbrs.append(ids[order])
             vals.append(sims[row, order])
-            ranks.append(np.arange(1, kk + 1))
+            ranks.append(np.arange(1, len(order) + 1))
+        if not qs:
+            return empty
         return pd.DataFrame(
             {
                 "query_id": np.concatenate(qs),

@@ -1863,6 +1863,7 @@ scored AS (
   FROM dots d
   JOIN qn q ON q.vec_id = d.query_id
   JOIN cnorm n ON n.vec_id = d.neighbor_id
+  WHERE q.qnorm > 0 AND n.cnorm > 0
 )
 SELECT query_id, neighbor_id, adc_sim, rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2001,6 +2002,7 @@ scored AS (
   FROM dots d
   JOIN qn q ON q.vec_id = d.query_id
   JOIN cnorm n ON n.vec_id = d.neighbor_id
+  WHERE q.qnorm > 0 AND n.cnorm > 0
 )
 SELECT query_id, neighbor_id, adc_sim, rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

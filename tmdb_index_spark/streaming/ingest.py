@@ -261,7 +261,17 @@ def run_ingest_stream(
             hpath = jvm.org.apache.hadoop.fs.Path
             fs = hpath(part).getFileSystem(spark._jsc.hadoopConfiguration())
             sentinel = hpath(posixpath.join(part, "_LEDGER_SUCCESS"))
-            if not fs.exists(sentinel):
+            # a partition committed by a pre-_LEDGER_SUCCESS version of
+            # this loop carries only the committer's _SUCCESS marker:
+            # treat EITHER as committed, or a post-upgrade replay of
+            # the one in-flight batch would overwrite its true yield
+            # rows with zero-yield recomputations (round-13 ADVICE).
+            # Safe in every crash window: the committer writes _SUCCESS
+            # LAST at job commit, so its presence implies the parquet
+            # under it is complete and identical to what a pre-swap
+            # replay would rewrite.
+            legacy = hpath(posixpath.join(part, "_SUCCESS"))
+            if not (fs.exists(sentinel) or fs.exists(legacy)):
                 out["stats"].write.mode("overwrite").parquet(part)
                 # own sentinel, written only after the parquet commit:
                 # independent of the committer's marksuccessfuljobs
