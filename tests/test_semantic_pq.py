@@ -153,6 +153,74 @@ def test_pq_novelty_zero_norm_reconstruction_is_novel(spark):
     assert got == [11]
 
 
+def test_pq_novelty_precomputed_index_codes_identical(spark):
+    """Round 14: feeding pq_novelty_ids the index side's precomputed
+    (id, cell, codes) rows — the persisted-sidecar path — must return
+    exactly the recompute path's ids, and ingest_corpus_batch must
+    IGNORE sidecar rows whose fit fingerprint doesn't name the model
+    the batch actually uses (falling back to recompute, never feeding
+    wrong candidate cells)."""
+    from pyspark.sql import functions as F
+
+    from tmdb_index_spark.operators.corpus_pipeline import (
+        ingest_corpus_batch,
+    )
+    from tmdb_index_spark.operators.materialize import release_pins
+    from tmdb_index_spark.operators.similarity import (
+        fit_centroids,
+        pq_code_rows,
+        pq_novelty_ids,
+    )
+
+    emb = _corpus(spark)
+    idx_emb = emb.filter("vec_id < 30")
+    bat_emb = emb.filter("vec_id >= 30")
+    cents = fit_centroids(idx_emb, 3)
+    books = fit_pq(idx_emb, m=4, ks=16)
+    live = sorted(
+        r["vec_id"]
+        for r in pq_novelty_ids(idx_emb, bat_emb, 0.9, cents, books).collect()
+    )
+    codes = pq_code_rows(idx_emb, cents, books)
+    assert codes.columns == ["vec_id", "cell", "codes"]
+    via_sidecar = sorted(
+        r["vec_id"]
+        for r in pq_novelty_ids(
+            idx_emb, bat_emb, 0.9, cents, books, index_codes=codes
+        ).collect()
+    )
+    assert via_sidecar == live and live  # non-vacuous
+
+    # composite guard: a WRONG (here: garbage-cell) sidecar under a
+    # mismatched fingerprint must not change the output
+    docs = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.concat(
+            F.lit("doc "), F.col("vec_id").cast("string")
+        ).alias("text"),
+        F.lit("s").alias("source"),
+    )
+    index_docs = docs.filter("doc_id < 30")
+    batch_docs = docs.filter("doc_id >= 30")
+    base = ingest_corpus_batch(
+        index_docs, batch_docs,
+        embeddings=emb, semantic_threshold=0.9, materialize="cache",
+    )
+    base_ids = sorted(
+        r["doc_id"] for r in base["new_index"].select("doc_id").collect()
+    )
+    garbage = codes.withColumn("cell", F.lit(999).cast("long"))
+    guarded = ingest_corpus_batch(
+        index_docs, batch_docs,
+        embeddings=emb, semantic_threshold=0.9, materialize="cache",
+        index_codes=garbage, index_codes_fit_md5="not-the-fit",
+    )
+    assert sorted(
+        r["doc_id"] for r in guarded["new_index"].select("doc_id").collect()
+    ) == base_ids
+    release_pins()
+
+
 def test_ivfpq_multiprobe_recall_and_determinism(spark):
     """Round-13 nprobe on the PQ path: multi-probe output keeps the
     family contract (rank per query, rounded sims, id tie-break), is

@@ -880,6 +880,240 @@ def test_ingest_stream_semantic_stage_parity_and_model_reuse(
     assert model2["meta"]["fit_md5"] == model["meta"]["fit_md5"]
 
 
+def test_ingest_stream_bucketed_index_parity_and_replay(spark, tmp_path):
+    """Round-14 bucket-incremental index: with index_buckets the
+    streamed corpus (read via the manifest) and the per-batch stats
+    are identical to the rename-aside swap's, a fold writes ONLY the
+    touched buckets, replay under a fresh checkpoint is a fixpoint,
+    and the band sidecar's rebuild path resolves the manifest view
+    (never the raw directory tree with its superseded versions)."""
+    import os
+
+    from tmdb_index_spark.sources.bucket_store import (
+        read_bucket_index,
+        read_bucket_manifest,
+    )
+    from tmdb_index_spark.streaming.ingest import run_ingest_stream
+
+    schema = "doc_id long, text string, source string"
+    ta, tb, tc = _ingest_words("a"), _ingest_words("b"), _ingest_words("c")
+    batches = str(tmp_path / "doc_batches")
+    spark.createDataFrame(
+        [(1, ta, "s"), (2, tb, "s"), (3, ta, "s")], schema
+    ).coalesce(1).write.mode("append").parquet(batches)
+    spark.createDataFrame(
+        [(4, tc, "s"), (5, ta, "s"), (6, tb.replace(" ", "  ", 1), "s")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(batches)
+
+    def _run(index, stats, ck, **kw):
+        run_ingest_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(batches),
+            index, stats, ck, **kw,
+        )
+
+    index_b = str(tmp_path / "idx_bucketed")
+    stats_b = str(tmp_path / "st_bucketed")
+    bp = str(tmp_path / "bands.parquet")
+    _run(index_b, stats_b, str(tmp_path / "ck_b"),
+         index_buckets=8, bands_path=bp)
+
+    index_p = str(tmp_path / "idx_plain.parquet")
+    stats_p = str(tmp_path / "st_plain")
+    _run(index_p, stats_p, str(tmp_path / "ck_p"))
+
+    got = read_bucket_index(spark, index_b)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, spark.read.parquet(index_p).collect())
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 2, 4]
+    for bid in (0, 1):
+        sb = spark.read.parquet(stats_b).filter(
+            f"batch_id = {bid}"
+        ).collect()[0]
+        sp = spark.read.parquet(stats_p).filter(
+            f"batch_id = {bid}"
+        ).collect()[0]
+        for c in (
+            "n_batch", "n_exact_batch_dup", "n_exact_index_dup",
+            "n_near_index_dup", "n_kept",
+        ):
+            assert sb[c] == sp[c], (bid, c, sb[c], sp[c])
+
+    # fold shape: batch 2 kept ONE doc (id 4) -> exactly one touched
+    # bucket in v=2, everything else still pointing at v=1
+    man = read_bucket_manifest(spark, index_b)
+    assert man["version"] == 2 and man["n_buckets"] == 8
+    v2 = [d for d in man["buckets"].values() if "v=2" in d]
+    assert len(v2) == 1
+
+    # replay under a fresh checkpoint: the composite sees the updated
+    # index, keeps nothing, the fold commits nothing (version stays),
+    # the ledger survives, and the index is a fixpoint
+    _run(index_b, stats_b, str(tmp_path / "ck_b2"),
+         index_buckets=8, bands_path=bp)
+    assert read_bucket_manifest(spark, index_b)["version"] == 2
+    assert sorted(
+        r["doc_id"]
+        for r in read_bucket_index(spark, index_b).collect()
+    ) == [1, 2, 4]
+    s1 = spark.read.parquet(stats_b).filter("batch_id = 1").collect()[0]
+    assert (s1["n_near_index_dup"], s1["n_kept"]) == (1, 1)
+    # no whole-index artifact was ever written in bucketed mode
+    assert not os.path.exists(os.path.join(index_b + ".staging"))
+
+
+def test_ingest_stream_codes_sidecar_parity_and_lifecycle(spark, tmp_path):
+    """Round-14 persisted PQ-codes sidecar: with codes_path the
+    streamed index + stats are identical to the recompute path, the
+    sidecar equals a from-scratch encode of the final index under the
+    stored model, its meta binds it to BOTH the index artifact's
+    fingerprint and the model's fit fingerprint, incremental
+    maintenance (same checkpoint, new batch) replaces exactly the
+    kept ids' rows, and codes_path without the model artifact params
+    is rejected up front."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from tmdb_index_spark.operators.ann_store import load_ann_model
+    from tmdb_index_spark.operators.similarity import pq_code_rows
+    from tmdb_index_spark.streaming.ingest import (
+        _listing_fingerprint,
+        _load_codes_sidecar,
+        run_ingest_stream,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    vecs = rng.randn(5, dim)
+    schema = "doc_id long, text string, source string"
+    batch1 = [
+        (i, f"first wave document {i} alpha{i} beta{i} gamma{i}", "s")
+        for i in range(5)
+    ]
+    # doc 10: paraphrase of doc 2 (disjoint tokens, near-identical
+    # embedding) -> must drop at stage 3b; doc 11: novel direction
+    novel = None
+    for s in range(200):
+        cand = np.random.RandomState(900 + s).randn(dim)
+        cos = vecs @ cand / (
+            np.linalg.norm(vecs, axis=1) * np.linalg.norm(cand)
+        )
+        if np.abs(cos).max() < 0.4:
+            novel = cand
+            break
+    assert novel is not None
+    batch2 = [
+        (10, "rephrased rendition using wholly other terms", "s"),
+        (11, "unrelated fresh subject matter entirely", "s"),
+    ]
+    emb_rows = [(i, [float(x) for x in vecs[i]]) for i in range(5)]
+    emb_rows += [
+        (10, [float(x) for x in vecs[2] + 0.01 * rng.randn(dim)]),
+        (11, [float(x) for x in novel]),
+        (12, [float(x) for x in -novel]),  # batch 3's novel doc
+    ]
+    emb = spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<double>"
+    )
+    batches = str(tmp_path / "doc_batches")
+    for b in (batch1, batch2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(batches)
+
+    def _run(index, stats, ck, **kw):
+        run_ingest_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(batches),
+            index, stats, ck,
+            embeddings=emb, semantic_threshold=0.6, **kw,
+        )
+
+    with _pytest.raises(ValueError, match="codes_path requires"):
+        _run(
+            str(tmp_path / "x.parquet"), str(tmp_path / "xs"),
+            str(tmp_path / "ckx"), codes_path=str(tmp_path / "c.parquet"),
+        )
+
+    index_c = str(tmp_path / "idx_codes.parquet")
+    stats_c = str(tmp_path / "st_codes")
+    mp = str(tmp_path / "ann_model.parquet")
+    cp = str(tmp_path / "codes.parquet")
+    _run(index_c, stats_c, str(tmp_path / "ck_c"),
+         model_path=mp, codes_path=cp)
+
+    index_p = str(tmp_path / "idx_plain.parquet")
+    stats_p = str(tmp_path / "st_plain")
+    _run(index_p, stats_p, str(tmp_path / "ck_p"))
+
+    ids_c = sorted(
+        r["doc_id"] for r in spark.read.parquet(index_c).collect()
+    )
+    ids_p = sorted(
+        r["doc_id"] for r in spark.read.parquet(index_p).collect()
+    )
+    assert ids_c == ids_p == [0, 1, 2, 3, 4, 11]
+    s1c = spark.read.parquet(stats_c).filter("batch_id = 1").collect()[0]
+    s1p = spark.read.parquet(stats_p).filter("batch_id = 1").collect()[0]
+    for c in (
+        "n_batch", "n_exact_index_dup", "n_near_index_dup",
+        "n_semantic_index_dup", "n_kept",
+    ):
+        assert s1c[c] == s1p[c], (c, s1c[c], s1p[c])
+    assert s1c["n_semantic_index_dup"] == 1  # doc 10 dropped at 3b
+
+    model = load_ann_model(spark, mp)
+    assert model is not None
+
+    def _expected_codes():
+        return sorted(
+            map(
+                tuple,
+                pq_code_rows(
+                    emb.join(
+                        spark.read.parquet(index_c).select(
+                            F.col("doc_id").alias("vec_id")
+                        ),
+                        "vec_id",
+                    ),
+                    model["centroids"],
+                    model["codebooks"],
+                ).collect(),
+            )
+        )
+
+    fp = _listing_fingerprint(spark, index_c)
+    side, side_md5 = _load_codes_sidecar(spark, cp, fp)
+    assert side is not None
+    assert side_md5 == model["meta"]["fit_md5"]
+    assert sorted(map(tuple, side.collect())) == _expected_codes()
+    # staleness: wrong index fingerprint -> rejected
+    assert _load_codes_sidecar(spark, cp, "not-the-fp") == (None, None)
+
+    # incremental maintenance: SAME checkpoint, one new batch with a
+    # novel doc -> only doc 12's row is added, everything else kept
+    spark.createDataFrame(
+        [(12, "a third entirely distinct theme", "s")], schema
+    ).coalesce(1).write.mode("append").parquet(batches)
+    _run(index_c, stats_c, str(tmp_path / "ck_c"),
+         model_path=mp, codes_path=cp)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(index_c).collect()
+    ) == [0, 1, 2, 3, 4, 11, 12]
+    model2 = load_ann_model(spark, mp)
+    assert model2["meta"]["fit_id"] == model["meta"]["fit_id"]  # reused
+    fp2 = _listing_fingerprint(spark, index_c)
+    side2, side2_md5 = _load_codes_sidecar(spark, cp, fp2)
+    assert side2 is not None and side2_md5 == model2["meta"]["fit_md5"]
+    assert sorted(map(tuple, side2.collect())) == _expected_codes()
+
+
 def test_ingest_stream_band_sidecar_parity_and_staleness(spark, tmp_path):
     """Round-13 persisted band sidecar: with bands_path the streamed
     index + stats are identical to the recompute path, the sidecar's

@@ -609,6 +609,9 @@ def ingest_corpus_batch(
     pq_ks: int = 16,
     model_path: str | None = None,
     index_bands: DataFrame | None = None,
+    index_codes: DataFrame | None = None,
+    index_codes_fit_md5: str | None = None,
+    semantic_assign_impl: str = "expr",
 ) -> dict:
     """INCREMENTAL corpus ingestion — the daily-maintenance shape that
     is the reference's defining trait (``process()`` folds each day's
@@ -655,6 +658,29 @@ def ingest_corpus_batch(
     makes daily-cadence incremental SemDeDup viable on a 100 TB
     index; the reference analog is its resume-from-artifact loop
     (``tmdb_index.py:241-256``).
+
+    ``index_codes`` + ``index_codes_fit_md5`` (round 14) complete the
+    artifact pair: the standing index's ``(emb_id_col, cell, codes)``
+    rows precomputed by :func:`~tmdb_index_spark.operators.similarity
+    .pq_code_rows` under the model whose
+    :func:`~tmdb_index_spark.operators.ann_store
+    .ann_model_fingerprint` is ``index_codes_fit_md5``.  When the
+    fingerprint matches the model THIS batch actually uses (reused or
+    refit), stage 3b skips the per-batch full-index assign+encode —
+    the one remaining index-proportional map cost of the daily loop;
+    on any mismatch the rows are ignored and the stage recomputes,
+    so a stale sidecar degrades to recompute, never to wrong
+    candidates.  ``run_ingest_stream(codes_path=)`` maintains the
+    sidecar incrementally.
+
+    ``semantic_assign_impl`` picks stage 3b's cell-assignment engine
+    (:func:`~tmdb_index_spark.operators.similarity.ivf_assign`):
+    ``"expr"`` (default) is the oracle-exact sequential fold the
+    hash-checked catalog queries pin; ``"pandas"`` is the BLAS matmul
+    production uses once ``|index|·cells·dim`` makes the fold the
+    batch's dominant term (the two differ only on float-ULP
+    exact-tie assignments; keep ONE impl for the life of a codes
+    sidecar).
 
     Returns ``{"new_index": frame, "kept": frame, "stats": frame,
     "ann_model": meta-dict + "reused" flag or None}``;
@@ -727,6 +753,7 @@ def ingest_corpus_batch(
     ann_model: dict | None = None
     if semantic:
         from tmdb_index_spark.operators.ann_store import (
+            ann_model_fingerprint,
             ann_model_stale,
             load_ann_model,
             save_ann_model,
@@ -785,6 +812,16 @@ def ingest_corpus_batch(
             bat_emb = embeddings.join(
                 s3.select(F.col(id_col).alias(emb_id_col)), emb_id_col
             )
+            # the precomputed index-side (id, cell, codes) sidecar is
+            # usable ONLY under the model this batch actually runs —
+            # a refit (or any fingerprint drift) silently changes
+            # every assignment, so a mismatched sidecar must fall back
+            # to the recompute path, never feed wrong candidate cells
+            use_codes = None
+            if index_codes is not None and index_codes_fit_md5 == (
+                ann_model_fingerprint(cents, books)
+            ):
+                use_codes = index_codes  # (emb_id_col, cell, codes)
             sem_dups = pq_novelty_ids(
                 idx_emb,
                 bat_emb,
@@ -793,6 +830,8 @@ def ingest_corpus_batch(
                 books,
                 id_col=emb_id_col,
                 vec_col=emb_vec_col,
+                assign_impl=semantic_assign_impl,
+                index_codes=use_codes,
             ).withColumnRenamed(emb_id_col, id_col)
             kept = pin_frame(
                 s3.join(sem_dups, id_col, "left_anti"),

@@ -64,6 +64,7 @@ __all__ = [
     "pca_projection_sql",
     "fit_pq_array",
     "pq_encode",
+    "pq_code_rows",
     "pq_novelty_ids",
     "ivfpq_topk",
     "ivfpq_index_topk",
@@ -2767,6 +2768,31 @@ def mmr_rerank(
     )
 
 
+def pq_code_rows(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_impl: str = "expr",
+) -> DataFrame:
+    """``(id_col, cell, codes)`` for every vector — the map-only
+    assign+encode projection :func:`pq_novelty_ids` consumes on each
+    side.  Exposed (round 14) so the STANDING side of an incremental
+    ingestion can persist these rows as a sidecar artifact bound to
+    one model fingerprint and reuse them across batches, instead of
+    re-encoding the whole index per batch (the semantic twin of
+    ``dedup_text.minhash_band_buckets``).  Pure function of the
+    embedding bytes and the model literals, so persisted and
+    recomputed rows are interchangeable under the same fit."""
+    return pq_encode(
+        ivf_assign(emb, centroids, id_col, vec_col, impl=assign_impl),
+        codebooks,
+        id_col,
+        vec_col,
+    ).select(id_col, "cell", "codes")
+
+
 def pq_novelty_ids(
     index_emb: DataFrame,
     batch_emb: DataFrame,
@@ -2776,6 +2802,7 @@ def pq_novelty_ids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_impl: str = "expr",
+    index_codes: DataFrame | None = None,
 ) -> DataFrame:
     """Batch ids whose embedding is a SEMANTIC duplicate of something
     already in the index — the :func:`~tmdb_index_spark.operators
@@ -2802,23 +2829,34 @@ def pq_novelty_ids(
     NULL and fails the threshold filter deliberately rather than via
     an accidental division result (round-12 advisor); the SQL oracle
     carries the identical guard.
+
+    ``index_codes`` (round 14) short-circuits the index side's
+    assign+encode with precomputed :func:`pq_code_rows` output —
+    the persisted-sidecar path of the daily loop.  The caller owns
+    the binding invariant: the rows MUST have been encoded under
+    exactly ``centroids``/``codebooks`` (compare
+    :func:`~tmdb_index_spark.operators.ann_store
+    .ann_model_fingerprint` values — ``ingest_corpus_batch`` does),
+    or the per-cell candidate sets silently diverge.
     """
     CB, cb_n2 = _codebook_arrays(codebooks)
     m, ks, sub = CB.shape
     D = CB @ CB.transpose(0, 2, 1)  # (m, ks, ks)
 
-    idx = pq_encode(
-        ivf_assign(index_emb, centroids, id_col, vec_col, impl=assign_impl),
-        codebooks,
-        id_col,
-        vec_col,
-    ).select(F.col(id_col).alias("__iid__"), "cell", F.col("codes").alias("__ic__"))
-    bat = pq_encode(
-        ivf_assign(batch_emb, centroids, id_col, vec_col, impl=assign_impl),
-        codebooks,
-        id_col,
-        vec_col,
-    ).select(F.col(id_col).alias("__bid__"), "cell", F.col("codes").alias("__bc__"))
+    idx = (
+        index_codes
+        if index_codes is not None
+        else pq_code_rows(
+            index_emb, centroids, codebooks, id_col, vec_col, assign_impl
+        )
+    ).select(
+        F.col(id_col).alias("__iid__"), "cell", F.col("codes").alias("__ic__")
+    )
+    bat = pq_code_rows(
+        batch_emb, centroids, codebooks, id_col, vec_col, assign_impl
+    ).select(
+        F.col(id_col).alias("__bid__"), "cell", F.col("codes").alias("__bc__")
+    )
 
     d_lits = [
         F.array(*[F.lit(float(x)) for x in D[j].reshape(-1)]) for j in range(m)

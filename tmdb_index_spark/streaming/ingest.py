@@ -112,6 +112,25 @@ def _load_band_sidecar(
         return None
 
 
+def _load_codes_sidecar(spark, codes_path: str, index_fp: str | None):
+    """The persisted ``(emb_id, cell, codes)`` sidecar plus the model
+    fingerprint it was encoded under, or ``(None, None)`` unless its
+    meta row matches the CURRENT index listing fingerprint.  The model
+    binding is validated downstream by ``ingest_corpus_batch`` against
+    the fit the batch actually uses — so a refit mid-lifecycle, a torn
+    meta, or a swapped index all degrade to the recompute path, never
+    to wrong candidate cells."""
+    if index_fp is None:
+        return None, None
+    try:
+        meta = spark.read.parquet(codes_path + ".meta").collect()
+        if len(meta) != 1 or meta[0]["fp"] != index_fp:
+            return None, None
+        return spark.read.parquet(codes_path), meta[0]["fit_md5"]
+    except Exception:  # noqa: BLE001 — absent/torn -> recompute
+        return None, None
+
+
 def run_ingest_stream(
     batches: DataFrame,
     index_path: str,
@@ -133,6 +152,9 @@ def run_ingest_stream(
     pq_ks: int = 16,
     model_path: str | None = None,
     bands_path: str | None = None,
+    codes_path: str | None = None,
+    index_buckets: int | None = None,
+    semantic_assign_impl: str = "expr",
 ) -> None:
     """Drain a stream of document batches into the standing corpus
     index, admitting only novel content per micro-batch. With
@@ -177,8 +199,57 @@ def run_ingest_stream(
     it incrementally after the swap (kept ids' rows replaced,
     everything else untouched), and stamps the post-swap fingerprint
     last.  Results are bit-identical with and without the sidecar —
-    the banding is a pure function of the text bytes."""
+    the banding is a pure function of the text bytes.
+
+    ``codes_path`` (round 14) is the semantic stage's twin of
+    ``bands_path``: without it, stage 3b re-runs ``ivf_assign`` +
+    ``pq_encode`` over the ENTIRE standing index's embeddings every
+    micro-batch — map-only, but a full index scan per batch, the last
+    index-proportional compute in the daily loop now that the model
+    fit (``model_path``) and the MinHash bands (``bands_path``) both
+    persist.  The sidecar holds one ``(emb_id, cell, codes)`` row per
+    indexed doc with an embedding (:func:`~tmdb_index_spark.operators
+    .similarity.pq_code_rows`) plus a meta row binding it to the index
+    listing fingerprint AND the model fingerprint it was encoded
+    under; it is consumed only when both match (``ingest_corpus_batch``
+    re-checks the model side against the fit the batch actually uses),
+    maintained incrementally per batch (kept ids' rows replaced),
+    REBUILT from scratch on a model refit (old rows encode the old
+    model's cells), and stamped LAST — every crash window degrades to
+    recompute.  Requires ``embeddings`` + ``semantic_threshold`` +
+    ``model_path``.  Results are identical with and without it: the
+    code rows are a pure function of embedding bytes + model values.
+    ``semantic_assign_impl`` flows through to every assign/encode in
+    the loop (stage 3b AND sidecar maintenance — one impl for the life
+    of a sidecar, see ``ingest_corpus_batch``); production at
+    ``|index|·cells·dim`` scale sets ``"pandas"``.
+
+    ``index_buckets`` (round 14) switches the index artifact from the
+    rename-aside swap — which rewrites the WHOLE index every
+    micro-batch, per-batch write bytes proportional to the INDEX — to
+    the bucket-incremental store (:mod:`~tmdb_index_spark.sources
+    .bucket_store`): the index lives as id-hash-bucketed parquet
+    directories behind a versioned manifest committed LAST, and each
+    fold rewrites only the buckets the batch's kept docs land in —
+    write bytes proportional to the BATCH.  Same upsert semantics,
+    same stats ledger, same replay fixpoints (an already-folded batch
+    keeps nothing, so no buckets are touched), same degrade-to-
+    previous-state crash windows; sidecars fingerprint and rebuild
+    against the manifest-resolved view.  Consumers read the index via
+    :func:`~tmdb_index_spark.sources.bucket_store.read_bucket_index`
+    instead of a bare ``spark.read.parquet``.  The bucket count is
+    fixed at store creation (manifest-recorded; folds validate)."""
     spark = batches.sparkSession
+    if codes_path and not (
+        embeddings is not None
+        and semantic_threshold is not None
+        and model_path
+    ):
+        raise ValueError(
+            "codes_path requires embeddings, semantic_threshold, and "
+            "model_path — the sidecar is keyed to the persisted model "
+            "artifact's fingerprint"
+        )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -200,14 +271,16 @@ def run_ingest_stream(
             .drop("__rn__", "__arrival__")
         )
 
+        pre_fp = _listing_fingerprint(spark, index_path)
         stored_bands = None
         if bands_path:
             stored_bands = _load_band_sidecar(
-                spark,
-                bands_path,
-                _listing_fingerprint(spark, index_path),
-                num_hashes,
-                bands,
+                spark, bands_path, pre_fp, num_hashes, bands
+            )
+        stored_codes, stored_codes_md5 = (None, None)
+        if codes_path:
+            stored_codes, stored_codes_md5 = _load_codes_sidecar(
+                spark, codes_path, pre_fp
             )
         state: dict = {}
 
@@ -232,21 +305,26 @@ def run_ingest_stream(
                 pq_ks=pq_ks,
                 model_path=model_path,
                 index_bands=stored_bands,
+                index_codes=stored_codes,
+                index_codes_fit_md5=stored_codes_md5,
+                semantic_assign_impl=semantic_assign_impl,
             )
-            if bands_path:
-                from tmdb_index_spark.operators.dedup_text import (
-                    minhash_band_buckets,
-                )
-
-                # materialize the kept ids + their band rows BEFORE the
-                # index swap: their lineage reads index_path, which the
-                # swap replaces (localCheckpoint truncates the lineage,
-                # so no post-swap recompute can chase the old files)
+            state["out"] = out
+            if bands_path or codes_path:
+                # materialize the kept ids BEFORE the index swap: their
+                # lineage reads index_path, which the swap replaces
+                # (localCheckpoint truncates the lineage, so no
+                # post-swap recompute can chase the old files)
                 state["kept_ids"] = (
                     out["kept"]
                     .select(F.col(id_col).alias("index_id"))
                     .localCheckpoint(True)
                 )
+            if bands_path:
+                from tmdb_index_spark.operators.dedup_text import (
+                    minhash_band_buckets,
+                )
+
                 state["kept_bands"] = minhash_band_buckets(
                     out["kept"], text_col, id_col, 3, num_hashes, bands,
                     out_id="index_id",
@@ -281,8 +359,42 @@ def run_ingest_stream(
                 fs.createNewFile(sentinel)
             return out["new_index"]
 
+        def read_index() -> DataFrame:
+            """The CURRENT committed index under either layout — the
+            sidecar rebuild paths must never read the bucket store's
+            raw directory tree (it holds superseded versions)."""
+            if index_buckets:
+                from tmdb_index_spark.sources.bucket_store import (
+                    read_bucket_index,
+                )
+
+                cur = read_bucket_index(spark, index_path)
+                if cur is None:
+                    return spark.createDataFrame([], deduped.schema)
+                return cur
+            return spark.read.parquet(index_path)
+
         try:
-            recover_and_swap(spark, index_path, build)
+            if index_buckets:
+                from tmdb_index_spark.sources.bucket_store import (
+                    fold_bucket_index,
+                    read_bucket_index,
+                )
+
+                # bucketed layout: no whole-index rewrite — run the
+                # composite against the manifest-resolved view, then
+                # fold ONLY the kept docs' buckets (out["new_index"]
+                # is lazy and never executed in this mode)
+                build(read_bucket_index(spark, index_path))
+                fold_bucket_index(
+                    spark,
+                    index_path,
+                    state["out"]["kept"],
+                    id_col,
+                    index_buckets,
+                )
+            else:
+                recover_and_swap(spark, index_path, build)
             if bands_path:
                 # maintain the band sidecar AFTER the index swap, with
                 # the same rename-aside machinery; the meta fingerprint
@@ -299,7 +411,7 @@ def run_ingest_stream(
                     )
 
                     return minhash_band_buckets(
-                        spark.read.parquet(index_path),
+                        read_index(),
                         text_col, id_col, 3, num_hashes, bands,
                         out_id="index_id",
                     )
@@ -317,6 +429,75 @@ def run_ingest_stream(
                 ).coalesce(1).write.mode("overwrite").parquet(
                     bands_path + ".meta"
                 )
+            if codes_path:
+                from tmdb_index_spark.operators.ann_store import (
+                    load_ann_model,
+                )
+                from tmdb_index_spark.operators.similarity import (
+                    pq_code_rows,
+                )
+
+                # the model the NEXT batch will reuse is whatever the
+                # artifact holds now (this batch saved before the swap
+                # if it refit); no artifact yet (bootstrap batch, the
+                # semantic stage never ran) -> no sidecar this round,
+                # and any leftover meta's fingerprint is now stale so
+                # the next batch rejects it
+                model = load_ann_model(spark, model_path)
+                if model is not None:
+                    cur_md5 = model["meta"]["fit_md5"]
+                    kept_eids = state["kept_ids"].select(
+                        F.col("index_id").alias(emb_id_col)
+                    )
+
+                    def build_codes(old: DataFrame | None) -> DataFrame:
+                        # incremental only when the stored rows encode
+                        # THIS model; a refit invalidates every stored
+                        # cell/code, so rebuild the whole index once
+                        if (
+                            stored_codes is not None
+                            and stored_codes_md5 == cur_md5
+                            and old is not None
+                        ):
+                            kept_codes = pq_code_rows(
+                                embeddings.join(kept_eids, emb_id_col),
+                                model["centroids"],
+                                model["codebooks"],
+                                emb_id_col,
+                                emb_vec_col,
+                                assign_impl=semantic_assign_impl,
+                            )
+                            return old.join(
+                                kept_eids, emb_id_col, "left_anti"
+                            ).unionByName(kept_codes)
+                        return pq_code_rows(
+                            embeddings.join(
+                                read_index().select(
+                                    F.col(id_col).alias(emb_id_col)
+                                ),
+                                emb_id_col,
+                            ),
+                            model["centroids"],
+                            model["codebooks"],
+                            emb_id_col,
+                            emb_vec_col,
+                            assign_impl=semantic_assign_impl,
+                        )
+
+                    recover_and_swap(spark, codes_path, build_codes)
+                    spark.createDataFrame(
+                        [
+                            (
+                                _listing_fingerprint(spark, index_path),
+                                cur_md5,
+                                pq_m,
+                                pq_ks,
+                            )
+                        ],
+                        "fp string, fit_md5 string, pq_m int, pq_ks int",
+                    ).coalesce(1).write.mode("overwrite").parquet(
+                        codes_path + ".meta"
+                    )
         finally:
             # frees exactly the ledger-owned cache pins the composite
             # made for this batch (caller-owned caches survive)
