@@ -64,6 +64,16 @@ BENCH_QUERIES = [
 #: referent total (28.753 − 0.662 = 28.091 s).
 R1_QUERIES = [q for q in BENCH_QUERIES if "tuned" not in q]
 
+#: Drift anchor: `q1_pricing_summary` touches code no round has changed
+#: since round 1, so its measured time is a pure box-speed probe. The
+#: referent is the round-14 idle-box min-of-3 (BASELINE.md round-14
+#: referent block); the emitted ``q1_anchor_ratio`` =
+#: measured/referent makes every bench artifact self-interpreting —
+#: a uniform total drift with the ratio ≈ the same factor is the box,
+#: not the code (the signature that cost rounds 3-4, 6, 10 and 13
+#: diagnosis time).
+Q1_ANCHOR_REFERENT_SEC = 1.268
+
 #: Round-4/5 catalog additions (llm-prep pipeline, TPC-H shapes,
 #: ordering/range/rollup operators): benched under
 #: ``SPARK_GRAFT_BENCH_SET=extended`` so BASELINE.md can carry a
@@ -330,6 +340,10 @@ def main() -> int:
         "passes": passes,
         "sf": sf,
     }
+    if "q1_pricing_summary" in timings:
+        out["q1_anchor_ratio"] = round(
+            timings["q1_pricing_summary"] / Q1_ANCHOR_REFERENT_SEC, 3
+        )
     if only:
         out["metric"] = "only_queries_total"
     elif bench_set == "headline":
