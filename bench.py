@@ -260,6 +260,8 @@ EXTENDED_QUERIES = [
     "pipeline_daily_cycle",
     "embedding_pq_multiprobe_tuned",
     "ann_recall_eval_multiprobe",
+    # round-14: the index advisor over the recall-lever matrix
+    "ann_index_advisor",
     "order_anova_by_priority",
     "event_dow_chisq",
     "purchase_mannwhitney",

@@ -287,6 +287,7 @@ def test_registry_consistency(spark):
         "embedding_pq_multiprobe_tuned",
         "ann_recall_eval",
         "ann_recall_eval_multiprobe",
+        "ann_index_advisor",
     }
     assert set(Q.DYNAMIC_ORACLE_BUILDERS) == {
         "corpus_ingest_semantic_stats",
@@ -302,6 +303,7 @@ def test_registry_consistency(spark):
         "embedding_pq_multiprobe_tuned",
         "ann_recall_eval",
         "ann_recall_eval_multiprobe",
+        "ann_index_advisor",
     }
     with_dynamic = {**dict(Q.ORACLES), **Q.dynamic_oracles()}
     assert set(Q.QUERIES) - set(with_dynamic) == set()
@@ -1264,6 +1266,50 @@ def test_semantic_oracle_builders_guard_nonflat_regime(
     not SQL."""
     assert name in Q.DYNAMIC_ORACLE_BUILDERS
     assert Q.DYNAMIC_ORACLE_BUILDERS[name](oversized_sf_dir) is None
+
+
+def test_ann_index_advisor_cost_rules_and_decision(spark):
+    """Round-14 index advisor: the cost rows mirror the self-tuned
+    entry points' occupancy rules exactly (flat/PQ cells = round(√N),
+    two-level = min(round(N^(2/3)), fit cap)), the PQ payload carries
+    the dim·8/m compression, the advisor emits EXACTLY one
+    recommendation, and the two decision branches (cheapest eligible /
+    max-recall fallback) order as designed."""
+    from tmdb_index_spark.queries._embed_dedup import (
+        _ann_advisor_cost_rows,
+    )
+
+    rows = {r[0]: r[1:] for r in _ann_advisor_cost_rows(500, 64)}
+    assert rows["ivf_multiprobe"] == (22, 44, 22528)
+    assert rows["ivf2_multiprobe"] == (63, 14, 7168)
+    assert rows["pq_multiprobe"] == (22, 44, 352)
+    # the fit-sample cap binds the two-level cell rule at scale
+    assert _ann_advisor_cost_rows(10**9, 64)[1][1] == 10_000
+
+    out = Q.QUERIES["ann_index_advisor"](spark, SF).collect()
+    assert len(out) == 3
+    rec = [r for r in out if r["recommended"]]
+    assert len(rec) == 1
+    # branch invariant: the pick is the cheapest family meeting the
+    # floor, else the max-recall family
+    eligible = [r for r in out if r["recall_at_3"] >= r["target_recall"]]
+    if eligible:
+        assert rec[0]["index_name"] == min(
+            eligible,
+            key=lambda r: (
+                r["est_candidate_bytes_per_query"],
+                -r["recall_at_3"],
+                r["index_name"],
+            ),
+        )["index_name"]
+    else:
+        assert rec[0]["index_name"] == max(
+            out,
+            key=lambda r: (
+                r["recall_at_3"],
+                -r["est_candidate_bytes_per_query"],
+            ),
+        )["index_name"]
 
 
 def test_pipeline_daily_cycle_plan_shape(spark):

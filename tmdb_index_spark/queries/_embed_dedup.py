@@ -2128,6 +2128,193 @@ FROM (
 """
 
 
+#: The advisor's recall floor: a family must measure recall@3 >= this
+#: on the bounded query sample to be eligible; among eligible families
+#: the CHEAPEST (estimated candidate bytes per query) wins — the
+#: FAISS-guideline decision shape (recall target first, then memory /
+#: bandwidth). With no family at the floor the advisor degrades to the
+#: max-recall family, so it always emits exactly one recommendation.
+ANN_ADVISOR_TARGET_RECALL = 0.3
+
+
+def _ann_advisor_cost_rows(
+    n: int, dim: int, nprobe: int = 2, pq_m: int = 8, fit_cap: int = 10_000
+) -> list[tuple[str, int, int, int]]:
+    """The modeled per-family cost side of the advisor, from the SAME
+    occupancy rules the self-tuned index entry points apply at fit
+    time (``ivf_index_topk``: cells = round(√N); ``ivf2_index_topk``:
+    cells = min(round(N^(2/3)), fit-sample cap); ``ivfpq_index_topk``:
+    the flat rule + ``m``-byte codes) — so the advisor's numbers are
+    the costs the family WOULD incur on this corpus, not generic
+    asymptotics.  Per family at query-side multi-probe ``nprobe``:
+    expected candidates scored per query = nprobe · ⌊N / cells⌋ (mean
+    cell occupancy; corpus membership is single-cell in every family,
+    the asymmetric contract), and candidate payload bytes = dim · 8
+    for the full-vector families vs ``pq_m`` one-byte codes for PQ —
+    the ~``dim·8/m``× shuffle-compression that is PQ's whole point.
+    Returns ``(index_name, cells, est_candidates_per_query,
+    est_candidate_bytes_per_query)`` rows.  Pure integer/float
+    arithmetic shared verbatim by the Spark build and the oracle
+    builder, so both engines see identical literals."""
+    flat_cells = max(1, round(n ** 0.5))
+    ivf2_cells = max(1, min(round(n ** (2.0 / 3.0)), fit_cap))
+    rows = []
+    for name, cells, payload in (
+        ("ivf_multiprobe", flat_cells, dim * 8),
+        ("ivf2_multiprobe", ivf2_cells, dim * 8),
+        ("pq_multiprobe", flat_cells, pq_m),
+    ):
+        cand = nprobe * (n // cells)
+        rows.append((name, cells, cand, cand * payload))
+    return rows
+
+
+def ann_index_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index advisor over the ANN recall-lever matrix (round 14 — the
+    FAISS-style "which index should this corpus use" decision as a
+    catalog query): measures recall@3 of all three multi-probe
+    families (:func:`ann_recall_eval_multiprobe`'s legs), attaches
+    each family's MODELED cost at the current corpus size via the
+    self-tuned occupancy rules (:func:`_ann_advisor_cost_rows`), and
+    flags exactly one ``recommended`` family — the cheapest (estimated
+    candidate bytes shuffled per query) among those meeting
+    :data:`ANN_ADVISOR_TARGET_RECALL`, degrading to the max-recall
+    family when none does.  The decision arithmetic runs IN-ENGINE on
+    both sides over the 3-row family frame, so the whole decision
+    table hash-matches the DuckDB oracle.
+
+    N-regime → recommended gear, consistent with the measured 100×
+    stress rows (SCALE.md: flat multiprobe 20.8×, ivf2 10.3×, PQ
+    13.3× at 100× data) and the family docstrings:
+
+    ========================  =============================================
+    corpus regime             gear
+    ========================  =============================================
+    N ≲ 10⁴ (dev/eval)        flat IVF multiprobe — Θ(N^1.5) is harmless
+                              here and it holds the best recall
+    10⁴ ≲ N ≲ 10⁷             two-level IVF (Θ(N^(4/3)) total) when recall
+                              rules; IVF-PQ when candidate bandwidth does
+                              (dim·8/m ≈ 64× smaller shuffles)
+    N beyond (100 TB tier)    IVF-PQ with the codes sidecar (encode once,
+                              reuse per batch) — the only family whose
+                              candidate payload stays byte-scale — or the
+                              occupancy-constant LSH index when throughput
+                              beats learned-cell recall
+    ========================  =============================================
+
+    The measured sf0.01/sf0.1 decisions exercise both branches: at
+    N=500 PQ meets the floor and wins on bytes (360 vs 23 040 per
+    query); at N=2000 only flat IVF stays above the floor and the
+    advisor pays its bandwidth for the recall.
+    """
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    head = emb.select(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size("embedding")).alias("dim"),
+    ).first()
+    n, dim = int(head["n"] or 0), int(head["dim"] or 0)
+    # a VALUES literal relation (LocalTableScan), not createDataFrame:
+    # the cost rows are plan-build-time literals, and a literal
+    # relation keeps the whole decision JVM-side with a plan the
+    # window lint can see is bounded (createDataFrame of Python rows
+    # compiles to an opaque RDDScan)
+    values = ", ".join(
+        f"('{name}', CAST({cells} AS INT), CAST({cand} AS BIGINT),"
+        f" CAST({by} AS BIGINT))"
+        for name, cells, cand, by in _ann_advisor_cost_rows(n, dim)
+    )
+    costs = spark.sql(
+        f"SELECT * FROM VALUES {values} AS t(index_name, cells,"
+        " est_candidates_per_query, est_candidate_bytes_per_query)"
+    )
+    rec = ann_recall_eval_multiprobe(spark, sf_dir)
+    joined = rec.join(F.broadcast(costs), "index_name")
+    elig = F.col("recall_at_3") >= F.lit(ANN_ADVISOR_TARGET_RECALL)
+    # 3-row frame (one per family) — the unpartitioned window is
+    # bounded by the family count, not the data
+    w = Window.orderBy(
+        elig.desc(),
+        F.when(elig, F.col("est_candidate_bytes_per_query"))
+        .asc_nulls_last(),
+        F.col("recall_at_3").desc(),
+        F.col("index_name").asc(),
+    )
+    return joined.select(
+        "index_name",
+        F.lit(n).cast("long").alias("n_corpus"),
+        "n_queries",
+        "n_hits",
+        "recall_at_3",
+        "cells",
+        "est_candidates_per_query",
+        "est_candidate_bytes_per_query",
+        F.lit(float(ANN_ADVISOR_TARGET_RECALL)).alias("target_recall"),
+        (F.row_number().over(w) == 1).alias("recommended"),
+    )
+
+
+def _ann_index_advisor_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    """Value-row oracle for ``ann_index_advisor``: the composed
+    recall-matrix oracle as a subquery, the SAME
+    :func:`_ann_advisor_cost_rows` literals (one shared Python
+    helper — both engines see identical numbers), and the identical
+    in-SQL decision ordering.  Degrades to rows-only whenever the
+    recall-matrix oracle does."""
+    rec_sql = _ann_recall_multiprobe_oracle_sql(sf_dir)
+    if rec_sql is None:
+        return None
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        path = f"{sf_dir}/embeddings.parquet"
+        n, dim = con.sql(
+            f"SELECT COUNT(*), MAX(len(embedding)) FROM '{path}'"
+        ).fetchone()
+        n, dim = int(n or 0), int(dim or 0)
+    except Exception:  # noqa: BLE001 — missing table → rows-only
+        return None
+    values = ",\n    ".join(
+        f"('{name}', {cells}, {cand}, {by})"
+        for name, cells, cand, by in _ann_advisor_cost_rows(n, dim)
+    )
+    t = ANN_ADVISOR_TARGET_RECALL
+    return f"""
+WITH rec AS ({rec_sql}),
+cost AS (SELECT * FROM (VALUES
+    {values}
+) AS t(index_name, cells, est_candidates_per_query,
+       est_candidate_bytes_per_query)),
+j AS (
+  SELECT r.index_name, r.n_queries, r.n_hits, r.recall_at_3,
+         c.cells, c.est_candidates_per_query,
+         c.est_candidate_bytes_per_query,
+         (r.recall_at_3 >= {t!r}) AS elig
+  FROM rec r JOIN cost c USING (index_name)
+)
+SELECT index_name, CAST({n} AS BIGINT) AS n_corpus, n_queries, n_hits,
+       recall_at_3, CAST(cells AS INTEGER) AS cells,
+       CAST(est_candidates_per_query AS BIGINT)
+         AS est_candidates_per_query,
+       CAST(est_candidate_bytes_per_query AS BIGINT)
+         AS est_candidate_bytes_per_query,
+       CAST({t!r} AS DOUBLE) AS target_recall,
+       (rn = 1) AS recommended
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY elig DESC,
+             CASE WHEN elig THEN est_candidate_bytes_per_query END
+               ASC NULLS LAST,
+             recall_at_3 DESC, index_name ASC) AS rn
+  FROM j
+)
+"""
+
+
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index-quality evaluation (extension: similarity-search eval
     harness — the recall@k sweep every production ANN deployment runs

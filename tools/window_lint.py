@@ -155,6 +155,14 @@ def _input_is_data_proportional(node) -> bool:
         if cp is None:
             return True
         return _input_is_data_proportional(cp)
+    if cls == "LocalTableScanExec":
+        # driver-local literal relation (createDataFrame of built
+        # literals — e.g. the advisor's 3-row cost table): its rows
+        # were materialized on the driver at plan-build time, so the
+        # frame is bounded by construction. Data-proportional rows
+        # can only reach a local relation through a driver collect,
+        # which bounded_collect polices separately.
+        return False
     if "Scan" in cls:
         return True  # raw table
     kids = _children(node)
