@@ -11,6 +11,7 @@ import pytest
 
 from tmdb_index_spark.sources.bucket_store import (
     fold_bucket_index,
+    lookup_bucket_ids,
     read_bucket_index,
     read_bucket_manifest,
 )
@@ -156,6 +157,44 @@ def test_fold_write_bytes_proportional_to_batch(spark, tmp_path):
     assert b2 * 10 < b1, (b1, b2)
     df = read_bucket_index(spark, p)
     assert df.count() == 20_003
+
+
+def test_lookup_prunes_to_probed_buckets(spark, tmp_path):
+    """Point lookup reads ONLY the bucket directories the probed ids
+    hash to (verified via the frame's input files), agrees with a
+    full-index filter, returns a schema-correct empty frame for
+    never-written buckets / empty probes, and None on bootstrap."""
+    p = str(tmp_path / "store")
+    assert lookup_bucket_ids(spark, p, [1], "id") is None
+    big = spark.range(5_000).selectExpr("id", "'v' || id AS payload")
+    fold_bucket_index(spark, p, big, "id", 64)
+
+    probe = [3, 4711, 999999]  # one id absent from the index
+    got = lookup_bucket_ids(spark, p, probe, "id")
+    expect = sorted(
+        map(
+            tuple,
+            read_bucket_index(spark, p)
+            .filter("id IN (3, 4711, 999999)")
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == expect
+    assert len(expect) == 2
+    # pruning proof: the lookup's scan touches at most |probe| bucket
+    # dirs out of 64 — never the whole store
+    touched = {f.rsplit("/", 2)[-2] for f in got.inputFiles()}
+    assert 0 < len(touched) <= len(probe)
+    full = {
+        f.rsplit("/", 2)[-2]
+        for f in read_bucket_index(spark, p).inputFiles()
+    }
+    assert len(full) == 64 and touched < full
+
+    empty = lookup_bucket_ids(spark, p, [], "id")
+    assert empty.columns == ["id", "payload"] and empty.count() == 0
+    with pytest.raises(TypeError, match="unsupported id literal"):
+        lookup_bucket_ids(spark, p, [1.5], "id")
 
 
 def test_manifest_json_is_stable_and_self_describing(spark, tmp_path):

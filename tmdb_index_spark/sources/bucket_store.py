@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "bucket_of",
     "fold_bucket_index",
+    "lookup_bucket_ids",
     "read_bucket_index",
     "read_bucket_manifest",
 ]
@@ -144,6 +145,60 @@ def read_bucket_index(spark: SparkSession, path: str) -> DataFrame | None:
         for _, d in sorted(man["buckets"].items(), key=lambda kv: int(kv[0]))
     ]
     return spark.read.parquet(*dirs)
+
+
+def lookup_bucket_ids(
+    spark: SparkSession,
+    path: str,
+    ids: list,
+    id_col: str,
+) -> DataFrame | None:
+    """Point lookup against the bucketed index: read ONLY the bucket
+    directories the given ids hash to, then filter — the pruning the
+    bucketing exists for (at a 100 TB index a probe for a handful of
+    ids touches |ids| directories, not the table).  The id→bucket
+    mapping is computed with the SAME JVM ``xxhash64`` expression the
+    folds use, over a literal VALUES relation — one driver-local job,
+    no data scan — so lookup and fold can never disagree on a row's
+    home bucket.  Returns ``None`` when no committed store exists
+    (the :func:`read_bucket_index` bootstrap convention); ids whose
+    bucket was never written simply produce no rows.  ``ids`` may be
+    ints or strings (matching the stored ``id_col`` type — hashing a
+    LONG and its string form bucket differently by design)."""
+    man = read_bucket_manifest(spark, path)
+    if man is None or not man["buckets"]:
+        return None
+    n = man["n_buckets"]
+
+    def lit_sql(v) -> str:
+        if isinstance(v, bool) or not isinstance(v, (int, str)):
+            raise TypeError(f"unsupported id literal type: {type(v)}")
+        if isinstance(v, int):
+            return f"(CAST({v} AS BIGINT))"
+        escaped = v.replace("'", "''")
+        return f"('{escaped}')"
+
+    if not ids:
+        dirs = []
+    else:
+        vals = ", ".join(lit_sql(v) for v in ids)
+        probe = spark.sql(f"SELECT * FROM VALUES {vals} AS t({id_col})")
+        bkts = {
+            r[0]
+            for r in probe.select(bucket_of(id_col, n)).distinct().collect()
+        }
+        dirs = [
+            posixpath.join(path, man["buckets"][str(b)])
+            for b in sorted(bkts)
+            if str(b) in man["buckets"]
+        ]
+    if not dirs:
+        # schema-correct empty frame: the probed buckets were never
+        # written (or no ids) — read a committed bucket dir's footer
+        # only, no row scan survives the false filter
+        any_dir = posixpath.join(path, next(iter(man["buckets"].values())))
+        return spark.read.parquet(any_dir).filter(F.lit(False))
+    return spark.read.parquet(*dirs).filter(F.col(id_col).isin(list(ids)))
 
 
 def _cleanup(spark: SparkSession, path: str, keep_dirs: set[str],

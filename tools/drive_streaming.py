@@ -388,6 +388,111 @@ def main() -> int:
         f"MinHash band sidecar persisted"
     )
 
+    # ---- 6. full round-14 production shape: bucketed index + all ----
+    # The same semantic two-batch drive as #5, but with EVERY
+    # round-13/14 persistence lever on at once — bucket-incremental
+    # index (index_buckets), ANN model artifact (model_path), MinHash
+    # band sidecar (bands_path), and PQ-codes sidecar (codes_path).
+    # The sidecars and the storage layout are pure accelerators, so
+    # the manifest-resolved index and the stats ledger must be
+    # IDENTICAL to drive #5's plain-layout, sidecar-maintaining run;
+    # the codes sidecar must equal a from-scratch encode of the final
+    # index under the stored model and carry both binding
+    # fingerprints; and the bucket fold must have committed exactly
+    # two manifest versions with batch-2's touched buckets in v=2.
+    from tmdb_index_spark.operators.similarity import pq_code_rows
+    from tmdb_index_spark.sources.bucket_store import (
+        read_bucket_index,
+        read_bucket_manifest,
+    )
+    from tmdb_index_spark.streaming.ingest import (
+        _listing_fingerprint,
+        _load_codes_sidecar,
+    )
+
+    full_index = f"{scratch}/full_index"
+    full_stats = f"{scratch}/full_stats"
+    full_model = f"{scratch}/full_model.parquet"
+    full_codes = f"{scratch}/full_codes.parquet"
+    run_ingest_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sem_src),
+        full_index,
+        full_stats,
+        f"{scratch}/ckpt_full",
+        embeddings=emb_all,
+        semantic_threshold=0.9,
+        model_path=full_model,
+        bands_path=f"{scratch}/full_bands.parquet",
+        codes_path=full_codes,
+        index_buckets=16,
+    )
+    full_ids = sorted(
+        r["doc_id"]
+        for r in read_bucket_index(spark, full_index)
+        .select("doc_id")
+        .collect()
+    )
+    assert full_ids == sem_stream_ids, (
+        f"bucketed+sidecar run diverged from the plain layout: "
+        f"{len(full_ids)} vs {len(sem_stream_ids)} index rows"
+    )
+    full_ledger = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(full_stats)
+        .groupBy("batch_id")
+        .agg(
+            F.sum("n_semantic_index_dup").alias("n_sem"),
+            F.sum("n_near_index_dup").alias("n_near"),
+            F.sum("n_kept").alias("n_kept"),
+        )
+        .collect()
+    }
+    for bid in (0, 1):
+        for c in ("n_sem", "n_near", "n_kept"):
+            assert full_ledger[bid][c] == (
+                ledger[bid][c] if bid in ledger else None
+            ), (bid, c)
+    man = read_bucket_manifest(spark, full_index)
+    assert man["version"] == 2 and man["n_buckets"] == 16
+    v2 = [d for d in man["buckets"].values() if "v=2" in d]
+    # batch 2 keeps ~239 docs here, enough to touch every bucket —
+    # write proportionality at SMALL batch sizes is pinned by
+    # tests/test_bucket_store.py::test_fold_write_bytes_proportional_to_batch;
+    # this drive pins the versioned-commit shape and cross-layout parity
+    assert 0 < len(v2) <= man["n_buckets"]
+    full_mod = load_ann_model(spark, full_model)
+    assert full_mod is not None
+    side, side_md5 = _load_codes_sidecar(
+        spark, full_codes, _listing_fingerprint(spark, full_index)
+    )
+    assert side is not None
+    assert side_md5 == full_mod["meta"]["fit_md5"]
+    expected_codes = sorted(
+        map(
+            tuple,
+            pq_code_rows(
+                emb_all.join(
+                    read_bucket_index(spark, full_index).select(
+                        F.col("doc_id").alias("vec_id")
+                    ),
+                    "vec_id",
+                ),
+                full_mod["centroids"],
+                full_mod["codebooks"],
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, side.collect())) == expected_codes
+    print(
+        f"run_ingest_stream(bucketed+sidecars): {len(full_ids)} index "
+        f"docs across {man['n_buckets']} buckets (v2 touched "
+        f"{len(v2)}) — identical to the plain layout; codes sidecar "
+        f"({len(expected_codes)} rows) matches a from-scratch encode "
+        f"under the persisted model and both binding fingerprints hold"
+    )
+
     shutil.rmtree(scratch, ignore_errors=True)
     print("STREAM DRIVE OK")
     return 0
