@@ -1089,12 +1089,17 @@ def test_ingest_stream_codes_sidecar_parity_and_lifecycle(spark, tmp_path):
         )
 
     fp = _listing_fingerprint(spark, index_c)
-    side, side_md5 = _load_codes_sidecar(spark, cp, fp)
+    side, side_md5 = _load_codes_sidecar(spark, cp, fp, "expr")
     assert side is not None
     assert side_md5 == model["meta"]["fit_md5"]
     assert sorted(map(tuple, side.collect())) == _expected_codes()
     # staleness: wrong index fingerprint -> rejected
-    assert _load_codes_sidecar(spark, cp, "not-the-fp") == (None, None)
+    assert _load_codes_sidecar(spark, cp, "not-the-fp", "expr") == (
+        None, None,
+    )
+    # engine binding: cells stored under one assign impl must never
+    # pair with batch cells computed under the other (ULP ties)
+    assert _load_codes_sidecar(spark, cp, fp, "pandas") == (None, None)
 
     # incremental maintenance: SAME checkpoint, one new batch with a
     # novel doc -> only doc 12's row is added, everything else kept
@@ -1109,7 +1114,7 @@ def test_ingest_stream_codes_sidecar_parity_and_lifecycle(spark, tmp_path):
     model2 = load_ann_model(spark, mp)
     assert model2["meta"]["fit_id"] == model["meta"]["fit_id"]  # reused
     fp2 = _listing_fingerprint(spark, index_c)
-    side2, side2_md5 = _load_codes_sidecar(spark, cp, fp2)
+    side2, side2_md5 = _load_codes_sidecar(spark, cp, fp2, "expr")
     assert side2 is not None and side2_md5 == model2["meta"]["fit_md5"]
     assert sorted(map(tuple, side2.collect())) == _expected_codes()
 

@@ -112,22 +112,33 @@ def _load_band_sidecar(
         return None
 
 
-def _load_codes_sidecar(spark, codes_path: str, index_fp: str | None):
+def _load_codes_sidecar(
+    spark, codes_path: str, index_fp: str | None, assign_impl: str
+):
     """The persisted ``(emb_id, cell, codes)`` sidecar plus the model
     fingerprint it was encoded under, or ``(None, None)`` unless its
-    meta row matches the CURRENT index listing fingerprint.  The model
-    binding is validated downstream by ``ingest_corpus_batch`` against
-    the fit the batch actually uses — so a refit mid-lifecycle, a torn
-    meta, or a swapped index all degrade to the recompute path, never
-    to wrong candidate cells."""
+    meta row matches the CURRENT index listing fingerprint AND the
+    assignment engine this run uses (``expr`` and ``pandas`` agree
+    everywhere except float-ULP exact-tie assignments, so cells stored
+    under one engine must never pair with batch cells computed under
+    the other — the enforced form of the one-impl-per-sidecar-life
+    contract).  The model binding is validated downstream by
+    ``ingest_corpus_batch`` against the fit the batch actually uses —
+    so a refit mid-lifecycle, an engine switch, a torn meta, or a
+    swapped index all degrade to the recompute path, never to wrong
+    candidate cells."""
     if index_fp is None:
         return None, None
     try:
         meta = spark.read.parquet(codes_path + ".meta").collect()
-        if len(meta) != 1 or meta[0]["fp"] != index_fp:
+        if (
+            len(meta) != 1
+            or meta[0]["fp"] != index_fp
+            or meta[0]["assign_impl"] != assign_impl
+        ):
             return None, None
         return spark.read.parquet(codes_path), meta[0]["fit_md5"]
-    except Exception:  # noqa: BLE001 — absent/torn -> recompute
+    except Exception:  # noqa: BLE001 — absent/torn/pre-field -> recompute
         return None, None
 
 
@@ -280,7 +291,7 @@ def run_ingest_stream(
         stored_codes, stored_codes_md5 = (None, None)
         if codes_path:
             stored_codes, stored_codes_md5 = _load_codes_sidecar(
-                spark, codes_path, pre_fp
+                spark, codes_path, pre_fp, semantic_assign_impl
             )
         state: dict = {}
 
@@ -492,9 +503,11 @@ def run_ingest_stream(
                                 cur_md5,
                                 pq_m,
                                 pq_ks,
+                                semantic_assign_impl,
                             )
                         ],
-                        "fp string, fit_md5 string, pq_m int, pq_ks int",
+                        "fp string, fit_md5 string, pq_m int, pq_ks int,"
+                        " assign_impl string",
                     ).coalesce(1).write.mode("overwrite").parquet(
                         codes_path + ".meta"
                     )

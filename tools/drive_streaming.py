@@ -465,7 +465,7 @@ def main() -> int:
     full_mod = load_ann_model(spark, full_model)
     assert full_mod is not None
     side, side_md5 = _load_codes_sidecar(
-        spark, full_codes, _listing_fingerprint(spark, full_index)
+        spark, full_codes, _listing_fingerprint(spark, full_index), "expr"
     )
     assert side is not None
     assert side_md5 == full_mod["meta"]["fit_md5"]
