@@ -10,6 +10,7 @@ import os
 import pytest
 
 from tmdb_index_spark.sources.bucket_store import (
+    compact_bucket_index,
     fold_bucket_index,
     lookup_bucket_ids,
     read_bucket_index,
@@ -195,6 +196,40 @@ def test_lookup_prunes_to_probed_buckets(spark, tmp_path):
     assert empty.columns == ["id", "payload"] and empty.count() == 0
     with pytest.raises(TypeError, match="unsupported id literal"):
         lookup_bucket_ids(spark, p, [1.5], "id")
+
+
+def test_compaction_rewrites_to_one_file_per_bucket(spark, tmp_path):
+    """After repeated folds a bucket holds one fragment per touching
+    fold; compaction rewrites the CURRENT rows into one file per
+    bucket under a fresh version with the same commit protocol —
+    rows identical, manifest pointing only at the new version, the
+    pre-previous versions cleaned up, and folding afterwards still
+    works."""
+    p = str(tmp_path / "store")
+    assert compact_bucket_index(spark, p, "id") == {
+        "version": 0, "n_files_before": 0, "n_files_after": 0,
+    }
+    # 5 folds over overlapping ids: bucket dirs accumulate fragments
+    for k in range(5):
+        fold_bucket_index(
+            spark, p,
+            _df(spark, [(i, f"f{k}-{i}") for i in range(k, k + 6)]),
+            "id", 4,
+        )
+    before = _index_rows(spark, p)
+    man0 = read_bucket_manifest(spark, p)
+    r = compact_bucket_index(spark, p, "id")
+    assert r["version"] == man0["version"] + 1
+    assert r["n_files_after"] == 4 <= r["n_files_before"]
+    assert _index_rows(spark, p) == before
+    man = read_bucket_manifest(spark, p)
+    assert man["version"] == r["version"]
+    assert all(f"v={r['version']}" in d for d in man["buckets"].values())
+    # wrong-bucketing guard still applies through the shared manifest
+    with pytest.raises(ValueError, match="rebucketing"):
+        fold_bucket_index(spark, p, _df(spark, [(1, "x")]), "id", 8)
+    fold_bucket_index(spark, p, _df(spark, [(99, "post")]), "id", 4)
+    assert (99, "post") in set(_index_rows(spark, p))
 
 
 def test_manifest_json_is_stable_and_self_describing(spark, tmp_path):

@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bucket_of",
+    "compact_bucket_index",
     "fold_bucket_index",
     "lookup_bucket_ids",
     "read_bucket_index",
@@ -145,6 +146,71 @@ def read_bucket_index(spark: SparkSession, path: str) -> DataFrame | None:
         for _, d in sorted(man["buckets"].items(), key=lambda kv: int(kv[0]))
     ]
     return spark.read.parquet(*dirs)
+
+
+def compact_bucket_index(
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+) -> dict:
+    """Rewrite every bucket's CURRENT rows into one fresh version —
+    one file per bucket — and commit a manifest referencing only it.
+    Daily folds each add a file to every touched bucket, so after N
+    folds a bucket read opens up to N fragments; compaction bounds
+    that read amplification the way lakehouse OPTIMIZE does, with the
+    SAME commit protocol as a fold (immutable new files, manifest
+    pointer last, previous version retained one commit for racing
+    readers) — a crash mid-compaction degrades to the pre-compaction
+    state.  Results are row-identical by construction; the manifest
+    fingerprint changes, so ingest sidecars (bands/codes) rebuild once
+    on the next batch — schedule compaction with, not against, the
+    ingest cadence.  Returns ``{"version", "n_files_before",
+    "n_files_after"}``; a no-op on an empty/missing store."""
+    man = read_bucket_manifest(spark, path)
+    if man is None or not man["buckets"]:
+        return {
+            "version": man["version"] if man else 0,
+            "n_files_before": 0,
+            "n_files_after": 0,
+        }
+    n_buckets = man["n_buckets"]
+    cur = read_bucket_index(spark, path)
+    n_before = len(cur.inputFiles())
+    version = man["version"] + 1
+    vdir = f"data/v={version}"
+    # hash-repartition ON the bucket column: every bucket's rows land
+    # in exactly one task, so each bucket directory gets exactly one
+    # data file
+    (
+        cur.withColumn(_BKT, bucket_of(id_col, n_buckets))
+        .repartition(n_buckets, F.col(_BKT))
+        .write.mode("overwrite")
+        .partitionBy(_BKT)
+        .parquet(posixpath.join(path, vdir))
+    )
+    present = {
+        int(r[0])
+        for r in cur.select(bucket_of(id_col, n_buckets)).distinct().collect()
+    }
+    new_man = {
+        "version": version,
+        "n_buckets": n_buckets,
+        "buckets": {
+            str(b): posixpath.join(vdir, f"{_BKT}={b}")
+            for b in sorted(present)
+        },
+    }
+    _write_manifest(spark, path, new_man)
+    keep_dirs = set(new_man["buckets"].values()) | set(
+        man["buckets"].values()
+    )
+    _cleanup(spark, path, keep_dirs, {version, man["version"]})
+    n_after = len(read_bucket_index(spark, path).inputFiles())
+    return {
+        "version": version,
+        "n_files_before": n_before,
+        "n_files_after": n_after,
+    }
 
 
 def lookup_bucket_ids(
