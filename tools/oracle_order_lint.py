@@ -72,6 +72,11 @@ UNIQUE_TRAILING_KEYS = {
 #:    frame aggregates whose grouped result is tie-order invariant,
 #:    AND no second pass consumes per-row outputs positionally.
 WAIVERS = {
+    ("ann_index_advisor", "index_name"):
+        "grouped-unique: the decision window's input joins one "
+        "1-row aggregate per family (each tagged a DISTINCT literal "
+        "index_name) to a VALUES cost row per family — index_name is "
+        "unique across the 3-row frame by construction; single pass",
     ("cohort_ltv_curves", "age_weeks"):
         "grouped-unique: cells GROUP BY (cohort_week, age_weeks)",
     ("conversion_gains_table", "decile"):
