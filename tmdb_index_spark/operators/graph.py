@@ -49,9 +49,27 @@ def connected_components(
     from tmdb_index_spark.operators.materialize import _PINNED_FRAMES
 
     spark = pairs.sparkSession
+    # Both edge directions come from ONE pass over the pair list: the
+    # former union(select(a,b), select(b,a)) spelling executed the
+    # whole upstream pair-search pipeline once PER BRANCH (pairs is not
+    # pinned, and Spark does not share unpinned subtrees across union
+    # arms) — measured as ~2.4 s of duplicated SimHash+join work per
+    # CC-family query at sf0.1, and a duplicated full candidate-search
+    # pass at any scale (guide §2.4: remove shuffles/passes outright).
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("a"), F.col(dst).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("a"), F.col(src).alias("b")
+                    ),
+                )
+            ).alias("__e__")
+        )
+        .select(F.col("__e__.a").alias("a"), F.col("__e__.b").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -76,45 +94,89 @@ def connected_components(
     # re-estimating plans while executors sat idle). A parquet round-trip
     # gives the next round a plain file relation with true, small stats;
     # it is also the restart-safe pattern a 1000-executor run wants.
+    def step(lab: DataFrame) -> DataFrame:
+        """One label-propagation round: (node, component) -> the same
+        frame with ``component`` replaced by min(keep, neighbor-min,
+        pointer-jump)."""
+        nbr_min = (
+            edges.alias("e")
+            .join(lab.alias("l"), F.col("e.b") == F.col("l.node"))
+            .groupBy(F.col("e.a").alias("node"))
+            .agg(F.min("l.component").alias("nbr_min"))
+        )
+        jump = (
+            lab.alias("x")
+            .join(lab.alias("y"), F.col("x.component") == F.col("y.node"))
+            .select(
+                F.col("x.node").alias("node"),
+                F.col("y.component").alias("jump_min"),
+            )
+        )
+        return (
+            lab.join(nbr_min, "node", "left")
+            .join(jump, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                    F.coalesce(F.col("jump_min"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+
+    # Two measured per-round overheads were removed in the round-14
+    # optimization pass (guide §1/§2 — the loop's wall time was ~80%
+    # fixed per-materialization cost at any scale where a round's data
+    # fits the cluster: job launch, AQE stage setup, the commit):
+    #
+    # * the convergence probe was a SECOND job per round
+    #   (``filter(new < old).isEmpty()`` re-reading the just-written
+    #   parquet); it now rides the write itself as an ``observe()``
+    #   aggregate (sum of improved labels), which costs nothing extra
+    #   inside the already-running write stage;
+    # * TWO propagation rounds now run per parquet materialization —
+    #   the plan per write is twice as deep (still bounded: ~8 joins),
+    #   halving the number of write/commit round-trips. Convergence is
+    #   checked against the label column the PREVIOUS materialization
+    #   produced, so "no label improved across both rounds" is exactly
+    #   the old per-round fixpoint test (labels only ever decrease;
+    #   a fixpoint of one round is a fixpoint of two). The converged
+    #   labels are identical — min node id per component — whatever
+    #   the batching, which the unchanged recursive-CTE oracle pins.
+    from pyspark.sql import Observation
+
     tmp = tempfile.mkdtemp(prefix="tmdb_index_spark_cc_")
     try:
         for i in range(max_iter):
-            nbr_min = (
-                edges.alias("e")
-                .join(labels.alias("l"), F.col("e.b") == F.col("l.node"))
-                .groupBy(F.col("e.a").alias("node"))
-                .agg(F.min("l.component").alias("nbr_min"))
-            )
-            jump = (
-                labels.alias("x")
-                .join(labels.alias("y"), F.col("x.component") == F.col("y.node"))
-                .select(
-                    F.col("x.node").alias("node"),
-                    F.col("y.component").alias("jump_min"),
-                )
-            )
             stepped = (
-                labels.join(nbr_min, "node", "left")
-                .join(jump, "node", "left")
+                step(step(labels))
+                .join(
+                    labels.select(
+                        "node", F.col("component").alias("old_component")
+                    ),
+                    "node",
+                )
                 .select(
                     "node",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("nbr_min"), F.col("component")),
-                        F.coalesce(F.col("jump_min"), F.col("component")),
-                    ).alias("new_component"),
-                    F.col("component").alias("old_component"),
+                    F.col("component").alias("new_component"),
+                    "old_component",
                 )
             )
+            obs = Observation(f"cc_round_{i}")
             path = f"{tmp}/round_{i}"
-            stepped.write.mode("overwrite").parquet(path)
-            stepped = spark.read.parquet(path)
-            labels = stepped.select(
+            stepped.observe(
+                obs,
+                F.sum(
+                    (F.col("new_component") < F.col("old_component")).cast(
+                        "long"
+                    )
+                ).alias("improved"),
+            ).write.mode("overwrite").parquet(path)
+            labels = spark.read.parquet(path).select(
                 "node", F.col("new_component").alias("component")
             )
-            if stepped.filter(
-                F.col("new_component") < F.col("old_component")
-            ).isEmpty():
+            if not (obs.get["improved"] or 0):
                 # Detach the result from the temp files before cleanup
                 # (ledger-registered like the edge frame above).
                 out = labels.localCheckpoint(eager=True)
