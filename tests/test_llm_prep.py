@@ -854,14 +854,18 @@ def test_remove_duplicated_spans_rejects_bad_doc_ids(spark):
     # ordering; a non-numeric id yields NULL keys — both must fail
     # LOUDLY (same consumed assert_true as the 2^20 token bound),
     # never silently mis-cut
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
-
     from tmdb_index_spark.operators.llm_prep import remove_duplicated_spans
 
     neg = spark.createDataFrame(
         [(-1, "a b c a b c"), (2, "a b c d")], "doc_id long, text string"
     )
-    with pytest.raises(SparkRuntimeException, match="non-negative"):
+    # Exception, not SparkRuntimeException: when the guard trips in TWO
+    # concurrently-materializing AQE stages, Spark 4.1 wraps both in
+    # STAGE_MATERIALIZATION_MULTIPLE_FAILURES (a Py4JJavaError) — a
+    # scheduling race, so pinning the wrapper class is flaky. The
+    # contract is the LOUD curated message, which the match pins either
+    # way (same spelling as the non-numeric assertion below).
+    with pytest.raises(Exception, match="non-negative"):
         remove_duplicated_spans(neg, k=3).collect()
     # non-numeric id: either the guard's curated message or ANSI
     # cast's own error — both are loud failures, never silent NULL keys
