@@ -710,7 +710,13 @@ def duplicated_span_ranges(
                 ),
             ),
         ).otherwise(F.array().cast("array<long>"))
-    pos = df.select(
+    # widen first: the positional-gram Generate is one portable md5 per
+    # window — the same per-row cost profile as the shingle stage — and
+    # a single-row-group corpus would otherwise hash every position of
+    # the whole corpus in ONE scan task (measured: the sf0.1 char-span
+    # query ran its Generate stages 1-task wide). No-op at production
+    # scan widths (operators/partitioning.py).
+    pos = widen_small_scan(df.select(id_col, text_col)).select(
         F.col(id_col), F.posexplode(grams).alias("__pos__", "__h__")
     )
     cnt = pos.groupBy("__h__").agg(F.count(F.lit(1)).alias("__c__"))
@@ -822,7 +828,10 @@ def remove_duplicated_spans(
         ).isNull(),
         n,
     )
-    base = df.select(
+    # widen before the tokenize + per-window hash work (same
+    # single-row-group rationale as duplicated_span_ranges above); base
+    # feeds both the gram Generate and the final rebuild join.
+    base = widen_small_scan(df.select(id_col, text_col)).select(
         F.col(id_col), t.alias("__t__"), n_checked.alias("__n__")
     )
     grams = F.when(
