@@ -1240,7 +1240,14 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = d.select("source", F.explode(bigrams).alias("__term__"))
+    # widen first: the regex tokenize + bigram transform + explode is
+    # the hot per-row stage, and a single-row-group corpus would run it
+    # one task wide (the ranking.py recipe; no-op at production widths)
+    from tmdb_index_spark.operators.partitioning import widen_small_scan
+
+    grams = widen_small_scan(d.select("source", "text")).select(
+        "source", F.explode(bigrams).alias("__term__")
+    )
     per_src_term = grams.groupBy("source", "__term__").agg(
         F.count(F.lit(1)).cast("bigint").alias("__c__")
     )
