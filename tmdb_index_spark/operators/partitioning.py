@@ -26,9 +26,57 @@ pinned by tests. Heavy-compute operators opt in.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 
 __all__ = ["widen_small_scan"]
+
+
+def _estimated_scan_width(df: DataFrame) -> int | None:
+    """Compiled scan width estimated from INPUT FILE SIZES — metadata
+    only, no job, no AQE stage materialization. Returns ``None`` when
+    the plan is not file-rooted (checkpointed / local relations), or
+    when a size lookup fails.
+
+    Why not ``df.rdd.getNumPartitions()`` (the original probe): under
+    AQE, building a plan's final RDD MATERIALIZES its upstream query
+    stages — probing a join-bearing frame at operator-build time ran
+    the join's broadcast-exchange job (measured 2.5 s per
+    ``ivf_assign`` call on the sf0.1 ingest path) whose result is not
+    reused by the real execution. Spark assigns each file
+    ``ceil(size / maxPartitionBytes)`` splits, so the file sizes give
+    the same split count the probe would have compiled, without
+    executing anything. (Both the probe and this estimate count
+    SPLITS, not row groups — a single-row-group file bigger than one
+    split still scans effectively narrow either way.)
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-SQL plans / session gone
+        return None
+    if not files:
+        return None
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    try:
+        max_bytes = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+    except Exception:
+        max_bytes = 128 * 1024 * 1024
+    try:
+        hconf = sc._jsc.hadoopConfiguration()
+        jvm = sc._jvm
+        width = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            fs = p.getFileSystem(hconf)
+            size = int(fs.getFileStatus(p).getLen())
+            width += max(1, math.ceil(size / max_bytes))
+        return width
+    except Exception:  # unreadable path — let the caller fall back
+        return None
 
 
 def widen_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -37,20 +85,30 @@ def widen_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFr
     narrower. Row-order neutral for every downstream use in this
     engine (aggregations, hash joins, keyed windows).
 
-    Probe cost (intentional): ``df.rdd.getNumPartitions()`` forces one
-    physical planning pass of the upstream plan at operator-BUILD time,
-    and the compiled width it reports is the pre-AQE one. That is the
-    point — the decision must be made before execution, and the widths
-    this guard acts on (a handful of row-group splits vs the session's
-    parallelism) are not ones AQE re-plans. The probe is per operator
-    call on plans that are scan-rooted and small; if build-time ever
-    matters, pass ``min_partitions`` explicitly from a known width
-    instead."""
+    Width probe: estimated from input file sizes when the plan is
+    file-rooted (:func:`_estimated_scan_width` — metadata only, so a
+    join above the scan is NOT executed just to measure it); the
+    ``df.rdd.getNumPartitions()`` planning probe remains the fallback
+    for non-file-rooted inputs (checkpointed frames, local relations),
+    where building the RDD is cheap because there is nothing upstream
+    to materialize. If build-time ever matters on an exotic plan, pass
+    ``min_partitions`` explicitly from a known width instead. When
+    ``len(inputFiles) >= target`` the answer is known without touching
+    the filesystem."""
     target = (
         min_partitions
         if min_partitions is not None
         else df.sparkSession.sparkContext.defaultParallelism
     )
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files and len(files) >= target:
+        return df
+    width = _estimated_scan_width(df) if files else None
+    if width is None:
+        width = df.rdd.getNumPartitions()
+    if width >= target:
         return df
     return df.repartition(target)

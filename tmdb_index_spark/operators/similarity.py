@@ -2858,11 +2858,23 @@ def pq_novelty_ids(
         F.col(id_col).alias("__bid__"), "cell", F.col("codes").alias("__bc__")
     )
 
+    # one generated SQL string per table, NOT F.array(*[F.lit(x) ...]):
+    # the latter is one py4j round-trip per element — m·ks² = 2048
+    # doubles at (8, 16) was the measured majority of this builder's
+    # driver time (the _centroid_literal lesson; %rD round-trips each
+    # double bit-exactly, so plan literals are unchanged)
     d_lits = [
-        F.array(*[F.lit(float(x)) for x in D[j].reshape(-1)]) for j in range(m)
+        F.expr(
+            "array(%s)"
+            % ",".join("%rD" % float(x) for x in D[j].reshape(-1))
+        )
+        for j in range(m)
     ]
     n_lits = [
-        F.array(*[F.lit(float(x)) for x in cb_n2[j]]) for j in range(m)
+        F.expr(
+            "array(%s)" % ",".join("%rD" % float(x) for x in cb_n2[j])
+        )
+        for j in range(m)
     ]
     adot = None
     na2 = None
