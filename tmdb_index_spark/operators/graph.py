@@ -493,13 +493,20 @@ def k_core(
         for _ in range(rounds):
             e = pin_frame(_peel(e), materialize)
     else:
+        # carry the edge count across rounds: counting the PREVIOUS
+        # round's frame again each wave was a second probe job per
+        # round over the just-pinned parquet (guide §1.5 fixed per-job
+        # overhead; the CC loop's observe() lesson)
+        n_prev = e.count()
         for _ in range(max_rounds):
             nxt = pin_frame(_peel(e), materialize)
+            n_nxt = nxt.count()
             # converged when no edge was deleted this wave
-            if nxt.count() == e.count():
+            if n_nxt == n_prev:
                 e = nxt
                 break
             e = nxt
+            n_prev = n_nxt
         else:
             raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
     deg = e.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
