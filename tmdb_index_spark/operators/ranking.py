@@ -87,12 +87,18 @@ def tfidf_top_terms(
     ``vocab_broadcast_max`` and falls back to a plan-asserted
     shuffle-hash join above it (dfreq is uniform per-term rows — no
     hot keys — so the fallback shuffles cleanly; only the broadcast
-    assumption, not the plan shape, was the hazard). The compact
-    ``(id, term, tf)`` frame feeds two consumers (the df aggregate and
-    the scoring join) and is pinned so tokenization runs exactly once;
-    dfreq is pinned too, so the guard's count doesn't recompute it.
+    assumption, not the plan shape, was the hazard). Only dfreq — the
+    vocabulary-sized relation — is pinned (it feeds the guard's count
+    and the broadcast build). The corpus-sized ``(id, term, tf)``
+    frame is deliberately NOT pinned: its two consumers each run the
+    tokenize+aggregate pass, which measures faster than a pinned
+    single pass at bench scale (the cache store + materialization
+    barrier costs more than the duplicated map work — the
+    simhash-pin lesson) and is the safe direction at 100 TB, where a
+    corpus-sized cache is itself the memory hazard while the second
+    pass is an embarrassingly parallel map+shuffle.
     """
-    tf = pin_frame(term_frequencies(docs, text_col, id_col), materialize, scratch_dir)
+    tf = term_frequencies(docs, text_col, id_col)
     dfreq = pin_frame(
         tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")),
         materialize,
