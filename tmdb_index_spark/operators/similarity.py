@@ -898,9 +898,107 @@ def ivf2_index_topk(
             corpus, cc, fine, f2c,
             probe_coarse=probe_coarse, nprobe=nprobe,
             id_col=id_col, vec_col=vec_col,
+            # BLAS probe side: the home assignment above and the
+            # cogrouped scoring below are already pandas/BLAS
+            impl="pandas",
         )
         return _multiprobe_topk_pandas(q, assigned, k, id_col, vec_col)
     return _within_group_topk_pandas(assigned, "cell", k, id_col, vec_col)
+
+
+def _ivf2_probe_pandas(
+    df: DataFrame,
+    coarse_centroids: list[tuple[int, list[float]]],
+    fine_centroids: list[tuple[int, list[float]]],
+    fine_to_coarse: dict[int, int],
+    probe_coarse: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """BLAS two-level probe assignment (see :func:`ivf2_probe_assign`
+    ``impl='pandas'``): coarse stage = one matmul + stable argsort
+    (ties → lower coarse id, matrix in id order); fine stage = one
+    matmul against ALL fine centroids with non-probed members masked
+    to +inf, stable argsort (ties → lower fine id), keep ``nprobe``.
+    Map-only — both row_number windows of the expression path fold
+    into the batch."""
+    import pandas as pd
+
+    used = set(int(c) for c in fine_to_coarse.values())
+    cc = sorted(
+        ((int(c), [float(x) for x in v]) for c, v in coarse_centroids
+         if int(c) in used),
+        key=lambda cv: cv[0],
+    )
+    fine_sorted = sorted(
+        ((int(c), [float(x) for x in v]) for c, v in fine_centroids),
+        key=lambda cv: cv[0],
+    )
+    coarse_pos = {c: i for i, (c, _) in enumerate(cc)}
+    cc_rows = [v for _, v in cc]
+    fine_ids = [c for c, _ in fine_sorted]
+    fine_rows = [v for _, v in fine_sorted]
+    f2c_pos_list = [
+        coarse_pos[int(fine_to_coarse[int(fid)])] for fid in fine_ids
+    ]
+    w = max(1, min(int(probe_coarse), len(cc)))
+    dtypes = dict(df.dtypes)
+    out_schema = (
+        f"`{id_col}` {dtypes[id_col]}, `{vec_col}` {dtypes[vec_col]}, "
+        "cell long, probe_rank int"
+    )
+
+    def run(batches):
+        import numpy as np
+
+        Cc = np.array(cc_rows, dtype="float64")
+        cc2 = (Cc * Cc).sum(axis=1)
+        Fm = np.array(fine_rows, dtype="float64")
+        f2 = (Fm * Fm).sum(axis=1)
+        fid_arr = np.array(fine_ids, dtype="int64")
+        f2c_pos = np.array(f2c_pos_list, dtype="int64")
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        vec_col: pdf[vec_col],
+                        "cell": pd.Series([], dtype="int64"),
+                        "probe_rank": pd.Series([], dtype="int32"),
+                    }
+                )
+                continue
+            X = np.array([list(v) for v in pdf[vec_col]], dtype="float64")
+            x2 = (X * X).sum(axis=1)[:, None]
+            d2c = x2 - 2.0 * (X @ Cc.T) + cc2[None, :]
+            probed = np.argsort(d2c, axis=1, kind="stable")[:, :w]
+            d2f = x2 - 2.0 * (X @ Fm.T) + f2[None, :]
+            # member j is a candidate for row i iff its coarse cell
+            # position is among row i's probed positions
+            mask = (f2c_pos[None, :, None] == probed[:, None, :]).any(axis=2)
+            d2m = np.where(mask, d2f, np.inf)
+            order = np.argsort(d2m, axis=1, kind="stable")
+            avail = mask.sum(axis=1)
+            take = np.minimum(avail, nprobe)
+            ids_np = pdf[id_col].to_numpy()
+            vecs_np = pdf[vec_col].to_numpy()
+            row_idx = np.repeat(np.arange(n), take)
+            col_rank = np.concatenate(
+                [np.arange(t) for t in take]
+            ) if n else np.array([], dtype="int64")
+            sel = order[row_idx, col_rank]
+            yield pd.DataFrame(
+                {
+                    id_col: ids_np[row_idx],
+                    vec_col: vecs_np[row_idx],
+                    "cell": fid_arr[sel],
+                    "probe_rank": (col_rank + 1).astype("int32"),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(run, out_schema)
 
 
 def ivf2_probe_assign(
@@ -912,20 +1010,28 @@ def ivf2_probe_assign(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "expr",
 ) -> DataFrame:
     """Each vector's ``nprobe`` nearest FINE cells under hierarchical
     search — the two-level twin of :func:`ivf_probe_assign` (round-13:
     the recall lever existed only on flat IVF, the Θ(N^1.5) family, so
     the documented beyond-flat path had no multi-probe).
 
-    Two stages, both exact sequential folds so a SQL oracle reproduces
-    every distance bit-for-bit: (1) the ``probe_coarse`` nearest coarse
-    cells per vector (dist asc, coarse id asc — only POPULATED coarse
-    cells participate, mirroring :func:`two_level_ivf_assign`); (2)
-    rank the probed cells' FINE members per vector (dist asc, fine id
-    asc), keep ``probe_rank <= nprobe``.  Rank 1 is exactly the
-    two-level assignment, so the probe set always contains the home
-    cell.
+    Two stages: (1) the ``probe_coarse`` nearest coarse cells per
+    vector (dist asc, coarse id asc — only POPULATED coarse cells
+    participate, mirroring :func:`two_level_ivf_assign`); (2) rank the
+    probed cells' FINE members per vector (dist asc, fine id asc),
+    keep ``probe_rank <= nprobe``.  Rank 1 is exactly the two-level
+    assignment, so the probe set always contains the home cell.
+
+    ``impl='expr'`` (default) runs both stages as exact sequential
+    folds so a SQL oracle reproduces every distance bit-for-bit;
+    ``impl='pandas'`` is the BLAS twin (:func:`_ivf2_probe_pandas`):
+    one matmul per stage per Arrow batch with in-batch stable ranking
+    — same (dist, id) tie-breaks, no window shuffles, no member-map
+    plan literal — with the usual assignment-ULP caveat
+    (:func:`_ivf_assign_pandas`); the home side it pairs with
+    (:func:`two_level_ivf_assign`) is already BLAS.
 
     Scale shape: the fine stage explodes ONLY the probed coarse
     cells' member lists (a literal ``coarse -> members`` map, no
@@ -933,10 +1039,18 @@ def ivf2_probe_assign(
     ``|coarse| + probe_coarse * cells/|coarse|`` distance folds —
     the same Θ(N^(1/3)) assignment arithmetic as the index build,
     ~2.5x less fold work than flat multi-probe's ``cells = √N`` scan
-    at 100x data.  Two row-number windows on the vector id.
+    at 100x data.  Two row-number windows on the vector id (expr
+    impl; the pandas impl is map-only).
     """
     if not coarse_centroids or not fine_centroids:
         raise ValueError("ivf2_probe_assign requires fitted centroids")
+    if impl == "pandas":
+        return _ivf2_probe_pandas(
+            df, coarse_centroids, fine_centroids, fine_to_coarse,
+            probe_coarse, nprobe, id_col, vec_col,
+        )
+    if impl != "expr":
+        raise ValueError(f"impl must be 'expr' or 'pandas', got {impl!r}")
     from pyspark.sql import Window
 
     # only populated coarse cells are probe candidates (empty ones
@@ -1013,22 +1127,98 @@ def ivf2_probe_assign(
     )
 
 
+def _probe_assign_pandas(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """BLAS multi-probe assignment: one expanded-norm matmul per Arrow
+    batch, stable argsort row-wise — with the centroid matrix in
+    cell-id order a stable sort breaks exact-distance ties to the
+    lower cell, the same (dist, cell) rule as the expression twin. The
+    per-vector top-``nprobe`` happens inside the batch, so the window
+    shuffle + row_number of the expression path disappears entirely —
+    map-only at every scale."""
+    import pandas as pd
+
+    centroids = sorted(centroids, key=lambda cv: int(cv[0]))
+    cells = [int(c) for c, _ in centroids]
+    cvecs = [[float(x) for x in v] for _, v in centroids]
+    dtypes = dict(df.dtypes)
+    out_schema = (
+        f"`{id_col}` {dtypes[id_col]}, `{vec_col}` {dtypes[vec_col]}, "
+        "cell long, probe_rank int"
+    )
+    p = max(1, min(int(nprobe), len(cells)))
+
+    def run(batches):
+        import numpy as np
+
+        Cm = np.array(cvecs, dtype="float64")
+        c2 = (Cm * Cm).sum(axis=1)
+        cell_ids = np.array(cells, dtype="int64")
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        vec_col: pdf[vec_col],
+                        "cell": pd.Series([], dtype="int64"),
+                        "probe_rank": pd.Series([], dtype="int32"),
+                    }
+                )
+                continue
+            X = np.array([list(v) for v in pdf[vec_col]], dtype="float64")
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ Cm.T) + c2[None, :]
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :p]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(p),
+                    vec_col: pdf[vec_col].to_numpy().repeat(p),
+                    "cell": cell_ids[idx].reshape(-1),
+                    "probe_rank": np.tile(
+                        np.arange(1, p + 1, dtype="int32"), n
+                    ),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(run, out_schema)
+
+
 def ivf_probe_assign(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
     nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "expr",
 ) -> DataFrame:
     """Each vector's ``nprobe`` nearest cells (query-side multi-probe).
 
-    Same exploded exact-fold distances as :func:`ivf_assign`, ranked
-    per vector by (distance, cell) — the deterministic tie-break the
-    oracle mirrors — keeping ``probe_rank <= nprobe``. One window
-    shuffle on the vector id.
+    ``impl='expr'`` (default): same exploded exact-fold distances as
+    :func:`ivf_assign`, ranked per vector by (distance, cell) — the
+    deterministic tie-break the oracle mirrors — keeping
+    ``probe_rank <= nprobe``. One window shuffle on the vector id.
+
+    ``impl='pandas'`` (:func:`_probe_assign_pandas`): the BLAS twin —
+    one matmul per Arrow batch with an in-batch stable top-``nprobe``,
+    removing BOTH the interpreted |vectors|·|cells|·dim fold and the
+    window shuffle (map-only), and skipping the centroid-literal plan
+    parse (~0.4 s of driver build time at 45×64 measured). Same
+    (dist, cell) tie-break; distances may differ from the fold by
+    float ULPs exactly as :func:`_ivf_assign_pandas` documents for the
+    home cell — use 'expr' when an external oracle must reproduce the
+    probe set on adversarially tie-heavy data.
     """
     if not centroids:
         raise ValueError("ivf_probe_assign requires at least one centroid")
+    if impl == "pandas":
+        return _probe_assign_pandas(df, centroids, nprobe, id_col, vec_col)
+    if impl != "expr":
+        raise ValueError(f"impl must be 'expr' or 'pandas', got {impl!r}")
     v = _as_double(vec_col)
     cent = _centroid_literal(centroids)
     from pyspark.sql import Window
@@ -1107,7 +1297,12 @@ def ivf_topk(
                 f"impl must be 'pandas', 'expr' or 'sql', got {impl!r}"
             )
         if impl == "pandas":
-            q = ivf_probe_assign(corpus, centroids, nprobe, id_col, vec_col)
+            # the scoring below is already the BLAS cogroup, so the
+            # probe side matches: assignment ULP semantics identical
+            # to the home-cell _ivf_assign_pandas this path pairs with
+            q = ivf_probe_assign(
+                corpus, centroids, nprobe, id_col, vec_col, impl="pandas"
+            )
             return _multiprobe_topk_pandas(q, b, k, id_col, vec_col)
         a = ivf_probe_assign(corpus, centroids, nprobe, id_col, vec_col).select(
             F.col(id_col).alias("query_id"),
@@ -2526,10 +2721,11 @@ def ivfpq_topk(
 
     ``nprobe > 1`` (round 13) completes the ANN recall-lever matrix:
     each query additionally searches its ``nprobe`` nearest cells
-    (:func:`ivf_probe_assign` — exact folds, same ranking the flat
-    multi-probe oracle mirrors) while candidate code words stay in
-    their one home cell; scoring runs the cogrouped ADC pass
-    (:func:`_multiprobe_adc_topk_pandas`)."""
+    (:func:`ivf_probe_assign` BLAS impl — same (dist, cell) ranking
+    the flat multi-probe oracle mirrors, distances ULP-equivalent to
+    the fold like the home-cell assignment above) while candidate
+    code words stay in their one home cell; scoring runs the
+    cogrouped ADC pass (:func:`_multiprobe_adc_topk_pandas`)."""
     import numpy as np
     import pandas as pd
 
@@ -2540,7 +2736,11 @@ def ivfpq_topk(
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, impl=assign_impl)
     coded = pq_encode(assigned, codebooks, id_col, vec_col)
     if nprobe > 1:
-        q = ivf_probe_assign(corpus, centroids, nprobe, id_col, vec_col)
+        # BLAS probe side (the ADC scoring below is already pandas);
+        # same ULP class as the home-cell assignment above
+        q = ivf_probe_assign(
+            corpus, centroids, nprobe, id_col, vec_col, impl="pandas"
+        )
         return _multiprobe_adc_topk_pandas(
             q, coded, k, CB, cb_n2, id_col, vec_col
         )
