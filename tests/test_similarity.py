@@ -1158,3 +1158,52 @@ def test_ivf2_probe_assign_rank1_is_assignment_and_recall_improves(spark):
 
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1, (r1, r2)
+
+
+def test_index_topk_queries_subset_matches_full_run(spark):
+    """queries= (round-14 eval-harness lever) must return EXACTLY the
+    full self-query run's rows restricted to the sampled query ids —
+    per-query independence is the equivalence the optimization rests
+    on, for all three multi-probe families."""
+    import random
+
+    from tmdb_index_spark.operators.similarity import (
+        ivf2_index_topk,
+        ivf_index_topk,
+        ivfpq_index_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    sampled = emb.filter(F.col("vec_id") % 5 == 0)
+    legs = [
+        lambda q: ivf_index_topk(emb, k=3, nprobe=2, queries=q),
+        lambda q: ivf2_index_topk(
+            emb, k=3, probe_coarse=2, nprobe=2, queries=q
+        ),
+        lambda q: ivfpq_index_topk(emb, k=3, m=4, ks=8, nprobe=2, queries=q),
+    ]
+    for leg in legs:
+        full = {
+            tuple(r)
+            for r in leg(None)
+            .filter(F.col("query_id") % 5 == 0)
+            .collect()
+        }
+        sub = {tuple(r) for r in leg(sampled).collect()}
+        assert sub == full and len(sub) > 0
+
+
+def test_index_topk_queries_requires_multiprobe(spark):
+    import pytest
+
+    from tmdb_index_spark.operators.similarity import ivf_index_topk
+
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="multi-probe"):
+        ivf_index_topk(emb, k=2, nprobe=1, queries=emb)

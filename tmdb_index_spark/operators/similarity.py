@@ -601,6 +601,7 @@ def ivf_index_topk(
     nprobe: int = 1,
     max_sample: int = 10_000,
     seed: int = 13,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Self-tuning IVF top-``k``: fit + assign + search with scale-aware
     defaults — the production entry point.
@@ -635,6 +636,16 @@ def ivf_index_topk(
     Exact-oracle catalog queries keep calling :func:`ivf_topk` with
     pinned literal centroids; this wrapper is for real corpora where
     the index must track N.
+
+    ``queries`` (optional, multi-probe only) restricts the QUERY side
+    to a subset frame while the index side stays the full corpus —
+    the eval-harness shape (recall over a bounded query sample).
+    Per-query results are independent (probe assignment, per-cell
+    scoring and the final per-query window all key on the query id),
+    so the rows returned for a query are IDENTICAL whether or not the
+    other queries are computed — don't pay N top-k computations to
+    keep N/50 of them (guide §1.2: don't compute what you throw
+    away).
     """
     n = n_estimate if n_estimate is not None else corpus.count()
     if cells is None:
@@ -651,6 +662,7 @@ def ivf_index_topk(
         vec_col=vec_col,
         nprobe=nprobe,
         assign_impl=assign_impl,
+        queries=queries,
     )
 
 
@@ -852,6 +864,7 @@ def ivf2_index_topk(
     nprobe: int = 1,
     max_sample: int = 10_000,
     seed: int = 13,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Two-level (hierarchical) IVF top-``k`` — the recall-oriented ANN
     index that survives where flat IVF's measured Θ(N^1.5) does not.
@@ -881,6 +894,11 @@ def ivf2_index_topk(
     bounds how many distinguishable cells a driver-side fit supports;
     production beyond that scales ``max_sample`` or fits
     distributed)."""
+    if queries is not None and nprobe <= 1:
+        raise ValueError(
+            "queries= is only supported on the multi-probe (nprobe > 1) "
+            "path — the single-probe scoring is a per-cell self-join"
+        )
     n = n_estimate if n_estimate is not None else corpus.count()
     if cells is None:
         cells = max(1, min(round(n ** (2.0 / 3.0)), max_sample))
@@ -895,7 +913,7 @@ def ivf2_index_topk(
     )
     if nprobe > 1:
         q = ivf2_probe_assign(
-            corpus, cc, fine, f2c,
+            queries if queries is not None else corpus, cc, fine, f2c,
             probe_coarse=probe_coarse, nprobe=nprobe,
             id_col=id_col, vec_col=vec_col,
             # BLAS probe side: the home assignment above and the
@@ -1252,6 +1270,7 @@ def ivf_topk(
     impl: str = "pandas",
     nprobe: int = 1,
     assign_impl: str = "expr",
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVF all-pairs top-``k``: assign to cells, compare only within a
     cell, rank per vector. The recall/speed trade is the centroid count
@@ -1290,7 +1309,13 @@ def ivf_topk(
     the candidate count, was the regression: the same pinned cells
     under BLAS track the flat path's slope).
     """
+    if queries is not None and nprobe <= 1:
+        raise ValueError(
+            "queries= is only supported on the multi-probe (nprobe > 1) "
+            "paths — the single-probe scoring is a per-cell self-join"
+        )
     b = ivf_assign(corpus, centroids, id_col, vec_col, impl=assign_impl)
+    qsrc = queries if queries is not None else corpus
     if nprobe > 1:
         if impl not in ("pandas", "expr", "sql"):
             raise ValueError(
@@ -1301,10 +1326,10 @@ def ivf_topk(
             # probe side matches: assignment ULP semantics identical
             # to the home-cell _ivf_assign_pandas this path pairs with
             q = ivf_probe_assign(
-                corpus, centroids, nprobe, id_col, vec_col, impl="pandas"
+                qsrc, centroids, nprobe, id_col, vec_col, impl="pandas"
             )
             return _multiprobe_topk_pandas(q, b, k, id_col, vec_col)
-        a = ivf_probe_assign(corpus, centroids, nprobe, id_col, vec_col).select(
+        a = ivf_probe_assign(qsrc, centroids, nprobe, id_col, vec_col).select(
             F.col(id_col).alias("query_id"),
             _as_double(vec_col).alias("__qv__"),
             _norm(_as_double(vec_col)).alias("__qn__"),
@@ -2697,6 +2722,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     assign_impl: str = "pandas",
     nprobe: int = 1,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ top-``k`` self-join — the FAISS ``IVFPQ`` shape: IVF
     cells bound the candidate set (never all-pairs), PQ code words
@@ -2731,6 +2757,11 @@ def ivfpq_topk(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if queries is not None and nprobe <= 1:
+        raise ValueError(
+            "queries= is only supported on the multi-probe (nprobe > 1) "
+            "path — the single-probe ADC scoring is a per-cell self-join"
+        )
     CB, cb_n2 = _codebook_arrays(codebooks)
     m, ks, sub = CB.shape
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, impl=assign_impl)
@@ -2739,7 +2770,8 @@ def ivfpq_topk(
         # BLAS probe side (the ADC scoring below is already pandas);
         # same ULP class as the home-cell assignment above
         q = ivf_probe_assign(
-            corpus, centroids, nprobe, id_col, vec_col, impl="pandas"
+            queries if queries is not None else corpus,
+            centroids, nprobe, id_col, vec_col, impl="pandas",
         )
         return _multiprobe_adc_topk_pandas(
             q, coded, k, CB, cb_n2, id_col, vec_col
@@ -2819,6 +2851,7 @@ def ivfpq_index_topk(
     max_sample: int = 10_000,
     seed: int = 13,
     nprobe: int = 1,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Self-tuning IVF-PQ: ``cells = round(√N)`` (the flat-IVF rule)
     plus per-subspace codebooks, BOTH fit from ONE bounded
@@ -2847,7 +2880,7 @@ def ivfpq_index_topk(
     return ivfpq_topk(
         corpus, centroids, codebooks, k=k,
         id_col=id_col, vec_col=vec_col, assign_impl=assign_impl,
-        nprobe=nprobe,
+        nprobe=nprobe, queries=queries,
     )
 
 

@@ -2013,7 +2013,7 @@ SELECT query_id, neighbor_id, adc_sim, rank FROM (
 
 
 def ann_recall_eval_multiprobe(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, n_estimate: int | None = None
 ) -> DataFrame:
     """Recall@3 of the three MULTI-PROBE index families (round 13 —
     the eval harness extended to the full recall-lever matrix): flat
@@ -2024,7 +2024,18 @@ def ann_recall_eval_multiprobe(
     integer-exact recall arithmetic; the oracle COMPOSES the three
     fitted-literal index oracles as subqueries (each reproduces its
     deterministic fit from the same parquet sample), so every approx
-    set — and hence the recall — hash-matches across engines."""
+    set — and hence the recall — hash-matches across engines.
+
+    Round 14 (guide §1.2 "don't compute what you throw away"): each
+    index leg takes ``queries=sampled`` so probe assignment and
+    per-cell scoring run ONLY for the ~2% query sample the recall is
+    computed over, instead of producing the full N-query top-k and
+    discarding 98% of it — per-query results are independent, so the
+    surviving rows (and the recall) are bit-identical; the post-hoc
+    sample filter stays as belt-and-braces.  ``n_estimate`` lets a
+    caller that already counted the table (the advisor) skip the
+    three per-leg ``count()`` jobs; the fits and the map-only
+    corpus-side assignment are unchanged."""
     from tmdb_index_spark.operators.similarity import (
         ivf2_index_topk,
         ivf_index_topk,
@@ -2032,6 +2043,7 @@ def ann_recall_eval_multiprobe(
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    n = n_estimate if n_estimate is not None else emb.count()
     in_sample = (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 100_000)
     sampled = emb.filter(in_sample)
     exact = brute_force_topk(emb, sampled, k=3).select(
@@ -2051,15 +2063,28 @@ def ann_recall_eval_multiprobe(
         )
 
     per_index = (
-        _hits("ivf_multiprobe", ivf_index_topk(emb, k=3, nprobe=2))
+        _hits(
+            "ivf_multiprobe",
+            ivf_index_topk(
+                emb, k=3, nprobe=2, n_estimate=n, queries=sampled
+            ),
+        )
         .unionByName(
             _hits(
                 "ivf2_multiprobe",
-                ivf2_index_topk(emb, k=3, probe_coarse=2, nprobe=2),
+                ivf2_index_topk(
+                    emb, k=3, probe_coarse=2, nprobe=2,
+                    n_estimate=n, queries=sampled,
+                ),
             )
         )
         .unionByName(
-            _hits("pq_multiprobe", ivfpq_index_topk(emb, k=3, nprobe=2))
+            _hits(
+                "pq_multiprobe",
+                ivfpq_index_topk(
+                    emb, k=3, nprobe=2, n_estimate=n, queries=sampled
+                ),
+            )
         )
     )
     return per_index.join(F.broadcast(nq)).select(
@@ -2229,7 +2254,10 @@ def ann_index_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT * FROM VALUES {values} AS t(index_name, cells,"
         " est_candidates_per_query, est_candidate_bytes_per_query)"
     )
-    rec = ann_recall_eval_multiprobe(spark, sf_dir)
+    # n_estimate: the head row above already counted the table — the
+    # eval harness then skips its own count and the three per-leg
+    # count jobs (guide §1.5: fixed per-job overhead)
+    rec = ann_recall_eval_multiprobe(spark, sf_dir, n_estimate=n)
     joined = rec.join(F.broadcast(costs), "index_name")
     elig = F.col("recall_at_3") >= F.lit(ANN_ADVISOR_TARGET_RECALL)
     # 3-row frame (one per family) — the unpartitioned window is
