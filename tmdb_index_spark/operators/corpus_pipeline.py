@@ -611,7 +611,7 @@ def ingest_corpus_batch(
     index_bands: DataFrame | None = None,
     index_codes: DataFrame | None = None,
     index_codes_fit_md5: str | None = None,
-    semantic_assign_impl: str = "expr",
+    semantic_assign_impl: str | None = None,
 ) -> dict:
     """INCREMENTAL corpus ingestion — the daily-maintenance shape that
     is the reference's defining trait (``process()`` folds each day's
@@ -675,12 +675,16 @@ def ingest_corpus_batch(
 
     ``semantic_assign_impl`` picks stage 3b's cell-assignment engine
     (:func:`~tmdb_index_spark.operators.similarity.ivf_assign`):
-    ``"expr"`` (default) is the oracle-exact sequential fold the
-    hash-checked catalog queries pin; ``"pandas"`` is the BLAS matmul
-    production uses once ``|index|·cells·dim`` makes the fold the
-    batch's dominant term (the two differ only on float-ULP
-    exact-tie assignments; keep ONE impl for the life of a codes
-    sidecar).
+    ``"expr"`` is the oracle-exact sequential fold; ``"pandas"`` is
+    the BLAS matmul production uses once ``|index|·cells·dim`` makes
+    the fold the batch's dominant term (the two differ only on
+    float-ULP exact-tie assignments; keep ONE impl for the life of a
+    codes sidecar — the streaming loop passes it explicitly for that
+    reason).  ``None`` (default, round 14) applies the same size gate
+    :func:`prepare_corpus` already uses — ``"pandas"`` at
+    ``n_idx >= IVF_BLAS_ASSIGN_THRESHOLD``, ``"expr"`` below — so the
+    interpreted fold never becomes the dominant per-batch map cost on
+    a large standing index.
 
     Returns ``{"new_index": frame, "kept": frame, "stats": frame,
     "ann_model": meta-dict + "reused" flag or None}``;
@@ -759,8 +763,9 @@ def ingest_corpus_batch(
             save_ann_model,
         )
         from tmdb_index_spark.operators.similarity import (
-            fit_centroids,
-            fit_pq,
+            IVF_BLAS_ASSIGN_THRESHOLD,
+            fit_kmeans_array,
+            fit_pq_array,
             pq_novelty_ids,
             semantic_cells,
         )
@@ -769,6 +774,12 @@ def ingest_corpus_batch(
             index.select(F.col(id_col).alias(emb_id_col)), emb_id_col
         )
         n_idx = idx_emb.count()
+        if semantic_assign_impl is None:
+            # the prepare_corpus size gate: BLAS assignment once the
+            # interpreted |index|·cells·dim fold would dominate
+            semantic_assign_impl = (
+                "pandas" if n_idx >= IVF_BLAS_ASSIGN_THRESHOLD else "expr"
+            )
         if n_idx > 0:
             spark = index.sparkSession
             stored = (
@@ -785,13 +796,40 @@ def ingest_corpus_batch(
                 books = stored["codebooks"]
                 ann_model = dict(stored["meta"], reused=True)
             else:
-                cents = fit_centroids(
-                    idx_emb, semantic_cells(n_idx), emb_id_col, emb_vec_col
+                # ONE bounded sample collect feeds BOTH fits: the
+                # centroid and codebook fits use the identical
+                # deterministic sample (first max_sample rows by id),
+                # so collecting it twice was a duplicated
+                # join+sort+limit job per refit — the array twins are
+                # pure functions of the same sample bytes, results
+                # bit-identical (guide §1.2: don't run passes twice)
+                import numpy as np
+
+                from tmdb_index_spark.operators.materialize import (
+                    bounded_collect,
                 )
-                books = fit_pq(
-                    idx_emb, m=pq_m, ks=pq_ks,
-                    id_col=emb_id_col, vec_col=emb_vec_col,
+
+                cells = semantic_cells(n_idx)
+                if cells > 10_000:
+                    # fit_centroids' loud occupancy-cliff guard,
+                    # preserved verbatim on the shared-sample path
+                    raise ValueError(
+                        f"ingest_corpus_batch: cells={cells} exceeds "
+                        "the fit sample cap 10000 — a sampled k-means "
+                        "cannot supply more centroids than sample rows"
+                    )
+                sample_rows = bounded_collect(
+                    idx_emb.select(emb_id_col, emb_vec_col)
+                    .orderBy(emb_id_col)
+                    .limit(10_000),
+                    10_000,
+                    "semantic fit sample",
                 )
+                X = np.array(
+                    [list(r[1]) for r in sample_rows], dtype="float64"
+                )
+                cents = fit_kmeans_array(X, cells)
+                books = fit_pq_array(X, m=pq_m, ks=pq_ks)
                 if model_path:
                     fit_id = (
                         stored["meta"]["fit_id"] + 1 if stored else 1
