@@ -469,13 +469,26 @@ def k_core(
         raise ValueError(f"rounds must be >= 0, got {rounds}")
     from tmdb_index_spark.operators.materialize import pin_frame
 
+    # one-pass symmetrization (the connected_components lesson, guide
+    # §2.4): the former union(select(src,dst), select(dst,src)) ran
+    # the caller's edge-derivation pipeline once PER BRANCH; the
+    # explode emits both directions from a single pass — identical
+    # rows (explode+distinct ≡ union+distinct)
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .union(
-            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-            .filter(F.col("a") != F.col("b"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("a"), F.col(dst).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("a"), F.col(src).alias("b")
+                    ),
+                )
+            ).alias("__e__")
         )
+        .select(F.col("__e__.a").alias("a"), F.col("__e__.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
         .distinct()
     )
     e = pin_frame(e, materialize)
@@ -489,19 +502,30 @@ def k_core(
             .select("a", "b")
         )
 
+    # TWO peel waves per materialization (the connected_components
+    # round-batching lesson): each pin is a full write+read round-trip
+    # whose cost at any in-cluster scale is ~fixed, while the
+    # double-peel plan is just twice as deep (two bounded
+    # aggregate+semi-join layers over a plain file relation) — wave
+    # SEMANTICS are unchanged, only where the loop materializes.
     if rounds is not None:
-        for _ in range(rounds):
+        for _ in range(rounds // 2):
+            e = pin_frame(_peel(_peel(e)), materialize)
+        if rounds % 2:
             e = pin_frame(_peel(e), materialize)
     else:
         # carry the edge count across rounds: counting the PREVIOUS
         # round's frame again each wave was a second probe job per
         # round over the just-pinned parquet (guide §1.5 fixed per-job
-        # overhead; the CC loop's observe() lesson)
+        # overhead; the CC loop's observe() lesson). Edge count is
+        # monotone non-increasing and a peel of a fixpoint is the
+        # identity, so "equal count across a double-wave" is exactly
+        # the old per-wave fixpoint test.
         n_prev = e.count()
         for _ in range(max_rounds):
-            nxt = pin_frame(_peel(e), materialize)
+            nxt = pin_frame(_peel(_peel(e)), materialize)
             n_nxt = nxt.count()
-            # converged when no edge was deleted this wave
+            # converged when no edge was deleted across both waves
             if n_nxt == n_prev:
                 e = nxt
                 break

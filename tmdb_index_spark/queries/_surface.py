@@ -861,7 +861,12 @@ def pipeline_daily_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") + F.lit(1000.0)).alias("price"),
         F.lit("1998-12-01").cast("timestamp").alias("retrieved_at"),
     )
-    after1 = update_or_append(idx, changes)
+    from tmdb_index_spark.operators.materialize import pin_frame
+
+    # lazy cache pins (ledger-registered, gates release them): after1
+    # feeds 3 plan subtrees and flagged 5 — unpinned, each count arm
+    # of the summary crossJoin re-derived the whole upsert+align chain
+    after1 = pin_frame(update_or_append(idx, changes))
     aligned = align_id_col(after1)
     export = (
         _t(spark, sf_dir, "lineitem")
@@ -869,8 +874,10 @@ def pipeline_daily_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("in_export", F.lit(True))
     )
-    flagged = aligned.join(F.broadcast(export), "id", "left").withColumn(
-        "in_export", F.coalesce(F.col("in_export"), F.lit(False))
+    flagged = pin_frame(
+        aligned.join(F.broadcast(export), "id", "left").withColumn(
+            "in_export", F.coalesce(F.col("in_export"), F.lit(False))
+        )
     )
     backfill = select_backfill_candidates(flagged, 100).select("id")
     refresh = select_refresh_candidates(flagged, 100).select("id")
