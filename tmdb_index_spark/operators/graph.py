@@ -589,18 +589,24 @@ def sssp_bounded(
         ).distinct(),
         materialize,
     )
-    for _ in range(max_hops):
-        relaxed = (
-            dist.join(e, dist.node == e.__s__)
-            .select(
-                F.col("__d__").alias("node"),
-                (F.col("dist") + F.col("__w__")).alias("dist"),
-            )
+    def _relax(d: DataFrame) -> DataFrame:
+        relaxed = d.join(e, d.node == e.__s__).select(
+            F.col("__d__").alias("node"),
+            (F.col("dist") + F.col("__w__")).alias("dist"),
         )
-        dist = pin_frame(
-            dist.unionByName(relaxed)
+        return (
+            d.unionByName(relaxed)
             .groupBy("node")
-            .agg(F.min("dist").alias("dist")),
-            materialize,
+            .agg(F.min("dist").alias("dist"))
         )
+
+    # TWO relaxation rounds per materialization (the k_core / CC
+    # round-batching): each pin is a fixed write+read round-trip; the
+    # double-relax plan embeds the intermediate frame twice (union +
+    # join), a bounded 2x over pinned scans, and relaxation values are
+    # independent of where the loop materializes.
+    for _ in range(max_hops // 2):
+        dist = pin_frame(_relax(_relax(dist)), materialize)
+    if max_hops % 2:
+        dist = pin_frame(_relax(dist), materialize)
     return dist
