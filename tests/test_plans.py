@@ -243,6 +243,32 @@ def test_widen_small_scan_noop_when_wide(spark):
     assert widen_small_scan(wide) is wide
 
 
+def test_metadata_scan_rowcount_exact_or_declines(spark):
+    # Footer count must equal count() on bare / row-preserving scans
+    # and DECLINE (None) on anything that could change cardinality —
+    # a wrong non-None here would silently mis-size ANN cell budgets
+    # and flip the uniqueness-audit scale gate.
+    from tmdb_index_spark.operators.partitioning import (
+        metadata_scan_rowcount,
+    )
+
+    bare = spark.read.parquet(f"{SF}/orders.parquet")
+    n = bare.count()
+    assert metadata_scan_rowcount(bare) == n
+    assert metadata_scan_rowcount(bare.select("o_orderkey")) == n
+    assert metadata_scan_rowcount(bare.alias("t").select("o_orderkey")) == n
+    assert metadata_scan_rowcount(bare.filter("o_orderkey > 5")) is None
+    assert (
+        metadata_scan_rowcount(bare.join(bare.select("o_orderkey"), "o_orderkey"))
+        is None
+    )
+    assert metadata_scan_rowcount(bare.limit(3)) is None
+    assert metadata_scan_rowcount(bare.localCheckpoint(eager=False)) is None
+    assert metadata_scan_rowcount(spark.range(5).toDF("x")) is None
+    # bounded driver loop: past max_files the distributed count wins
+    assert metadata_scan_rowcount(bare, max_files=0) is None
+
+
 def test_q6_all_predicates_reach_scan(spark):
     # Q6's value is entirely in scan-side filtering: every range
     # predicate must appear in the scan's pushed filters so row-group

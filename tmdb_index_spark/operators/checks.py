@@ -138,6 +138,15 @@ def check_unique_multi(
         )
     if max_exact_rows is not None:
         if n_rows is None:
+            # bare-scan audits (the dq_summary case) read the exact
+            # count from the parquet footers — no gate job at all;
+            # transformed inputs keep the count() fallback
+            from tmdb_index_spark.operators.partitioning import (
+                metadata_scan_rowcount,
+            )
+
+            n_rows = metadata_scan_rowcount(df)
+        if n_rows is None:
             n_rows = df.count()
         if n_rows > max_exact_rows:
             out = check_unique_hll(

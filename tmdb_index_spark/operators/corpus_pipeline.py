@@ -279,7 +279,14 @@ def prepare_corpus(
         save_ann_model,
     )
 
-    n_emb = embeddings.count()
+    # N sizes the cell budget and the artifact staleness rule; when
+    # the embeddings input is the bare table scan the exact count is
+    # in the parquet footers — no build job (operators/partitioning)
+    from tmdb_index_spark.operators.partitioning import metadata_scan_rowcount
+
+    n_emb = metadata_scan_rowcount(embeddings)
+    if n_emb is None:
+        n_emb = embeddings.count()
     need_pq = semantic_payload == "pq"
     stored = (
         load_ann_model(docs.sparkSession, model_path)

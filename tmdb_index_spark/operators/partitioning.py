@@ -30,7 +30,7 @@ import math
 
 from pyspark.sql import DataFrame
 
-__all__ = ["widen_small_scan"]
+__all__ = ["metadata_scan_rowcount", "widen_small_scan"]
 
 
 def _estimated_scan_width(df: DataFrame) -> int | None:
@@ -76,6 +76,63 @@ def _estimated_scan_width(df: DataFrame) -> int | None:
             width += max(1, math.ceil(size / max_bytes))
         return width
     except Exception:  # unreadable path — let the caller fall back
+        return None
+
+
+def metadata_scan_rowcount(df: DataFrame, max_files: int = 64) -> int | None:
+    """EXACT row count of a bare (row-preserving) parquet scan from the
+    file footers — metadata only, no Spark job. Returns ``None``
+    whenever exactness cannot be proven from the plan, in which case
+    the caller must fall back to ``df.count()``.
+
+    Several operator builds gate or size themselves on the input's row
+    count (the uniqueness-audit scale gate, ``semantic_cells``' cell
+    budget, the tuned ANN families' occupancy rules). When the input
+    is the raw table scan — the common catalog case — that count is
+    already written in every parquet footer; running a cluster job to
+    re-derive it is one serial driver round-trip per operator build
+    (guide §1.5 fixed per-job overhead, §5 driver discipline). This
+    helper reads the footers through the JVM's Hadoop filesystem (so
+    HDFS/S3 paths behave exactly like local ones) and accepts ONLY
+    plans whose analyzed form is ``Project*/SubqueryAlias*`` over a
+    single parquet ``LogicalRelation`` — the node kinds that can never
+    change cardinality. Anything else (filters, joins, generators,
+    checkpointed frames, non-parquet sources) returns ``None``.
+
+    ``max_files`` bounds the driver-side footer loop: a table of
+    thousands of files is exactly the case where the distributed
+    ``count()`` (itself footer-based per task, but parallel) is the
+    right tool, so past the bound we decline rather than serialize a
+    listing-sized loop on the driver.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        while plan.getClass().getSimpleName() in ("Project", "SubqueryAlias"):
+            plan = plan.children().apply(0)
+        if plan.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        if "Parquet" not in plan.relation().fileFormat().getClass().getSimpleName():
+            return None
+        files = df.inputFiles()
+        if not files or len(files) > max_files:
+            return None
+        sc = df.sparkSession.sparkContext
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+                jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                    p, hconf
+                )
+            )
+            try:
+                total += int(rdr.getRecordCount())
+            finally:
+                rdr.close()
+        return total
+    except Exception:  # plan-shape drift / unreadable footer — decline
         return None
 
 

@@ -35,7 +35,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tmdb_index_spark.operators.partitioning import widen_small_scan
+from tmdb_index_spark.operators.partitioning import (
+    metadata_scan_rowcount,
+    widen_small_scan,
+)
 
 __all__ = [
     "cosine",
@@ -70,6 +73,19 @@ __all__ = [
     "ivfpq_index_topk",
     "mmr_rerank",
 ]
+
+
+def _corpus_rowcount(corpus: DataFrame, n_estimate: int | None) -> int:
+    """N for sizing rules: the caller's estimate when given, else the
+    EXACT footer count when the corpus is a bare parquet scan
+    (metadata only — no job at operator build), else one count job.
+    All three answers are exact at the certified scales, so tuned
+    parameters (cells, bits, sample gates) are identical whichever
+    path supplies N."""
+    if n_estimate is not None:
+        return n_estimate
+    n = metadata_scan_rowcount(corpus)
+    return n if n is not None else corpus.count()
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -301,7 +317,9 @@ def lsh_index_topk(
     # the count job only runs when a decision actually needs N
     n = n_estimate
     if n is None and (impl is None or n_bits is None):
-        n = corpus.count()
+        n = metadata_scan_rowcount(corpus)
+        if n is None:
+            n = corpus.count()
     if impl is None:
         # Unlike IVF (where BLAS also removes an N x cells assignment
         # cost), LSH bucketing is a free map expression, so pandas only
@@ -647,7 +665,7 @@ def ivf_index_topk(
     keep N/50 of them (guide §1.2: don't compute what you throw
     away).
     """
-    n = n_estimate if n_estimate is not None else corpus.count()
+    n = _corpus_rowcount(corpus, n_estimate)
     if cells is None:
         cells = max(1, round(n ** 0.5))
     assign_impl = "pandas" if n >= IVF_BLAS_ASSIGN_THRESHOLD else "expr"
@@ -899,7 +917,7 @@ def ivf2_index_topk(
             "queries= is only supported on the multi-probe (nprobe > 1) "
             "path — the single-probe scoring is a per-cell self-join"
         )
-    n = n_estimate if n_estimate is not None else corpus.count()
+    n = _corpus_rowcount(corpus, n_estimate)
     if cells is None:
         cells = max(1, min(round(n ** (2.0 / 3.0)), max_sample))
     if coarse is None:
@@ -1788,7 +1806,7 @@ def neardup_index_pairs(
 
     if n_estimate is not None and n_estimate <= 0:
         raise ValueError(f"n_estimate must be positive, got {n_estimate}")
-    n = n_estimate if n_estimate is not None else corpus.count()
+    n = _corpus_rowcount(corpus, n_estimate)
     n_bits = max(1, math.ceil(math.log2(max(n, 2) / target_bucket)))
     if dim is None:
         row = corpus.select(vec_col).head()
@@ -1899,7 +1917,7 @@ def semantic_dedup(
     ``embedding_ivf_tuned_topk`` pattern; in the LSH regime the cell
     id is itself a column expression any engine reproduces.
     """
-    n = n_estimate if n_estimate is not None else corpus.count()
+    n = _corpus_rowcount(corpus, n_estimate)
     if cells is None:
         cells = semantic_cells(n)
     assigned = semantic_assign(
@@ -2144,7 +2162,7 @@ def lsh_knn_join(
     if n_bits is None:
         import math
 
-        n = n_estimate if n_estimate is not None else corpus.count()
+        n = _corpus_rowcount(corpus, n_estimate)
         n_bits = max(1, math.ceil(math.log2(max(n, 2) / target_bucket)))
         if dim is None:
             row = corpus.select(vec_col).head()
@@ -2589,7 +2607,7 @@ def semantic_dedup_pq(
     production setting tolerates approximate sims — the cells are
     already approximate); the raw-payload twin is the exactness
     referent."""
-    n = n_estimate if n_estimate is not None else corpus.count()
+    n = _corpus_rowcount(corpus, n_estimate)
     if cells is None:
         cells = semantic_cells(n)
     assigned = semantic_assign(
@@ -2863,7 +2881,7 @@ def ivfpq_index_topk(
 
     from tmdb_index_spark.operators.materialize import bounded_collect
 
-    n = n_estimate if n_estimate is not None else corpus.count()
+    n = _corpus_rowcount(corpus, n_estimate)
     if cells is None:
         cells = max(1, round(n ** 0.5))
     rows = bounded_collect(

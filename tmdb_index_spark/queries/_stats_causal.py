@@ -1304,9 +1304,15 @@ GROUP BY source
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprints (extension: document
-    fingerprinting)."""
+    fingerprinting). The per-row work (one md5 per distinct shingle +
+    an array sort) is the heaviest pure-expression map stage in the
+    catalog, and a single-row-group corpus scans as ONE task — widen
+    first (metadata-only probe; no-op at production scan widths), the
+    `_shingle_frame` pattern."""
+    from tmdb_index_spark.operators.partitioning import widen_small_scan
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    return widen_small_scan(docs.select("doc_id", "text")).select(
         "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
     )
 
