@@ -984,58 +984,66 @@ def corpus_pipeline_stats(
         docs, embeddings, capacity=capacity, shards=shards, **kwargs
     )
 
-    def cnt(frame: DataFrame) -> DataFrame:
-        return frame.agg(
-            F.count(F.lit(1)).cast("long").alias("__n__"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0))
-            .cast("long")
-            .alias("__t__"),
+    # ONE pass for all per-stage counts (round 14): the former
+    # spelling aggregated each pinned stage frame in its own subtree
+    # and wove docs_in/docs_out with 8 crossJoins — 9 aggregate
+    # subtrees the consumer ran as ~50 tiny AQE jobs. The stage frames
+    # are already pinned, so unioning (stage_tag, n_tokens) projections
+    # of all of them gives every count from one map-side-combined
+    # aggregate (guide §2.3 aggregate-before-shuffle; §1.5 per-job
+    # overhead) — ≤2 rows per union branch cross the one tiny shuffle.
+    # A literal stage spine re-attaches empty stages (a groupBy emits
+    # no row for them; the old per-frame aggregate emitted n=0), and
+    # docs_in is the previous stage's count via a broadcast self-join
+    # on stage-1 — identical integers to the crossJoin weave.
+    n_stages = len(out["stages"])
+    tagged = None
+    for i, (_, frame) in enumerate(out["stages"]):
+        part = frame.select(
+            F.lit(i).cast("long").alias("__s__"), F.col("n_tokens")
         )
-
-    counts = [cnt(frame) for _, frame in out["stages"]]
-    rows: list[DataFrame] = []
-    first = counts[0].select(
-        F.lit(0).cast("long").alias("stage"),
-        F.lit(STAGE_NAMES[0]).alias("stage_name"),
-        F.col("__n__").alias("docs_in"),
+        tagged = part if tagged is None else tagged.unionByName(part)
+    agg = tagged.groupBy("__s__").agg(
+        F.count(F.lit(1)).cast("long").alias("__n__"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("__t__"),
+    )
+    spine = docs.sparkSession.range(n_stages).select(
+        F.col("id").cast("long").alias("__s__")
+    )
+    counts = spine.join(F.broadcast(agg), "__s__", "left").select(
+        "__s__",
+        F.coalesce(F.col("__n__"), F.lit(0)).cast("long").alias("__n__"),
+        F.coalesce(F.col("__t__"), F.lit(0)).cast("long").alias("__t__"),
+    )
+    prev = counts.select(
+        (F.col("__s__") + 1).alias("__s__"), F.col("__n__").alias("__pn__")
+    )
+    names = F.array(*[F.lit(s) for s in STAGE_NAMES[:n_stages]])
+    docs_in = F.coalesce(F.col("__pn__"), F.col("__n__"))
+    main = counts.join(F.broadcast(prev), "__s__", "left").select(
+        F.col("__s__").alias("stage"),
+        F.element_at(names, (F.col("__s__") + 1).cast("int")).alias(
+            "stage_name"
+        ),
+        docs_in.alias("docs_in"),
         F.col("__n__").alias("docs_out"),
-        F.lit(0).cast("long").alias("docs_dropped"),
+        (docs_in - F.col("__n__")).cast("long").alias("docs_dropped"),
         F.col("__t__").alias("tokens_out"),
     )
-    rows.append(first)
-    for i in range(1, len(counts)):
-        prev = counts[i - 1].select(
-            F.col("__n__").alias("__pn__")
-        )
-        rows.append(
-            prev.crossJoin(counts[i]).select(
-                F.lit(i).cast("long").alias("stage"),
-                F.lit(STAGE_NAMES[i]).alias("stage_name"),
-                F.col("__pn__").alias("docs_in"),
-                F.col("__n__").alias("docs_out"),
-                (F.col("__pn__") - F.col("__n__"))
-                .cast("long")
-                .alias("docs_dropped"),
-                F.col("__t__").alias("tokens_out"),
-            )
-        )
     n_seq = out["packed"].agg(
         F.countDistinct(
             F.col("source"), F.col("shard"), F.col("bin")
-        ).cast("long").alias("__s__")
+        ).cast("long").alias("__b__")
     )
-    last = counts[-1]
-    rows.append(
-        last.crossJoin(n_seq).select(
-            F.lit(len(counts)).cast("long").alias("stage"),
-            F.lit(STAGE_NAMES[len(counts)]).alias("stage_name"),
-            F.col("__n__").alias("docs_in"),
-            F.col("__s__").alias("docs_out"),
-            F.lit(0).cast("long").alias("docs_dropped"),
-            F.col("__t__").alias("tokens_out"),
-        )
+    last = counts.filter(F.col("__s__") == n_stages - 1).select(
+        "__n__", "__t__"
     )
-    stats = rows[0]
-    for r in rows[1:]:
-        stats = stats.unionByName(r)
-    return stats.orderBy("stage")
+    pack_row = last.crossJoin(n_seq).select(
+        F.lit(n_stages).cast("long").alias("stage"),
+        F.lit(STAGE_NAMES[n_stages]).alias("stage_name"),
+        F.col("__n__").alias("docs_in"),
+        F.col("__b__").alias("docs_out"),
+        F.lit(0).cast("long").alias("docs_dropped"),
+        F.col("__t__").alias("tokens_out"),
+    )
+    return main.unionByName(pack_row).orderBy("stage")
