@@ -285,7 +285,10 @@ def ngram_jaccard_pairs_prefix(
     b = pref.select(
         F.col("__id__").alias("id_b"), "__sh__", F.col("__n__").alias("__nb__")
     )
-    cand = (
+    # candidates are consumed three times below (the verify join plus
+    # both sides of the id restriction) — pin so the prefix self-join
+    # runs once; the pair list is tiny next to the shingle frame
+    cand = pin_frame(
         a.join(b, "__sh__")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
@@ -293,10 +296,26 @@ def ngram_jaccard_pairs_prefix(
             & (F.col("__nb__") >= F.lit(threshold) * F.col("__na__"))
         )
         .select("id_a", "id_b")
-        .distinct()
+        .distinct(),
+        materialize,
+        scratch_dir,
     )
-    arrs = sh.groupBy("__id__").agg(
-        F.sort_array(F.collect_list("__sh__")).alias("__arr__")
+    # Verification arrays ONLY for docs that appear in some candidate
+    # pair (round 14): the former spelling collect_list-ed the sorted
+    # shingle array of EVERY document — the query's largest shuffle,
+    # twice (one per join side) — while prefix filtering exists
+    # precisely because candidates are a small fraction of the corpus.
+    # The semi-join drops non-candidate docs map-side before the
+    # group-by shuffle (guide §3.2 pre-filter the big side, §2.3
+    # shuffle fewer bytes); inner joins on id consumed only candidate
+    # rows before, so the surviving pairs are identical.
+    ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("__id__")
+    ).distinct()
+    arrs = (
+        sh.join(ids, "__id__", "left_semi")
+        .groupBy("__id__")
+        .agg(F.sort_array(F.collect_list("__sh__")).alias("__arr__"))
     )
     return (
         cand.join(arrs.withColumnRenamed("__id__", "id_a"), "id_a")
