@@ -173,7 +173,15 @@ def portable_hll_distinct(
     """
     m = 1 << b
     w = 60 - b
-    base = df.select(
+    # The md5-per-row hash is the sketch's only data-sized compute, and
+    # a single-row-group table scans as ONE task — widen the projected
+    # (group, key) rows first (metadata-only probe; no-op at production
+    # scan widths). Register maxes and row counts are partition-order
+    # independent, so the estimate is bit-identical.
+    from tmdb_index_spark.operators.partitioning import widen_small_scan
+
+    src = widen_small_scan(df.select(*group_cols, F.col(key_col)))
+    base = src.select(
         *group_cols,
         portable_hash60(F.col(key_col).cast("string")).alias("__hll_h__"),
     )
