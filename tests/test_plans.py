@@ -560,11 +560,16 @@ def test_prorate_explode_is_bounded_and_day_agg_partial(spark):
 
 def test_corr_matrix_one_scan_one_row_exchange(spark):
     # Every sufficient statistic (n, 4 sums, 10 cross-products) comes
-    # from ONE lineitem scan as a partial aggregate; the only exchange
-    # moves a single row; the 6-pair unpivot is a driver-free Generate.
+    # from ONE lineitem scan as a partial aggregate; the 6-pair unpivot
+    # is a driver-free Generate. Exactly two exchanges: the round-14
+    # small-scan widening (round-robin over the projected measures —
+    # a no-op at production scan widths, present at fixture widths so
+    # the 14 DECIMAL multiply-accumulates don't run on one task) and
+    # the single-row aggregate merge.
     p = _plan(spark, "metric_correlation_matrix")
     assert p.count("Scan parquet") == 1
-    assert p.count("Exchange") == 1
+    assert p.count("Exchange") == 2
+    assert "RoundRobinPartitioning" in p
     assert "partial_" in p
 
 

