@@ -243,6 +243,49 @@ def test_widen_small_scan_noop_when_wide(spark):
     assert widen_small_scan(wide) is wide
 
 
+def test_widen_probe_is_cheap_classifies_plans(spark):
+    # The probe-safety gate (round-14 ADVICE): file-rooted and
+    # checkpoint-pinned/literal frames probe cheaply; an unpinned
+    # join-bearing non-file frame must NOT widen (its RDD probe would
+    # materialize upstream AQE stages at operator-build time).
+    from tmdb_index_spark.operators.partitioning import (
+        widen_probe_is_cheap,
+    )
+
+    bare = spark.read.parquet(f"{SF}/orders.parquet")
+    assert widen_probe_is_cheap(bare)
+    assert widen_probe_is_cheap(bare.select("o_orderkey"))
+    # file-rooted even with a join above the scan (metadata estimate)
+    assert widen_probe_is_cheap(
+        bare.join(bare.select("o_orderkey"), "o_orderkey")
+    )
+    lit = spark.createDataFrame([(1,)], "x long")
+    assert widen_probe_is_cheap(lit)  # LocalRelation
+    ck = lit.localCheckpoint(eager=True)
+    assert widen_probe_is_cheap(ck)  # LogicalRDD
+    assert widen_probe_is_cheap(ck.select("x"))
+    # join of two checkpointed frames: not file-rooted, not a bare
+    # LogicalRDD — the RDD probe would execute the join's stages
+    from pyspark.sql import functions as F
+
+    assert not widen_probe_is_cheap(
+        ck.join(ck.withColumnRenamed("x", "y"), ck["x"] == F.col("y"))
+    )
+
+
+def test_hll_key_in_group_cols_not_ambiguous(spark):
+    # round-14 ADVICE: key_col ∈ group_cols must not create a
+    # duplicate column in the pre-widen projection (AMBIGUOUS_REFERENCE)
+    from tmdb_index_spark.operators.sketches import portable_hll_distinct
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "k string"
+    )
+    rows = portable_hll_distinct(df, "k", ["k"], b=6).collect()
+    assert {r["k"] for r in rows} == {"a", "b"}
+    assert all(r["n_rows"] >= 1 for r in rows)
+
+
 def test_metadata_scan_rowcount_exact_or_declines(spark):
     # Footer count must equal count() on bare / row-preserving scans
     # and DECLINE (None) on anything that could change cardinality —

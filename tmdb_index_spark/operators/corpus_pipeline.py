@@ -193,6 +193,139 @@ def prepare_corpus(
             f"pq_m must be >= 1 and pq_ks >= 2, got m={pq_m}, ks={pq_ks}"
         )
 
+    # --- stage-5 fit, launched CONCURRENTLY with stages 0-4 (guide
+    # §2.6 overlap independent jobs): the cell fit (and PQ codebook
+    # fit) depend ONLY on the full embeddings table — corpus-level
+    # structure, never the survivor chain (that independence is
+    # exactly why the oracle can re-fit without replaying the stages)
+    # — while stages 0-4 serialize on their pin materializations. One
+    # driver side-thread runs the footer count, artifact load/staleness
+    # check and the bounded sample collect + numpy Lloyd iterations
+    # while the main thread builds the chain; results are identical
+    # because the inputs are identical (same table, same sample rule).
+    # Job descriptions/groups are thread-local and the pin ledger is
+    # lock-protected (operators/materialize.py). Exceptions surface at
+    # .result() — the same stage-5 position they surfaced at before.
+    from tmdb_index_spark.operators.ann_store import (
+        ann_model_stale,
+        load_ann_model,
+    )
+    from tmdb_index_spark.operators.partitioning import (
+        metadata_scan_rowcount,
+    )
+
+    need_pq = semantic_payload == "pq"
+
+    def _fit_task() -> tuple:
+        n_emb = metadata_scan_rowcount(embeddings)
+        if n_emb is None:
+            n_emb = embeddings.count()
+        stored = (
+            load_ann_model(docs.sparkSession, model_path)
+            if model_path
+            else None
+        )
+        reuse = (
+            stored is not None
+            and not ann_model_stale(stored["meta"], n_emb)
+            and (
+                not need_pq
+                or (
+                    stored["meta"]["pq_m"] == pq_m
+                    and stored["meta"]["pq_ks"] == pq_ks
+                    and bool(stored["codebooks"])
+                )
+            )
+        )
+        if reuse:
+            cents = stored["centroids"]
+            books = stored["codebooks"] if need_pq else None
+        else:
+            cents = fit_centroids(
+                embeddings, semantic_cells(n_emb), emb_id, emb_vec
+            )
+            books = (
+                fit_pq(
+                    embeddings, m=pq_m, ks=pq_ks,
+                    id_col=emb_id, vec_col=emb_vec,
+                )
+                if need_pq
+                else None
+            )
+        return n_emb, stored, reuse, cents, books
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    _fit_pool = ThreadPoolExecutor(max_workers=1)
+    fit_future = _fit_pool.submit(_fit_task)
+    try:
+        return _prepare_corpus_stages(
+            docs,
+            embeddings,
+            fit_future,
+            text_col=text_col,
+            id_col=id_col,
+            source_col=source_col,
+            lang_col=lang_col,
+            langs=langs,
+            jaccard_threshold=jaccard_threshold,
+            semantic_threshold=semantic_threshold,
+            eval_mod=eval_mod,
+            ngram_n=ngram_n,
+            budget_den=budget_den,
+            capacity=capacity,
+            shards=shards,
+            materialize=materialize,
+            scratch_dir=scratch_dir,
+            semantic_payload=semantic_payload,
+            pq_m=pq_m,
+            pq_ks=pq_ks,
+            merges=merges,
+            mix_temperature=mix_temperature,
+            mix_epoch_cap=mix_epoch_cap,
+            mix_budget_den=mix_budget_den,
+            model_path=model_path,
+        )
+    finally:
+        # normal path: the future was consumed at stage 5, nothing to
+        # wait for; error path: wait for the in-flight fit so no Spark
+        # job outlives the call that launched it
+        _fit_pool.shutdown(wait=True)
+
+
+def _prepare_corpus_stages(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    fit_future,
+    *,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    lang_col: str,
+    langs: tuple[str, ...],
+    jaccard_threshold: float,
+    semantic_threshold: float,
+    eval_mod: int,
+    ngram_n: int,
+    budget_den: int,
+    capacity: int,
+    shards: int,
+    materialize: str,
+    scratch_dir: str | None,
+    semantic_payload: str,
+    pq_m: int,
+    pq_ks: int,
+    merges: list[tuple[str, str]] | None,
+    mix_temperature: float,
+    mix_epoch_cap: int,
+    mix_budget_den: int,
+    model_path: str | None,
+) -> dict:
+    """Stage chain of :func:`prepare_corpus`; ``fit_future`` resolves
+    to the concurrently-computed ``(n_emb, stored, reuse, cents,
+    books)`` of the semantic stage."""
+    emb_id, emb_vec = "vec_id", "embedding"
+
     base = pin_frame(
         docs.select(
             id_col,
@@ -273,44 +406,13 @@ def prepare_corpus(
     # semantic_payload validated at function entry).  model_path makes
     # the fit a persisted, versioned artifact reused across corpus
     # builds (docstring); a fresh matching artifact skips BOTH fits.
-    from tmdb_index_spark.operators.ann_store import (
-        ann_model_stale,
-        load_ann_model,
-        save_ann_model,
-    )
+    # The fit itself ran CONCURRENTLY with stages 0-4 (launched in
+    # prepare_corpus, guide §2.6) — collect it here, where its first
+    # consumer lives and where its errors surfaced before the overlap.
+    from tmdb_index_spark.operators.ann_store import save_ann_model
 
-    # N sizes the cell budget and the artifact staleness rule; when
-    # the embeddings input is the bare table scan the exact count is
-    # in the parquet footers — no build job (operators/partitioning)
-    from tmdb_index_spark.operators.partitioning import metadata_scan_rowcount
-
-    n_emb = metadata_scan_rowcount(embeddings)
-    if n_emb is None:
-        n_emb = embeddings.count()
+    n_emb, stored, reuse, cents, books = fit_future.result()
     need_pq = semantic_payload == "pq"
-    stored = (
-        load_ann_model(docs.sparkSession, model_path)
-        if model_path
-        else None
-    )
-    reuse = (
-        stored is not None
-        and not ann_model_stale(stored["meta"], n_emb)
-        and (
-            not need_pq
-            or (
-                stored["meta"]["pq_m"] == pq_m
-                and stored["meta"]["pq_ks"] == pq_ks
-                and bool(stored["codebooks"])
-            )
-        )
-    )
-    if reuse:
-        cents = stored["centroids"]
-    else:
-        cents = fit_centroids(
-            embeddings, semantic_cells(n_emb), emb_id, emb_vec
-        )
     surv_emb = embeddings.join(
         s4.select(F.col(id_col).alias(emb_id)), emb_id
     )
@@ -319,13 +421,6 @@ def prepare_corpus(
         # codebooks fit on the FULL embeddings table (like the cells:
         # corpus-level structure, independent of upstream filters);
         # only (id, cell, codes) crosses the per-cell shuffle
-        if reuse:
-            books = stored["codebooks"]
-        else:
-            books = fit_pq(
-                embeddings, m=pq_m, ks=pq_ks,
-                id_col=emb_id, vec_col=emb_vec,
-            )
         assigned = ivf_assign(
             surv_emb, cents, emb_id, emb_vec, impl=assign_impl
         )
@@ -552,12 +647,19 @@ def tokenize_and_mix(
     # probe on the already-materialized pin when called from
     # prepare_corpus). Encode, hash-sampling, and packing are all
     # partition-independent, which the stats oracle pins. Measured
-    # 2.60 → 1.98 s on the composite at sf0.1.
-    from tmdb_index_spark.operators.partitioning import widen_small_scan
+    # 2.60 → 1.98 s on the composite at sf0.1. ``docs`` is an ARBITRARY
+    # caller frame, so the widen is gated on the probe being provably
+    # cheap (file-rooted or pinned — round-14 ADVICE): an unpinned
+    # join-bearing corpus must not pay build-time stage
+    # materializations just to measure its width.
+    from tmdb_index_spark.operators.partitioning import (
+        widen_probe_is_cheap,
+        widen_small_scan,
+    )
 
     enc = (
         bpe_encode(
-            widen_small_scan(docs),
+            widen_small_scan(docs) if widen_probe_is_cheap(docs) else docs,
             list(merges),
             text_col=text_col,
             out_col="__bpe__",
@@ -744,55 +846,22 @@ def ingest_corpus_batch(
     from tmdb_index_spark.operators.dedup_text import minhash_novelty_pairs
     from tmdb_index_spark.operators.upsert import update_or_append
 
-    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
-    b = pin_frame(
-        batch.withColumn("__h__", h), materialize, scratch_dir
-    )
-
-    # 1. exact within batch: lowest id per content hash
-    s1 = dedup_keep_first(b, keys=("__h__",), order=(F.col(id_col),))
-
-    # 2. exact vs index: content hash anti-join (index side projects to
-    # its distinct hash set — at scale a bloom-then-verify candidate)
-    idx_h = index.select(h.alias("__h__")).distinct()
-    s2 = pin_frame(
-        s1.join(idx_h, "__h__", "left_anti"), materialize, scratch_dir
-    )
-
-    # 3. near vs index: batch×index MinHash-LSH + exact-Jaccard verify.
-    # ``index_bands`` (round 13) is the persisted band sidecar of the
-    # STANDING index — when given, the full-index text re-hash (the
-    # dominant per-batch cost of the daily loop) is skipped; results
-    # are identical because the banding is a pure function of the
-    # text bytes (run_ingest_stream maintains + validates the sidecar)
-    near = (
-        minhash_novelty_pairs(
-            index,
-            s2,
-            text_col=text_col,
-            id_col=id_col,
-            num_hashes=num_hashes,
-            bands=bands,
-            threshold=jaccard_threshold,
-            broadcast_batch=broadcast_batch,
-            index_bands=index_bands,
-        )
-        .select(F.col("batch_id").alias(id_col))
-        .distinct()
-    )
-    s3 = pin_frame(
-        s2.join(near, id_col, "left_anti").drop("__h__"),
-        materialize,
-        scratch_dir,
-    )
-
-    # 3b. semantic vs index (optional): PQ-coded SDC novelty — catches
-    # paraphrase-grade rewrites MinHash misses; index side map-only
+    # --- stage-3b fit, launched CONCURRENTLY with stages 1-3 (guide
+    # §2.6, the prepare_corpus overlap): the semantic fit depends only
+    # on the INDEX side (embeddings ⋈ index ids — the standing
+    # structure), never on the batch's stage chain, so its count job,
+    # bounded sample collect and numpy fits run on a driver side-thread
+    # while stages 1-3 materialize their pins. Same inputs, same
+    # deterministic sample rule → bit-identical fits; exceptions
+    # surface at .result(), the same stage-3b position as before.
     semantic = embeddings is not None and semantic_threshold is not None
     ann_model: dict | None = None
+    sem_future = None
+    sem_pool = None
     if semantic:
+        from concurrent.futures import ThreadPoolExecutor
+
         from tmdb_index_spark.operators.ann_store import (
-            ann_model_fingerprint,
             ann_model_stale,
             load_ann_model,
             save_ann_model,
@@ -801,21 +870,26 @@ def ingest_corpus_batch(
             IVF_BLAS_ASSIGN_THRESHOLD,
             fit_kmeans_array,
             fit_pq_array,
-            pq_novelty_ids,
             semantic_cells,
         )
 
         idx_emb = embeddings.join(
             index.select(F.col(id_col).alias(emb_id_col)), emb_id_col
         )
-        n_idx = idx_emb.count()
-        if semantic_assign_impl is None:
-            # the prepare_corpus size gate: BLAS assignment once the
-            # interpreted |index|·cells·dim fold would dominate
-            semantic_assign_impl = (
-                "pandas" if n_idx >= IVF_BLAS_ASSIGN_THRESHOLD else "expr"
-            )
-        if n_idx > 0:
+
+        def _sem_fit_task() -> tuple:
+            n_idx = idx_emb.count()
+            impl = semantic_assign_impl
+            if impl is None:
+                # the prepare_corpus size gate: BLAS assignment once
+                # the interpreted |index|·cells·dim fold would dominate
+                impl = (
+                    "pandas"
+                    if n_idx >= IVF_BLAS_ASSIGN_THRESHOLD
+                    else "expr"
+                )
+            if n_idx == 0:
+                return 0, impl, None, None, None
             spark = index.sparkSession
             stored = (
                 load_ann_model(spark, model_path) if model_path else None
@@ -827,158 +901,231 @@ def ingest_corpus_batch(
                 and not ann_model_stale(stored["meta"], n_idx)
             )
             if reuse:
-                cents = stored["centroids"]
-                books = stored["codebooks"]
-                ann_model = dict(stored["meta"], reused=True)
+                return (
+                    n_idx,
+                    impl,
+                    stored["centroids"],
+                    stored["codebooks"],
+                    dict(stored["meta"], reused=True),
+                )
+            # ONE bounded sample collect feeds BOTH fits: the
+            # centroid and codebook fits use the identical
+            # deterministic sample (first max_sample rows by id),
+            # so collecting it twice was a duplicated
+            # join+sort+limit job per refit — the array twins are
+            # pure functions of the same sample bytes, results
+            # bit-identical (guide §1.2: don't run passes twice)
+            import numpy as np
+
+            from tmdb_index_spark.operators.materialize import (
+                bounded_collect,
+            )
+
+            cells = semantic_cells(n_idx)
+            if cells > 10_000:
+                # fit_centroids' loud occupancy-cliff guard,
+                # preserved verbatim on the shared-sample path
+                raise ValueError(
+                    f"ingest_corpus_batch: cells={cells} exceeds "
+                    "the fit sample cap 10000 — a sampled k-means "
+                    "cannot supply more centroids than sample rows"
+                )
+            sample_rows = bounded_collect(
+                idx_emb.select(emb_id_col, emb_vec_col)
+                .orderBy(emb_id_col)
+                .limit(10_000),
+                10_000,
+                "semantic fit sample",
+            )
+            X = np.array(
+                [list(r[1]) for r in sample_rows], dtype="float64"
+            )
+            cents = fit_kmeans_array(X, cells)
+            books = fit_pq_array(X, m=pq_m, ks=pq_ks)
+            meta = None
+            if model_path:
+                fit_id = stored["meta"]["fit_id"] + 1 if stored else 1
+                meta = dict(
+                    save_ann_model(
+                        spark,
+                        model_path,
+                        cents,
+                        books,
+                        fit_id=fit_id,
+                        n_fit=n_idx,
+                        pq_m=pq_m,
+                        pq_ks=pq_ks,
+                    ),
+                    reused=False,
+                )
+            return n_idx, impl, cents, books, meta
+
+        sem_pool = ThreadPoolExecutor(max_workers=1)
+        sem_future = sem_pool.submit(_sem_fit_task)
+
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    try:
+        b = pin_frame(
+            batch.withColumn("__h__", h), materialize, scratch_dir
+        )
+
+        # 1. exact within batch: lowest id per content hash
+        s1 = dedup_keep_first(b, keys=("__h__",), order=(F.col(id_col),))
+
+        # 2. exact vs index: content hash anti-join (index side projects to
+        # its distinct hash set — at scale a bloom-then-verify candidate)
+        idx_h = index.select(h.alias("__h__")).distinct()
+        s2 = pin_frame(
+            s1.join(idx_h, "__h__", "left_anti"), materialize, scratch_dir
+        )
+
+        # 3. near vs index: batch×index MinHash-LSH + exact-Jaccard verify.
+        # ``index_bands`` (round 13) is the persisted band sidecar of the
+        # STANDING index — when given, the full-index text re-hash (the
+        # dominant per-batch cost of the daily loop) is skipped; results
+        # are identical because the banding is a pure function of the
+        # text bytes (run_ingest_stream maintains + validates the sidecar)
+        near = (
+            minhash_novelty_pairs(
+                index,
+                s2,
+                text_col=text_col,
+                id_col=id_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold=jaccard_threshold,
+                broadcast_batch=broadcast_batch,
+                index_bands=index_bands,
+            )
+            .select(F.col("batch_id").alias(id_col))
+            .distinct()
+        )
+        s3 = pin_frame(
+            s2.join(near, id_col, "left_anti").drop("__h__"),
+            materialize,
+            scratch_dir,
+        )
+
+        # 3b. semantic vs index (optional): PQ-coded SDC novelty — catches
+        # paraphrase-grade rewrites MinHash misses; index side map-only.
+        # The fit (count, artifact load/staleness, sample collect, numpy
+        # fits, artifact save) ran CONCURRENTLY with stages 1-3 on the
+        # side-thread launched above — collect it here, its old position.
+        if semantic:
+            from tmdb_index_spark.operators.ann_store import (
+                ann_model_fingerprint,
+            )
+            from tmdb_index_spark.operators.similarity import (
+                pq_novelty_ids,
+            )
+
+            n_idx, semantic_assign_impl, cents, books, ann_model = (
+                sem_future.result()
+            )
+            if n_idx > 0:
+                bat_emb = embeddings.join(
+                    s3.select(F.col(id_col).alias(emb_id_col)), emb_id_col
+                )
+                # the precomputed index-side (id, cell, codes) sidecar is
+                # usable ONLY under the model this batch actually runs —
+                # a refit (or any fingerprint drift) silently changes
+                # every assignment, so a mismatched sidecar must fall back
+                # to the recompute path, never feed wrong candidate cells
+                use_codes = None
+                if index_codes is not None and index_codes_fit_md5 == (
+                    ann_model_fingerprint(cents, books)
+                ):
+                    use_codes = index_codes  # (emb_id_col, cell, codes)
+                sem_dups = pq_novelty_ids(
+                    idx_emb,
+                    bat_emb,
+                    semantic_threshold,
+                    cents,
+                    books,
+                    id_col=emb_id_col,
+                    vec_col=emb_vec_col,
+                    assign_impl=semantic_assign_impl,
+                    index_codes=use_codes,
+                ).withColumnRenamed(emb_id_col, id_col)
+                kept = pin_frame(
+                    s3.join(sem_dups, id_col, "left_anti"),
+                    materialize,
+                    scratch_dir,
+                )
             else:
-                # ONE bounded sample collect feeds BOTH fits: the
-                # centroid and codebook fits use the identical
-                # deterministic sample (first max_sample rows by id),
-                # so collecting it twice was a duplicated
-                # join+sort+limit job per refit — the array twins are
-                # pure functions of the same sample bytes, results
-                # bit-identical (guide §1.2: don't run passes twice)
-                import numpy as np
-
-                from tmdb_index_spark.operators.materialize import (
-                    bounded_collect,
-                )
-
-                cells = semantic_cells(n_idx)
-                if cells > 10_000:
-                    # fit_centroids' loud occupancy-cliff guard,
-                    # preserved verbatim on the shared-sample path
-                    raise ValueError(
-                        f"ingest_corpus_batch: cells={cells} exceeds "
-                        "the fit sample cap 10000 — a sampled k-means "
-                        "cannot supply more centroids than sample rows"
-                    )
-                sample_rows = bounded_collect(
-                    idx_emb.select(emb_id_col, emb_vec_col)
-                    .orderBy(emb_id_col)
-                    .limit(10_000),
-                    10_000,
-                    "semantic fit sample",
-                )
-                X = np.array(
-                    [list(r[1]) for r in sample_rows], dtype="float64"
-                )
-                cents = fit_kmeans_array(X, cells)
-                books = fit_pq_array(X, m=pq_m, ks=pq_ks)
-                if model_path:
-                    fit_id = (
-                        stored["meta"]["fit_id"] + 1 if stored else 1
-                    )
-                    ann_model = dict(
-                        save_ann_model(
-                            spark,
-                            model_path,
-                            cents,
-                            books,
-                            fit_id=fit_id,
-                            n_fit=n_idx,
-                            pq_m=pq_m,
-                            pq_ks=pq_ks,
-                        ),
-                        reused=False,
-                    )
-            bat_emb = embeddings.join(
-                s3.select(F.col(id_col).alias(emb_id_col)), emb_id_col
-            )
-            # the precomputed index-side (id, cell, codes) sidecar is
-            # usable ONLY under the model this batch actually runs —
-            # a refit (or any fingerprint drift) silently changes
-            # every assignment, so a mismatched sidecar must fall back
-            # to the recompute path, never feed wrong candidate cells
-            use_codes = None
-            if index_codes is not None and index_codes_fit_md5 == (
-                ann_model_fingerprint(cents, books)
-            ):
-                use_codes = index_codes  # (emb_id_col, cell, codes)
-            sem_dups = pq_novelty_ids(
-                idx_emb,
-                bat_emb,
-                semantic_threshold,
-                cents,
-                books,
-                id_col=emb_id_col,
-                vec_col=emb_vec_col,
-                assign_impl=semantic_assign_impl,
-                index_codes=use_codes,
-            ).withColumnRenamed(emb_id_col, id_col)
-            kept = pin_frame(
-                s3.join(sem_dups, id_col, "left_anti"),
-                materialize,
-                scratch_dir,
-            )
+                kept = s3
         else:
             kept = s3
-    else:
-        kept = s3
 
-    # 4. fold the kept docs into the index (reference upsert semantics)
-    new_index = update_or_append(
-        index.withColumnRenamed(id_col, "id"),
-        kept.withColumnRenamed(id_col, "id"),
-    ).withColumnRenamed("id", id_col)
+        # 4. fold the kept docs into the index (reference upsert semantics)
+        new_index = update_or_append(
+            index.withColumnRenamed(id_col, "id"),
+            kept.withColumnRenamed(id_col, "id"),
+        ).withColumnRenamed("id", id_col)
 
-    # per-source fate labels -> one yield row per source
-    f1 = s1.select(id_col).withColumn("__s1__", F.lit(1))
-    f2 = s2.select(id_col).withColumn("__s2__", F.lit(1))
-    f3 = s3.select(id_col).withColumn("__s3__", F.lit(1))
-    f4 = kept.select(id_col).withColumn("__s4__", F.lit(1))
-    lab = (
-        b.select(id_col, source_col)
-        .join(f1, id_col, "left")
-        .join(f2, id_col, "left")
-        .join(f3, id_col, "left")
-        .join(f4, id_col, "left")
-    )
-    n = F.count(F.lit(1))
-    n_kept = F.sum(F.coalesce(F.col("__s4__"), F.lit(0)))
-    aggs = [
-        n.cast("long").alias("n_batch"),
-        F.sum(F.when(F.col("__s1__").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_exact_batch_dup"),
-        F.sum(
-            F.when(
-                F.col("__s1__").isNotNull() & F.col("__s2__").isNull(), 1
-            ).otherwise(0)
+        # per-source fate labels -> one yield row per source
+        f1 = s1.select(id_col).withColumn("__s1__", F.lit(1))
+        f2 = s2.select(id_col).withColumn("__s2__", F.lit(1))
+        f3 = s3.select(id_col).withColumn("__s3__", F.lit(1))
+        f4 = kept.select(id_col).withColumn("__s4__", F.lit(1))
+        lab = (
+            b.select(id_col, source_col)
+            .join(f1, id_col, "left")
+            .join(f2, id_col, "left")
+            .join(f3, id_col, "left")
+            .join(f4, id_col, "left")
         )
-        .cast("long")
-        .alias("n_exact_index_dup"),
-        F.sum(
-            F.when(
-                F.col("__s2__").isNotNull() & F.col("__s3__").isNull(), 1
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_near_index_dup"),
-    ]
-    if semantic:
-        aggs.append(
+        n = F.count(F.lit(1))
+        n_kept = F.sum(F.coalesce(F.col("__s4__"), F.lit(0)))
+        aggs = [
+            n.cast("long").alias("n_batch"),
+            F.sum(F.when(F.col("__s1__").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact_batch_dup"),
             F.sum(
                 F.when(
-                    F.col("__s3__").isNotNull() & F.col("__s4__").isNull(), 1
+                    F.col("__s1__").isNotNull() & F.col("__s2__").isNull(), 1
                 ).otherwise(0)
             )
             .cast("long")
-            .alias("n_semantic_index_dup")
-        )
-    aggs += [
-        n_kept.cast("long").alias("n_kept"),
-        F.round(n_kept.cast("double") / n.cast("double"), 4).alias(
-            "kept_rate"
-        ),
-    ]
-    stats = lab.groupBy(source_col).agg(*aggs)
-    return {
-        "new_index": new_index,
-        "kept": kept,
-        "stats": stats,
-        "ann_model": ann_model,
-    }
+            .alias("n_exact_index_dup"),
+            F.sum(
+                F.when(
+                    F.col("__s2__").isNotNull() & F.col("__s3__").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_near_index_dup"),
+        ]
+        if semantic:
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col("__s3__").isNotNull() & F.col("__s4__").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_semantic_index_dup")
+            )
+        aggs += [
+            n_kept.cast("long").alias("n_kept"),
+            F.round(n_kept.cast("double") / n.cast("double"), 4).alias(
+                "kept_rate"
+            ),
+        ]
+        stats = lab.groupBy(source_col).agg(*aggs)
+        return {
+            "new_index": new_index,
+            "kept": kept,
+            "stats": stats,
+            "ann_model": ann_model,
+        }
+    finally:
+        # normal path: the future was consumed at stage 3b;
+        # error path: wait for the in-flight fit so no Spark job
+        # outlives the call that launched it
+        if sem_pool is not None:
+            sem_pool.shutdown(wait=True)
 
 
 def corpus_pipeline_stats(

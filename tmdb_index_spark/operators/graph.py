@@ -46,7 +46,7 @@ def connected_components(
     import shutil
     import tempfile
 
-    from tmdb_index_spark.operators.materialize import _PINNED_FRAMES
+    from tmdb_index_spark.operators.materialize import register_pin
 
     spark = pairs.sparkSession
     # Both edge directions come from ONE pass over the pair list: the
@@ -79,7 +79,7 @@ def connected_components(
     # ContextCleaner), and two CC-family queries back-to-back at the
     # 100x stress scale OOMed a 48g heap on the ACCUMULATED blocks —
     # release_pins() between bench/stress passes now frees them
-    _PINNED_FRAMES.append(edges)
+    register_pin(edges)
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -180,7 +180,7 @@ def connected_components(
                 # Detach the result from the temp files before cleanup
                 # (ledger-registered like the edge frame above).
                 out = labels.localCheckpoint(eager=True)
-                _PINNED_FRAMES.append(out)
+                register_pin(out)
                 return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

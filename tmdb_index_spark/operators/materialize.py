@@ -33,12 +33,27 @@ from __future__ import annotations
 
 import atexit
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame
 
 _SCRATCH_PATHS: list[str] = []
 _PINNED_FRAMES: list[DataFrame] = []
+#: Guards the two ledger lists: operators may now pin from a driver
+#: side-thread running concurrently with the main build (guide §2.6 —
+#: prepare_corpus overlaps its fit collects with the stage chain), and
+#: a release racing an append must see a consistent ledger.
+_LEDGER_LOCK = threading.RLock()
+
+
+def register_pin(df: DataFrame) -> DataFrame:
+    """Register an externally-persisted frame (an eager checkpoint a
+    loop manages itself) with the ledger so :func:`release_pins` frees
+    its blocks; returns ``df`` unchanged."""
+    with _LEDGER_LOCK:
+        _PINNED_FRAMES.append(df)
+    return df
 
 
 def _cleanup() -> None:
@@ -64,7 +79,8 @@ def pin_frame(
     exit (parquet scratch)."""
     if materialize == "cache":
         out = df.cache()
-        _PINNED_FRAMES.append(out)
+        with _LEDGER_LOCK:
+            _PINNED_FRAMES.append(out)
         return out
     if materialize == "checkpoint":
         # localCheckpoint TRUNCATES THE LOGICAL PLAN (lineage) as well
@@ -78,7 +94,8 @@ def pin_frame(
         # executor loss needs the checkpoint blocks (no lineage), so
         # long multi-tenant jobs should prefer "parquet".
         out = df.localCheckpoint(eager=False)
-        _PINNED_FRAMES.append(out)
+        with _LEDGER_LOCK:
+            _PINNED_FRAMES.append(out)
         return out
     if materialize == "parquet":
         spark = df.sparkSession
@@ -88,7 +105,8 @@ def pin_frame(
         )
         path = f"{base}/pin_{uuid.uuid4().hex}.parquet"
         df.write.mode("overwrite").parquet(path)
-        _SCRATCH_PATHS.append(path)
+        with _LEDGER_LOCK:
+            _SCRATCH_PATHS.append(path)
         return spark.read.parquet(path)
     raise ValueError(
         f"materialize must be 'cache', 'checkpoint' or 'parquet', "
@@ -166,9 +184,14 @@ def release_pins(drop_all: bool = False) -> int:
     left to recompute them). ``drop_all=True`` is the bench/stress
     between-passes reset: it additionally drops EVERY still-persistent
     RDD in the session, callers' included."""
-    n = len(_PINNED_FRAMES) + len(_SCRATCH_PATHS)
+    with _LEDGER_LOCK:
+        frames = list(_PINNED_FRAMES)
+        _PINNED_FRAMES.clear()
+        paths = list(_SCRATCH_PATHS)
+        _SCRATCH_PATHS.clear()
+    n = len(frames) + len(paths)
     own_ids = set()
-    for f in _PINNED_FRAMES:
+    for f in frames:
         rid = _checkpoint_rdd_id(f)
         if rid is not None:
             own_ids.add(rid)
@@ -176,9 +199,10 @@ def release_pins(drop_all: bool = False) -> int:
             f.unpersist()
         except Exception:  # session already stopped — nothing to free
             pass
-    _PINNED_FRAMES.clear()
-    _cleanup()
-    _SCRATCH_PATHS.clear()
+    for p in paths:
+        local = p[len("file:"):] if p.startswith("file:") else p
+        if "://" not in local:
+            shutil.rmtree(local, ignore_errors=True)
     try:
         from pyspark.sql import SparkSession
 

@@ -30,7 +30,11 @@ import math
 
 from pyspark.sql import DataFrame
 
-__all__ = ["metadata_scan_rowcount", "widen_small_scan"]
+__all__ = [
+    "metadata_scan_rowcount",
+    "widen_probe_is_cheap",
+    "widen_small_scan",
+]
 
 
 def _estimated_scan_width(df: DataFrame) -> int | None:
@@ -134,6 +138,34 @@ def metadata_scan_rowcount(df: DataFrame, max_files: int = 64) -> int | None:
         return total
     except Exception:  # plan-shape drift / unreadable footer — decline
         return None
+
+
+def widen_probe_is_cheap(df: DataFrame) -> bool:
+    """True when :func:`widen_small_scan`'s width probe cannot
+    materialize upstream AQE stages: file-rooted plans (the width is
+    estimated from file sizes — metadata only) or ``Project`` /
+    ``SubqueryAlias`` over a ``LogicalRDD`` / ``LocalRelation``
+    (checkpoint-pinned or literal frames — nothing upstream left to
+    materialize, so the RDD fallback probe is cheap). Operators that
+    accept ARBITRARY caller frames (``tokenize_and_mix``) gate their
+    opt-in widen on this so a direct caller with an unpinned
+    join-bearing corpus never pays build-time jobs just to measure
+    width (round-14 ADVICE)."""
+    try:
+        if df.inputFiles():
+            return True
+    except Exception:  # non-SQL plan — fall through to the plan check
+        pass
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        while plan.getClass().getSimpleName() in ("Project", "SubqueryAlias"):
+            plan = plan.children().apply(0)
+        return plan.getClass().getSimpleName() in (
+            "LogicalRDD",
+            "LocalRelation",
+        )
+    except Exception:  # plan-shape drift — be conservative, skip widen
+        return False
 
 
 def widen_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

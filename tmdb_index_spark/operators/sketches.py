@@ -180,7 +180,13 @@ def portable_hll_distinct(
     # independent, so the estimate is bit-identical.
     from tmdb_index_spark.operators.partitioning import widen_small_scan
 
-    src = widen_small_scan(df.select(*group_cols, F.col(key_col)))
+    # append key_col only when it is not already a group column — the
+    # duplicate name would make the F.col(key_col) below AMBIGUOUS
+    # (round-14 ADVICE; no current call site overlaps, API-level guard)
+    proj = list(group_cols) + (
+        [key_col] if key_col not in group_cols else []
+    )
+    src = widen_small_scan(df.select(*proj))
     base = src.select(
         *group_cols,
         portable_hash60(F.col(key_col).cast("string")).alias("__hll_h__"),
