@@ -94,10 +94,14 @@ def connected_components(
     # re-estimating plans while executors sat idle). A parquet round-trip
     # gives the next round a plain file relation with true, small stats;
     # it is also the restart-safe pattern a 1000-executor run wants.
-    def step(lab: DataFrame) -> DataFrame:
+    def step(lab: DataFrame, mark: str | None = None) -> DataFrame:
         """One label-propagation round: (node, component) -> the same
         frame with ``component`` replaced by min(keep, neighbor-min,
-        pointer-jump)."""
+        pointer-jump). With ``mark``, additionally emit a 0/1 column
+        flagging rows THIS round improved — the convergence probe
+        rides the round's own projection instead of a separate
+        old-vs-new join (round 15; the label before the ``least`` IS
+        the round's input, so no extra plan subtree is embedded)."""
         nbr_min = (
             edges.alias("e")
             .join(lab.alias("l"), F.col("e.b") == F.col("l.node"))
@@ -112,70 +116,65 @@ def connected_components(
                 F.col("y.component").alias("jump_min"),
             )
         )
+        new = F.least(
+            F.col("component"),
+            F.coalesce(F.col("nbr_min"), F.col("component")),
+            F.coalesce(F.col("jump_min"), F.col("component")),
+        )
+        cols = ["node", new.alias("component")]
+        if mark is not None:
+            cols.append((new < F.col("component")).cast("long").alias(mark))
         return (
             lab.join(nbr_min, "node", "left")
             .join(jump, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                    F.coalesce(F.col("jump_min"), F.col("component")),
-                ).alias("component"),
-            )
+            .select(*cols)
         )
 
-    # Two measured per-round overheads were removed in the round-14
-    # optimization pass (guide §1/§2 — the loop's wall time was ~80%
-    # fixed per-materialization cost at any scale where a round's data
-    # fits the cluster: job launch, AQE stage setup, the commit):
+    # Per-materialization overheads removed across rounds 14-15 (guide
+    # §1/§2 — the loop's wall time was ~80% fixed per-materialization
+    # cost at any scale where a round's data fits the cluster: job
+    # launch, AQE stage setup, the commit):
     #
     # * the convergence probe was a SECOND job per round
     #   (``filter(new < old).isEmpty()`` re-reading the just-written
-    #   parquet); it now rides the write itself as an ``observe()``
-    #   aggregate (sum of improved labels), which costs nothing extra
-    #   inside the already-running write stage;
-    # * TWO propagation rounds now run per parquet materialization —
-    #   the plan per write is twice as deep (still bounded: ~8 joins),
-    #   halving the number of write/commit round-trips. Convergence is
-    #   checked against the label column the PREVIOUS materialization
-    #   produced, so "no label improved across both rounds" is exactly
-    #   the old per-round fixpoint test (labels only ever decrease;
-    #   a fixpoint of one round is a fixpoint of two). The converged
-    #   labels are identical — min node id per component — whatever
-    #   the batching, which the unchanged recursive-CTE oracle pins.
+    #   parquet); it rides the write itself as an ``observe()``
+    #   aggregate (round 14), and since round 15 the improvement flag
+    #   is emitted by the final round's OWN projection (``step(...,
+    #   mark=...)``) instead of an extra old-vs-new join per batch;
+    # * THREE propagation rounds run per parquet materialization
+    #   (round 14 batched two): the plan per write is deeper but still
+    #   bounded (~12 joins over one parquet-rooted scan, shared
+    #   subtrees deduplicated by AQE's exchange reuse), cutting the
+    #   materializations 6 → 4 on the sf0.1 bench graph (instrumented
+    #   batch count; build jobs 101 → 96). sf0.1 WALL is flat to
+    #   noise — the saved round-trips are offset locally by the deeper
+    #   plan's driver-side planning/codegen, which is FIXED at scale
+    #   while the two saved materializations are full write+reads of
+    #   the data-proportional labels frame. Four rounds per write was
+    #   measured and REJECTED (warm 16-19 s vs ~9-12 s: the
+    #   4^k-reference plan growth ate far more than the saved
+    #   round-trip).
+    #   Convergence is the LAST round's own improvement count: labels
+    #   only ever decrease, so "round 3k changed nothing" means its
+    #   input was already a fixpoint and rounds 3k-2/3k-1 were the
+    #   final descent — exactly the old per-round fixpoint test. The
+    #   converged labels are identical — min node id per component —
+    #   whatever the batching, which the unchanged recursive-CTE
+    #   oracle pins. ``max_iter`` bounds MATERIALIZATIONS, so the
+    #   non-convergence guard now fires after up to 3x the old round
+    #   budget (documented round-14 watch item; results unaffected).
     from pyspark.sql import Observation
 
     tmp = tempfile.mkdtemp(prefix="tmdb_index_spark_cc_")
     try:
         for i in range(max_iter):
-            stepped = (
-                step(step(labels))
-                .join(
-                    labels.select(
-                        "node", F.col("component").alias("old_component")
-                    ),
-                    "node",
-                )
-                .select(
-                    "node",
-                    F.col("component").alias("new_component"),
-                    "old_component",
-                )
-            )
+            stepped = step(step(step(labels)), mark="__imp__")
             obs = Observation(f"cc_round_{i}")
             path = f"{tmp}/round_{i}"
             stepped.observe(
-                obs,
-                F.sum(
-                    (F.col("new_component") < F.col("old_component")).cast(
-                        "long"
-                    )
-                ).alias("improved"),
+                obs, F.sum(F.col("__imp__")).alias("improved")
             ).write.mode("overwrite").parquet(path)
-            labels = spark.read.parquet(path).select(
-                "node", F.col("new_component").alias("component")
-            )
+            labels = spark.read.parquet(path).select("node", "component")
             if not (obs.get["improved"] or 0):
                 # Detach the result from the temp files before cleanup
                 # (ledger-registered like the edge frame above).
