@@ -807,12 +807,15 @@ def test_ks_cdf_window_on_distinct_values(spark):
     assert "partial_" in p
 
 
-def test_mi_marginals_from_joint_no_rescan(spark):
-    # Marginals and entropies re-aggregate the |cells| joint; each pair
-    # scans its table once; only 1-row totals broadcast.
+def test_mi_bounded_cells_literal_result(spark):
+    # Round 15: each pair's |cells|-bounded joint aggregate runs ONCE
+    # at build under bounded_collect (the marginals/entropy/MI math is
+    # |cells|-bounded driver arithmetic); the declared frame is a
+    # literal projection — no table scan, no per-pair aggregate
+    # subtrees, no crossJoin weave left at consume.
     p = _plan(spark, "column_dependence_mi")
     assert "CartesianProduct" not in p
-    assert "partial_" in p
+    assert "Scan parquet" not in p
 
 
 def test_did_single_scan_four_cell_agg(spark):

@@ -2567,23 +2567,93 @@ def event_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extension: the fixed-point summary of `event_transition_probs` —
     where user behavior settles if the observed transition dynamics
     run forever, the classic power-iteration statistic behind
-    behavioral steady-state dashboards): 16 unrolled v·P power steps
-    over the types×types-bounded transition matrix, EVERY step exact
-    integer arithmetic (probabilities as nanos, the matrix as ppm —
-    the `trade_graph_pagerank` convention), so the result is
-    bit-identical across engines with no float caveat at all. Row
-    quantization truncates, so total mass decays ≤ |types| ppm per
-    step (documented, deterministic); dangling types (no outgoing
-    transitions) correctly bleed to zero. One generated flat SQL text
-    serves BOTH engines (:func:`_stationary_sql`): one analyzer pass,
-    16 tiny keyed aggregates over a bounded frame after the single
-    events-sized window."""
-    import uuid
+    behavioral steady-state dashboards): 16 v·P power steps over the
+    types×types-bounded transition matrix, EVERY step exact integer
+    arithmetic (probabilities as nanos, the matrix as ppm — the
+    `trade_graph_pagerank` convention), so the result is bit-identical
+    across engines with no float caveat at all. Row quantization
+    truncates, so total mass decays ≤ |types| ppm per step
+    (documented, deterministic); dangling types (no outgoing
+    transitions) correctly bleed to zero.
+
+    Round 15 (guide §1.5/§5 — the bounded-math convention of `mmr`/
+    `channel_removal_effects`): ONE distributed pass computes the
+    events-sized work (the LEAD window + the (a, b, count) aggregate);
+    the transition matrix and the 16 power steps are |types|²-bounded,
+    so they run as exact Python BIGINT arithmetic on the driver under
+    :func:`bounded_collect`'s declared bounds instead of 16 chained
+    tiny AQE aggregates (measured: 27 consume jobs → 3, each a
+    serial stage launch at any scale). The integer ops are the SQL's
+    (`SUM(v·ppm) DIV 1e6` per reachable `b`, row membership
+    preserved), so nanos are bit-identical — pinned by the unchanged
+    chained-CTE DuckDB oracle — and the final double rounding stays
+    IN Spark over the literal result rows, so no Python float touches
+    the declared output."""
+    from pyspark.sql import Window
+
+    from tmdb_index_spark.operators.materialize import bounded_collect
 
     ev = _events(spark, sf_dir)
-    view = f"__stationary_ev_{uuid.uuid4().hex[:12]}"
-    ev.createOrReplaceTempView(view)
-    return spark.sql(_stationary_sql(view, spark_dialect=True))
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("a"),
+            F.lead("event_type")
+            .over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            )
+            .alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # event_type is a bounded behavioral enum: |types| and |types|²
+    # are driver-safe by schema, and the bounds make that ENFORCED
+    cnt = bounded_collect(pairs, 262_144, "event transition matrix")
+    types = sorted(
+        r["t"]
+        for r in bounded_collect(
+            ev.select(F.col("event_type").alias("t")).distinct(),
+            512,
+            "event type domain",
+        )
+    )
+    out_schema = "event_type string, v long"
+    if not types:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.select(
+            "event_type",
+            F.col("v").cast("bigint").alias("prob_nanos"),
+            F.round(F.col("v").cast("double") / F.lit(1e9), 6).alias(
+                "stationary_prob"
+            ),
+        )
+    rowsum: dict = {}
+    for r in cnt:
+        rowsum[r["a"]] = rowsum.get(r["a"], 0) + int(r["c"])
+    # ppm quantization: CAST((c * 1e6) DIV tot AS BIGINT), exact ints
+    p: dict = {}
+    for r in cnt:
+        p.setdefault(r["a"], []).append(
+            (r["b"], (int(r["c"]) * 1_000_000) // rowsum[r["a"]])
+        )
+    v = {t: 1_000_000_000 // len(types) for t in types}
+    for _ in range(_STATIONARY_ITERS):
+        acc: dict = {}
+        for a, val in v.items():
+            for b, ppm in p.get(a, ()):
+                acc[b] = acc.get(b, 0) + val * ppm
+        # row membership matches the SQL join-groupBy: only types
+        # reachable from the CURRENT vector's support get a row
+        v = {b: s // 1_000_000 for b, s in acc.items()}
+    rows = [(t, v[t]) for t in sorted(v)]
+    return spark.createDataFrame(rows, out_schema).select(
+        "event_type",
+        F.col("v").cast("bigint").alias("prob_nanos"),
+        F.round(F.col("v").cast("double") / F.lit(1e9), 6).alias(
+            "stationary_prob"
+        ),
+    )
 
 
 _STATIONARY_SQL = _stationary_sql("events", spark_dialect=False)

@@ -697,59 +697,77 @@ def column_dependence_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginals and entropies re-aggregated from the |cells| joint, one
     scan per pair). U = 1 ⇔ one column determines the other; 0 ⇔
     independent."""
+    # Round 15 (guide §1.5/§5 — the bounded-math convention): the ONLY
+    # data-sized work per pair is the joint (x, y, count) aggregate —
+    # everything downstream (marginals, entropies, MI) re-aggregates
+    # the |cells|-bounded joint, which the former spelling expressed as
+    # five aggregate subtrees + crossJoin weaving per pair (measured 35
+    # consume jobs of tiny serial AQE stages). The joint cells are
+    # bounded by the enum domains of the audited columns (returnflag ×
+    # linestatus, orderstatus × orderpriority), so they ride ONE
+    # distributed aggregate each into a bounded_collect and the
+    # entropy/MI sums run in Python over the cells in SORTED cell
+    # order (deterministic). Float caveat, stated honestly: the sums'
+    # addition ORDER changes (was Spark partition order, now sorted
+    # cells; DuckDB uses its own order too) — differences are ≤ a few
+    # ULP and the declared output rounds to 4 decimals, which the
+    # oracle hash confirms at every SF. The rounding itself stays IN
+    # Spark over the literal rows.
+    from tmdb_index_spark.operators.materialize import bounded_collect
+
     li = _t(spark, sf_dir, "lineitem")
     od = _t(spark, sf_dir, "orders")
-    out = []
+    rows = []
     for df, x, y in [
         (li, "l_returnflag", "l_linestatus"),
         (od, "o_orderstatus", "o_orderpriority"),
     ]:
-        joint = df.groupBy(x, y).agg(F.count(F.lit(1)).alias("__c__"))
-        mx = joint.groupBy(x).agg(F.sum("__c__").alias("__cx__"))
-        my = joint.groupBy(y).agg(F.sum("__c__").alias("__cy__"))
-        tot = joint.agg(F.sum("__c__").alias("__n__"))
-        n = F.col("__n__").cast("double")
-        p = F.col("__c__").cast("double") / n
-        px = F.col("__cx__").cast("double") / n
-        py = F.col("__cy__").cast("double") / n
-        hx = mx.crossJoin(F.broadcast(tot)).agg(
-            F.sum(
-                -(F.col("__cx__").cast("double") / n)
-                * F.log2(F.col("__cx__").cast("double") / n)
-            ).alias("__hx__")
+        cells = bounded_collect(
+            df.groupBy(x, y).agg(F.count(F.lit(1)).alias("__c__")),
+            4096,
+            f"column-dependence joint cells {x}|{y}",
         )
-        hy = my.crossJoin(F.broadcast(tot)).agg(
-            F.sum(
-                -(F.col("__cy__").cast("double") / n)
-                * F.log2(F.col("__cy__").cast("double") / n)
-            ).alias("__hy__")
-        )
-        mi = (
-            joint.join(mx, x)
-            .join(my, y)
-            .crossJoin(F.broadcast(tot))
-            .agg(
-                F.sum(p * F.log2(p / (px * py))).alias("__mi__"),
-                F.count(F.lit(1)).cast("bigint").alias("n_cells"),
-            )
-        )
-        out.append(
-            mi.crossJoin(F.broadcast(hx))
-            .crossJoin(F.broadcast(hy))
-            .select(
-                F.lit(f"{x}|{y}").alias("pair"),
-                "n_cells",
-                F.round(F.col("__mi__"), 4).alias("mi_bits"),
-                F.round(
-                    F.col("__mi__")
-                    / F.least(F.col("__hx__"), F.col("__hy__")),
-                    4,
-                ).alias("uncertainty_coef"),
-            )
-        )
-    from functools import reduce as _reduce
+        cells = sorted((r[x], r[y], int(r["__c__"])) for r in cells)
+        n = float(sum(c for _, _, c in cells))
+        cx: dict = {}
+        cy: dict = {}
+        for xv, yv, c in cells:
+            cx[xv] = cx.get(xv, 0) + c
+            cy[yv] = cy.get(yv, 0) + c
+        if cells:
+            import math
 
-    return _reduce(DataFrame.unionByName, out)
+            hx = sum(
+                -(cx[k] / n) * math.log2(cx[k] / n) for k in sorted(cx)
+            )
+            hy = sum(
+                -(cy[k] / n) * math.log2(cy[k] / n) for k in sorted(cy)
+            )
+            mi = sum(
+                (c / n)
+                * math.log2((c / n) / ((cx[xv] / n) * (cy[yv] / n)))
+                for xv, yv, c in cells
+            )
+            denom = min(hx, hy)
+            if denom == 0.0:  # SQL double semantics: x/0.0 = ±Inf, 0/0 = NaN
+                u = (
+                    float("nan")
+                    if mi == 0.0
+                    else math.copysign(float("inf"), mi)
+                )
+            else:
+                u = mi / denom
+        else:  # empty table: the SQL's global aggregate emits NULLs
+            mi = u = None
+        rows.append((f"{x}|{y}", len(cells), mi, u))
+    return spark.createDataFrame(
+        rows, "pair string, n_cells long, __mi__ double, __u__ double"
+    ).select(
+        "pair",
+        "n_cells",
+        F.round(F.col("__mi__"), 4).alias("mi_bits"),
+        F.round(F.col("__u__"), 4).alias("uncertainty_coef"),
+    )
 
 
 _MI_COLDEP_SQL = """
