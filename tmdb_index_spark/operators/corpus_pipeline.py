@@ -686,15 +686,27 @@ def tokenize_and_mix(
     # reproducible in SQL as FLOOR(ROUND(alloc, 4)). Weights and their
     # sum are Python ints, so mixture_sample's normalization is one
     # correctly-rounded double division per source — engine-identical.
-    cap_rows = bounded_collect(
-        alloc.select(
-            F.col(source_col),
-            F.floor(F.col("allocation")).cast("bigint").alias("__cap__"),
-        ),
+    #
+    # The WHOLE |sources|-row allocation frame is collected here (same
+    # declared bound the cap projection already had), and the returned
+    # ``alloc`` is rebuilt as a literal frame over those rows (round
+    # 15, guide §1.2): the caller's consume otherwise re-derived the
+    # entire encode → per-source aggregate → allocation subtree a
+    # second time just to read |sources| rows that the build already
+    # held. Values are byte-identical — no arithmetic happens on the
+    # collected rows — and the caps are the same FLOOR over the same
+    # doubles (exact in IEEE-754 either way).
+    alloc_rows = bounded_collect(
+        alloc,
         max_sources,
         "tokenize_and_mix per-source allocation table",
     )
-    weights = {r[source_col]: int(r["__cap__"]) for r in cap_rows}
+    alloc = docs.sparkSession.createDataFrame(alloc_rows, alloc.schema)
+    import math
+
+    weights = {
+        r[source_col]: int(math.floor(r["allocation"])) for r in alloc_rows
+    }
     total_cap = sum(weights.values())
     if weights and total_cap > 0:
         sampled = mixture_sample(

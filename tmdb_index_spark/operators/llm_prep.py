@@ -1242,6 +1242,22 @@ def bpe_train_merges(
     )
     from tmdb_index_spark.operators.materialize import pin_frame
 
+    # ONE pin: the corpus-scale word-count aggregate. The per-ROUND
+    # checkpoint pins were removed in round 15: a round's state is the
+    # base vocab frame under i chained `replace` projections — plan
+    # depth LINEAR in rounds (one narrow Project each, no joins), so
+    # the k^n growth pin_frame guards against never arises. Round i's
+    # argmax re-runs the i-1 earlier replaces as map work over the
+    # PINNED vocab rows — measured FLAT per round (~0.17 s each, rounds
+    # 1 through 8 alike at sf0.1: the argmax job's fixed cost dominates
+    # the chained cheap string scans). Paired in-process profile:
+    # loop 2.04 → 1.70 s warm (query 3.74 → 3.09), and k-1 checkpointed
+    # copies of the vocab frame no longer occupy executor storage
+    # (guide §5) — the pins were lazy (eager=False) so job counts are
+    # unchanged; the savings are the pin calls and the block storage.
+    # Per-round CACHE pins were already measured worse in round 14
+    # (5.0 → 7.2 s — InMemoryRelation build cost); this removes the
+    # per-round materialization instead of re-homing it.
     cur = pin_frame(words, "checkpoint")
     merges: list[tuple] = []
     # split on the marker yields empties between/around the wrapped
@@ -1273,16 +1289,13 @@ def bpe_train_merges(
         pr, c = top[0][0], int(top[0][1])
         left, right = pr.split(sep)
         merges.append((step, left, right, left + right, c))
-        cur = pin_frame(
-            cur.select(
-                F.replace(
-                    F.col("__s__"),
-                    F.lit(sep + left + sep + sep + right + sep),
-                    F.lit(sep + left + right + sep),
-                ).alias("__s__"),
-                "__wf__",
-            ),
-            "checkpoint",
+        cur = cur.select(
+            F.replace(
+                F.col("__s__"),
+                F.lit(sep + left + sep + sep + right + sep),
+                F.lit(sep + left + right + sep),
+            ).alias("__s__"),
+            "__wf__",
         )
     return spark.createDataFrame(
         merges,

@@ -117,13 +117,31 @@ def tfidf_top_terms(
             stacklevel=2,
         )
         df_side = dfreq.hint("shuffle_hash")
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # N as a literal when the input is a bare parquet scan (footer
+    # count, exact by construction — operators/partitioning, the
+    # round-14 metadata_scan_rowcount pattern): drops the 1-row count
+    # aggregate + its broadcast-exchange job and one corpus scan from
+    # the plan. long/long division and lit(int)/long produce the same
+    # double, so tfidf values are bit-identical; non-bare inputs keep
+    # the aggregate.
+    from tmdb_index_spark.operators.partitioning import (
+        metadata_scan_rowcount,
+    )
+
+    n_exact = metadata_scan_rowcount(docs)
+    scored = tf.join(df_side, "term")
+    if n_exact is not None:
+        n_col = F.lit(n_exact)
+    else:
+        scored = scored.crossJoin(
+            F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+        )
+        n_col = F.col("n_docs")
     scored = (
-        tf.join(df_side, "term")
-        .crossJoin(F.broadcast(n))
+        scored
         .withColumn(
             "tfidf",
-            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4),
+            F.round(F.col("tf") * F.log(n_col / F.col("df")), 4),
         )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
