@@ -501,3 +501,128 @@ def test_rolling_backtest_structure(spark):
     for r in rows:
         assert r["n_test_days"] > 0
         assert r["mae"] >= abs(r["mean_bias"]) - 1e-9
+
+
+def test_rolling_backtest_matches_per_fold_spelling(spark):
+    # Round 15: the per-fold model fits moved to exact driver
+    # arithmetic over the calendar-bounded daily rollup (literal
+    # predictions, one conditional aggregate). This pins BIT-equality
+    # (doubles compared by bit pattern, not tolerance) against the
+    # removed per-fold Spark spelling — the float-identity argument
+    # (correctly-rounded DECIMAL→double on both sides, same IEEE
+    # division, same literal preds) is checked, not assumed.
+    import struct
+
+    from tmdb_index_spark.queries._embed_dedup import (
+        _BACKTEST_FOLDS,
+        _dec,
+        _t,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def bits(x):
+        return None if x is None else struct.pack(">d", x).hex()
+
+    got = {
+        r["fold"]: (
+            r["test_start"],
+            r["n_train_days"],
+            r["n_test_days"],
+            bits(r["mae"]),
+            bits(r["mean_bias"]),
+        )
+        for r in Q.rolling_backtest_mae(spark, sf).collect()
+    }
+
+    li = _t(spark, sf, "lineitem")
+    daily = (
+        li.groupBy(F.date_trunc("day", F.col("l_shipdate")).alias("__day__"))
+        .agg(F.sum(_dec("l_extendedprice")).alias("__rev__"))
+        .select(
+            "__day__",
+            F.col("__rev__").cast("double").alias("__y__"),
+            F.col("__rev__").alias("__ydec__"),
+            (
+                F.datediff(F.col("__day__"), F.lit("1995-01-02").cast("date"))
+                % 7
+            ).alias("__dow__"),
+        )
+    )
+    exp = {}
+    for i, (start, end) in enumerate(_BACKTEST_FOLDS, 1):
+        train = daily.filter(F.col("__day__") < F.lit(start).cast("timestamp"))
+        test = daily.filter(
+            (F.col("__day__") >= F.lit(start).cast("timestamp"))
+            & (F.col("__day__") < F.lit(end).cast("timestamp"))
+        )
+        model = train.groupBy("__dow__").agg(
+            (F.sum("__ydec__").cast("double") / F.count(F.lit(1))).alias(
+                "__pred__"
+            )
+        )
+        err = F.col("__y__") - F.col("__pred__")
+        row = (
+            test.join(F.broadcast(model), "__dow__")
+            .select(
+                F.round(F.abs(err) * F.lit(1e6))
+                .cast("bigint")
+                .alias("__ae__"),
+                F.round(err * F.lit(1e6)).cast("bigint").alias("__e__"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_test_days"),
+                F.sum("__ae__").cast("bigint").alias("__sae__"),
+                F.sum("__e__").cast("bigint").alias("__se__"),
+            )
+            .select(
+                "n_test_days",
+                F.round(
+                    F.col("__sae__").cast("double")
+                    / F.expr("CAST(NULLIF(n_test_days, 0) AS DOUBLE)")
+                    / F.lit(1e6),
+                    2,
+                ).alias("mae"),
+                F.round(
+                    F.col("__se__").cast("double")
+                    / F.expr("CAST(NULLIF(n_test_days, 0) AS DOUBLE)")
+                    / F.lit(1e6),
+                    2,
+                ).alias("mean_bias"),
+            )
+            .collect()[0]
+        )
+        exp[i] = (
+            start,
+            train.count(),
+            row["n_test_days"],
+            bits(row["mae"]),
+            bits(row["mean_bias"]),
+        )
+    assert got == exp
+
+
+def test_rolling_backtest_empty_fold_keeps_row(spark, monkeypatch):
+    # A fold whose test window lies beyond the ship-date calendar must
+    # still emit its row (n_test_days = 0, NULL mae/bias) — the
+    # round-15 literal fold spine + left join preserves the removed
+    # per-fold-aggregate behavior, where an empty COUNT(*) still
+    # produced a row.
+    from tmdb_index_spark.queries import _embed_dedup as mod
+
+    monkeypatch.setattr(
+        mod,
+        "_BACKTEST_FOLDS",
+        (("1998-01-01", "1999-01-01"), ("2035-01-01", "2036-01-01")),
+    )
+    rows = {
+        r["fold"]: r
+        for r in Q.rolling_backtest_mae(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert rows[1]["n_test_days"] > 0 and rows[1]["mae"] is not None
+    empty = rows[2]
+    assert empty["n_test_days"] == 0
+    assert empty["mae"] is None and empty["mean_bias"] is None
+    assert empty["n_train_days"] > rows[1]["n_train_days"]

@@ -2750,7 +2750,31 @@ def rolling_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``datediff % 7``; daily revenue exact DECIMAL; per-fold error sums
     quantize to integer micros before aggregation (no float-sum-order
     drift), divisions at the end. Output per fold: train/test day
-    counts, MAE, mean bias (signed)."""
+    counts, MAE, mean bias (signed).
+
+    Round 15 (guide §1.5/§5 — the bounded-math convention of
+    `event_stationary_dist` / `column_dependence_mi`): the daily
+    rollup is CALENDAR-bounded (the ship-date span is a ~7-year domain
+    property at any scale factor), so the three per-fold model fits —
+    exact DECIMAL sums, integer day counts, ONE double division per
+    day-of-week — run as Python arithmetic over one
+    :func:`bounded_collect` of the pinned rollup instead of 3 ×
+    (model aggregate + train count + broadcast crossJoins) of tiny
+    serial AQE jobs (measured: 26 consume jobs → 3). Bit-equivalence:
+    ``float(Decimal_sum) / n`` and Spark's
+    ``SUM(DECIMAL).cast(double) / COUNT(*)`` are both
+    correctly-rounded conversions followed by the same IEEE division,
+    and the collected day strings compare exactly like the removed
+    timestamp filters (ISO dates, same session calendar). EVERY
+    float-sensitive per-day op — the error against the (bit-identical)
+    literal predictions, the micro-quantization rounds, the error
+    sums and the final divisions/roundings — stays IN Spark, now as
+    ONE conditional aggregate over the same pinned rollup (fold test
+    windows are disjoint by construction, asserted below), left-joined
+    back to the literal fold spine so empty test windows keep their
+    ``n_test_days = 0`` / NULL-MAE rows."""
+    from tmdb_index_spark.operators.materialize import bounded_collect
+
     li = _t(spark, sf_dir, "lineitem")
     daily = (
         li.groupBy(F.date_trunc("day", F.col("l_shipdate")).alias("__day__"))
@@ -2770,61 +2794,95 @@ def rolling_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tmdb_index_spark.operators.materialize import pin_frame
 
     daily = pin_frame(daily)  # every fold filters the same rollup
-    folds = []
+    # disjoint, ordered test windows are what lets ONE conditional
+    # aggregate replace the per-fold filters below
+    assert all(
+        _BACKTEST_FOLDS[i][1] <= _BACKTEST_FOLDS[i + 1][0]
+        for i in range(len(_BACKTEST_FOLDS) - 1)
+    )
+    cal = bounded_collect(
+        daily.select(
+            F.date_format("__day__", "yyyy-MM-dd").alias("__d__"),
+            "__ydec__",
+            "__dow__",
+        ),
+        8192,  # ship-date calendar span, ≤ ~3,300 days at any SF
+        "backtest daily calendar rollup",
+    )
+    from decimal import Decimal
+
+    spine = []  # (fold, test_start, n_train_days)
+    pred_expr = None  # CASE (fold, dow) -> literal model mean
     for i, (start, end) in enumerate(_BACKTEST_FOLDS, 1):
-        train = daily.filter(
-            F.col("__day__") < F.lit(start).cast("timestamp")
+        train = [r for r in cal if r["__d__"] < start]
+        spine.append((i, start, len(train)))
+        sums: dict = {}
+        counts: dict = {}
+        for r in train:
+            d = r["__dow__"]
+            sums[d] = sums.get(d, Decimal(0)) + r["__ydec__"]
+            counts[d] = counts.get(d, 0) + 1
+        for d in sorted(counts):
+            # float(exact Decimal sum) is the same correctly-rounded
+            # value as Spark's SUM(DECIMAL).cast(double); / is IEEE
+            pred = float(sums[d]) / counts[d]
+            cond = (F.col("__fold__") == i) & (F.col("__dow__") == d)
+            pred_expr = (
+                F.when(cond, pred)
+                if pred_expr is None
+                else pred_expr.when(cond, pred)
+            )
+    if pred_expr is None:  # no train days anywhere: model join is empty
+        pred_expr = F.lit(None).cast("double")
+    fold_expr = None  # CASE day -> containing test window, else NULL
+    for i, (start, end) in enumerate(_BACKTEST_FOLDS, 1):
+        cond = (
+            F.col("__day__") >= F.lit(start).cast("timestamp")
+        ) & (F.col("__day__") < F.lit(end).cast("timestamp"))
+        fold_expr = (
+            F.when(cond, i) if fold_expr is None else fold_expr.when(cond, i)
         )
-        test = daily.filter(
-            (F.col("__day__") >= F.lit(start).cast("timestamp"))
-            & (F.col("__day__") < F.lit(end).cast("timestamp"))
-        )
-        # model mean = exact DECIMAL sum, ONE double division — a
-        # double SUM here would be addition-order-dependent across
-        # engines/partitionings and could flip the micro-quantized
-        # errors by one unit (round-9 ADVICE)
-        model = train.groupBy("__dow__").agg(
-            (
-                F.sum("__ydec__").cast("double") / F.count(F.lit(1))
-            ).alias("__pred__")
-        )
-        n_train = train.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_train_days")
-        )
-        err = F.col("__y__") - F.col("__pred__")
-        scored = test.join(F.broadcast(model), "__dow__").select(
+    err = F.col("__y__") - F.col("__pred__")
+    scored = (
+        daily.select("__y__", fold_expr.cast("bigint").alias("__fold__"), "__dow__")
+        .filter(F.col("__fold__").isNotNull())
+        .select("__fold__", "__y__", pred_expr.alias("__pred__"))
+        # a day-of-week absent from a fold's train set has no model
+        # row — the removed inner join dropped such test days
+        .filter(F.col("__pred__").isNotNull())
+        .select(
+            "__fold__",
             F.round(F.abs(err) * F.lit(1e6)).cast("bigint").alias("__ae__"),
             F.round(err * F.lit(1e6)).cast("bigint").alias("__e__"),
         )
-        agg = scored.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_test_days"),
+        .groupBy("__fold__")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n__"),
             F.sum("__ae__").cast("bigint").alias("__sae__"),
             F.sum("__e__").cast("bigint").alias("__se__"),
         )
-        folds.append(
-            agg.join(F.broadcast(n_train)).select(
-                F.lit(i).cast("bigint").alias("fold"),
-                F.lit(start).alias("test_start"),
-                "n_train_days",
-                "n_test_days",
-                F.round(
-                    F.col("__sae__").cast("double")
-                    / F.expr("CAST(NULLIF(n_test_days, 0) AS DOUBLE)")
-                    / F.lit(1e6),
-                    2,
-                ).alias("mae"),
-                F.round(
-                    F.col("__se__").cast("double")
-                    / F.expr("CAST(NULLIF(n_test_days, 0) AS DOUBLE)")
-                    / F.lit(1e6),
-                    2,
-                ).alias("mean_bias"),
-            )
+    )
+    spine_df = spark.createDataFrame(
+        spine, "fold bigint, test_start string, n_train_days bigint"
+    )
+    ntest = F.coalesce(F.col("__n__"), F.lit(0).cast("bigint"))
+    denom = F.when(ntest != 0, ntest.cast("double"))
+    return (
+        spine_df.join(
+            scored, spine_df["fold"] == scored["__fold__"], "left"
+        ).select(
+            "fold",
+            "test_start",
+            "n_train_days",
+            ntest.alias("n_test_days"),
+            F.round(
+                F.col("__sae__").cast("double") / denom / F.lit(1e6), 2
+            ).alias("mae"),
+            F.round(
+                F.col("__se__").cast("double") / denom / F.lit(1e6), 2
+            ).alias("mean_bias"),
         )
-    out = folds[0]
-    for f in folds[1:]:
-        out = out.unionByName(f)
-    return out
+    )
 
 
 def _backtest_fold_sql(i: int, start: str, end: str) -> str:
